@@ -1,13 +1,620 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.analog.{OccurrenceAnalog => OA}
+import graft.expr.{BorYear, Salt}
+import graft.tiles._
+
+/** Driver contract — one `queries` entry + oracle SQL per operator from
+  * SURVEY.md §2 (+ engine additions §7). Every query ends with a total-order
+  * ORDER BY; doubles that aggregate are computed on DECIMAL (exact,
+  * order-independent) and cast back; collect_lists are array_sort'ed and
+  * serialized to canonical strings so the DuckDB compare is bit-stable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // Engine config mirroring the reference's example config
+  // (`MapBuilder.java:62-66`, `example.yml:15-30`).
+  val TileSize = 512
+  val BufferSize = 64
+  val SaltModulo = 10
+  val Threshold = 500L
+
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+  private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  /** Occurrence-analog frame (keeps raw id cols for mapKeys derivation). */
+  private def occ(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(OA.qualityFilter)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        OA.lat.as("lat"), OA.lng.as("lng"),
+        col("event_type").as("basisOfRecord"),
+        OA.yearCol.as("year"))
+
+  /** event_id × exploded map view key (G1). */
+  private def exploded(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(OA.qualityFilter)
+      .select(col("event_id"), explode(OA.mapKeysArray).as("map_key"))
+
+  /** Pre-aggregated (map_key, lat, lng, bor_year) counts (A2 / prepareInput). */
+  private def preAgg(s: SparkSession, d: String): DataFrame =
+    Pyramid.prepareInput(occ(s, d), OA.mapKeysArray)
+      .withColumnRenamed("mapKey", "map_key")
+      .withColumnRenamed("borYear", "bor_year")
+      .withColumnRenamed("occCount", "occ_count")
+
+  /** Exact money arithmetic: tight precisions so products never hit Spark's
+    * 38-digit cap (which would trigger precision-loss rounding and break the
+    * bit-exact oracle compare).
+    */
+  private def decimal2(c: Column) = c.cast("decimal(12,2)")
+  private def decimalFrac(c: Column) = c.cast("decimal(4,2)")
+
+  /** Canonical string form of a features array (sorted upstream). */
+  private def featStr(features: Column): Column =
+    concat_ws(";",
+      transform(features, f =>
+        concat_ws(":", f.getField("borYear").cast("string"),
+                       f.getField("occCount").cast("string"))))
+
+  // ---------------------------------------------------------------- SQL CTEs
+
+  /** Occurrence-analog CTE prefix shared by oracle queries. */
+  private val sqlOcc: String =
+    s"""WITH occ AS (
+       |  SELECT event_id, user_id, event_type, value, ts,
+       |         ${OA.sqlLat} AS lat, ${OA.sqlLng} AS lng,
+       |         ${OA.sqlYear} AS yr,
+       |         ${OA.sqlMapKeys} AS mks
+       |  FROM events WHERE ${OA.sqlQualityFilter}),
+       |ex AS (SELECT event_id, unnest(mks) AS map_key FROM occ),
+       |pre AS (
+       |  SELECT map_key, lat, lng, bor_year, count(*) AS occ_count
+       |  FROM (SELECT ${BorYear.sqlEncode("event_type", "yr")} AS bor_year,
+       |               lat, lng, unnest(mks) AS map_key FROM occ)
+       |  GROUP BY 1, 2, 3, 4)
+       |""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1/S2: scan + projection + quality filter (MapBuilder.java:134-164)
+    "scan_project" -> ((s, d) =>
+      occ(s, d)
+        .select(
+          col("event_id"), col("user_id"), col("lat"), col("lng"),
+          col("basisOfRecord").as("bor"), col("year").as("yr"),
+          OA.datasetKey.as("dataset_key"), OA.publisherKey.as("publisher_key"),
+          OA.countryCode.as("country_code"), OA.pubCountry.as("pub_country"),
+          array_join(coalesce(OA.networkKeys, array()), ",").as("network_keys"))
+        .orderBy("event_id")),
+
+    "filter_quality" -> ((s, d) =>
+      events(s, d).filter(OA.qualityFilter)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // ---- S3: fixed-width repartition (MapBuilder.java:166-169) — content-
+    // preserving; verified via a post-shuffle aggregation.
+    "repartition_fixed" -> ((s, d) =>
+      occ(s, d).repartition(32)
+        .groupBy(col("year").as("yr"))
+        .agg(count(lit(1)).as("n"), sum("user_id").as("uid_sum"))
+        .orderBy("yr")),
+
+    // ---- G1: map-view fan-out (MapKeysUDF.java:99-151)
+    "explode_map_keys" -> ((s, d) =>
+      exploded(s, d).orderBy("event_id", "map_key")),
+
+    // ---- F1: borYear codec (EncodeBorYearUDF.java:28-71)
+    "encode_bor_year" -> ((s, d) => {
+      val enc = BorYear.encode(col("event_type"), col("year"))
+      occ(s, d)
+        .select(
+          col("event_id"), enc.as("bor_year"),
+          BorYear.decodeYear(enc).as("yr"), BorYear.decodeBor(enc).as("bor"))
+        .orderBy("event_id")
+    }),
+
+    // ---- F2: global pixel projection, all four SRS (GlobalPixelUDF.java:31-58)
+    "project_pixel_3857" -> projectPixelQuery(Mercator3857, 8),
+    "project_pixel_4326" -> projectPixelQuery(PlateCarree4326, 8),
+    "project_pixel_3575" -> projectPixelQuery(NorthPolarLaea3575, 6),
+    "project_pixel_3031" -> projectPixelQuery(SouthPolarStereo3031, 6),
+
+    // ---- F3/F4: salted keys (HBaseKeyUDF.java:41-59)
+    "hbase_key_tile" -> ((s, d) =>
+      exploded(s, d)
+        .select(col("event_id"), col("map_key"),
+          Salt.tileKey(col("map_key"), lit(3),
+            (col("event_id") % 8).cast("int"), (col("event_id") % 5).cast("int"),
+            SaltModulo).as("key"))
+        .orderBy("event_id", "map_key")),
+
+    "hbase_key_point" -> ((s, d) =>
+      exploded(s, d).select(col("map_key")).distinct()
+        .select(col("map_key"), Salt.pointKey(col("map_key"), SaltModulo).as("key"))
+        .orderBy("map_key")),
+
+    // ---- A1: per-view counts + threshold (MapBuilder.java:180-206)
+    "agg_count_by_view" -> ((s, d) =>
+      exploded(s, d)
+        .groupBy("map_key").agg(count(lit(1)).as("occ_count"))
+        .filter(col("occ_count") >= Threshold)
+        .orderBy("map_key")),
+
+    // ---- A2: the core pre-aggregation (TileMapBuilder.java:86-104)
+    "agg_count_by_coord" -> ((s, d) =>
+      preAgg(s, d)
+        .select(col("map_key"), latC, lngC, col("bor_year"), col("occ_count"))
+        .orderBy("map_key", "lat_c", "lng_c", "bor_year")),
+
+    // ---- A3: per-pixel sums at zoom 4 (TileMapBuilder.java:113-127)
+    "agg_sum_by_pixel" -> ((s, d) => {
+      val t1 = Pyramid.pixelCounts(pyramidInput(s, d), Mercator3857, 4, TileSize)
+      t1.filter(col("xy").isNotNull)
+        .select(col("mapKey").as("map_key"),
+          col("xy.x").as("px"), col("xy.y").as("py"),
+          col("borYearCount.borYear").as("bor_year"),
+          col("borYearCount.occCount").as("occ_count"))
+        .orderBy("map_key", "px", "py", "bor_year")
+    }),
+
+    // ---- A4: per-pixel feature collection at zoom 2 (TileMapBuilder.java:130-136)
+    "agg_collect_pixel_features" -> ((s, d) => {
+      val t1 = Pyramid.pixelCounts(pyramidInput(s, d), Mercator3857, 2, TileSize)
+      Pyramid.pixelFeatures(t1)
+        .select(col("mapKey").as("map_key"),
+          col("xy.x").as("px"), col("xy.y").as("py"),
+          featStr(col("features")).as("features_str"))
+        .orderBy("map_key", "px", "py")
+    }),
+
+    // ---- G2: buffered tile re-addressing at zoom 2 (TileXYUDF.java:74-229)
+    "explode_tile_addresses" -> ((s, d) => {
+      val adr = TileAddressing(Mercator3857, TileSize, BufferSize)
+      occ(s, d)
+        .select(col("event_id"),
+          Mercator3857.globalPixel(col("lat"), col("lng"), 2, TileSize).as("xy"))
+        .filter(col("xy").isNotNull)
+        .select(col("event_id"),
+          explode(adr.addresses(2, col("xy.x"), col("xy.y"))).as("t"))
+        .select(col("event_id"),
+          col("t.tileX").as("tile_x"), col("t.tileY").as("tile_y"),
+          col("t.pixelX").as("pixel_x"), col("t.pixelY").as("pixel_y"))
+        .orderBy("event_id", "tile_x", "tile_y", "pixel_x", "pixel_y")
+    }),
+
+    // ---- A5: full tile assembly at zoom 1 (TileMapBuilder.java:139-156)
+    "agg_collect_tile" -> ((s, d) => {
+      val t3 = Pyramid.build(pyramidInput(s, d), Mercator3857, 1, TileSize,
+        BufferSize, SaltModulo)
+      t3.select(col("key"),
+          concat_ws("#", transform(col("tile"), p =>
+            concat_ws("|",
+              concat_ws(",", p.getField("x").cast("string"),
+                             p.getField("y").cast("string")),
+              featStr(p.getField("features"))))).as("tile_str"))
+        .orderBy("key")
+    }),
+
+    // ---- A6/F4: point-map path (PointMapBuilder.java:49-93)
+    "agg_collect_point_features" -> ((s, d) => {
+      val pts = graft.points.PointMap.pointFeatures(
+        preAgg(s, d)
+          .select(col("map_key").as("mapKey"),
+            round(col("lat") * 100).cast("int").as("lat"),
+            round(col("lng") * 100).cast("int").as("lng"),
+            col("bor_year").as("borYear"), col("occ_count").as("occCount")),
+        SaltModulo)
+      pts.select(col("key"),
+          concat_ws(";", transform(col("features"), f =>
+            concat_ws(",",
+              f.getField("lat").cast("string"), f.getField("lng").cast("string"),
+              f.getField("borYear").cast("string"),
+              f.getField("occCount").cast("string")))).as("features_str"))
+        .orderBy("key")
+    }),
+
+    // ---- J1/J2: threshold allow/deny as real semi/anti joins — the 100 TB
+    // replacement for the reference's driver-side collect
+    // (MapBuilder.java:199-202, MapKeysUDF.java:134-144).
+    "semi_join_threshold" -> ((s, d) => {
+      val ex = exploded(s, d)
+      val big = ex.groupBy("map_key").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= Threshold).select("map_key")
+      ex.join(big, Seq("map_key"), "left_semi").orderBy("event_id", "map_key")
+    }),
+
+    "anti_join_threshold" -> ((s, d) => {
+      val ex = exploded(s, d)
+      val big = ex.groupBy("map_key").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= Threshold).select("map_key")
+      ex.join(big, Seq("map_key"), "left_anti").orderBy("event_id", "map_key")
+    }),
+
+    // ---- S7-analog: sorted salted sink — order within salt verified via
+    // ORDER BY; partition layout tested in SinksSpec.
+    "sorted_sink" -> ((s, d) => {
+      val pts = graft.points.PointMap.pointFeatures(
+        preAgg(s, d)
+          .select(col("map_key").as("mapKey"), col("lat"), col("lng"),
+            col("bor_year").as("borYear"), col("occ_count").as("occCount")),
+        SaltModulo)
+      pts.select(col("key"), size(col("features")).as("n_features"))
+        .orderBy("key")
+    }),
+
+    // ---------------------------------------------------- relational surface
+    // (engine additions per SURVEY §2.5/§2.6/§7 — TPC-H-shaped)
+
+    "q1_agg" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      val discPrice = decimal2(col("l_extendedprice")) * (lit(1).cast("decimal(4,2)") - decimalFrac(col("l_discount")))
+      val charge = discPrice * (lit(1).cast("decimal(4,2)") + decimalFrac(col("l_tax")))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(decimal2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (sum(decimal2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(decimalFrac(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "join_broadcast" -> ((s, d) => {
+      val li = lineitem(s, d); val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum("l_quantity").as("sum_qty"),
+          sum(decimal2(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("p_brand")
+    }),
+
+    "join_sortmerge" -> ((s, d) => {
+      val li = lineitem(s, d); val o = orders(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "join_multiway" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = orders(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(decimal2(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy("r_name")
+    }),
+
+    "window_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    }),
+
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lineitem(s, d)
+        .withColumn("running_qty", sum("l_quantity").over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        // (l_orderkey, l_linenumber) is not unique in the fixture; include
+        // running_qty so the output order is total on the output columns.
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    }),
+
+    "set_ops" -> ((s, d) => {
+      val ck = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val ok = orders(s, d).select(col("o_custkey").as("k"))
+      ck.intersect(ok).withColumn("src", lit("both"))
+        .unionAll(ck.except(ok).withColumn("src", lit("cust_only")))
+        .orderBy("k", "src")
+    }),
+
+    "agg_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // Event-time tumbling window, batch form (SURVEY §2.8).
+    "events_window_hourly" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(OA.tsCol, "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("n"), col("sum_value"))
+        .orderBy("hour_epoch")),
+
+    "json_extract" -> ((s, d) =>
+      events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("n"))
+        .orderBy("k_val"))
+  )
+
+  /** lat/lng scaled to exact ints for oracle-stable output (doubles stringify
+    * differently across engines; ×100 is exact on this fixture grid).
+    */
+  private def latC: Column = round(col("lat") * 100).cast("int").as("lat_c")
+  private def lngC: Column = round(col("lng") * 100).cast("int").as("lng_c")
+
+  /** Pyramid input with reference-internal column names. */
+  private def pyramidInput(s: SparkSession, d: String): DataFrame =
+    Pyramid.prepareInput(occ(s, d), OA.mapKeysArray)
+
+  private def projectPixelQuery(proj: Projection, zoom: Int)
+      : (SparkSession, String) => DataFrame =
+    (s, d) =>
+      occ(s, d)
+        .select(col("event_id"),
+          proj.globalPixel(col("lat"), col("lng"), zoom, TileSize).as("xy"))
+        .select(col("event_id"), col("xy.x").as("px"), col("xy.y").as("py"))
+        .orderBy("event_id")
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = {
+    val enc = BorYear.sqlEncode("event_type", "yr")
+    Map(
+      "scan_project" -> (sqlOcc +
+        s"""SELECT event_id, user_id, lat, lng, event_type AS bor, yr,
+           |  ${OA.sqlDatasetKey} AS dataset_key, ${OA.sqlPublisherKey} AS publisher_key,
+           |  ${OA.sqlCountryCode} AS country_code, ${OA.sqlPubCountry} AS pub_country,
+           |  COALESCE(array_to_string(${OA.sqlNetworkKeys}, ','), '') AS network_keys
+           |FROM occ ORDER BY event_id""".stripMargin),
+
+      "filter_quality" ->
+        s"""SELECT event_type, count(*) AS n FROM events
+           |WHERE ${OA.sqlQualityFilter} GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "repartition_fixed" -> (sqlOcc +
+        "SELECT yr, count(*) AS n, sum(user_id) AS uid_sum FROM occ GROUP BY 1 ORDER BY 1"),
+
+      "explode_map_keys" -> (sqlOcc +
+        "SELECT event_id, map_key FROM ex ORDER BY 1, 2"),
+
+      "encode_bor_year" -> (sqlOcc +
+        s"""SELECT event_id, $enc AS bor_year,
+           |  ${BorYear.sqlDecodeYear(enc)} AS yr,
+           |  ${BorYear.sqlDecodeBor(enc)} AS bor
+           |FROM occ ORDER BY event_id""".stripMargin),
+
+      "project_pixel_3857" -> sqlProjectPixel(Mercator3857, 8),
+      "project_pixel_4326" -> sqlProjectPixel(PlateCarree4326, 8),
+      "project_pixel_3575" -> sqlProjectPixel(NorthPolarLaea3575, 6),
+      "project_pixel_3031" -> sqlProjectPixel(SouthPolarStereo3031, 6),
+
+      "hbase_key_tile" -> (sqlOcc +
+        s"""SELECT event_id, map_key,
+           |  ${Salt.sqlTileKey("map_key", "3", "(event_id % 8)", "(event_id % 5)", SaltModulo)} AS key
+           |FROM ex ORDER BY 1, 2""".stripMargin),
+
+      "hbase_key_point" -> (sqlOcc +
+        s"""SELECT map_key, ${Salt.sqlSalted("map_key", SaltModulo)} AS key
+           |FROM (SELECT DISTINCT map_key FROM ex) ORDER BY 1""".stripMargin),
+
+      "agg_count_by_view" -> (sqlOcc +
+        s"""SELECT map_key, count(*) AS occ_count FROM ex
+           |GROUP BY 1 HAVING count(*) >= $Threshold ORDER BY 1""".stripMargin),
+
+      "agg_count_by_coord" -> (sqlOcc +
+        s"""SELECT map_key, round(lat * 100)::INTEGER AS lat_c,
+           |  round(lng * 100)::INTEGER AS lng_c, bor_year, occ_count
+           |FROM pre ORDER BY 1, 2, 3, 4""".stripMargin),
+
+      "agg_sum_by_pixel" -> (sqlOcc + sqlPixelCte(Mercator3857, 4) +
+        """SELECT map_key, px, py, bor_year, count(*) AS occ_count
+          |FROM pix WHERE px IS NOT NULL
+          |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
+
+      "agg_collect_pixel_features" -> (sqlOcc + sqlPixelCte(Mercator3857, 2) +
+        """, pc AS (
+          |  SELECT map_key, px, py, bor_year, count(*) AS cnt
+          |  FROM pix WHERE px IS NOT NULL GROUP BY 1, 2, 3, 4)
+          |SELECT map_key, px, py,
+          |  array_to_string(
+          |    [f['bor_year']::VARCHAR || ':' || f['cnt']::VARCHAR
+          |     for f in list_sort(list({'bor_year': bor_year, 'cnt': cnt}))],
+          |    ';') AS features_str
+          |FROM pc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+      "explode_tile_addresses" -> (sqlOcc +
+        s""", epix AS (
+           |  SELECT event_id,
+           |    ${Mercator3857.sqlGlobalPixelX("lat", "lng", 2, TileSize)} AS px,
+           |    ${Mercator3857.sqlGlobalPixelY("lat", "lng", 2, TileSize)} AS py
+           |  FROM occ),
+           |adr AS (
+           |  SELECT event_id,
+           |    unnest(${TileAddressing(Mercator3857, TileSize, BufferSize).sqlAddresses(2, "px", "py")}) AS t
+           |  FROM epix WHERE px IS NOT NULL)
+           |SELECT event_id, t['tileX'] AS tile_x, t['tileY'] AS tile_y,
+           |  t['pixelX'] AS pixel_x, t['pixelY'] AS pixel_y
+           |FROM adr ORDER BY 1, 2, 3, 4, 5""".stripMargin),
+
+      "agg_collect_tile" -> sqlCollectTile(Mercator3857, 1),
+
+      "agg_collect_point_features" -> (sqlOcc +
+        s""", feats AS (
+           |  SELECT map_key, round(lat*100)::INTEGER AS lat_c,
+           |    round(lng*100)::INTEGER AS lng_c, bor_year, occ_count
+           |  FROM pre)
+           |SELECT ${Salt.sqlSalted("map_key", SaltModulo)} AS key,
+           |  array_to_string(
+           |    [f['lat_c']::VARCHAR || ',' || f['lng_c']::VARCHAR || ',' ||
+           |     f['bor_year']::VARCHAR || ',' || f['cnt']::VARCHAR
+           |     for f in list_sort(list({'lat_c': lat_c, 'lng_c': lng_c,
+           |                              'bor_year': bor_year, 'cnt': occ_count}))],
+           |    ';') AS features_str
+           |FROM feats GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "semi_join_threshold" -> (sqlOcc +
+        s"""SELECT event_id, map_key FROM ex
+           |WHERE map_key IN (SELECT map_key FROM ex GROUP BY 1 HAVING count(*) >= $Threshold)
+           |ORDER BY 1, 2""".stripMargin),
+
+      "anti_join_threshold" -> (sqlOcc +
+        s"""SELECT event_id, map_key FROM ex
+           |WHERE map_key NOT IN (SELECT map_key FROM ex GROUP BY 1 HAVING count(*) >= $Threshold)
+           |ORDER BY 1, 2""".stripMargin),
+
+      "sorted_sink" -> (sqlOcc +
+        s"""SELECT ${Salt.sqlSalted("map_key", SaltModulo)} AS key,
+           |  count(*)::INTEGER AS n_features
+           |FROM pre GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(l_quantity) AS sum_qty,
+          |  sum(l_extendedprice::DECIMAL(12,2))::DOUBLE AS sum_base_price,
+          |  sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2)))::DOUBLE AS sum_disc_price,
+          |  sum(l_extendedprice::DECIMAL(12,2) * (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2)) * (1::DECIMAL(4,2) + l_tax::DECIMAL(4,2)))::DOUBLE AS sum_charge,
+          |  sum(l_quantity) / count(*) AS avg_qty,
+          |  sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / count(*) AS avg_price,
+          |  sum(l_discount::DECIMAL(4,2))::DOUBLE / count(*) AS avg_disc,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "join_broadcast" ->
+        """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+          |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS revenue
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "join_sortmerge" ->
+        """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "join_multiway" ->
+        """SELECT r_name, count(*) AS n_orders,
+          |  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "window_topk" ->
+        """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders)
+          |WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+      "window_running" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+          |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |    ROWS UNBOUNDED PRECEDING) AS running_qty
+          |FROM lineitem ORDER BY 1, 2, 3, 4""".stripMargin,
+
+      "set_ops" ->
+        """SELECT k, 'both' AS src FROM
+          |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+          |UNION ALL
+          |SELECT k, 'cust_only' AS src FROM
+          |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+          |ORDER BY 1, 2""".stripMargin,
+
+      "agg_distinct" ->
+        """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_window_hourly" ->
+        """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+          |  count(*) AS n, sum(value::DECIMAL(12,2))::DOUBLE AS sum_value
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "json_extract" ->
+        """SELECT json_extract_string(props, '$.k')::INTEGER AS k_val, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  }
+
+  private def sqlProjectPixel(proj: Projection, zoom: Int): String =
+    sqlOcc +
+      s"""SELECT event_id,
+         |  ${proj.sqlGlobalPixelX("lat", "lng", zoom, TileSize)} AS px,
+         |  ${proj.sqlGlobalPixelY("lat", "lng", zoom, TileSize)} AS py
+         |FROM occ ORDER BY event_id""".stripMargin
+
+  /** CTE `pix`: exploded view rows with global pixel columns at (proj, zoom). */
+  private def sqlPixelCte(proj: Projection, zoom: Int): String =
+    s""", pix AS (
+       |  SELECT event_id, map_key,
+       |    ${BorYear.sqlEncode("event_type", "yr")} AS bor_year,
+       |    ${proj.sqlGlobalPixelX("lat", "lng", zoom, TileSize)} AS px,
+       |    ${proj.sqlGlobalPixelY("lat", "lng", zoom, TileSize)} AS py
+       |  FROM (SELECT event_id, event_type, yr, lat, lng, unnest(mks) AS map_key FROM occ))
+       |""".stripMargin
+
+  private def sqlCollectTile(proj: Projection, zoom: Int): String = {
+    val adr = TileAddressing(proj, TileSize, BufferSize)
+    sqlOcc + sqlPixelCte(proj, zoom) +
+      s""", pc AS (
+         |  SELECT map_key, px, py, bor_year, count(*) AS cnt
+         |  FROM pix WHERE px IS NOT NULL GROUP BY 1, 2, 3, 4),
+         |pf AS (
+         |  SELECT map_key, px, py,
+         |    array_to_string(
+         |      [f['bor_year']::VARCHAR || ':' || f['cnt']::VARCHAR
+         |       for f in list_sort(list({'bor_year': bor_year, 'cnt': cnt}))],
+         |      ';') AS feat_str
+         |  FROM pc GROUP BY 1, 2, 3),
+         |adr AS (
+         |  SELECT map_key, feat_str, unnest(${adr.sqlAddresses(zoom, "px", "py")}) AS t
+         |  FROM pf),
+         |cells AS (
+         |  SELECT ${Salt.sqlTileKey("map_key", zoom.toString, "t['tileX']", "t['tileY']", SaltModulo)} AS key,
+         |    t['pixelX'] AS x, t['pixelY'] AS y, feat_str
+         |  FROM adr)
+         |SELECT key,
+         |  array_to_string(
+         |    [p['x']::VARCHAR || ',' || p['y']::VARCHAR || '|' || p['feat_str']
+         |     for p in list_sort(list({'x': x, 'y': y, 'feat_str': feat_str}))],
+         |    '#') AS tile_str
+         |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Flagship: the reference's t1 spine (SURVEY §7.2) on sf0.001 —
+    * explode views → pre-aggregate → project to zoom-0 Mercator pixels →
+    * per-pixel sums.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val t1 = Pyramid.pixelCounts(pyramidInput(spark, d), Mercator3857, 0, TileSize)
+    t1.filter(col("xy").isNotNull)
+      .select(col("mapKey").as("map_key"),
+        col("xy.x").as("px"), col("xy.y").as("py"),
+        col("borYearCount.borYear").as("bor_year"),
+        col("borYearCount.occCount").as("occ_count"))
+      .orderBy("map_key", "px", "py", "bor_year")
+  }
 }
