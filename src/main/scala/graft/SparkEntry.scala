@@ -84,7 +84,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ llmQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- S1/S2: scan + projection + quality filter (MapBuilder.java:134-164)
     "scan_project" -> ((s, d) =>
       occ(s, d)
@@ -355,6 +358,76 @@ object SparkEntry {
         .orderBy("k_val"))
   )
 
+  // ------------------------------------------------- LLM-pipeline operators
+  // (training-data ops over documents/embeddings — SURVEY §7 north star)
+
+  import graft.llm.{Dedup, Similarity, TextAnalysis => TA, MultiModal}
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy("fp")),
+
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashCandidates(docs(s, d), shingleSize = 3, numPerms = 16, numBands = 4)
+        .orderBy("a", "b")),
+
+    "dedup_simhash" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), TA.simhash32(TA.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(docs(s, d), shingleSize = 3, prefixLen = 20)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
+        .filter(col("jac_r") >= 0.2)
+        .orderBy("a", "b")),
+
+    "embedding_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(emb(s, d), 0.4).orderBy("a", "b")),
+
+    "text_stats" -> ((s, d) => {
+      val toks = TA.tokens(col("text"))
+      val nTok = size(toks)
+      val nUniq = size(array_distinct(toks))
+      val stopHits = size(filter(toks, t => t.isInCollection(TA.LangStopwords.head._2)))
+      docs(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), nUniq.as("n_uniq"),
+          TA.subtokenCount(col("text")).as("n_subtokens"),
+          when(nTok === 0, 0.0).otherwise(round(nUniq.cast("double") / nTok, 6)).as("ttr_r"),
+          when(nTok === 0, 0.0).otherwise(round(stopHits.cast("double") / nTok, 6)).as("stop_ratio_r"))
+        .orderBy("doc_id")
+    }),
+
+    "lang_id" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), TA.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), Dedup.tokenHashes(TA.tokens(col("text"))).as("th"))
+        .select(col("doc_id"), Dedup.hashedShingles(col("th"), 5).as("sh"))
+        .select(col("doc_id"), array_min(col("sh")).as("fp"),
+          size(col("sh")).as("n_shingles"))
+        .orderBy("doc_id")),
+
+    "similarity_topk" -> ((s, d) =>
+      Similarity.topK(emb(s, d), col("vec_id") % 20 === 0, k = 5)
+        .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
+        .orderBy("q_id", "rnk", "n_id")),
+
+    "similarity_ivf" -> ((s, d) =>
+      Similarity.topK(emb(s, d), col("vec_id") % 20 === 0, k = 3, sameCellOnly = true)
+        .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
+        .orderBy("q_id", "rnk", "n_id")),
+
+    "multimodal_features" -> ((s, d) =>
+      MultiModal.features(docs(s, d))(s).orderBy("doc_id"))
+  )
+
   /** lat/lng scaled to exact ints for oracle-stable output (doubles stringify
     * differently across engines; ×100 is exact on this fixture grid).
     */
@@ -555,7 +628,106 @@ object SparkEntry {
       "json_extract" ->
         """SELECT json_extract_string(props, '$.k')::INTEGER AS k_val, count(*) AS n
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) ++ llmOracles
+  }
+
+  private def llmOracles: Map[String, String] = {
+    import graft.llm.{Dedup, Similarity, TextAnalysis => TA}
+    val toks = TA.sqlTokens("text")
+    val enStop = TA.LangStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    Map(
+      "dedup_exact" ->
+        s"""SELECT ${Dedup.sqlFingerprint("text")} AS fp, min(doc_id) AS keep_id,
+           |  count(*) AS n_docs
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "dedup_minhash" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+           |s AS (SELECT doc_id, ${Dedup.sqlHashedShingles("th", 3)} AS sh FROM th),
+           |nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+           |sg AS (SELECT doc_id, ${Dedup.sqlMinhashSignature("sh", 16)} AS sig FROM nz),
+           |bd AS (SELECT doc_id,
+           |  unnest([{'band': b, 'bh': ${graft.expr.PortableHash.sqlPhash("array_to_string((sig)[b * 4 + 1 : b * 4 + 4], ',')")}}
+           |          for b in range(0, 4)]) AS t
+           |  FROM sg),
+           |bb AS (SELECT doc_id, t['band'] AS band, t['bh'] AS bh FROM bd)
+           |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
+           |FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "dedup_simhash" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+           |SELECT doc_id, ${TA.sqlSimhash32("toks")} AS simhash
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, ${TA.sqlNormText("text")} AS nt, $toks AS toks FROM documents),
+           |th AS (SELECT doc_id, substr(nt, 1, 20) AS blk,
+           |  ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+           |k AS (SELECT doc_id, blk,
+           |  list_distinct(${Dedup.sqlHashedShingles("th", 3)}) AS sh FROM th),
+           |p AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b,
+           |    round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+           |          len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
+           |  FROM k l JOIN k r ON l.blk = r.blk AND l.doc_id < r.doc_id)
+           |SELECT a, b, jac_r FROM p WHERE jac_r >= 0.2 ORDER BY 1, 2""".stripMargin,
+
+      "embedding_neardup" -> {
+        val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+        s"""WITH n AS (SELECT vec_id, label, embedding,
+           |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
+           |SELECT l.vec_id AS a, r.vec_id AS b, $cos AS cos_r
+           |FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
+           |WHERE $cos >= 0.4 ORDER BY 1, 2""".stripMargin
+      },
+
+      "text_stats" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks,
+           |  ${TA.sqlSubtokenCount("text")}::INTEGER AS n_subtokens FROM documents)
+           |SELECT doc_id, len(toks)::INTEGER AS n_tokens,
+           |  len(list_distinct(toks))::INTEGER AS n_uniq, n_subtokens,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |       ELSE round(len(list_distinct(toks))::DOUBLE / len(toks), 6) END AS ttr_r,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |       ELSE round(len(list_filter(toks, t -> t IN ($enStop)))::DOUBLE / len(toks), 6) END AS stop_ratio_r
+           |FROM t ORDER BY doc_id""".stripMargin,
+
+      "lang_id" ->
+        s"""SELECT doc_id, lang, ${TA.sqlLangId("text")} AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "doc_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+           |s AS (SELECT doc_id, ${Dedup.sqlHashedShingles("th", 5)} AS sh FROM th)
+           |SELECT doc_id, list_min(sh) AS fp, len(sh)::INTEGER AS n_shingles
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "similarity_topk" -> sqlTopK(k = 5, sameCell = false),
+      "similarity_ivf" -> sqlTopK(k = 3, sameCell = true),
+
+      "multimodal_features" ->
+        """SELECT doc_id, octet_length(text::BLOB)::INTEGER AS byte_len,
+          |  md5(substr(text, 1, 16)) AS head_md5, source
+          |FROM documents ORDER BY doc_id""".stripMargin
     )
+  }
+
+  private def sqlTopK(k: Int, sameCell: Boolean): String = {
+    val cos = s"round(${graft.llm.Similarity.sqlDot("q_emb", "e.embedding")} / (q_nrm * e.nrm), 6)"
+    val cellCond = if (sameCell) " AND q_label = e.label" else ""
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |  sqrt(${graft.llm.Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label, nrm AS q_nrm
+       |  FROM n WHERE vec_id % 20 = 0),
+       |p AS (SELECT q_id, e.vec_id AS n_id, $cos AS cos_r
+       |  FROM q JOIN n e ON q_id <> e.vec_id$cellCond),
+       |r AS (SELECT q_id, n_id, cos_r,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
+       |  FROM p)
+       |SELECT q_id, n_id, cos_r, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk, n_id""".stripMargin
   }
 
   private def sqlProjectPixel(proj: Projection, zoom: Int): String =

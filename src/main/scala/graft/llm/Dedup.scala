@@ -1,0 +1,183 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.PortableHash
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB posture):
+  *   - exact: one hash-shuffle on the content fingerprint — the grouping key
+  *     is 32 hex chars regardless of document size, and the map-side partial
+  *     aggregation collapses per-partition duplicates before the shuffle.
+  *   - minhash+LSH: signatures are computed scan-side (narrow), then ONE
+  *     shuffle keyed by (band index, band hash); candidate pairs come from a
+  *     self-equi-join on that key — never an all-pairs product. Band count ×
+  *     rows-per-band trades recall vs. candidate volume.
+  *   - ngram-jaccard: verification of candidates from a cheap blocking key;
+  *     the exact set intersection runs only on the (tiny) candidate set.
+  *   - embedding near-dup: same pattern with IVF-style cells (label column
+  *     stands in for a precomputed coarse-quantizer assignment).
+  */
+object Dedup {
+
+  /** Content fingerprint for exact dedup: md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(TextAnalysis.normText(text))
+  def sqlFingerprint(e: String): String = s"md5(${TextAnalysis.sqlNormText(e)})"
+
+  /** Exact-dedup groups: fingerprint → keeper id + group size. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** MinHash via universal hashing: ONE portable hash per shingle, then
+    * `numPerms` cheap modular permutations `(a_k·h + b_k) mod P` with
+    * deterministic literal constants — the standard minhash construction,
+    * and 16× fewer md5 evaluations than hashing per-permutation (the md5 is
+    * the hot-path cost at scale: measured 59 s → ~5 s at sf0.1).
+    *
+    * Overflow-safe by construction: `a_k < 2^20`, `h < 2^32` ⇒ products
+    * < 2^52 — exact in BIGINT on both engines (DuckDB errors on int64
+    * overflow; Spark would silently wrap).
+    */
+  val MinhashPrime = 4294967311L // smallest prime > 2^32
+
+  /** Deterministic per-permutation constants (md5-derived, baked into the
+    * plan and the oracle SQL as literals).
+    */
+  def permConstants(numPerms: Int): Seq[(Long, Long)] = {
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    (0 until numPerms).map(k => (h(s"a:$k") % ((1L << 20) - 1) + 1, h(s"b:$k") % MinhashPrime))
+  }
+
+  /** Hashed shingles (one md5 pass) — project this into a column BEFORE
+    * computing signatures so the hash runs once, not once per permutation.
+    */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => PortableHash.phash(s))
+  def sqlShingleHashes(shinglesE: String): String =
+    s"[${PortableHash.sqlPhash("s")} for s in $shinglesE]"
+
+  /** Per-token hashes: the ONLY md5 pass in the hashed-shingle pipeline. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => PortableHash.phash(t))
+  def sqlTokenHashes(toksE: String): String =
+    s"[${PortableHash.sqlPhash("t")} for t in $toksE]"
+
+  /** Combination constants for hashed n-gram shingles (literals < 2^20). */
+  def comboConstants(n: Int): Seq[Long] = {
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    (0 until n - 1).map(j => h(s"c:$j") % ((1L << 20) - 1) + 1)
+  }
+
+  /** Hashed n-gram shingles from pre-hashed tokens: shingle i =
+    * `(Σ_j c_j·h[i+j] + h[i+n-1]) mod P` — exact BIGINT arithmetic replacing
+    * per-shingle string building + md5 (string shingling is the measured
+    * hot spot: interpreted HOF allocation, ~2 ms/doc at 60 tokens).
+    */
+  def hashedShingles(tokHashes: Column, n: Int): Column = {
+    val cs = comboConstants(n)
+    when(size(tokHashes) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), size(tokHashes) - n), i => {
+        val terms = cs.zipWithIndex.map { case (c, j) =>
+          lit(c) * element_at(tokHashes, i + j + 1)
+        } :+ element_at(tokHashes, i + n)
+        pmod(terms.reduce(_ + _), lit(MinhashPrime))
+      }))
+  }
+  def sqlHashedShingles(tokHashesE: String, n: Int): String = {
+    val cs = comboConstants(n)
+    val terms = (cs.zipWithIndex.map { case (c, j) =>
+      s"$c * ($tokHashesE)[i + ${j + 1}]"
+    } :+ s"($tokHashesE)[i + $n]").mkString(" + ")
+    s"(CASE WHEN len($tokHashesE) < $n THEN [] ELSE " +
+      s"[(($terms) % $MinhashPrime) for i in range(0, len($tokHashesE) - $n + 1)] END)"
+  }
+
+  /** Signature from pre-hashed shingles. */
+  def minhashSignature(hashes: Column, numPerms: Int): Column = {
+    val sigs = permConstants(numPerms).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(lit(a) * h + lit(b), lit(MinhashPrime))))
+    }
+    array(sigs: _*)
+  }
+  def sqlMinhashSignature(hashesE: String, numPerms: Int): String =
+    permConstants(numPerms).map { case (a, b) =>
+      s"list_min([(($a * h + $b) % $MinhashPrime) for h in $hashesE])"
+    }.mkString("[", ", ", "]")
+
+  /** LSH band hashes over a signature: `numBands` hashes of `rowsPerBand`
+    * consecutive signature entries each.
+    */
+  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      PortableHash.phash(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))))
+  def sqlBandHashes(sigE: String, numBands: Int, rowsPerBand: Int): String =
+    s"[${PortableHash.sqlPhash(s"array_to_string(($sigE)[b * $rowsPerBand + 1 : b * $rowsPerBand + $rowsPerBand], ',')")} " +
+      s"for b in range(0, $numBands)]"
+
+  /** MinHash+LSH candidate pairs: docs sharing ≥1 band bucket, with the
+    * number of shared bands. One wide shuffle on (band, hash); no cross
+    * product.
+    */
+  def minhashCandidates(
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numPerms / numBands
+    // Signature via explode + 16 codegen'd min-aggregates, NOT per-row array
+    // lambdas: higher-order functions run interpreted (measured ~3 µs per
+    // element — 100+ s at sf0.1), while a hash aggregate over exploded
+    // shingle hashes is whole-stage codegen with map-side partial mins, so
+    // the doc_id shuffle carries only numPerms longs per document. This is
+    // also the 100 TB shape: min is algebraic, no skew (doc_id grouping).
+    val perms = permConstants(numPerms)
+    val sigCols = perms.zipWithIndex.map { case ((a, b), k) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"sig_$k")
+    }
+    val sig = docs
+      .select(col("doc_id"),
+        tokenHashes(TextAnalysis.tokens(col("text"))).as("th")) // the one md5 pass
+      .select(col("doc_id"), explode(hashedShingles(col("th"), shingleSize)).as("h"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until numBands).map { bi =>
+      struct(lit(bi).as("band"),
+        PortableHash.phash(concat_ws(",",
+          (bi * rowsPerBand until (bi + 1) * rowsPerBand)
+            .map(k => col(s"sig_$k").cast("string")): _*)).as("bh"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("t"))
+      .select(col("doc_id"), col("t.band").as("band"), col("t.bh").as("bh"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs blocked on a normalized-text
+    * prefix: similarity = |A∩B| / |A∪B| over distinct shingle sets.
+    */
+  def ngramJaccard(docs: DataFrame, shingleSize: Int, prefixLen: Int): DataFrame = {
+    val norm = TextAnalysis.normText(col("text"))
+    val keyed = docs
+      .select(col("doc_id"), substring(norm, 1, prefixLen).as("blk"),
+        tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+      .select(col("doc_id"), col("blk"),
+        array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
+    keyed.as("l").join(keyed.as("r"),
+        col("l.blk") === col("r.blk") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+  }
+}

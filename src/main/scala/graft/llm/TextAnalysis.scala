@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.expr.PortableHash
+
+/** Text-analysis primitives for training-data pipelines: normalization,
+  * tokenization, shingling, language-ID heuristics, quality stats, simhash
+  * and fingerprinting — all as native `Column` expressions so they run
+  * inside whole-stage codegen over a 100 TB `documents` scan, with DuckDB
+  * SQL mirrors for the correctness oracle.
+  */
+object TextAnalysis {
+
+  /** Canonical normalization: lowercase, squeeze whitespace, trim. */
+  def normText(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  def sqlNormText(e: String): String =
+    s"lower(trim(regexp_replace($e, '\\s+', ' ', 'g')))"
+
+  /** Whitespace tokens of the normalized text (empty text → empty array). */
+  def tokens(c: Column): Column = {
+    val n = normText(c)
+    when(length(n) === 0, array().cast("array<string>")).otherwise(split(n, " "))
+  }
+  def sqlTokens(e: String): String = {
+    val n = sqlNormText(e)
+    s"(CASE WHEN length($n) = 0 THEN [] ELSE string_split($n, ' ') END)"
+  }
+
+  /** Word n-gram shingles joined with spaces; fewer than n tokens → empty. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  def sqlShingles(toksE: String, n: Int): String =
+    s"(CASE WHEN len($toksE) < $n THEN [] ELSE " +
+      s"[array_to_string(($toksE)[i + 1 : i + $n], ' ') " +
+      s" for i in range(0, len($toksE) - $n + 1)] END)"
+
+  /** BPE-ish subtoken count: runs of letters, runs of digits, or any other
+    * non-space char each count as one subtoken.
+    */
+  val SubtokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def subtokenCount(c: Column): Column =
+    regexp_count(normText(c), lit(SubtokenPattern))
+  def sqlSubtokenCount(e: String): String =
+    s"len(regexp_extract_all(${sqlNormText(e)}, '$SubtokenPattern'))"
+
+  /** Per-language stopword marker lists for the language-ID heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"),
+    "es" -> Seq("el", "los", "que", "una", "es", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht")
+  )
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+  private def sqlCountIn(toksE: String, words: Seq[String]): String =
+    s"len(list_filter($toksE, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Language-ID heuristic: CJK codepoints → zh; else argmax stopword hits
+    * (ties and zero hits → 'und'; argmax resolved in LangStopwords order).
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangStopwords.map { case (l, ws) => l -> countIn(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier entries priority on ties
+    val cjk = regexp_count(c, lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    when(cjk, lit("zh")).otherwise(pick)
+  }
+  def sqlLangId(e: String): String = {
+    val toksE = sqlTokens(e)
+    val scores = TextAnalysis.LangStopwords.map { case (l, ws) => l -> sqlCountIn(toksE, ws) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val pick = scores.foldRight("'und'") { case ((l, s), acc) =>
+      s"(CASE WHEN $s = $best AND $best > 0 THEN '$l' ELSE $acc END)"
+    }
+    s"(CASE WHEN len(regexp_extract_all($e, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh' ELSE $pick END)"
+  }
+
+  /** 32-bit simhash over token multiset using the portable hash: bit i is
+    * set when more token-hashes have bit i set than clear.
+    */
+  def simhash32(toks: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(31)), i => {
+        // 2^i as exact long arithmetic (shiftleft/shiftright need literal
+        // shift amounts; pow is exact here: i < 32, hashes < 2^32 < 2^53)
+        val pow2i = pow(lit(2.0), i).cast("long")
+        val score = aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(pmod(floor(PortableHash.phash(t) / pow2i).cast("long"), lit(2)) === 1, lit(1L))
+            .otherwise(lit(-1L)))
+        when(score > 0, pow2i).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, b) => acc + b)
+  def sqlSimhash32(toksE: String): String = {
+    val h = PortableHash.sqlPhash("t")
+    s"""list_sum([
+       |  CASE WHEN list_sum([CASE WHEN (($h // (1::BIGINT << i)) % 2) = 1 THEN 1 ELSE -1 END
+       |                      for t in $toksE]) > 0
+       |       THEN (1::BIGINT << i) ELSE 0 END
+       |  for i in range(0, 32)])::BIGINT""".stripMargin
+  }
+}

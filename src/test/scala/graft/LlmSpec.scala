@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/shingles: counts and edge cases") {
+    val df = Seq("a b c d", "  A   B  ", "x", "").toDF("text")
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("t"), TextAnalysis.shingles(col("t"), 3).as("sh"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a", "b", "c", "d"))
+    assert(rows(0).getSeq[String](1) == Seq("a b c", "b c d")) // n-n+1 shingles
+    assert(rows(1).getSeq[String](0) == Seq("a", "b"), "normalization lowers + squeezes")
+    assert(rows(2).getSeq[String](1).isEmpty, "under n tokens -> no shingles")
+    assert(rows(3).getSeq[String](0).isEmpty, "empty text -> no tokens")
+  }
+
+  test("minhash: identical docs share all bands; candidates are symmetric-free pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "completely different words that share nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 4L)), "exact dup shares all 4 bands; no other pair")
+  }
+
+  test("jaccard: identical=1, disjoint pairs absent (blocking)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon eta") // same 20-char prefix block
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccard(docs, 3, 20)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.4 && out((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical tokens -> identical hash; value is 32-bit") {
+    val df = Seq("spark scala data engine", "spark scala data engine", "other words entirely here")
+      .toDF("text")
+      .select(TextAnalysis.simhash32(TextAnalysis.tokens(col("text"))).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs.forall(h => h >= 0 && h < (1L << 32)))
+    assert(hs(0) != hs(2), "different content differs (overwhelmingly likely)")
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))
+    ).toDF("a", "b").select(round(Similarity.cosine(col("a"), col("b")), 9).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
+  }
+
+  test("multimodal: stubbed decode preserves byte length and is deterministic") {
+    implicit val s = spark
+    val docs = Seq((1L, "hello world", "srcA", 11L), (2L, "", "srcB", 0L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val feats = graft.llm.MultiModal.features(docs).orderBy("doc_id").collect()
+    assert(feats(0).getAs[Int]("byte_len") == 11)
+    assert(feats(0).getAs[String]("head_md5").length == 32)
+    assert(feats(1).getAs[Int]("byte_len") == 0)
+  }
+}
