@@ -375,9 +375,7 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     "dedup_simhash" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), TA.simhash32(TA.tokens(col("text"))).as("simhash"))
-        .orderBy("doc_id")),
+      TA.simhash32ByKey(docs(s, d), "doc_id", "text").orderBy("doc_id")),
 
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(docs(s, d), shingleSize = 3, prefixLen = 20)

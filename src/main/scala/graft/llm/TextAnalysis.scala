@@ -98,6 +98,28 @@ object TextAnalysis {
         when(score > 0, pow2i).otherwise(lit(0L))
       }),
       lit(0L), (acc, b) => acc + b)
+  /** Scale form of [[simhash32]]: explode tokens, hash each once (codegen
+    * md5), then 32 codegen'd conditional sums per id — the per-row array
+    * lambdas above run interpreted (~3 µs/element; measured 22 s at sf0.1 vs
+    * ~2 s for this shape). Map-side partial sums make the id shuffle carry
+    * 32 longs per document. Bit-identical to [[simhash32]].
+    */
+  def simhash32ByKey(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val scores = (0 until 32).map { i =>
+      sum(when(col("h").isNull, lit(0L))
+        .otherwise(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s_$i")
+    }
+    val hashBits = (0 until 32).map { i =>
+      when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("t"))
+      .select(col(idCol), PortableHash.phash(col("t")).as("h"))
+      .groupBy(idCol)
+      .agg(scores.head, scores.tail: _*)
+      .select(col(idCol), hashBits.as("simhash"))
+  }
+
   def sqlSimhash32(toksE: String): String = {
     val h = PortableHash.sqlPhash("t")
     s"""list_sum([
