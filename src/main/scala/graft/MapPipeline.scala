@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expr.BorYear
+import graft.io.Sinks
+import graft.points.PointMap
+import graft.tiles.{Projections, Pyramid, TileAddressing}
+
+/** The complete map-build pipeline — the engine's analog of the reference's
+  * `MapBuilder.run()` → `PointMapBuilder` / `TileMapBuilder` flow:
+  *
+  *  1. Explode map views + pre-aggregate, then MATERIALIZE as parquet — the
+  *     reference's CTAS barrier against lazy re-reads across the
+  *     4-projection × (maxZoom+1) fan-out (`MapBuilder.java:130-133,171-173`,
+  *     `TileMapBuilder.java:84-104`).
+  *  2. Split views by cardinality: ≥ threshold → tile pyramid, else point
+  *     blobs. The reference collects the big-view set to the driver and
+  *     ships it in UDF closures (`MapBuilder.java:180-206`) — the one part
+  *     of its design that cannot scale; we use broadcast semi/anti joins.
+  *  3. Point path: per-view feature blobs under salted keys
+  *     (`PointMapBuilder.java:49-93`).
+  *  4. Tile path: per projection × zoom (slowest-first), the t1→t3 cascade,
+  *     deterministic blob encode, salt-partitioned sorted sink
+  *     (`TileMapBuilder.java:51-77,113-200`). EPSG:3031 runs on a
+  *     south-hemisphere pre-filter (`TileMapBuilder.java:59-62`).
+  */
+object MapPipeline {
+
+  case class Config(
+      workDir: String,
+      tileSize: Int = 512,
+      bufferSize: Int = 64,
+      maxZoom: Int = 16,
+      saltModulo: Int = 10,
+      threshold: Long = 250000,
+      projections: Seq[String] = Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031"),
+      borCodes: Seq[(String, Int)] = BorYear.EventTypeCodes)
+
+  case class Result(preparedPath: String, pointsPath: String, tileDirs: Seq[String])
+
+  def run(spark: SparkSession, occ: DataFrame, mapKeysArray: Column, cfg: Config): Result = {
+    // -- 1. prepare + materialization barrier
+    val preparedPath = s"${cfg.workDir}/prepared"
+    Pyramid.prepareInput(occ, mapKeysArray, cfg.borCodes)
+      .write.mode("overwrite").parquet(preparedPath)
+    val prepared = spark.read.parquet(preparedPath)
+
+    // -- 2. cardinality split (broadcast semi/anti join, not driver collect)
+    val bigViews = prepared.groupBy("mapKey")
+      .agg(sum("occCount").as("n")).filter(col("n") >= cfg.threshold)
+      .select("mapKey")
+    val tileInputPath = s"${cfg.workDir}/tile_input"
+    prepared.join(broadcast(bigViews), Seq("mapKey"), "left_semi")
+      .write.mode("overwrite").parquet(tileInputPath)
+    val pointInput = prepared.join(broadcast(bigViews), Seq("mapKey"), "left_anti")
+
+    // -- 3. point path
+    implicit val s: SparkSession = spark
+    val pointsPath = s"${cfg.workDir}/points"
+    Sinks.writeSorted(
+      Sinks.encodePoints(PointMap.pointFeatures(pointInput, cfg.saltModulo))
+        .toDF("key", "value"),
+      cfg.saltModulo, pointsPath)
+
+    // -- 4. tile path: projections × zooms, slowest (deepest) first
+    val tileInput = spark.read.parquet(tileInputPath)
+    val southPath = s"${cfg.workDir}/tile_input_south"
+    val needsSouth = cfg.projections.contains("EPSG:3031")
+    if (needsSouth) // 100 km buffer ≈ lat <= 1 (TileMapBuilder.java:59-62)
+      tileInput.filter(col("lat") <= 1).write.mode("overwrite").parquet(southPath)
+
+    val tileDirs = for {
+      epsg <- cfg.projections
+      zoom <- (cfg.maxZoom to 0 by -1)
+    } yield {
+      val proj = Projections.fromEpsg(epsg)
+      val input = if (epsg == "EPSG:3031") spark.read.parquet(southPath) else tileInput
+      val t3 = Pyramid.build(input, proj, zoom, cfg.tileSize, cfg.bufferSize, cfg.saltModulo)
+      val dir = s"${cfg.workDir}/tiles/${epsg.replaceAll(":", "_")}/z$zoom"
+      Sinks.writeSorted(Sinks.encodeTiles(t3).toDF("key", "value"), cfg.saltModulo, dir)
+      dir
+    }
+    Result(preparedPath, pointsPath, tileDirs)
+  }
+}

@@ -355,7 +355,15 @@ object SparkEntry {
       events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .groupBy("k_val").agg(count(lit(1)).as("n"))
-        .orderBy("k_val"))
+        .orderBy("k_val")),
+
+    // Batch twin of the streaming sessionization (EventStream.sessionize) —
+    // identical session boundaries, oracle-checkable (SURVEY §2.8).
+    "sessionize_batch" -> ((s, d) =>
+      graft.streaming.EventStream.sessionizeBatch(
+          events(s, d).select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          gapSec = 1800)
+        .orderBy("user_id", "session_start_us"))
   )
 
   // ------------------------------------------------- LLM-pipeline operators
@@ -625,7 +633,19 @@ object SparkEntry {
 
       "json_extract" ->
         """SELECT json_extract_string(props, '$.k')::INTEGER AS k_val, count(*) AS n
-          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "sessionize_batch" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+          |s AS (SELECT user_id, ts_us,
+          |  CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+          |       THEN 1 ELSE 0 END AS new_sess FROM e),
+          |r AS (SELECT user_id, ts_us,
+          |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+          |                      ROWS UNBOUNDED PRECEDING) AS sess_id FROM s)
+          |SELECT user_id, min(ts_us) AS session_start_us,
+          |  max(ts_us) AS session_end_us, count(*) AS n_events
+          |FROM r GROUP BY user_id, sess_id ORDER BY 1, 2""".stripMargin
     ) ++ llmOracles
   }
 

@@ -24,10 +24,17 @@ object OccurrenceAnalog {
     */
   val RankModuli: Seq[Int] = Seq(5, 11, 17, 23, 31, 41, 53, 67)
 
+  /** event_id is mixed into both coordinates: user_id alone spans only ~15
+    * values at sf0.001, which would confine every point to one latitude band
+    * (observed: zero northern-hemisphere rows → EPSG:3575 had nothing to
+    * plot). The mixed congruence covers the full globe at every sf.
+    */
   def lat: Column =
-    (col("user_id") % 170 - 85 + (col("event_id") % 100) / lit(100.0)).cast("double")
+    ((col("user_id") * 37 + col("event_id")) % 170 - 85 +
+      (col("event_id") % 100) / lit(100.0)).cast("double")
   def lng: Column =
-    (col("event_id") % 360 - 180 + (col("user_id") % 100) / lit(100.0)).cast("double")
+    ((col("user_id") * 53 + col("event_id")) % 360 - 180 +
+      (col("user_id") % 100) / lit(100.0)).cast("double")
   /** events.ts arrives as BIGINT nanos (see [[graft.GraftConf]]); truncate
     * to micros with integer division (double division would lose precision —
     * epoch-nanos exceed 2^53).
@@ -83,8 +90,8 @@ object OccurrenceAnalog {
 
   // ---- DuckDB oracle fragments (must mirror the Columns above exactly) ----
 
-  val sqlLat = "((user_id % 170) - 85 + (event_id % 100) / 100.0)"
-  val sqlLng = "((event_id % 360) - 180 + (user_id % 100) / 100.0)"
+  val sqlLat = "(((user_id * 37 + event_id) % 170) - 85 + (event_id % 100) / 100.0)"
+  val sqlLng = "(((user_id * 53 + event_id) % 360) - 180 + (user_id % 100) / 100.0)"
   val sqlYear = "(date_part('year', ts)::INTEGER)"
   def sqlRankKey(i: Int): String =
     s"(CASE WHEN ((user_id + $i) % 7) = 0 THEN NULL ELSE (user_id % ${RankModuli(i)})::INTEGER END)"

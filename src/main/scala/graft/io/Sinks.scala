@@ -64,6 +64,22 @@ object Sinks {
     }
   }
 
+  /** Inverse of [[encodeTiles]] (for tests / consumers). */
+  def decodeTile(bytes: Array[Byte]): Seq[(Int, Int, Seq[(Int, Long)])] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Seq.fill(bb.getInt()) {
+      val x = bb.getInt(); val y = bb.getInt()
+      val feats = Seq.fill(bb.getInt())((bb.getInt(), bb.getLong()))
+      (x, y, feats)
+    }
+  }
+
+  /** Inverse of [[encodePoints]]. */
+  def decodePoints(bytes: Array[Byte]): Seq[(Double, Double, Int, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Seq.fill(bb.getInt())((bb.getDouble(), bb.getDouble(), bb.getInt(), bb.getLong()))
+  }
+
   /** Deterministic point-blob encoding (`ProtobufTiles.java:31-51` analog):
     * `[nFeat:int [lat:double lng:double borYear:int count:long]*]`.
     */

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.analog.{OccurrenceAnalog => OA}
+import graft.io.Sinks
+
+/** End-to-end pipeline run at sf0.001 (mini pyramid: maxZoom 2), checking
+  * the invariants the reference's HBase bulkload depends on: per-partition
+  * key sorting, salt-aligned partitioning, decodable blobs, and conservation
+  * of occurrence counts through the cascade.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("full pipeline: points + 2-zoom pyramid, sorted salted sinks, decodable blobs") {
+    val work = Files.createTempDirectory("graft_pipeline").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val occ = events.filter(OA.qualityFilter)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        OA.lat.as("lat"), OA.lng.as("lng"),
+        col("event_type").as("basisOfRecord"), OA.yearCol.as("year"))
+
+    val cfg = MapPipeline.Config(
+      workDir = work, maxZoom = 2, saltModulo = 10, threshold = 500,
+      projections = Seq("EPSG:3857", "EPSG:4326", "EPSG:3031"))
+    val res = MapPipeline.run(spark, occ, OA.mapKeysArray, cfg)
+
+    // 4-projection × zoom fan-out shape
+    assert(res.tileDirs.size == 3 * 3, "3 projections x zooms 2..0")
+
+    // conservation: prepared counts == filtered input rows × their views
+    val prepared = spark.read.parquet(res.preparedPath)
+    val totalOcc = prepared.agg(sum("occCount")).collect().head.getLong(0)
+    val expected = events.filter(OA.qualityFilter)
+      .select(explode(OA.mapKeysArray)).count()
+    assert(totalOcc == expected, "pre-aggregation conserves exploded row count")
+
+    // points: sorted within partitions, salt prefix matches partition count,
+    // blobs decode to the per-view feature multiset
+    val points = spark.read.parquet(res.pointsPath)
+    val pointRows = points.collect()
+    assert(pointRows.nonEmpty)
+    pointRows.foreach { r =>
+      val key = r.getString(0)
+      val feats = Sinks.decodePoints(r.getAs[Array[Byte]](1))
+      assert(key.matches("\\d:.*"), s"salted key format: $key")
+      assert(feats.nonEmpty)
+    }
+    // per-partition sortedness of the sink (HFile contract)
+    import spark.implicits._
+    val unsorted = Sinks.sortedBySalt(points, 10)
+      .mapPartitions { it =>
+        val keys = it.map(_.getString(0)).toVector
+        Iterator.single(keys == keys.sorted)
+      }.collect()
+    assert(unsorted.forall(identity), "keys sorted within every sink partition")
+
+    // tiles at zoom 0 for 3857: world is one tile -> every key addresses tile (0,0);
+    // decoded pixel sum over ALL views' tiles at z0 equals total occurrences of
+    // tile-path views (each pixel lands on exactly 1 primary tile; buffered
+    // duplicates excluded by filtering locals to [0, tileSize))
+    val z0 = spark.read.parquet(res.tileDirs.find(_.contains("EPSG_3857/z0")).get)
+    val decoded = z0.collect().map { r =>
+      (r.getString(0), Sinks.decodeTile(r.getAs[Array[Byte]](1)))
+    }
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (key, _) =>
+      assert(key.matches("\\d:(.*):0:0:0"), s"z0 key addresses tile (0,0): $key")
+    }
+    val tileViewTotal = decoded.flatMap(_._2)
+      .filter { case (x, y, _) => x >= 0 && x < 512 && y >= 0 && y < 512 }
+      .flatMap(_._3).map(_._2).sum
+    val bigViews = spark.read.parquet(s"$work/tile_input")
+      .agg(sum("occCount")).collect().head.getLong(0)
+    assert(tileViewTotal == bigViews, "z0 primary pixels conserve tile-path counts")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Ev
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming hourly counts: windows finalize and late data beyond watermark is dropped") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val counts = EventStream.hourlyCounts(
+      in.toDF().toDF("ts", "user_id", "event_type", "value"), watermark = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 10:45:00"), 2L, "click", 2.0),
+        (ts("2024-01-01 11:10:00"), 1L, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far beyond 10:00-11:00 so that window finalizes
+      in.addData((ts("2024-01-01 14:00:00"), 3L, "click", 4.0))
+      q.processAllAvailable()
+      // a late row for the already-finalized 10:00 window must be dropped
+      in.addData((ts("2024-01-01 10:30:00"), 9L, "click", 99.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(col("hour_start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)),
+        s"10:00 click window aggregated both on-time rows, late row dropped: $rows")
+      assert(rows.contains(("2024-01-01 11:00:00", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches the batch twin on the same data") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      Ev(ts("2024-01-01 10:00:00"), 1L),
+      Ev(ts("2024-01-01 10:10:00"), 1L), // same session (gap 30 min)
+      Ev(ts("2024-01-01 11:30:00"), 1L), // new session
+      Ev(ts("2024-01-01 10:00:00"), 2L))
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionize(in.toDS(), gapSec = 1800, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      // push watermark past last session + gap so open sessions time out
+      in.addData(Ev(ts("2024-01-01 23:00:00"), 99L))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-02 23:00:00"), 99L))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .filter(col("user_id") < 99)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStream.sessionizeBatch(
+          events.toDF().select(col("user_id"),
+            (col("ts").cast("long") * 1000000L).as("ts_us")),
+          gapSec = 1800)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"streaming sessions $streamed == batch sessions $batch")
+      assert(batch.size == 3, "user 1: two sessions; user 2: one")
+    } finally q.stop()
+  }
+}
