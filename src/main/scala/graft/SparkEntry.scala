@@ -363,7 +363,74 @@ object SparkEntry {
       graft.streaming.EventStream.sessionizeBatch(
           events(s, d).select(col("user_id"), expr("ts div 1000").as("ts_us")),
           gapSec = 1800)
-        .orderBy("user_id", "session_start_us"))
+        .orderBy("user_id", "session_start_us")),
+
+    // Multi-level aggregation: ROLLUP over region/nation order counts.
+    "agg_rollup" -> ((s, d) => {
+      // via the SQL front end: Dataset-API rollup over any join-derived
+      // frame trips Spark 4.1's ambiguous-self-join detector (grouping-set
+      // expansion duplicates the grouping attrs); SQL resolution does not.
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Pivot: per-year event counts, one column per event type; empty cells
+    // coalesced to 0 to match the oracle's FILTER aggregation.
+    "agg_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, d)
+        .groupBy(year(OA.tsCol).as("yr"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("yr") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("yr")
+    }),
+
+    // Theta join: lineitems matched to parts by quantity within ±2 of the
+    // part's size — an inequality-predicate join (engine addition, §2.5).
+    "join_theta" -> ((s, d) => {
+      val li = lineitem(s, d); val p = Tables.part(s, d)
+      li.join(broadcast(p),
+          li("l_partkey") === p("p_partkey") &&
+            li("l_quantity").between(p("p_size") - 2, p("p_size") + 2))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_matched"), sum("l_quantity").as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // As-of lookup: for every event, the same user's most recent prior (or
+    // simultaneous) signup timestamp — the as-of-join shape expressed with a
+    // running conditional max (no shuffle beyond the user partition).
+    "asof_signup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("last_signup_us",
+          max(when(col("event_type") === "signup", col("ts_us"))).over(w))
+        .select("event_id", "user_id", "ts_us", "last_signup_us")
+        .orderBy("event_id")
+    }),
+
+    // HLL approximate distinct (no oracle: sketch internals are
+    // engine-specific; the driver records a rows-only check).
+    "agg_approx_distinct" -> ((s, d) =>
+      exploded(s, d)
+        .groupBy("map_key")
+        .agg(approx_count_distinct(col("event_id")).as("approx_events"))
+        .orderBy("map_key"))
   )
 
   // ------------------------------------------------- LLM-pipeline operators
@@ -645,7 +712,40 @@ object SparkEntry {
           |                      ROWS UNBOUNDED PRECEDING) AS sess_id FROM s)
           |SELECT user_id, min(ts_us) AS session_start_us,
           |  max(ts_us) AS session_end_us, count(*) AS n_events
-          |FROM r GROUP BY user_id, sess_id ORDER BY 1, 2""".stripMargin
+          |FROM r GROUP BY user_id, sess_id ORDER BY 1, 2""".stripMargin,
+
+      "agg_rollup" ->
+        """SELECT r_name, n_name, count(*) AS n_orders,
+          |  sum(o_totalprice::DECIMAL(12,2))::DOUBLE AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+      "agg_pivot" ->
+        """SELECT date_part('year', ts)::INTEGER AS yr,
+          |  count(*) FILTER (WHERE event_type = 'click') AS click,
+          |  count(*) FILTER (WHERE event_type = 'error') AS error,
+          |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |  count(*) FILTER (WHERE event_type = 'view') AS view
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "join_theta" ->
+        """SELECT p_brand, count(*) AS n_matched, sum(l_quantity) AS sum_qty
+          |FROM lineitem JOIN part
+          |  ON l_partkey = p_partkey
+          | AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "asof_signup" ->
+        """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |  max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+          |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
+          |FROM events ORDER BY event_id""".stripMargin
     ) ++ llmOracles
   }
 
