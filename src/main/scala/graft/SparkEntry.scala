@@ -430,7 +430,26 @@ object SparkEntry {
       exploded(s, d)
         .groupBy("map_key")
         .agg(approx_count_distinct(col("event_id")).as("approx_events"))
-        .orderBy("map_key"))
+        .orderBy("map_key")),
+
+    // Exact interpolated percentiles (both engines use the same
+    // linear-interpolation definition).
+    "agg_percentile" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")),
+
+    // Schema-directed JSON parsing (from_json vs the path-based
+    // get_json_object in `json_extract`).
+    "json_from_schema" -> ((s, d) =>
+      events(s, d)
+        .select(expr("from_json(props, 'k INT').k").as("k_val"))
+        .groupBy("k_val").agg(count(lit(1)).as("n"))
+        .orderBy("k_val"))
   )
 
   // ------------------------------------------------- LLM-pipeline operators
@@ -745,7 +764,18 @@ object SparkEntry {
           |  max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
           |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
           |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
-          |FROM events ORDER BY event_id""".stripMargin
+          |FROM events ORDER BY event_id""".stripMargin,
+
+      "agg_percentile" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+          |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+          |  round(quantile_cont(l_quantity, 0.9), 6) AS p90
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "json_from_schema" ->
+        """SELECT json_extract_string(props, '$.k')::INTEGER AS k_val, count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     ) ++ llmOracles
   }
 
