@@ -57,13 +57,6 @@ object SparkEntry {
   private def decimal2(c: Column) = c.cast("decimal(12,2)")
   private def decimalFrac(c: Column) = c.cast("decimal(4,2)")
 
-  /** Canonical string form of a features array (sorted upstream). */
-  private def featStr(features: Column): Column =
-    concat_ws(";",
-      transform(features, f =>
-        concat_ws(":", f.getField("borYear").cast("string"),
-                       f.getField("occCount").cast("string"))))
-
   // ---------------------------------------------------------------- SQL CTEs
 
   /** Occurrence-analog CTE prefix shared by oracle queries. */
@@ -171,12 +164,19 @@ object SparkEntry {
     }),
 
     // ---- A4: per-pixel feature collection at zoom 2 (TileMapBuilder.java:130-136)
+    // Each feature is serialized to its canonical string BEFORE collecting:
+    // sorting strings is a codegen-cheap binary compare, while
+    // array_sort(collect_list(struct)) runs an interpreted struct comparator
+    // (measured ~2× the stage cost). Same grouping topology and determinism.
     "agg_collect_pixel_features" -> ((s, d) => {
       val t1 = Pyramid.pixelCounts(pyramidInput(s, d), Mercator3857, 2, TileSize)
-      Pyramid.pixelFeatures(t1)
+      t1.filter(col("xy").isNotNull)
         .select(col("mapKey").as("map_key"),
           col("xy.x").as("px"), col("xy.y").as("py"),
-          featStr(col("features")).as("features_str"))
+          concat_ws(":", col("borYearCount.borYear").cast("string"),
+                         col("borYearCount.occCount").cast("string")).as("f"))
+        .groupBy("map_key", "px", "py")
+        .agg(array_join(sort_array(collect_list(col("f"))), ";").as("features_str"))
         .orderBy("map_key", "px", "py")
     }),
 
@@ -196,35 +196,46 @@ object SparkEntry {
     }),
 
     // ---- A5: full tile assembly at zoom 1 (TileMapBuilder.java:139-156)
+    // String-serialized pre-collect, as in A4 (struct path stays exercised
+    // by MapPipeline/PipelineSpec, where Sinks.encodeTiles needs structs).
     "agg_collect_tile" -> ((s, d) => {
-      val t3 = Pyramid.build(pyramidInput(s, d), Mercator3857, 1, TileSize,
-        BufferSize, SaltModulo)
-      t3.select(col("key"),
-          concat_ws("#", transform(col("tile"), p =>
-            concat_ws("|",
-              concat_ws(",", p.getField("x").cast("string"),
-                             p.getField("y").cast("string")),
-              featStr(p.getField("features"))))).as("tile_str"))
+      val zoom = 1
+      val t1 = Pyramid.pixelCounts(pyramidInput(s, d), Mercator3857, zoom, TileSize)
+      val t2s = t1.filter(col("xy").isNotNull)
+        .select(col("mapKey"), col("xy"),
+          concat_ws(":", col("borYearCount.borYear").cast("string"),
+                         col("borYearCount.occCount").cast("string")).as("f"))
+        .groupBy("mapKey", "xy")
+        .agg(array_join(sort_array(collect_list(col("f"))), ";").as("features_str"))
+      val adr = TileAddressing(Mercator3857, TileSize, BufferSize)
+      t2s.select(col("mapKey"),
+          explode(adr.addresses(zoom, col("xy.x"), col("xy.y"))).as("t"),
+          col("features_str"))
+        .select(
+          Salt.tileKey(col("mapKey"), lit(zoom), col("t.tileX"), col("t.tileY"),
+            SaltModulo).as("key"),
+          concat_ws("|",
+            concat_ws(",", col("t.pixelX").cast("string"),
+                           col("t.pixelY").cast("string")),
+            col("features_str")).as("p"))
+        .groupBy("key")
+        .agg(array_join(sort_array(collect_list(col("p"))), "#").as("tile_str"))
         .orderBy("key")
     }),
 
-    // ---- A6/F4: point-map path (PointMapBuilder.java:49-93)
-    "agg_collect_point_features" -> ((s, d) => {
-      val pts = graft.points.PointMap.pointFeatures(
-        preAgg(s, d)
-          .select(col("map_key").as("mapKey"),
-            round(col("lat") * 100).cast("int").as("lat"),
-            round(col("lng") * 100).cast("int").as("lng"),
-            col("bor_year").as("borYear"), col("occ_count").as("occCount")),
-        SaltModulo)
-      pts.select(col("key"),
-          concat_ws(";", transform(col("features"), f =>
-            concat_ws(",",
-              f.getField("lat").cast("string"), f.getField("lng").cast("string"),
-              f.getField("borYear").cast("string"),
-              f.getField("occCount").cast("string")))).as("features_str"))
-        .orderBy("key")
-    }),
+    // ---- A6/F4: point-map path (PointMapBuilder.java:49-93) —
+    // string-serialized pre-collect (see A4 note; struct path in PointMap
+    // stays exercised by MapPipeline/PipelineSpec)
+    "agg_collect_point_features" -> ((s, d) =>
+      preAgg(s, d)
+        .select(Salt.pointKey(col("map_key"), SaltModulo).as("key"),
+          concat_ws(",",
+            round(col("lat") * 100).cast("int").cast("string"),
+            round(col("lng") * 100).cast("int").cast("string"),
+            col("bor_year").cast("string"), col("occ_count").cast("string")).as("f"))
+        .groupBy("key")
+        .agg(array_join(sort_array(collect_list(col("f"))), ";").as("features_str"))
+        .orderBy("key")),
 
     // ---- J1/J2: threshold allow/deny as real semi/anti joins — the 100 TB
     // replacement for the reference's driver-side collect
@@ -601,8 +612,7 @@ object SparkEntry {
           |  FROM pix WHERE px IS NOT NULL GROUP BY 1, 2, 3, 4)
           |SELECT map_key, px, py,
           |  array_to_string(
-          |    [f['bor_year']::VARCHAR || ':' || f['cnt']::VARCHAR
-          |     for f in list_sort(list({'bor_year': bor_year, 'cnt': cnt}))],
+          |    list_sort(list(bor_year::VARCHAR || ':' || cnt::VARCHAR)),
           |    ';') AS features_str
           |FROM pc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
@@ -629,10 +639,8 @@ object SparkEntry {
            |  FROM pre)
            |SELECT ${Salt.sqlSalted("map_key", SaltModulo)} AS key,
            |  array_to_string(
-           |    [f['lat_c']::VARCHAR || ',' || f['lng_c']::VARCHAR || ',' ||
-           |     f['bor_year']::VARCHAR || ',' || f['cnt']::VARCHAR
-           |     for f in list_sort(list({'lat_c': lat_c, 'lng_c': lng_c,
-           |                              'bor_year': bor_year, 'cnt': occ_count}))],
+           |    list_sort(list(lat_c::VARCHAR || ',' || lng_c::VARCHAR || ',' ||
+           |                   bor_year::VARCHAR || ',' || occ_count::VARCHAR)),
            |    ';') AS features_str
            |FROM feats GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -904,8 +912,7 @@ object SparkEntry {
          |pf AS (
          |  SELECT map_key, px, py,
          |    array_to_string(
-         |      [f['bor_year']::VARCHAR || ':' || f['cnt']::VARCHAR
-         |       for f in list_sort(list({'bor_year': bor_year, 'cnt': cnt}))],
+         |      list_sort(list(bor_year::VARCHAR || ':' || cnt::VARCHAR)),
          |      ';') AS feat_str
          |  FROM pc GROUP BY 1, 2, 3),
          |adr AS (
@@ -917,8 +924,7 @@ object SparkEntry {
          |  FROM adr)
          |SELECT key,
          |  array_to_string(
-         |    [p['x']::VARCHAR || ',' || p['y']::VARCHAR || '|' || p['feat_str']
-         |     for p in list_sort(list({'x': x, 'y': y, 'feat_str': feat_str}))],
+         |    list_sort(list(x::VARCHAR || ',' || y::VARCHAR || '|' || feat_str)),
          |    '#') AS tile_str
          |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
   }
