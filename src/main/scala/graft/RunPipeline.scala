@@ -40,10 +40,14 @@ object RunPipeline {
     tileCounts.foreach { case (d, n) =>
       println(s"[pipeline] ${d.stripPrefix(workDir + "/")}: $n tiles")
     }
-    val sample = spark.read.parquet(res.tileDirs.last).head()
-    val pixels = graft.io.Sinks.decodeTile(sample.getAs[Array[Byte]]("value"))
-    println(s"[pipeline] sample ${sample.getString(0)}: ${pixels.size} pixels, " +
-      s"first=${pixels.headOption}")
+    spark.read.parquet(res.tileDirs.last).take(1).headOption match {
+      case Some(sample) =>
+        val pixels = graft.io.Sinks.decodeTile(sample.getAs[Array[Byte]]("value"))
+        println(s"[pipeline] sample ${sample.getString(0)}: ${pixels.size} pixels, " +
+          s"first=${pixels.headOption}")
+      case None =>
+        println(s"[pipeline] sample: last tile dir is empty (no views on that projection)")
+    }
     spark.stop()
   }
 }

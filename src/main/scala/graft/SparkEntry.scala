@@ -254,8 +254,8 @@ object SparkEntry {
       ex.join(big, Seq("map_key"), "left_anti").orderBy("event_id", "map_key")
     }),
 
-    // ---- S7-analog: sorted salted sink — order within salt verified via
-    // ORDER BY; partition layout tested in SinksSpec.
+    // ---- S7-analog: sorted salted sink — per-key content verified via the
+    // oracle; the salt-aligned partition layout is tested in SinksSpec.
     "sorted_sink" -> ((s, d) => {
       val pts = graft.points.PointMap.pointFeatures(
         preAgg(s, d)
@@ -865,7 +865,7 @@ object SparkEntry {
       "similarity_ivf" -> sqlTopK(k = 3, sameCell = true),
 
       "multimodal_features" ->
-        """SELECT doc_id, octet_length(text::BLOB)::INTEGER AS byte_len,
+        """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,
           |  md5(substr(text, 1, 16)) AS head_md5, source
           |FROM documents ORDER BY doc_id""".stripMargin
     )

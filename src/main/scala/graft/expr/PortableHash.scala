@@ -34,4 +34,14 @@ object PortableHash {
   /** DuckDB SQL for [[phashSeed]]. */
   def sqlPhashSeed(seed: Int, e: String): String =
     sqlPhash(s"('$seed:' || $e)")
+
+  /** JVM-side (plan-build-time) evaluation of [[phash]] — for deriving
+    * deterministic literal constants that are baked into plans and oracle
+    * SQL (minhash permutations, shingle-combo multipliers).
+    */
+  def phashLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+  }
 }

@@ -24,14 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Repartition by salt prefix (numPartitions = saltModulo, matching the
-    * reference's one-partition-per-region layout) and sort keys within each
-    * partition. `df` must have a string `key` column whose prefix up to the
-    * first ':' is the zero-padded salt.
+  /** Partition index == salt (region alignment) with keys sorted within
+    * each partition — the exact contract of the reference's
+    * `SaltPrefixPartitioner` + `repartitionAndSortWithinPartitions`
+    * (`SaltPrefixPartitioner.java:21-37`, `TileMapBuilder.java:184`).
+    *
+    * A DataFrame `repartition(n, saltCol)` would hash-scatter salts across
+    * partitions (murmur3, with collisions), so a bulk-loader consuming
+    * partition i as region i's sorted run would misroute keys; this is the
+    * one place the engine drops to the RDD layer for a custom partitioner.
+    * `df` must have a string `key` column whose prefix up to the first ':'
+    * is the zero-padded salt in [0, saltModulo).
     */
   def sortedBySalt(df: DataFrame, saltModulo: Int): DataFrame = {
-    val salt = split(col("key"), ":").getItem(0).cast("int")
-    df.repartition(saltModulo, salt).sortWithinPartitions("key")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex("key")
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = saltModulo
+      override def getPartition(key: Any): Int =
+        key.asInstanceOf[String].takeWhile(_ != ':').toInt
+    }
+    val rows = df.rdd
+      .map(r => (r.getString(keyIdx), r))
+      .repartitionAndSortWithinPartitions(partitioner)
+      .map(_._2)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Write as the engine's HFile-analog: parquet of (key:string, value:binary),

@@ -46,11 +46,7 @@ object Dedup {
     * plan and the oracle SQL as literals).
     */
   def permConstants(numPerms: Int): Seq[(Long, Long)] = {
-    def h(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
-    }
+    import PortableHash.{phashLocal => h}
     (0 until numPerms).map(k => (h(s"a:$k") % ((1L << 20) - 1) + 1, h(s"b:$k") % MinhashPrime))
   }
 
@@ -70,11 +66,7 @@ object Dedup {
 
   /** Combination constants for hashed n-gram shingles (literals < 2^20). */
   def comboConstants(n: Int): Seq[Long] = {
-    def h(s: String): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
-    }
+    import PortableHash.{phashLocal => h}
     (0 until n - 1).map(j => h(s"c:$j") % ((1L << 20) - 1) + 1)
   }
 

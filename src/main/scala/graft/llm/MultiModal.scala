@@ -35,7 +35,11 @@ object MultiModal {
       val md = MessageDigest.getInstance("MD5") // per-partition decoder handle
       it.map { p =>
         md.reset()
-        val head = p.bin.take(16)
+        // "decode" the payload, then fingerprint the first 16 characters of
+        // the decoded content (character-based so the oracle can recompute
+        // it for non-ASCII payloads — DuckDB 1.0 cannot hash byte slices)
+        val head = new String(p.bin, java.nio.charset.StandardCharsets.UTF_8)
+          .take(16).getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val hex = md.digest(head).map("%02x".format(_)).mkString
         Features(p.doc_id, p.bin.length, hex, p.source)
       }
