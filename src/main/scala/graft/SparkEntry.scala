@@ -528,7 +528,45 @@ object SparkEntry {
         .orderBy("q_id", "rnk", "n_id")),
 
     "multimodal_features" -> ((s, d) =>
-      MultiModal.features(docs(s, d))(s).orderBy("doc_id"))
+      MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
+
+    // Near-dup clustering: connected components (min-label propagation)
+    // over verified jaccard pairs — the grouping step that turns pairwise
+    // candidates into dedup groups.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccard(docs(s, d), shingleSize = 3, prefixLen = 20)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
+        .filter(col("jac_r") >= 0.5)
+      Dedup.clusters(pairs).orderBy("doc_id")
+    }),
+
+    // Composite quality score + routing class (the filter stage of a
+    // training-data pipeline).
+    "doc_quality" -> ((s, d) => {
+      val toks = TA.tokens(col("text"))
+      val nTok = size(toks)
+      val ttr = when(nTok === 0, 0.0)
+        .otherwise(size(array_distinct(toks)).cast("double") / nTok)
+      val stopRatio = when(nTok === 0, 0.0)
+        .otherwise(size(filter(toks, t => t.isInCollection(TA.LangStopwords.head._2)))
+          .cast("double") / nTok)
+      val q = round(lit(0.3) * least(nTok.cast("double") / 100.0, lit(1.0)) +
+        lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio), 6)
+      docs(s, d)
+        .select(col("doc_id"), q.as("quality"),
+          when(q >= 0.7, "high").when(q >= 0.4, "mid").otherwise("low").as("quality_class"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary: top-20 tokens by frequency (explode + agg + window).
+    "vocab_topk" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("freq").desc, col("token"))))
+        .filter(col("rnk") <= 20)
+        .orderBy("rnk"))
   )
 
   /** lat/lng scaled to exact ints for oracle-stable output (doubles stringify
@@ -867,7 +905,53 @@ object SparkEntry {
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,
           |  md5(substr(text, 1, 16)) AS head_md5, source
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, ${TA.sqlNormText("text")} AS nt, $toks AS toks FROM documents),
+           |th AS (SELECT doc_id, substr(nt, 1, 20) AS blk,
+           |  ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+           |k AS (SELECT doc_id, blk,
+           |  list_distinct(${Dedup.sqlHashedShingles("th", 3)}) AS sh FROM th),
+           |p AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b,
+           |    round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+           |          len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
+           |  FROM k l JOIN k r ON l.blk = r.blk AND l.doc_id < r.doc_id),
+           |e AS (SELECT a, b FROM p WHERE jac_r >= 0.5
+           |      UNION ALL SELECT b, a FROM p WHERE jac_r >= 0.5),
+           |reach AS (
+           |  SELECT a AS id, b AS r FROM e
+           |  UNION
+           |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+           |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+           |FROM reach GROUP BY id ORDER BY 1""".stripMargin,
+
+      "doc_quality" -> {
+        val toksE = toks
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |m AS (SELECT doc_id, len(toks) AS n_tok,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |       ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS ttr,
+           |  CASE WHEN len(toks) = 0 THEN 0.0
+           |       ELSE len(list_filter(toks, x -> x IN ($enStop)))::DOUBLE / len(toks) END AS stop_ratio
+           |  FROM t),
+           |q AS (SELECT doc_id,
+           |  round(0.3 * least(n_tok::DOUBLE / 100.0, 1.0) + 0.4 * ttr +
+           |        0.3 * (1.0 - stop_ratio), 6) AS quality FROM m)
+           |SELECT doc_id, quality,
+           |  CASE WHEN quality >= 0.7 THEN 'high'
+           |       WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS quality_class
+           |FROM q ORDER BY doc_id""".stripMargin
+      },
+
+      "vocab_topk" ->
+        s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+           |f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1),
+           |r AS (SELECT token, freq,
+           |  row_number() OVER (ORDER BY freq DESC, token) AS rnk FROM f)
+           |SELECT token, freq, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
     )
   }
 

@@ -156,6 +156,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Near-duplicate clusters: connected components over a pair list
+    * (a < b), labeling every member with the smallest doc_id reachable —
+    * the standard dedup-grouping step after candidate verification.
+    *
+    * Distributed shape: iterative min-label propagation — each round joins
+    * the current labels across the (tiny, post-verification) edge list and
+    * keeps the minimum; converges in O(diameter) rounds. Only the
+    * convergence SCALAR crosses to the driver per round (loop control, not
+    * data). Edges are broadcast: after verification the edge list is
+    * many orders of magnitude smaller than the corpus.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b"))) // undirected
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    while (changed > 0) {
+      // candidate = min over neighbors' labels (and own)
+      val next = labels.as("l")
+        .join(broadcast(edges).as("e"), col("l.id") === col("e.a"), "left")
+        .join(labels.as("n").withColumnRenamed("label", "nlabel")
+            .withColumnRenamed("id", "nid"),
+          col("e.b") === col("nid"), "left")
+        .groupBy(col("l.id").as("id"))
+        .agg(least(min(col("l.label")), coalesce(min(col("nlabel")), min(col("l.label"))))
+          .as("label"))
+      next.persist()
+      changed = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
+        .filter(col("x.label") =!= col("y.label")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", "doc_id").withColumnRenamed("label", "cluster_id")
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked on a normalized-text
     * prefix: similarity = |A∩B| / |A∪B| over distinct shingle sets.
     */
