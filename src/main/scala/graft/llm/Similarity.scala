@@ -15,9 +15,14 @@ object Similarity {
 
   /** Exact left-fold dot product of two float vectors, in doubles (the fold
     * order matters for bit-stable results — DuckDB's mirror folds the same
-    * way).
+    * way). Backed by the codegen'd [[graft.expr.FloatVectorDot]]; the
+    * higher-order-function fold it replaces (kept as [[dotFold]] for the
+    * equivalence spec) runs interpreted and dominated similarity queries.
     */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = graft.expr.VecMath.floatDot(a, b)
+
+  /** Reference implementation of [[dot]] as a Column fold (bit-identical). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
