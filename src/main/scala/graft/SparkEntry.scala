@@ -558,6 +558,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // End-to-end dedup verdict: every document keeps or drops based on its
+    // near-dup cluster (keep == cluster minimum or unclustered) — the final
+    // composition of candidate generation, verification and clustering.
+    "dedup_decisions" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccard(docs(s, d), shingleSize = 3, prefixLen = 20)
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
+        .filter(col("jac_r") >= 0.5)
+      val clusters = Dedup.clusters(pairs)
+      docs(s, d).select(col("doc_id"))
+        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: top-20 tokens by frequency (explode + agg + window).
     "vocab_topk" -> ((s, d) =>
       docs(s, d)
@@ -927,6 +943,32 @@ object SparkEntry {
            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
            |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
            |FROM reach GROUP BY id ORDER BY 1""".stripMargin,
+
+      "dedup_decisions" ->
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, ${TA.sqlNormText("text")} AS nt, $toks AS toks FROM documents),
+           |th AS (SELECT doc_id, substr(nt, 1, 20) AS blk,
+           |  ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+           |k AS (SELECT doc_id, blk,
+           |  list_distinct(${Dedup.sqlHashedShingles("th", 3)}) AS sh FROM th),
+           |p AS (
+           |  SELECT l.doc_id AS a, r.doc_id AS b,
+           |    round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+           |          len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
+           |  FROM k l JOIN k r ON l.blk = r.blk AND l.doc_id < r.doc_id),
+           |e AS (SELECT a, b FROM p WHERE jac_r >= 0.5
+           |      UNION ALL SELECT b, a FROM p WHERE jac_r >= 0.5),
+           |reach AS (
+           |  SELECT a AS id, b AS r FROM e
+           |  UNION
+           |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+           |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+           |       FROM reach GROUP BY id)
+           |SELECT d.doc_id,
+           |  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+           |  (COALESCE(cl.cluster_id, d.doc_id) = d.doc_id) AS keep
+           |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       "doc_quality" -> {
         val toksE = toks
