@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, EqualTo, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.expr.{BorYear, FloatVectorDot, Salt}
+
+/** The engine's SQL surface: graft functions exposed to `spark.sql(...)`
+  * users, either injected at session build time (`GraftExtensions`, via
+  * `spark.sql.extensions=graft.GraftExtensions`) or registered into a live
+  * session (`GraftFunctions.register`).
+  *
+  * The reference exposes its operator vocabulary through per-session UDF
+  * registration (`MapKeysUDF.register(spark, "mapKeys")` etc.,
+  * `MapKeysUDF.java:57-65`); these are Catalyst-native equivalents — each
+  * builder returns a tree over `UnresolvedFunction` nodes that the analyzer
+  * resolves to the same built-ins the DataFrame API uses, so SQL users get
+  * codegen and pushdown too.
+  */
+object GraftFunctions {
+
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(Seq(name), args, isDistinct = false)
+  private def i(v: Int) = Literal(v)
+  private def s(v: String) = Literal(v)
+
+  /** md5-prefix portable hash (mirrors [[graft.expr.PortableHash.phash]]). */
+  private def phashE(e: Expression): Expression =
+    Cast(fn("conv", fn("substring", fn("md5", e), i(1), i(8)), i(16), i(10)), LongType)
+
+  private def borCodeE(bor: Expression): Expression =
+    CaseWhen(BorYear.EventTypeCodes.map { case (n, c) =>
+      (EqualTo(bor, s(n)), i(c): Expression)
+    })
+
+  /** name → (builder, usage) for every exposed function. */
+  val All: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("graft_phash",
+      (es: Seq[Expression]) => phashE(es.head),
+      "graft_phash(str) - portable 32-bit-range hash (md5-prefix)"),
+    ("graft_bor_encode",
+      (es: Seq[Expression]) => Cast(fn("+",
+        fn("*", fn("coalesce", es(1), i(0)), i(100)), borCodeE(es.head)), IntegerType),
+      "graft_bor_encode(bor, year) - basisOfRecord x year int codec"),
+    ("graft_bor_year",
+      (es: Seq[Expression]) => {
+        val y = Cast(fn("floor", fn("/", es.head, i(100))), IntegerType)
+        CaseWhen(Seq((fn(">", y, i(0)).asInstanceOf[Expression], y)),
+          Some(Literal(null, IntegerType)))
+      },
+      "graft_bor_year(encoded) - year component (0 -> NULL)"),
+    ("graft_bor",
+      (es: Seq[Expression]) => {
+        val m = fn("pmod", es.head, i(100))
+        CaseWhen(BorYear.EventTypeCodes.map { case (n, c) =>
+          (EqualTo(m, i(c)), s(n): Expression)
+        })
+      },
+      "graft_bor(encoded) - basisOfRecord component"),
+    ("graft_salted",
+      (es: Seq[Expression]) => {
+        val modulo = es(1) match {
+          case Literal(v: Int, _) => v
+          case other => other.eval(null).asInstanceOf[Int]
+        }
+        val salt = fn("pmod", phashE(es.head), Literal(modulo.toLong))
+        fn("concat_ws", s(":"),
+          fn("lpad", Cast(salt, StringType), i(Salt.saltCharCount(modulo)), s("0")),
+          es.head)
+      },
+      "graft_salted(key, modulo) - zero-padded salt prefix (ModulusSalt contract)"),
+    ("graft_vec_dot",
+      (es: Seq[Expression]) => FloatVectorDot(es.head, es(1)),
+      "graft_vec_dot(a, b) - codegen'd float-vector dot product")
+  )
+
+  /** Register into a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    All.foreach { case (name, builder, _) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.All.foreach { case (name, builder, usage) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name, usage), builder))
+    }
+}

@@ -1,0 +1,42 @@
+package graft
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("graft functions are callable from SQL and match the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_phash('0:0') AS h,
+        |  graft_bor_encode('click', 2024) AS enc,
+        |  graft_bor_year(graft_bor_encode('click', 2024)) AS yr,
+        |  graft_bor(graft_bor_encode('click', 2024)) AS bor,
+        |  graft_salted('1:212', 10) AS sk,
+        |  graft_vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
+        |                array(cast(3.0 as float), cast(4.0 as float))) AS dot
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 32))
+    assert(r.getInt(1) == 202401)
+    assert(r.getInt(2) == 2024)
+    assert(r.getString(3) == "click")
+    assert(r.getString(4).matches("\\d:1:212"))
+    assert(r.getDouble(5) == 11.0)
+
+    // SQL functions must agree exactly with the Column API
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val c = Seq(("0:0", "1:212")).toDF("a", "b")
+      .select(graft.expr.PortableHash.phash(col("a")).as("h"),
+        graft.expr.Salt.salted(col("b"), 10).as("sk"))
+      .collect().head
+    assert(r.getLong(0) == c.getLong(0), "graft_phash == PortableHash.phash")
+    assert(r.getString(4) == c.getString(1), "graft_salted == Salt.salted")
+  }
+
+  test("SQL functions survive whole-stage codegen over a real table") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs_v")
+    val n = spark.sql(
+      "SELECT count(DISTINCT graft_phash(text)) AS n FROM docs_v")
+      .collect().head.getLong(0)
+    assert(n > 400, "distinct hashes across 500 docs")
+  }
+}
