@@ -408,6 +408,31 @@ object SparkEntry {
         .orderBy("yr")
     }),
 
+    // CUBE over the same join (all four grouping-set combinations).
+    "agg_cube" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_orders
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY CUBE (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Quartile assignment via ntile (deterministic under a total order).
+    "window_ntile" -> ((s, d) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // Theta join: lineitems matched to parts by quantity within ±2 of the
     // part's size — an inequality-predicate join (engine addition, §2.5).
     "join_theta" -> ((s, d) => {
@@ -804,6 +829,22 @@ object SparkEntry {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY ROLLUP (r_name, n_name)
           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+      "agg_cube" ->
+        """SELECT r_name, n_name, count(*) AS n_orders
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY CUBE (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+      "window_ntile" ->
+        """SELECT o_orderkey, o_totalprice, quartile FROM (
+          |  SELECT o_orderkey, o_totalprice,
+          |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+          |  FROM orders)
+          |ORDER BY o_orderkey""".stripMargin,
 
       "agg_pivot" ->
         """SELECT date_part('year', ts)::INTEGER AS yr,
