@@ -368,6 +368,15 @@ object SparkEntry {
         .groupBy("k_val").agg(count(lit(1)).as("n"))
         .orderBy("k_val")),
 
+    // Sliding event-time windows (1 h window, 30 min slide — every event in
+    // exactly two windows).
+    "events_window_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(OA.tsCol, "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("w.start")).as("win_epoch"), col("n"))
+        .orderBy("win_epoch")),
+
     // Batch twin of the streaming sessionization (EventStream.sessionize) —
     // identical session boundaries, oracle-checkable (SURVEY §2.8).
     "sessionize_batch" -> ((s, d) =>
@@ -807,6 +816,14 @@ object SparkEntry {
       "json_extract" ->
         """SELECT json_extract_string(props, '$.k')::INTEGER AS k_val, count(*) AS n
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "events_window_sliding" ->
+        """WITH e AS (SELECT (epoch_us(ts) // 1000000) AS sec FROM events),
+          |w AS (SELECT unnest([
+          |         (sec // 1800) * 1800,
+          |         (sec // 1800) * 1800 - 1800]) AS win_epoch
+          |      FROM e)
+          |SELECT win_epoch, count(*) AS n FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "sessionize_batch" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
