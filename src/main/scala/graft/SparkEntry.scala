@@ -539,8 +539,9 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, d) =>
-      docs(s, d)
-        .select(col("doc_id"), col("lang"), TA.langId(col("text")).as("pred_lang"))
+      TA.langIdByKey(docs(s, d), "doc_id", "text")
+        .join(docs(s, d).select("doc_id", "lang"), Seq("doc_id"))
+        .select("doc_id", "lang", "pred_lang")
         .orderBy("doc_id")),
 
     "doc_fingerprint" -> ((s, d) =>

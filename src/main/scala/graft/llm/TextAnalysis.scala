@@ -83,6 +83,32 @@ object TextAnalysis {
     s"(CASE WHEN len(regexp_extract_all($e, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh' ELSE $pick END)"
   }
 
+  /** Scale form of [[langId]]: explode tokens once, four codegen'd
+    * conditional sums + a CJK flag per id, argmax in the final projection —
+    * the per-row form evaluates the token array through ~10 interpreted
+    * lambdas (each score AND each tie-compare re-expands the tokens
+    * subtree). Identical results ([[langId]] remains the spec; the oracle is
+    * unchanged).
+    */
+  def langIdByKey(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val hitCols = LangStopwords.map { case (l, ws) =>
+      sum(when(col("t").isInCollection(ws), 1L).otherwise(0L)).as(s"hits_$l")
+    }
+    val cjkCol = max(when(regexp_count(col("t"), lit("[\\x{4e00}-\\x{9fff}]")) > 0, 1)
+      .otherwise(0)).as("cjk")
+    val scores = LangStopwords.map { case (l, _) => l -> col(s"hits_$l") }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("t"))
+      .groupBy(idCol)
+      .agg(hitCols.head, (hitCols.tail :+ cjkCol): _*)
+      .select(col(idCol),
+        when(col("cjk") === 1, lit("zh")).otherwise(pick).as("pred_lang"))
+  }
+
   /** 32-bit simhash over token multiset using the portable hash: bit i is
     * set when more token-hashes have bit i set than clear.
     */
