@@ -28,6 +28,41 @@ import graft.tiles.{Projections, Pyramid, TileAddressing}
   */
 object MapPipeline {
 
+  /** Materialization barrier between pipeline stages — the reference models
+    * these as Hive CTAS checkpoint tables (`TileMapBuilder.java:85-104`,
+    * `use <db>` at `MapBuilder.java:171-173`). Both modes cut lineage the
+    * same way: write once, give downstream stages a fresh scan.
+    */
+  sealed trait Barrier extends Serializable {
+    def materialize(spark: SparkSession, df: DataFrame, name: String): DataFrame
+  }
+
+  /** Parquet-path barrier: files under `workDir` (round-1 behavior). */
+  case class PathBarrier(workDir: String) extends Barrier {
+    def materialize(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+      val p = s"$workDir/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+  }
+
+  /** Session-catalog barrier: real `CREATE TABLE … USING parquet AS SELECT`
+    * into database `db` — the reference's S5/S6 CTAS semantics. The sandbox
+    * has no Hive metastore (SURVEY §7.5); the in-memory catalog exercises
+    * the identical SQL surface, so a Hive-enabled session drops in.
+    */
+  case class CatalogBarrier(db: String = "graft") extends Barrier {
+    def materialize(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val view = s"__ctas_${db}_$name"
+      df.createOrReplaceTempView(view)
+      spark.sql(s"DROP TABLE IF EXISTS $db.$name")
+      spark.sql(s"CREATE TABLE $db.$name USING parquet AS SELECT * FROM $view")
+      spark.catalog.dropTempView(view)
+      spark.table(s"$db.$name")
+    }
+  }
+
   case class Config(
       workDir: String,
       tileSize: Int = 512,
@@ -36,24 +71,29 @@ object MapPipeline {
       saltModulo: Int = 10,
       threshold: Long = 250000,
       projections: Seq[String] = Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031"),
-      borCodes: Seq[(String, Int)] = BorYear.EventTypeCodes)
+      borCodes: Seq[(String, Int)] = BorYear.EventTypeCodes,
+      barrier: Option[Barrier] = None) {
+    def effectiveBarrier: Barrier = barrier.getOrElse(PathBarrier(workDir))
+  }
 
-  case class Result(preparedPath: String, pointsPath: String, tileDirs: Seq[String])
+  /** `prepared` / `tileInput` are the post-barrier handles (parquet scan or
+    * catalog table scan depending on `Config.barrier`).
+    */
+  case class Result(prepared: DataFrame, tileInput: DataFrame,
+                    pointsPath: String, tileDirs: Seq[String])
 
   def run(spark: SparkSession, occ: DataFrame, mapKeysArray: Column, cfg: Config): Result = {
+    val barrier = cfg.effectiveBarrier
     // -- 1. prepare + materialization barrier
-    val preparedPath = s"${cfg.workDir}/prepared"
-    Pyramid.prepareInput(occ, mapKeysArray, cfg.borCodes)
-      .write.mode("overwrite").parquet(preparedPath)
-    val prepared = spark.read.parquet(preparedPath)
+    val prepared = barrier.materialize(spark,
+      Pyramid.prepareInput(occ, mapKeysArray, cfg.borCodes), "prepared")
 
     // -- 2. cardinality split (broadcast semi/anti join, not driver collect)
     val bigViews = prepared.groupBy("mapKey")
       .agg(sum("occCount").as("n")).filter(col("n") >= cfg.threshold)
       .select("mapKey")
-    val tileInputPath = s"${cfg.workDir}/tile_input"
-    prepared.join(broadcast(bigViews), Seq("mapKey"), "left_semi")
-      .write.mode("overwrite").parquet(tileInputPath)
+    val tileInput = barrier.materialize(spark,
+      prepared.join(broadcast(bigViews), Seq("mapKey"), "left_semi"), "tile_input")
     val pointInput = prepared.join(broadcast(bigViews), Seq("mapKey"), "left_anti")
 
     // -- 3. point path
@@ -65,23 +105,23 @@ object MapPipeline {
       cfg.saltModulo, pointsPath)
 
     // -- 4. tile path: projections × zooms, slowest (deepest) first
-    val tileInput = spark.read.parquet(tileInputPath)
-    val southPath = s"${cfg.workDir}/tile_input_south"
     val needsSouth = cfg.projections.contains("EPSG:3031")
-    if (needsSouth) // 100 km buffer ≈ lat <= 1 (TileMapBuilder.java:59-62)
-      tileInput.filter(col("lat") <= 1).write.mode("overwrite").parquet(southPath)
+    val south = // 100 km buffer ≈ lat <= 1 (TileMapBuilder.java:59-62)
+      if (needsSouth) barrier.materialize(spark,
+        tileInput.filter(col("lat") <= 1), "tile_input_south")
+      else tileInput
 
     val tileDirs = for {
       epsg <- cfg.projections
       zoom <- (cfg.maxZoom to 0 by -1)
     } yield {
       val proj = Projections.fromEpsg(epsg)
-      val input = if (epsg == "EPSG:3031") spark.read.parquet(southPath) else tileInput
+      val input = if (epsg == "EPSG:3031") south else tileInput
       val t3 = Pyramid.build(input, proj, zoom, cfg.tileSize, cfg.bufferSize, cfg.saltModulo)
       val dir = s"${cfg.workDir}/tiles/${epsg.replaceAll(":", "_")}/z$zoom"
       Sinks.writeSorted(Sinks.encodeTiles(t3).toDF("key", "value"), cfg.saltModulo, dir)
       dir
     }
-    Result(preparedPath, pointsPath, tileDirs)
+    Result(prepared, tileInput, pointsPath, tileDirs)
   }
 }

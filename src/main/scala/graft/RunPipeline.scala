@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.analog.{OccurrenceAnalog => OA}
 
 /** CLI entry for the full map-build pipeline (the engine's `MapBuilder.main`
-  * analog): `runMain graft.RunPipeline <sfDir> <workDir> [maxZoom]`.
+  * analog): `runMain graft.RunPipeline <sfDir> <workDir> [maxZoom] [configYml]`.
+  * With a config file, tile/salt/threshold/barrier settings come from the
+  * reference-shaped YAML (ConfigLoader); workDir and maxZoom args override.
   * Prints an inventory of produced sinks + a decoded sample tile.
   */
 object RunPipeline {
@@ -13,6 +15,7 @@ object RunPipeline {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline"
     val maxZoom = if (args.length > 2) args(2).toInt else 2
+    val configYml = if (args.length > 3) Some(args(3)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,9 +31,15 @@ object RunPipeline {
         OA.lat.as("lat"), OA.lng.as("lng"),
         col("event_type").as("basisOfRecord"), OA.yearCol.as("year"))
 
+    val cfg = configYml match {
+      case Some(path) =>
+        ConfigLoader.toPipelineConfig(ConfigLoader.load(path), Some(workDir))
+          .copy(maxZoom = maxZoom)
+      case None =>
+        MapPipeline.Config(workDir = workDir, maxZoom = maxZoom, threshold = 500)
+    }
     val t0 = System.nanoTime()
-    val res = MapPipeline.run(spark, occ, OA.mapKeysArray,
-      MapPipeline.Config(workDir = workDir, maxZoom = maxZoom, threshold = 500))
+    val res = MapPipeline.run(spark, occ, OA.mapKeysArray, cfg)
     val sec = (System.nanoTime() - t0) / 1e9
 
     val nPoints = spark.read.parquet(res.pointsPath).count()

@@ -433,14 +433,17 @@ object SparkEntry {
           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     }),
 
-    // Quartile assignment via ntile (deterministic under a total order).
-    "window_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(w).as("quartile"))
-        .orderBy("o_orderkey")
-    }),
+    // Quartile assignment — bit-identical to `ntile(4) OVER (ORDER BY ...)`
+    // (the oracle still says exactly that) but computed via the distributed
+    // range-bucketed global rank (ops/GlobalRank): no partition-less Window,
+    // no single-task sort of the whole table.
+    "window_ntile" -> ((s, d) =>
+      graft.ops.GlobalRank.withNtile(
+          orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          rangeCol = "o_totalprice", tieBreak = Seq("o_orderkey"),
+          buckets = 32, tiles = 4, out = "quartile")
+        .select("o_orderkey", "o_totalprice", "quartile")
+        .orderBy("o_orderkey")),
 
     // Theta join: lineitems matched to parts by quantity within ±2 of the
     // part's size — an inequality-predicate join (engine addition, §2.5).
@@ -505,6 +508,14 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** LSH-verified near-dup edges (jac ≥ 0.5) — shared by the clustering and
+    * decision keys.
+    */
+  private def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.verifiedJaccard(docs(s, d), shingleSize = 3, numPerms = 16, numBands = 4)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
+      .filter(col("jac_r") >= 0.5)
+
   private def llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("fp")),
@@ -516,10 +527,23 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       TA.simhash32ByKey(docs(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // Exact n-gram jaccard over minhash-LSH candidates (round 2: replaces
+    // prefix-blocking, whose boilerplate-prefix blocks go quadratic at
+    // corpus scale; ngramJaccard stays as a test-only shape in LlmSpec).
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(docs(s, d), shingleSize = 3, prefixLen = 20)
+      Dedup.verifiedJaccard(docs(s, d), shingleSize = 3, numPerms = 16, numBands = 4)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
         .filter(col("jac_r") >= 0.2)
+        .orderBy("a", "b")),
+
+    // Full candidate-verification frame: every LSH candidate with its band
+    // collision count, exact jaccard, and the keep/drop verdict — the audit
+    // artifact of a dedup pipeline (false-positive candidates visible).
+    "dedup_verified" -> ((s, d) =>
+      Dedup.verifiedJaccard(docs(s, d), shingleSize = 3, numPerms = 16, numBands = 4)
+        .select(col("a"), col("b"), col("n_bands"),
+          round(col("jaccard"), 6).as("jac_r"),
+          (round(col("jaccard"), 6) >= 0.5).as("is_dup"))
         .orderBy("a", "b")),
 
     "embedding_neardup" -> ((s, d) =>
@@ -557,22 +581,28 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
 
+    // IVF-style probe of the query's COMPUTED sign-bit LSH cell (round 2:
+    // round 1 borrowed the fixture label as the quantizer).
     "similarity_ivf" -> ((s, d) =>
       Similarity.topK(emb(s, d), col("vec_id") % 20 === 0, k = 3, sameCellOnly = true)
+        .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
+        .orderBy("q_id", "rnk", "n_id")),
+
+    // Multi-band LSH retrieval: candidates collide with the query in ≥1 of
+    // 8×3-bit bands, ranked by exact cosine — the high-recall scale path.
+    "similarity_lsh" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0, k = 5)
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
 
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
 
-    // Near-dup clustering: connected components (min-label propagation)
-    // over verified jaccard pairs — the grouping step that turns pairwise
-    // candidates into dedup groups.
+    // Near-dup clustering: connected components over LSH-verified jaccard
+    // pairs — the grouping step that turns pairwise candidates into dedup
+    // groups.
     "dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccard(docs(s, d), shingleSize = 3, prefixLen = 20)
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
-        .filter(col("jac_r") >= 0.5)
-      Dedup.clusters(pairs).orderBy("doc_id")
+      Dedup.clusters(verifiedPairs(s, d)).orderBy("doc_id")
     }),
 
     // Composite quality score + routing class (the filter stage of a
@@ -597,10 +627,7 @@ object SparkEntry {
     // near-dup cluster (keep == cluster minimum or unclustered) — the final
     // composition of candidate generation, verification and clustering.
     "dedup_decisions" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccard(docs(s, d), shingleSize = 3, prefixLen = 20)
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
-        .filter(col("jac_r") >= 0.5)
-      val clusters = Dedup.clusters(pairs)
+      val clusters = Dedup.clusters(verifiedPairs(s, d))
       docs(s, d).select(col("doc_id"))
         .join(broadcast(clusters), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -609,16 +636,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Corpus vocabulary: top-20 tokens by frequency (explode + agg + window).
-    "vocab_topk" -> ((s, d) =>
-      docs(s, d)
-        .select(explode(TA.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("freq").desc, col("token"))))
-        .filter(col("rnk") <= 20)
-        .orderBy("rnk"))
+    // Corpus vocabulary: top-20 tokens by frequency. `orderBy().limit(k)`
+    // is Spark's distributed TakeOrderedAndProject (per-partition top-k,
+    // merge of k×partitions rows) — NOT a row_number over a global window,
+    // which would funnel the whole vocabulary (10^8+ tokens web-scale)
+    // through one task. Ranks are assigned to the k collected rows on the
+    // driver: bounded by k, never by the corpus.
+    "vocab_topk" -> ((s, d) => {
+      val top = vocabTop(s, d)
+      val ranked = top.collect().zipWithIndex
+        .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
+      s.createDataFrame(ranked.toSeq).toDF("token", "freq", "rnk")
+        .orderBy("rnk")
+    })
   )
+
+  /** The distributed top-k frame behind `vocab_topk` (package-visible so
+    * PlanGuardSpec can assert its physical shape: TakeOrderedAndProject,
+    * never a partition-less Window).
+    */
+  private[graft] def vocabTop(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(explode(TA.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
 
   /** lat/lng scaled to exact ints for oracle-stable output (doubles stringify
     * differently across engines; ×100 is exact on this fixture grid).
@@ -655,8 +697,11 @@ object SparkEntry {
         s"""SELECT event_type, count(*) AS n FROM events
            |WHERE ${OA.sqlQualityFilter} GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // sum(user_id)::BIGINT: DuckDB's sum(BIGINT) yields HUGEINT, which
+      // pandas materializes as float64 and breaks the driver's dtype-
+      // sensitive hash even though values match.
       "repartition_fixed" -> (sqlOcc +
-        "SELECT yr, count(*) AS n, sum(user_id) AS uid_sum FROM occ GROUP BY 1 ORDER BY 1"),
+        "SELECT yr, count(*) AS n, sum(user_id)::BIGINT AS uid_sum FROM occ GROUP BY 1 ORDER BY 1"),
 
       "explode_map_keys" -> (sqlOcc +
         "SELECT event_id, map_key FROM ex ORDER BY 1, 2"),
@@ -931,25 +976,26 @@ object SparkEntry {
            |FROM t ORDER BY doc_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->
-        s"""WITH t AS (SELECT doc_id, ${TA.sqlNormText("text")} AS nt, $toks AS toks FROM documents),
-           |th AS (SELECT doc_id, substr(nt, 1, 20) AS blk,
-           |  ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
-           |k AS (SELECT doc_id, blk,
-           |  list_distinct(${Dedup.sqlHashedShingles("th", 3)}) AS sh FROM th),
-           |p AS (
-           |  SELECT l.doc_id AS a, r.doc_id AS b,
-           |    round(len(list_intersect(l.sh, r.sh))::DOUBLE /
-           |          len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
-           |  FROM k l JOIN k r ON l.blk = r.blk AND l.doc_id < r.doc_id)
-           |SELECT a, b, jac_r FROM p WHERE jac_r >= 0.2 ORDER BY 1, 2""".stripMargin,
+        (s"WITH ${sqlVerifiedCte(3, 16, 4)}\n" +
+          "SELECT a, b, jac_r FROM v WHERE jac_r >= 0.2 ORDER BY 1, 2"),
+
+      "dedup_verified" ->
+        (s"WITH ${sqlVerifiedCte(3, 16, 4)}\n" +
+          "SELECT a, b, n_bands, jac_r, (jac_r >= 0.5) AS is_dup FROM v ORDER BY 1, 2"),
 
       "embedding_neardup" -> {
+        val cells = Similarity.sqlBandCells(
+          "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
         val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
-        s"""WITH n AS (SELECT vec_id, label, embedding,
-           |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
-           |SELECT l.vec_id AS a, r.vec_id AS b, $cos AS cos_r
-           |FROM n l JOIN n r ON l.label = r.label AND l.vec_id < r.vec_id
-           |WHERE $cos >= 0.4 ORDER BY 1, 2""".stripMargin
+        s"""WITH n AS (SELECT vec_id, embedding,
+           |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+           |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+           |cc AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+           |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+           |  FROM cc l JOIN cc r ON l.band = r.band AND l.cell = r.cell AND l.vec_id < r.vec_id),
+           |p AS (SELECT a, b, $cos AS cos_r
+           |  FROM cand JOIN n l ON a = l.vec_id JOIN n r ON b = r.vec_id)
+           |SELECT a, b, cos_r FROM p WHERE cos_r >= 0.4 ORDER BY 1, 2""".stripMargin
       },
 
       "text_stats" ->
@@ -976,6 +1022,7 @@ object SparkEntry {
 
       "similarity_topk" -> sqlTopK(k = 5, sameCell = false),
       "similarity_ivf" -> sqlTopK(k = 3, sameCell = true),
+      "similarity_lsh" -> sqlLshTopK(k = 5),
 
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,
@@ -983,51 +1030,31 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "dedup_clusters" ->
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, ${TA.sqlNormText("text")} AS nt, $toks AS toks FROM documents),
-           |th AS (SELECT doc_id, substr(nt, 1, 20) AS blk,
-           |  ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
-           |k AS (SELECT doc_id, blk,
-           |  list_distinct(${Dedup.sqlHashedShingles("th", 3)}) AS sh FROM th),
-           |p AS (
-           |  SELECT l.doc_id AS a, r.doc_id AS b,
-           |    round(len(list_intersect(l.sh, r.sh))::DOUBLE /
-           |          len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
-           |  FROM k l JOIN k r ON l.blk = r.blk AND l.doc_id < r.doc_id),
-           |e AS (SELECT a, b FROM p WHERE jac_r >= 0.5
-           |      UNION ALL SELECT b, a FROM p WHERE jac_r >= 0.5),
-           |reach AS (
-           |  SELECT a AS id, b AS r FROM e
-           |  UNION
-           |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
-           |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
-           |FROM reach GROUP BY id ORDER BY 1""".stripMargin,
+        (s"WITH RECURSIVE ${sqlVerifiedCte(3, 16, 4)},\n" +
+          """e AS (SELECT a, b FROM v WHERE jac_r >= 0.5
+            |      UNION ALL SELECT b, a FROM v WHERE jac_r >= 0.5),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+            |SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+            |FROM reach GROUP BY id ORDER BY 1""".stripMargin),
 
       "dedup_decisions" ->
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, ${TA.sqlNormText("text")} AS nt, $toks AS toks FROM documents),
-           |th AS (SELECT doc_id, substr(nt, 1, 20) AS blk,
-           |  ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
-           |k AS (SELECT doc_id, blk,
-           |  list_distinct(${Dedup.sqlHashedShingles("th", 3)}) AS sh FROM th),
-           |p AS (
-           |  SELECT l.doc_id AS a, r.doc_id AS b,
-           |    round(len(list_intersect(l.sh, r.sh))::DOUBLE /
-           |          len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
-           |  FROM k l JOIN k r ON l.blk = r.blk AND l.doc_id < r.doc_id),
-           |e AS (SELECT a, b FROM p WHERE jac_r >= 0.5
-           |      UNION ALL SELECT b, a FROM p WHERE jac_r >= 0.5),
-           |reach AS (
-           |  SELECT a AS id, b AS r FROM e
-           |  UNION
-           |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
-           |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
-           |       FROM reach GROUP BY id)
-           |SELECT d.doc_id,
-           |  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
-           |  (COALESCE(cl.cluster_id, d.doc_id) = d.doc_id) AS keep
-           |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
-           |ORDER BY d.doc_id""".stripMargin,
+        (s"WITH RECURSIVE ${sqlVerifiedCte(3, 16, 4)},\n" +
+          """e AS (SELECT a, b FROM v WHERE jac_r >= 0.5
+            |      UNION ALL SELECT b, a FROM v WHERE jac_r >= 0.5),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+            |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+            |       FROM reach GROUP BY id)
+            |SELECT d.doc_id,
+            |  COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+            |  (COALESCE(cl.cluster_id, d.doc_id) = d.doc_id) AS keep
+            |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
 
       "doc_quality" -> {
         val toksE = toks
@@ -1057,11 +1084,16 @@ object SparkEntry {
   }
 
   private def sqlTopK(k: Int, sameCell: Boolean): String = {
-    val cos = s"round(${graft.llm.Similarity.sqlDot("q_emb", "e.embedding")} / (q_nrm * e.nrm), 6)"
-    val cellCond = if (sameCell) " AND q_label = e.label" else ""
-    s"""WITH n AS (SELECT vec_id, label, embedding,
-       |  sqrt(${graft.llm.Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label, nrm AS q_nrm
+    import graft.llm.Similarity
+    val cos = s"round(${Similarity.sqlDot("q_emb", "e.embedding")} / (q_nrm * e.nrm), 6)"
+    val cellSel = if (sameCell)
+      s",\n  ${Similarity.sqlCellId("embedding", Similarity.QuantizerBand, Similarity.QuantizerBits, Similarity.Dim)} AS cell"
+    else ""
+    val qCellSel = if (sameCell) ", cell AS q_cell" else ""
+    val cellCond = if (sameCell) " AND q_cell = e.cell" else ""
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm$cellSel FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm$qCellSel
        |  FROM n WHERE vec_id % 20 = 0),
        |p AS (SELECT q_id, e.vec_id AS n_id, $cos AS cos_r
        |  FROM q JOIN n e ON q_id <> e.vec_id$cellCond),
@@ -1069,6 +1101,57 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
        |  FROM p)
        |SELECT q_id, n_id, cos_r, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk, n_id""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.llm.Similarity.lshTopK]]: multi-band candidate
+    * collisions (DISTINCT over band matches) verified by exact cosine.
+    */
+  private def sqlLshTopK(k: Int): String = {
+    import graft.llm.Similarity
+    val cells = Similarity.sqlBandCells(
+      "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+    val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+       |cc AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM cc q JOIN cc e ON q.band = e.band AND q.cell = e.cell AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id % 20 = 0),
+       |p AS (SELECT q_id, n_id, $cos AS cos_r
+       |  FROM cand JOIN n l ON q_id = l.vec_id JOIN n r ON n_id = r.vec_id),
+       |r AS (SELECT q_id, n_id, cos_r,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM p)
+       |SELECT q_id, n_id, cos_r, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk, n_id""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.llm.Dedup.verifiedJaccard]]: CTE chain from
+    * documents to `cand` (minhash-LSH candidate pairs a,b,n_bands) and `v`
+    * (candidates + exact jaccard over distinct shingle sets). Emitted
+    * WITHOUT the `WITH ` prefix so callers can prepend `WITH RECURSIVE`.
+    */
+  private def sqlVerifiedCte(shingleSize: Int, numPerms: Int, numBands: Int): String = {
+    import graft.llm.{Dedup, TextAnalysis => TA}
+    val toks = TA.sqlTokens("text")
+    val rpb = numPerms / numBands
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+       |s AS (SELECT doc_id, ${Dedup.sqlHashedShingles("th", shingleSize)} AS sh FROM th),
+       |nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |sg AS (SELECT doc_id, ${Dedup.sqlMinhashSignature("sh", numPerms)} AS sig FROM nz),
+       |bd AS (SELECT doc_id,
+       |  unnest([{'band': b, 'bh': ${graft.expr.PortableHash.sqlPhash(s"array_to_string((sig)[b * $rpb + 1 : b * $rpb + $rpb], ',')")}}
+       |          for b in range(0, $numBands)]) AS t
+       |  FROM sg),
+       |bb AS (SELECT doc_id, t['band'] AS band, t['bh'] AS bh FROM bd),
+       |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
+       |  FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |k AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+       |v AS (SELECT a, b, n_bands,
+       |  round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
+       |  FROM cand JOIN k l ON a = l.doc_id JOIN k r ON b = r.doc_id)""".stripMargin
   }
 
   private def sqlProjectPixel(proj: Projection, zoom: Int): String =

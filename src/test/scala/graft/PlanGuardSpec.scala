@@ -1,0 +1,35 @@
+package graft
+
+/** Physical-plan guards for the scale-killers fixed in round 2: a global
+  * (partition-less) window funnels every row through ONE task — Spark logs
+  * "No Partition Defined for Window operation". These assertions pin the
+  * distributed shapes so the anti-pattern can't quietly come back.
+  */
+class PlanGuardSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("window_ntile: no single-partition exchange (distributed global rank, not a global window)") {
+    val df = SparkEntry.queries("window_ntile")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"window_ntile funnels rows through one partition:\n$plan")
+  }
+
+  test("vocab_topk: heavy frame is TakeOrderedAndProject, not a global window") {
+    val plan = SparkEntry.vocabTop(spark, d).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be distributed TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the corpus-sized frame:\n$plan")
+  }
+
+  test("window_ntile matches the ntile(4) window definition row-for-row") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val viaWindow = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+    val viaRank = SparkEntry.queries("window_ntile")(spark, d)
+    assert(viaRank.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaRank).isEmpty,
+      "GlobalRank-based ntile == window ntile, bitwise")
+  }
+}

@@ -74,4 +74,44 @@ class StreamingSpec extends SparkSpec {
       assert(batch.size == 3, "user 1: two sessions; user 2: one")
     } finally q.stop()
   }
+
+  test("streaming sessionization: out-of-order cross-batch events extend and bridge sessions") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val b1 = Seq(
+      Ev(ts("2024-01-01 10:00:00"), 1L),
+      Ev(ts("2024-01-01 10:10:00"), 1L),
+      Ev(ts("2024-01-01 12:00:00"), 1L),
+      Ev(ts("2024-01-01 13:00:00"), 1L)) // 12:00 / 13:00: two open sessions (gap 30 min)
+    val b2 = Seq(
+      Ev(ts("2024-01-01 09:45:00"), 1L),  // late: extends first session BACKWARDS
+      Ev(ts("2024-01-01 12:30:00"), 1L))  // late: BRIDGES the 12:00 and 13:00 sessions
+    val in = MemoryStream[Ev]
+    // 6h watermark keeps the batch-2 stragglers inside the watermark
+    val q = EventStream.sessionize(in.toDS(), gapSec = 1800, watermark = "6 hours")
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      // sentinels push the watermark past every user-1 session + gap
+      in.addData(Ev(ts("2024-01-02 13:00:00"), 99L)); q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-03 13:00:00"), 99L)); q.processAllAvailable()
+      val streamed = spark.table("sessions_ooo")
+        .filter(col("user_id") < 99)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = EventStream.sessionizeBatch(
+          (b1 ++ b2).toDF().select(col("user_id"),
+            (col("ts").cast("long") * 1000000L).as("ts_us")),
+          gapSec = 1800)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"out-of-order streaming sessions $streamed == batch sessions $batch")
+      assert(batch.size == 2, "user 1: (09:45-10:10 n=3) and (12:00-13:00 n=3)")
+      assert(batch.contains((1L, ts("2024-01-01 09:45:00").getTime * 1000L,
+        ts("2024-01-01 10:10:00").getTime * 1000L, 3L)), s"backward-extended session in $batch")
+      assert(batch.contains((1L, ts("2024-01-01 12:00:00").getTime * 1000L,
+        ts("2024-01-01 13:00:00").getTime * 1000L, 3L)), s"bridged session in $batch")
+    } finally q.stop()
+  }
 }

@@ -29,4 +29,18 @@ class VecMathSpec extends SparkSpec {
     assert(rows(1).isNullAt(0), "null input -> null")
     assert(rows(2).getDouble(0) == 0.0, "empty vectors -> 0")
   }
+
+  test("FloatVectorDot malformed embeddings: NULL on length mismatch / null element, matching the fold") {
+    val df = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f))),            // length mismatch
+      (Seq(Some(1.0f), None), Seq(Some(3.0f), Some(4.0f))),      // null element
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f), Some(4.0f))) // clean
+    ).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("fast"),
+        Similarity.dotFold(col("a"), col("b")).as("fold"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), "length mismatch -> NULL on both paths")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), "null element -> NULL on both paths")
+    assert(rows(2).getDouble(0) == 11.0 && rows(2).getDouble(1) == 11.0)
+  }
 }
