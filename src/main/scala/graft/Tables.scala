@@ -5,13 +5,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
   * At production scale the same API points at an HDFS/S3 snapshot directory
-  * (reference: `MapBuilder.java:134-159` reads an Avro snapshot glob); here
-  * every table is one parquet file under the scale-factor dir.
+  * (reference: `MapBuilder.java:134-159` reads an Avro snapshot glob with
+  * `format("com.databricks.spark.avro")`). Round 2 makes the format a SEAM:
+  * every table resolves through the session conf `graft.tables.format`
+  * (default `parquet`), so a deployment points the same queries at ORC — or
+  * Avro, once the spark-avro connector is on the classpath (it is not
+  * bundled in this sandbox) — without touching a single query. Tables are
+  * expected at `<sfDir>/<name>.<format>`.
+  *
+  * Self-describing formats only: CSV/JSON need a pinned schema (inference
+  * would re-scan 100 TB and can silently widen types between runs) — read
+  * those through [[graft.io.Formats]] with an explicit schema.
   */
 object Tables {
+
+  /** Session conf key selecting the table source format. */
+  val FormatKey = "graft.tables.format"
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftConf.ensure(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val fmt = spark.conf.get(FormatKey, "parquet")
+    require(fmt != "csv" && fmt != "json",
+      s"text formats need a pinned schema - use graft.io.Formats.readCsv/readJson")
+    spark.read.format(fmt).load(s"$sfDir/$name.$fmt")
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

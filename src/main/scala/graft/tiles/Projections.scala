@@ -46,6 +46,18 @@ sealed trait Projection extends Serializable {
       .otherwise(lit(null))
   }
 
+  /** LongType variant of [[globalPixel]] for zoom > 16 (pairs with
+    * `TileAddressing.addressesLong`): identical math and clamping, bigint
+    * output. Double precision holds exactly to zoom ~43 (pixel < 2^53).
+    */
+  def globalPixelLong(lat: Column, lng: Column, zoom: Int, tileSize: Int): Column = {
+    val (x, y) = pixelXY(lat, lng, zoom, tileSize)
+    val xi = greatest(lit(0L), least(floor(x), lit(worldPxX(zoom, tileSize) - 1))).cast("bigint")
+    val yi = greatest(lit(0L), least(floor(y), lit(worldPxY(zoom, tileSize) - 1))).cast("bigint")
+    when(isPlottable(lat, lng), struct(xi.as("x"), yi.as("y")))
+      .otherwise(lit(null))
+  }
+
   // ---- DuckDB oracle emitters (must mirror the Columns exactly) ----
   def sqlIsPlottable(latE: String, lngE: String): String
   protected def sqlPixelXY(latE: String, lngE: String, zoom: Int, tileSize: Int): (String, String)

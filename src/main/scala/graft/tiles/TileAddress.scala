@@ -58,6 +58,43 @@ case class TileAddressing(proj: Projection, tileSize: Int, bufferSize: Int) {
     array_distinct(filter(candidates, c => c.isNotNull))
   }
 
+  def nTilesXL(zoom: Int): Long = proj.zzH.toLong * (1L << zoom)
+  def nTilesYL(zoom: Int): Long = proj.zzV.toLong * (1L << zoom)
+
+  /** LongType variant of [[addresses]] for zoom > 16 — the reference caps
+    * its int-typed schema at 16 ("higher requires tileXY to be LongType",
+    * `TileXYUDF.java:65-69`); this path lifts that cap (good to zoom ~50:
+    * global pixel counts stay < 2^62). Same wrap/buffer semantics, proven
+    * equal to the int path at shared zooms by `TileAddressSpec`.
+    */
+  def addressesLong(zoom: Int, x: Column, y: Column): Column = {
+    val nX = nTilesXL(zoom); val nY = nTilesYL(zoom)
+    val ts = lit(tileSize.toLong); val buf = lit(bufferSize.toLong)
+    val xl = x.cast("bigint"); val yl = y.cast("bigint")
+    val tx = floor(xl / ts).cast("bigint"); val ty = floor(yl / ts).cast("bigint")
+    val lx = xl - tx * ts; val ly = yl - ty * ts
+    val west = lx < buf; val east = lx >= ts - buf
+    val north = ly < buf; val south = ly >= ts - buf
+    def wrapX(t: Column) = pmod(t, lit(nX)).cast("bigint")
+    def wrapY(t: Column) = pmod(t, lit(nY)).cast("bigint")
+    def addr(txc: Column, tyc: Column, lxc: Column, lyc: Column) =
+      struct(txc.as("tileX"), tyc.as("tileY"),
+             lxc.cast("bigint").as("pixelX"), lyc.cast("bigint").as("pixelY"))
+    def guarded(cond: Column, a: Column) = when(cond, a).otherwise(lit(null))
+    val candidates = array(
+      addr(tx, ty, lx, ly),
+      guarded(north, addr(tx, wrapY(ty - 1), lx, ly + ts)),
+      guarded(south, addr(tx, wrapY(ty + 1), lx, ly - ts)),
+      guarded(west, addr(wrapX(tx - 1), ty, lx + ts, ly)),
+      guarded(east, addr(wrapX(tx + 1), ty, lx - ts, ly)),
+      guarded(north && west, addr(wrapX(tx - 1), wrapY(ty - 1), lx + ts, ly + ts)),
+      guarded(north && east, addr(wrapX(tx + 1), wrapY(ty - 1), lx - ts, ly + ts)),
+      guarded(south && west, addr(wrapX(tx - 1), wrapY(ty + 1), lx + ts, ly - ts)),
+      guarded(south && east, addr(wrapX(tx + 1), wrapY(ty + 1), lx - ts, ly - ts))
+    )
+    array_distinct(filter(candidates, c => c.isNotNull))
+  }
+
   /** DuckDB list of candidate structs, mirroring [[addresses]]. `xE`/`yE` are
     * SQL expressions for the global pixel.
     */

@@ -32,6 +32,33 @@ class FormatsSpec extends SparkSpec {
   test("csv round trip (pinned schema)")(roundTrip("csv"))
   test("json round trip (pinned schema)")(roundTrip("json"))
 
+  test("Tables format seam: same queries run unchanged over an ORC copy of the tables") {
+    val dir = Files.createTempDirectory("graft_seam").toString
+    // materialize ORC copies at the seam's expected layout <dir>/<name>.orc
+    for (name <- Seq("events", "nation")) {
+      Formats.write(Tables.table(spark, sf, name), s"$dir/$name.orc", "orc")
+    }
+    val parquetResult = SparkEntry.queries("filter_quality")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val parquetNation = Tables.nation(spark, sf).count()
+    spark.conf.set(Tables.FormatKey, "orc")
+    try {
+      val orcResult = SparkEntry.queries("filter_quality")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(orcResult == parquetResult,
+        "filter_quality over ORC == over parquet, query code untouched")
+      assert(Tables.nation(spark, dir).count() == parquetNation)
+    } finally spark.conf.set(Tables.FormatKey, "parquet")
+  }
+
+  test("Tables format seam rejects schema-inferring text formats") {
+    spark.conf.set(Tables.FormatKey, "csv")
+    try {
+      val e = intercept[IllegalArgumentException](Tables.nation(spark, sf))
+      assert(e.getMessage.contains("pinned schema"))
+    } finally spark.conf.set(Tables.FormatKey, "parquet")
+  }
+
   test("csv survives a timestamp column with pinned format") {
     val dir = Files.createTempDirectory("graft_csv_ts").toString
     val src = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")

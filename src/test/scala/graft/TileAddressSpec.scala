@@ -52,6 +52,80 @@ class TileAddressSpec extends SparkSpec {
     assert(addrs == Seq((1, 1, tileSize / 2, tileSize / 2)))
   }
 
+  test("addressesLong == addresses at shared zooms (z0-8, all projections)") {
+    val rnd = new scala.util.Random(7)
+    for (proj <- Projections.All; zoom <- Seq(0, 4, 8)) {
+      val maxX = proj.zzH * (1 << zoom) * tileSize
+      val maxY = proj.zzV * (1 << zoom) * tileSize
+      val pts = Seq.fill(100)((rnd.nextInt(maxX), rnd.nextInt(maxY))) ++
+        Seq((0, 0), (maxX - 1, maxY - 1), (tileSize - 1, tileSize - 1))
+      val adr = TileAddressing(proj, tileSize, buffer)
+      val both = pts.distinct.toDF("x", "y")
+        .select(col("x"), col("y"),
+          adr.addresses(zoom, col("x"), col("y")).as("ai"),
+          adr.addressesLong(zoom, col("x"), col("y")).as("al"))
+        .collect()
+      both.foreach { r =>
+        val ai = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(t => (t.getInt(0).toLong, t.getInt(1).toLong, t.getInt(2).toLong, t.getInt(3).toLong))
+        val al = r.getSeq[org.apache.spark.sql.Row](3)
+          .map(t => (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)))
+        assert(ai == al, s"${proj.epsg} z$zoom (${r.getInt(0)},${r.getInt(1)}): int $ai != long $al")
+      }
+    }
+  }
+
+  test("property: LongType addressing beyond the int cap (z17-20)") {
+    val rnd = new scala.util.Random(11)
+    for (zoom <- Seq(17, 18, 20)) {
+      val proj = Mercator3857
+      val nT = proj.zzH.toLong * (1L << zoom)
+      val maxX = nT * tileSize // 2^29 px at z20 — beyond the reference's z16 cap
+      val pts = (Seq.fill(150)((math.abs(rnd.nextLong()) % maxX, math.abs(rnd.nextLong()) % maxX)) ++
+        Seq((0L, 0L), (maxX - 1, maxX - 1), (maxX / 2, buffer.toLong - 1))).distinct
+      val adr = TileAddressing(proj, tileSize, buffer)
+      val rows = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          explode(adr.addressesLong(zoom, col("x"), col("y"))).as("t"))
+        .select("x", "y", "t.tileX", "t.tileY", "t.pixelX", "t.pixelY")
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      pts.foreach { case (x, y) =>
+        val addrs = rows((x, y))
+        assert(addrs.size >= 1 && addrs.size <= 4, s"z$zoom ($x,$y): ${addrs.size} addresses")
+        assert(addrs.contains((x / tileSize, y / tileSize, x % tileSize, y % tileSize)),
+          s"z$zoom ($x,$y): primary missing")
+        assert(addrs.distinct.size == addrs.size)
+        addrs.foreach { case (tx, ty, lx, ly) =>
+          assert(tx >= 0 && tx < nT && ty >= 0 && ty < nT, s"tile in z$zoom grid: ($tx,$ty)")
+          assert(lx >= -buffer && lx < tileSize + buffer)
+          assert(ly >= -buffer && ly < tileSize + buffer)
+          // neighbour locals are primary ± tileSize per axis
+          assert(math.abs(lx - x % tileSize) % tileSize == 0)
+          assert(math.abs(ly - y % tileSize) % tileSize == 0)
+        }
+      }
+    }
+  }
+
+  test("globalPixelLong: z18 pixels exceed int-safe tile math and match the double formula") {
+    import graft.tiles.Projections.MaxMercatorLat
+    val pts = Seq((0.0, 0.0), (51.5, -0.12), (-33.86, 151.2), (MaxMercatorLat, 180.0),
+      (-MaxMercatorLat, -180.0))
+    val zoom = 18
+    val rows = pts.toDF("lat", "lng")
+      .select(Mercator3857.globalPixelLong(col("lat"), col("lng"), zoom, tileSize).as("p"))
+      .select("p.x", "p.y").collect()
+    val world = Mercator3857.worldPxX(zoom, tileSize) // 2^27 px: outside int tile range at tileSize granularity
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < world)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < world)
+    }
+    // equator/prime-meridian lands mid-world
+    assert(rows(0).getLong(0) == world / 2 && rows(0).getLong(1) == world / 2)
+  }
+
   test("property: 1-4 addresses; primary among them; locals within buffered bounds") {
     val rnd = new scala.util.Random(42)
     for (proj <- Projections.All; zoom <- Seq(0, 1, 3, 6)) {
