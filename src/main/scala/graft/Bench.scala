@@ -22,7 +22,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the bench JSON from process output,
+    // and a stray late WARN line (e.g. round 1's WindowExec warning) can
+    // land after the JSON and break that parse.
+    spark.sparkContext.setLogLevel("ERROR")
     GraftConf.ensure(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -74,7 +74,22 @@ object GraftFunctions {
       "graft_salted(key, modulo) - zero-padded salt prefix (ModulusSalt contract)"),
     ("graft_vec_dot",
       (es: Seq[Expression]) => FloatVectorDot(es.head, es(1)),
-      "graft_vec_dot(a, b) - codegen'd float-vector dot product")
+      "graft_vec_dot(a, b) - codegen'd float-vector dot product"),
+    ("graft_lsh_cell",
+      (es: Seq[Expression]) => {
+        def litInt(e: Expression): Int = e.eval(null) match {
+          case x: Int => x; case x: Long => x.toInt
+          case other => throw new IllegalArgumentException(s"literal int expected: $other")
+        }
+        val band = litInt(es(1)); val bits = litInt(es(2)); val dim = litInt(es(3))
+        (0 until bits).map { b =>
+          val hp = Literal.create(graft.llm.Similarity.hyperplane(band, b, dim),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+          CaseWhen(Seq((fn(">=", FloatVectorDot(es.head, hp), Literal(0.0)),
+            Literal(1L << b): Expression)), Some(Literal(0L))): Expression
+        }.reduce((a, b) => fn("+", a, b))
+      },
+      "graft_lsh_cell(vec, band, bits, dim) - deterministic sign-bit LSH cell id")
   )
 
   /** Register into a live session (temp functions). */

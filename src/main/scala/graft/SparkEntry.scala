@@ -445,6 +445,18 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "quartile")
         .orderBy("o_orderkey")),
 
+    // Exact global row_number over the full orders table — the distributed
+    // range-bucketed rank itself as a first-class operator (same oracle
+    // shape as a partition-less row_number window, without its single-task
+    // sort).
+    "window_rank_global" -> ((s, d) =>
+      graft.ops.GlobalRank.withGlobalRowNumber(
+          orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          rangeCol = "o_totalprice", tieBreak = Seq("o_orderkey"),
+          buckets = 32, out = "rn")
+        .select("o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_orderkey")),
+
     // Theta join: lineitems matched to parts by quantity within ±2 of the
     // part's size — an inequality-predicate join (engine addition, §2.5).
     "join_theta" -> ((s, d) => {
@@ -589,7 +601,7 @@ object SparkEntry {
         .orderBy("q_id", "rnk", "n_id")),
 
     // Multi-band LSH retrieval: candidates collide with the query in ≥1 of
-    // 8×3-bit bands, ranked by exact cosine — the high-recall scale path.
+    // 16×8-bit bands, ranked by exact cosine — the high-recall scale path.
     "similarity_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0, k = 5)
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
@@ -901,6 +913,11 @@ object SparkEntry {
           |JOIN region ON n_regionkey = r_regionkey
           |GROUP BY CUBE (r_name, n_name)
           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+      "window_rank_global" ->
+        """SELECT o_orderkey, o_totalprice,
+          |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
       "window_ntile" ->
         """SELECT o_orderkey, o_totalprice, quartile FROM (

@@ -16,9 +16,13 @@ import graft.expr.PortableHash
   *   - multi-band ([[lshCandidates]]/[[lshTopK]]): `bands` independent cell
   *     assignments; a pair is a candidate if it collides in ANY band —
   *     recall for a pair at angle θ is 1-(1-p^r)^B with p = 1-θ/π, r bits
-  *     per band, B bands (8×3 default: cos ≥ 0.4 → ~0.5, cos ≥ 0.8 → ~0.97).
-  *     Tune B up for recall, r up for precision; cost stays one shuffle on
-  *     (band, cell) — never an all-pairs product.
+  *     per band, B bands (16×8 default: cos ≥ 0.9 → ~0.97, cos ≥ 0.8 →
+  *     ~0.8). Bits per band bound CELL OCCUPANCY (2^r cells per band):
+  *     within-cell candidates grow quadratically with occupancy, so r must
+  *     scale ~log2(corpus/target_cell_size) — the round-2 10× study
+  *     measured 8 cells/band going quadratic (87×) where 256 cells/band
+  *     stays near-linear. Tune B up for recall, r up for precision/volume;
+  *     cost stays one shuffle on (band, cell) — never an all-pairs product.
   *
   * Hyperplanes are deterministic ±1 vectors derived from
   * [[graft.expr.PortableHash]] parity, embedded as literals in BOTH the
@@ -65,9 +69,11 @@ object Similarity {
   /** Reserved band index for the single-cell (IVF-style) quantizer. */
   val QuantizerBand = -1
   val QuantizerBits = 4
-  /** Multi-band defaults: 8 bands × 3 bits (see recall math above). */
-  val Bands = 8
-  val BitsPerBand = 3
+  /** Multi-band defaults: 16 bands × 8 bits (see recall/occupancy math
+    * above).
+    */
+  val Bands = 16
+  val BitsPerBand = 8
 
   /** Deterministic ±1 hyperplane for (band, bit): each entry's sign is the
     * parity of a PortableHash — reproducible everywhere, no RNG state.
@@ -94,11 +100,23 @@ object Similarity {
       s"(CASE WHEN ${sqlDot(vecE, sqlHyperplane(band, i, dim))} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** array<struct<band,cell>> — one cell id per band. */
+  /** array<struct<band,cell>> — one cell id per band, composed from
+    * per-band [[cellId]] calls. Reference form for the fused
+    * [[bandCellsArray]] (LlmSpec asserts equality); the fused expression is
+    * what the queries use — 128 separate codegen'd dot loops cost ~5 s of
+    * janino compile per query at the 16×8 default.
+    */
   def bandCells(vec: Column, bands: Int, bitsPerBand: Int, dim: Int): Column =
     array((0 until bands).map { b =>
       struct(lit(b).as("band"), cellId(vec, b, bitsPerBand, dim).as("cell"))
     }: _*)
+
+  /** array<bigint> of band cells from the single fused-loop expression
+    * ([[graft.expr.LshBands]]); index == band. Bit-identical to
+    * [[bandCells]].
+    */
+  def bandCellsArray(vec: Column, bands: Int, bitsPerBand: Int, dim: Int): Column =
+    graft.expr.LshBands.bands(vec, bands, bitsPerBand, dim)(hyperplane(_, _, dim))
 
   def sqlBandCells(vecE: String, bands: Int, bitsPerBand: Int, dim: Int): String =
     (0 until bands).map { b =>
@@ -113,8 +131,8 @@ object Similarity {
                     bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
     val cells = emb
       .select(col("vec_id"),
-        explode(bandCells(col("embedding"), bands, bitsPerBand, dim)).as("t"))
-      .select(col("vec_id"), col("t.band").as("band"), col("t.cell").as("cell"))
+        posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
+          .as(Seq("band", "cell")))
     cells.as("l").join(cells.as("r"),
         col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
           col("l.vec_id") < col("r.vec_id"))
@@ -156,8 +174,8 @@ object Similarity {
               bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
     val cells = emb
       .select(col("vec_id"),
-        explode(bandCells(col("embedding"), bands, bitsPerBand, dim)).as("t"))
-      .select(col("vec_id"), col("t.band").as("band"), col("t.cell").as("cell"))
+        posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
+          .as(Seq("band", "cell")))
     val qc = cells.filter(isQuery).withColumnRenamed("vec_id", "q_id")
     val cand = qc.join(cells, Seq("band", "cell"))
       .filter(col("q_id") =!= col("vec_id"))

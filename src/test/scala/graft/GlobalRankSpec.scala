@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.GlobalRank
+
+/** ops.GlobalRank: the distributed global rank must equal the
+  * single-partition window definition on hostile shapes — heavy ties
+  * (single bucket absorbs half the data) and tiny inputs.
+  */
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("global row_number == window row_number on skewed, tied data") {
+    val df = (Seq.fill(500)(5.0) ++ (1 to 500).map(_.toDouble))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(7)
+    val ranked = GlobalRank.withGlobalRowNumber(df, "v", Seq("id"), buckets = 8, out = "rn")
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    assert(ranked.exceptAll(expected).isEmpty && expected.exceptAll(ranked).isEmpty,
+      "distributed rank == window rank, bitwise")
+  }
+
+  test("ntile edges: fewer rows than tiles; all-equal range keys") {
+    val tiny = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
+    val t = GlobalRank.withNtile(tiny, "v", Seq("id"), buckets = 4, tiles = 4, out = "q")
+    assert(t.orderBy("id").select("q").collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3),
+      "n < tiles: tile == rank (SQL ntile semantics)")
+
+    // all keys equal: boundary bucketing degenerates to ONE bucket — ranks
+    // must still come out exact through the tiebreak order
+    val eq = (1L to 10L).map((_, 7.0)).toDF("id", "v")
+    val e = GlobalRank.withNtile(eq, "v", Seq("id"), buckets = 4, tiles = 4, out = "q")
+    assert(e.orderBy("id").select("q").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4), "10 rows over 4 tiles: 3/3/2/2 row-split")
+  }
+}

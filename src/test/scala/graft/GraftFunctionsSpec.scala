@@ -39,4 +39,21 @@ class GraftFunctionsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n > 400, "distinct hashes across 500 docs")
   }
+
+  test("graft_lsh_cell from SQL == Similarity.cellId (quantizer band)") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    emb.createOrReplaceTempView("emb_v")
+    import graft.llm.Similarity
+    val viaSql = spark.sql(
+      s"SELECT vec_id, graft_lsh_cell(embedding, ${Similarity.QuantizerBand}, " +
+        s"${Similarity.QuantizerBits}, ${Similarity.Dim}) AS cell FROM emb_v")
+    val viaCol = emb.select(col("vec_id"),
+      Similarity.cellId(col("embedding"), Similarity.QuantizerBand,
+        Similarity.QuantizerBits, Similarity.Dim).as("cell"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "SQL cell ids match the Column API bitwise")
+    assert(viaCol.select("cell").distinct().count() > 1, "cells actually partition the space")
+  }
 }

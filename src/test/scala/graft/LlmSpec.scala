@@ -92,6 +92,28 @@ class LlmSpec extends SparkSpec {
     assert(out((1L, 2L)) == ((4L, 1.0)), "identical docs: 4 shared bands, jaccard 1.0")
   }
 
+  test("LshBands fused expression == composed per-band cellId (incl. malformed vectors)") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val rows = Seq.fill(100)(Seq.fill(dim)(Option(rnd.nextFloat() * 2 - 1))) ++ Seq(
+      Seq.fill(dim - 1)(Option(0.5f)),              // wrong length -> all-zero cells
+      Option(0.5f) +: Seq.fill(dim - 1)(Option.empty[Float]), // null element -> all-zero cells
+      Seq.fill(dim)(Option(0.0f)))
+    val df = rows.toDF("v")
+    val bands = 4; val bits = 5
+    val fused = df.select(
+      Similarity.bandCellsArray(col("v"), bands, bits, dim).as("cells")).collect()
+      .map(_.getSeq[Long](0))
+    val composed = df.select(
+      Similarity.bandCells(col("v"), bands, bits, dim).as("t")).collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1)))
+    fused.zip(composed).zipWithIndex.foreach { case ((f, c), i) =>
+      assert(f == c, s"row $i: fused $f != composed $c")
+    }
+    assert(fused(100) == Seq.fill(bands)(0L), "wrong-length vector -> all-zero cells")
+    assert(fused(101) == Seq.fill(bands)(0L), "null element -> all-zero cells")
+  }
+
   test("multimodal: stubbed decode preserves byte length and is deterministic") {
     implicit val s = spark
     val docs = Seq((1L, "hello world", "srcA", 11L), (2L, "", "srcB", 0L))
