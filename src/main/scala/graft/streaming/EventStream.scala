@@ -40,6 +40,17 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of the batch `dedup_exact`
+    * key: duplicates of `idCols` arriving within the watermark horizon are
+    * dropped; state for ids older than the watermark is evicted (bounded
+    * state, unlike plain `dropDuplicates` which keeps every id forever).
+    */
+  def dedupedStream(events: DataFrame, idCols: Seq[String],
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   // ---- sessionization --------------------------------------------------
 
   case class Ev(ts: java.sql.Timestamp, user_id: Long)

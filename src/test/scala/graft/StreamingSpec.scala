@@ -75,6 +75,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: in-watermark duplicates dropped across batches, state evicted") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String, Double)]
+    val deduped = EventStream.dedupedStream(
+      in.toDF().toDF("ts", "user_id", "event_type", "value"),
+      idCols = Seq("user_id", "event_type"), watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 10:05:00"), 1L, "click", 2.0)) // dup within batch
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 10:20:00"), 1L, "click", 3.0)) // dup across batches
+      q.processAllAvailable()
+      // push the watermark past 10:00 + 1h so the (1, click) state evicts
+      in.addData((ts("2024-01-01 23:00:00"), 99L, "view", 0.0))
+      q.processAllAvailable()
+      // after eviction the same id legitimately re-emits
+      in.addData((ts("2024-01-02 10:00:00"), 1L, "click", 4.0))
+      q.processAllAvailable()
+      val vals = spark.table("dedup_stream").filter(col("user_id") === 1)
+        .collect().map(_.getAs[Double]("value")).toSet
+      assert(vals == Set(1.0, 4.0),
+        s"first arrival kept, in-watermark dups dropped, post-eviction re-emit: $vals")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: out-of-order cross-batch events extend and bridge sessions") {
     implicit val s = spark
     implicit val sql = spark.sqlContext
