@@ -207,10 +207,12 @@ object Dedup {
       val m = und.groupBy(col("a").as("u"))
         .agg(min(col("b")).as("minb"))
         .select(col("u"), least(col("minb"), col("u")).as("m"))
+      // no trailing distinct: small-star's normalization dedups anyway,
+      // and dropping it saves one exchange per round
       und.filter(col("b") > col("a"))
         .join(m, col("a") === col("u"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
     // small-star: each node u connects its SMALLER neighbors (and itself)
     // to the minimum of those neighbors

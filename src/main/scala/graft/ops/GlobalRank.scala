@@ -50,7 +50,10 @@ object GlobalRank {
     val local = df.withColumn("__bkt", bucket)
       .withColumn("__lrn", row_number().over(
         Window.partitionBy("__bkt").orderBy(sortCols: _*)))
-    val counts = df.withColumn("__bkt", bucket)
+    // counts from the POST-shuffLE frame, not a fresh source scan: the
+    // bucket exchange is identical in both branches, so ReuseExchange
+    // serves the counts pass from the same shuffle files
+    val counts = local
       .groupBy("__bkt").agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
