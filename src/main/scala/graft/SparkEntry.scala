@@ -484,6 +484,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Explicit GROUPING SETS (beyond rollup/cube: an arbitrary set list).
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT r_name, o_orderpriority, count(*) AS n_orders
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name), (r_name, o_orderpriority), ())
+          |ORDER BY r_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // lag/lead neighbors per user (the remaining window-function family).
+    "window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .withColumn("next_us", lead("ts_us", 1).over(w))
+        .orderBy("event_id")
+    }),
+
     // HLL approximate distinct (no oracle: sketch internals are
     // engine-specific; the driver records a rows-only check).
     "agg_approx_distinct" -> ((s, d) =>
@@ -609,6 +635,12 @@ object SparkEntry {
 
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
+
+    // Frame-sample + resize over the opaque payload (stub decode; real
+    // per-partition batch plumbing — code-point windows so the oracle can
+    // recompute the exact same frames).
+    "multimodal_frames" -> ((s, d) =>
+      MultiModal.frames(docs(s, d))(s).orderBy("doc_id")),
 
     // Near-dup clustering: connected components over LSH-verified jaccard
     // pairs — the grouping step that turns pairwise candidates into dedup
@@ -949,6 +981,21 @@ object SparkEntry {
           |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
           |FROM events ORDER BY event_id""".stripMargin,
 
+      "agg_grouping_sets" ->
+        """SELECT r_name, o_orderpriority, count(*) AS n_orders
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name), (r_name, o_orderpriority), ())
+          |ORDER BY r_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+      "window_lag" ->
+        """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          |  lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us,
+          |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+          |FROM events ORDER BY event_id""".stripMargin,
+
       "agg_percentile" ->
         """SELECT l_returnflag,
           |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
@@ -1045,6 +1092,15 @@ object SparkEntry {
         """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,
           |  md5(substr(text, 1, 16)) AS head_md5, source
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "multimodal_frames" ->
+        """WITH t AS (SELECT doc_id, text,
+          |  least(4, 1 + length(text) // 256)::INTEGER AS n_frames FROM documents)
+          |SELECT doc_id, n_frames,
+          |  array_to_string([md5(substr(text, 1 + f*256, 64)) for f in range(0, n_frames)], ';') AS frames_md5,
+          |  md5(COALESCE(array_to_string([substr(text, 1 + i*4, 1)
+          |    for i in range(0, (least(512, length(text)) + 3) // 4)], ''), '')) AS resize_md5
+          |FROM t ORDER BY doc_id""".stripMargin,
 
       "dedup_clusters" ->
         (s"WITH RECURSIVE ${sqlVerifiedCte(3, 16, 4)},\n" +

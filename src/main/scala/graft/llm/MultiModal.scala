@@ -54,4 +54,72 @@ object MultiModal {
     import spark.implicits._
     extractFeatures(payloads(docs).as[Payload])(spark).toDF()
   }
+
+  case class Frames(doc_id: Long, n_frames: Int, frames_md5: String, resize_md5: String)
+
+  /** Frame-sampling + resize, stubbed deterministically over the decoded
+    * payload (media libs absent — SURVEY §7.5): a "frame" is a 64-code-point
+    * window every `FrameStride` code points (≤ `MaxFrames` frames), the
+    * "resize" is every `ResizeStep`-th code point of the first 512 — the
+    * per-partition batch shape, code-point windowing and digest plumbing are
+    * real and oracle-checked; a production build swaps [[frameOf]]/
+    * [[resizeOf]] for the actual codec. Code-point (not byte) arithmetic so
+    * the DuckDB oracle recomputes identical windows via substr.
+    */
+  val FrameStride = 256
+  val FrameLen = 64
+  val MaxFrames = 4
+  val ResizeStep = 4
+  val ResizeSpan = 512
+
+  private def cpSubstring(s: String, fromCp: Int, lenCp: Int): String = {
+    val total = s.codePointCount(0, s.length)
+    if (fromCp >= total) ""
+    else {
+      val a = s.offsetByCodePoints(0, fromCp)
+      val b = s.offsetByCodePoints(0, math.min(total, fromCp + lenCp))
+      s.substring(a, b)
+    }
+  }
+
+  private[llm] def frameOf(decoded: String, f: Int): String =
+    cpSubstring(decoded, f * FrameStride, FrameLen)
+
+  private[llm] def resizeOf(decoded: String): String = {
+    val head = cpSubstring(decoded, 0, ResizeSpan)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var cp = 0
+    while (i < head.length) {
+      val c = head.codePointAt(i)
+      if (cp % ResizeStep == 0) sb.appendCodePoint(c)
+      i += Character.charCount(c)
+      cp += 1
+    }
+    sb.toString
+  }
+
+  def sampleFrames(payloads: Dataset[Payload])(implicit spark: SparkSession): Dataset[Frames] = {
+    import spark.implicits._
+    payloads.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // per-partition decoder handle
+      def hex(s: String): String = {
+        md.reset()
+        md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      }
+      it.map { p =>
+        val decoded = new String(p.bin, java.nio.charset.StandardCharsets.UTF_8)
+        val nCp = decoded.codePointCount(0, decoded.length)
+        val n = math.min(MaxFrames, 1 + nCp / FrameStride)
+        val frames = (0 until n).map(f => hex(frameOf(decoded, f)))
+        Frames(p.doc_id, n, frames.mkString(";"), hex(resizeOf(decoded)))
+      }
+    }
+  }
+
+  def frames(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    sampleFrames(payloads(docs).as[Payload])(spark).toDF()
+  }
 }

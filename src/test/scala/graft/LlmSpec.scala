@@ -123,4 +123,21 @@ class LlmSpec extends SparkSpec {
     assert(feats(0).getAs[String]("head_md5").length == 32)
     assert(feats(1).getAs[Int]("byte_len") == 0)
   }
+
+  test("multimodal frames: frame count tracks payload length; short/empty payloads degrade to 1 frame") {
+    implicit val s = spark
+    import graft.llm.MultiModal
+    val docs = Seq(
+      (1L, "x" * 1000, "a", 1000L), // 1000 cps -> 1 + 1000/256 = 4 frames
+      (2L, "short", "a", 5L),       // 1 frame
+      (3L, "", "a", 0L))            // empty -> still 1 frame (md5 of "")
+      .toDF("doc_id", "text", "source", "n_chars")
+    val rows = MultiModal.frames(docs).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Int]("n_frames") == 4)
+    assert(rows(0).getAs[String]("frames_md5").split(";").length == 4)
+    assert(rows(1).getAs[Int]("n_frames") == 1)
+    assert(rows(2).getAs[Int]("n_frames") == 1)
+    assert(rows(2).getAs[String]("resize_md5") == rows(2).getAs[String]("frames_md5"),
+      "empty payload: frame and resize both digest the empty string")
+  }
 }
