@@ -541,7 +541,7 @@ object SparkEntry {
   // ------------------------------------------------- LLM-pipeline operators
   // (training-data ops over documents/embeddings — SURVEY §7 north star)
 
-  import graft.llm.{Dedup, Similarity, TextAnalysis => TA, MultiModal}
+  import graft.llm.{Dedup, Similarity, TextAnalysis => TA, MultiModal, Scrub}
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
@@ -692,8 +692,41 @@ object SparkEntry {
         .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
       s.createDataFrame(ranked.toSeq).toDF("token", "freq", "rnk")
         .orderBy("rnk")
-    })
+    }),
+
+    // Repetition quality gate (Gopher/RefinedWeb-style): top-2-gram
+    // dominance + duplicate-3-gram fraction per document.
+    "doc_repetition" -> ((s, d) =>
+      Scrub.repetitionByKey(docs(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // PII scrub pass: the fixture text carries no PII, so the query plants a
+    // deterministic contact suffix (derived from doc_id, mirrored verbatim in
+    // the oracle) and then redacts it — counts, redacted length and digest
+    // prove the redaction really ran.
+    "pii_redact" -> ((s, d) => {
+      val contact = piiContact
+      docs(s, d).select(col("doc_id"),
+          Scrub.emailCount(contact).as("n_emails"),
+          Scrub.phoneCount(contact).as("n_phones"),
+          length(Scrub.redact(contact)).as("redacted_len"),
+          md5(Scrub.redact(contact).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: 5-gram overlap of every training document
+    // (doc_id % 50 != 0) against the benchmark slice (doc_id % 50 == 0).
+    "decontaminate" -> ((s, d) =>
+      Scrub.contamination(docs(s, d), pmod(col("doc_id"), lit(50)) === 0, shingleSize = 5)
+        .orderBy("doc_id"))
   )
+
+  /** Deterministic synthetic contact block for `pii_redact` (the documents
+    * fixture is PII-free); the oracle rebuilds the identical string.
+    */
+  private def piiContact: Column =
+    concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
 
   /** The distributed top-k frame behind `vocab_topk` (package-visible so
     * PlanGuardSpec can assert its physical shape: TakeOrderedAndProject,
@@ -1010,7 +1043,7 @@ object SparkEntry {
   }
 
   private def llmOracles: Map[String, String] = {
-    import graft.llm.{Dedup, Similarity, TextAnalysis => TA}
+    import graft.llm.{Dedup, Similarity, TextAnalysis => TA, Scrub}
     val toks = TA.sqlTokens("text")
     val enStop = TA.LangStopwords.head._2.map(w => s"'$w'").mkString(", ")
     Map(
@@ -1152,7 +1185,22 @@ object SparkEntry {
            |f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1),
            |r AS (SELECT token, freq,
            |  row_number() OVER (ORDER BY freq DESC, token) AS rnk FROM f)
-           |SELECT token, freq, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+           |SELECT token, freq, rnk FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+
+      "doc_repetition" -> Scrub.sqlRepetition,
+
+      "pii_redact" -> {
+        val contact = "text || ' contact user' || doc_id::VARCHAR || " +
+          "'@example.com or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+        s"""WITH c AS (SELECT doc_id, $contact AS contact FROM documents)
+           |SELECT doc_id, ${Scrub.sqlEmailCount("contact")}::INTEGER AS n_emails,
+           |  ${Scrub.sqlPhoneCount("contact")}::INTEGER AS n_phones,
+           |  length(${Scrub.sqlRedact("contact")})::INTEGER AS redacted_len,
+           |  md5(${Scrub.sqlRedact("contact")}) AS redacted_md5
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
+
+      "decontaminate" -> Scrub.sqlContamination(benchMod = 50, shingleSize = 5)
     )
   }
 

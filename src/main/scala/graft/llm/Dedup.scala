@@ -50,14 +50,6 @@ object Dedup {
     (0 until numPerms).map(k => (h(s"a:$k") % ((1L << 20) - 1) + 1, h(s"b:$k") % MinhashPrime))
   }
 
-  /** Hashed shingles (one md5 pass) — project this into a column BEFORE
-    * computing signatures so the hash runs once, not once per permutation.
-    */
-  def shingleHashes(shingles: Column): Column =
-    transform(shingles, s => PortableHash.phash(s))
-  def sqlShingleHashes(shinglesE: String): String =
-    s"[${PortableHash.sqlPhash("s")} for s in $shinglesE]"
-
   /** Per-token hashes: the ONLY md5 pass in the hashed-shingle pipeline. */
   def tokenHashes(toks: Column): Column =
     transform(toks, t => PortableHash.phash(t))
@@ -94,28 +86,14 @@ object Dedup {
       s"[(($terms) % $MinhashPrime) for i in range(0, len($tokHashesE) - $n + 1)] END)"
   }
 
-  /** Signature from pre-hashed shingles. */
-  def minhashSignature(hashes: Column, numPerms: Int): Column = {
-    val sigs = permConstants(numPerms).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(lit(a) * h + lit(b), lit(MinhashPrime))))
-    }
-    array(sigs: _*)
-  }
+  /** Signature from pre-hashed shingles — ORACLE form only; the engine side
+    * computes signatures as exploded codegen'd min-aggregates (see
+    * [[minhashCandidates]]), never per-row array lambdas.
+    */
   def sqlMinhashSignature(hashesE: String, numPerms: Int): String =
     permConstants(numPerms).map { case (a, b) =>
       s"list_min([(($a * h + $b) % $MinhashPrime) for h in $hashesE])"
     }.mkString("[", ", ", "]")
-
-  /** LSH band hashes over a signature: `numBands` hashes of `rowsPerBand`
-    * consecutive signature entries each.
-    */
-  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(numBands - 1)), b =>
-      PortableHash.phash(concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")))))
-  def sqlBandHashes(sigE: String, numBands: Int, rowsPerBand: Int): String =
-    s"[${PortableHash.sqlPhash(s"array_to_string(($sigE)[b * $rowsPerBand + 1 : b * $rowsPerBand + $rowsPerBand], ',')")} " +
-      s"for b in range(0, $numBands)]"
 
   /** MinHash+LSH candidate pairs: docs sharing ≥1 band bucket, with the
     * number of shared bands. One wide shuffle on (band, hash); no cross

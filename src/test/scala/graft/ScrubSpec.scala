@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Scrub
+
+class ScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition: all-same tokens max out top2; unique tokens score zero") {
+    val docs = Seq(
+      (1L, "a a a a"),            // 2-grams: "a a" ×3; 3-grams: "a a a" ×2
+      (2L, "v w x y z"),          // all grams distinct
+      (3L, "q")                   // too short for any gram
+    ).toDF("doc_id", "text")
+    val out = Scrub.repetitionByKey(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 1.0, 0.5)), "3 identical 2-grams; 2 3-grams, 1 distinct")
+    assert(out(2L)._2 == 0.25 && out(2L)._3 == 0.0, "4 distinct 2-grams, top freq 1/4")
+    assert(out(3L) == ((0L, 0.0, 0.0)), "short doc kept with zero fractions")
+  }
+
+  test("redaction: emails and phones replaced, counts match") {
+    val df = Seq(
+      "mail me at sam.o'x@nope and real.user+tag@sub.example.org or +1-555-1234",
+      "no pii here at all"
+    ).toDF("text")
+      .select(Scrub.redact(col("text")).as("red"),
+        Scrub.emailCount(col("text")).as("ne"),
+        Scrub.phoneCount(col("text")).as("np"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "mail me at sam.o'x@nope and <EMAIL> or <PHONE>",
+      "valid email + phone replaced; the @nope non-domain is left alone")
+    assert(rows(0).getInt(1) == 1 && rows(0).getInt(2) == 1)
+    assert(rows(1).getString(0) == "no pii here at all")
+    assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0)
+  }
+
+  test("contamination: benchmark copy flagged fully, unrelated doc clean") {
+    val docs = Seq(
+      (0L, "one two three four five six seven"),  // benchmark (id % 2 == 0... use pred below)
+      (1L, "one two three four five six seven"),  // exact copy -> all shingles hit
+      (3L, "apple banana cherry date elderberry fig grape"), // disjoint -> clean
+      (5L, "tiny")                                 // too short -> zero shingles, clean
+    ).toDF("doc_id", "text")
+    val out = Scrub.contamination(docs, col("doc_id") === 0L, shingleSize = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0, true)), "7 tokens -> 3 5-gram shingles, all contaminated")
+    assert(out(3L) == ((3L, 0L, 0.0, false)))
+    assert(out(5L) == ((0L, 0L, 0.0, false)), "short doc kept with zero counts")
+    assert(!out.contains(0L), "benchmark docs are not scored")
+  }
+}
