@@ -75,6 +75,18 @@ object GraftFunctions {
     ("graft_vec_dot",
       (es: Seq[Expression]) => FloatVectorDot(es.head, es(1)),
       "graft_vec_dot(a, b) - codegen'd float-vector dot product"),
+    ("graft_redact_pii",
+      (es: Seq[Expression]) => fn("regexp_replace",
+        fn("regexp_replace", es.head,
+          s(graft.llm.Scrub.EmailPattern), s("<EMAIL>")),
+        s(graft.llm.Scrub.PhonePattern), s("<PHONE>")),
+      "graft_redact_pii(str) - replace emails/phones with <EMAIL>/<PHONE>"),
+    ("graft_sample_keep",
+      (es: Seq[Expression]) => fn("<",
+        fn("pmod", phashE(fn("concat", es(2), s(":"), Cast(es.head, StringType))),
+          Literal(1000000L)),
+        es(1)),
+      "graft_sample_keep(key, ppm, seed) - deterministic hash-sample filter (rate in ppm)"),
     ("graft_lsh_cell",
       (es: Seq[Expression]) => {
         def litInt(e: Expression): Int = e.eval(null) match {

@@ -717,8 +717,22 @@ object SparkEntry {
     // (doc_id % 50 != 0) against the benchmark slice (doc_id % 50 == 0).
     "decontaminate" -> ((s, d) =>
       Scrub.contamination(docs(s, d), pmod(col("doc_id"), lit(50)) === 0, shingleSize = 5)
+        .orderBy("doc_id")),
+
+    // Deterministic data mixing: stratified hash-sampling by language —
+    // seed + doc_id reproduce the exact corpus slice on any topology.
+    "sample_stratified" -> ((s, d) =>
+      docs(s, d)
+        .filter(Scrub.stratifiedKeep(col("doc_id"), col("lang"), MixRatesPpm,
+          MixDefaultPpm, MixSeed))
+        .select("doc_id", "lang")
         .orderBy("doc_id"))
   )
+
+  /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
+  private val MixRatesPpm = Seq("en" -> 500000L, "fr" -> 250000L)
+  private val MixDefaultPpm = 100000L
+  private val MixSeed = "mix-v1"
 
   /** Deterministic synthetic contact block for `pii_redact` (the documents
     * fixture is PII-free); the oracle rebuilds the identical string.
@@ -1200,7 +1214,12 @@ object SparkEntry {
            |FROM c ORDER BY doc_id""".stripMargin
       },
 
-      "decontaminate" -> Scrub.sqlContamination(benchMod = 50, shingleSize = 5)
+      "decontaminate" -> Scrub.sqlContamination(benchMod = 50, shingleSize = 5),
+
+      "sample_stratified" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${Scrub.sqlStratifiedKeep("doc_id", "lang", MixRatesPpm, MixDefaultPpm, MixSeed)}
+           |ORDER BY doc_id""".stripMargin
     )
   }
 

@@ -106,6 +106,35 @@ object Scrub {
   def sqlPhoneCount(e: String): String =
     s"len(regexp_extract_all($e, '$PhonePattern'))"
 
+  // ------------------------------------------------------------- sampling
+
+  /** Deterministic stratified sampling — the data-mixing primitive: keep a
+    * row iff `phash(seed:key) mod 10^6 < rate(stratum)`, rates in integer
+    * parts-per-million (floats would cast differently: Spark truncates,
+    * DuckDB rounds). Purely narrow — a codegen'd filter in the scan
+    * projection, no shuffle, no RNG state — so the same seed reproduces the
+    * same corpus slice on any cluster topology, which `df.sample()` cannot
+    * promise (partition-dependent). Unknown strata fall back to
+    * `defaultPpm`.
+    */
+  def stratifiedKeep(key: Column, stratum: Column, ratesPpm: Seq[(String, Long)],
+      defaultPpm: Long, seed: String): Column = {
+    val h = pmod(graft.expr.PortableHash.phash(concat(lit(seed + ":"), key.cast("string"))),
+      lit(1000000L))
+    val rate = ratesPpm.foldRight(lit(defaultPpm)) { case ((s, r), acc) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    h < rate
+  }
+  def sqlStratifiedKeep(keyE: String, stratumE: String, ratesPpm: Seq[(String, Long)],
+      defaultPpm: Long, seed: String): String = {
+    val h = s"(${graft.expr.PortableHash.sqlPhash(s"'$seed:' || ($keyE)::VARCHAR")} % 1000000)"
+    val rate = ratesPpm.foldRight(defaultPpm.toString) { case ((s, r), acc) =>
+      s"(CASE WHEN $stratumE = '$s' THEN $r ELSE $acc END)"
+    }
+    s"($h < $rate)"
+  }
+
   // ------------------------------------------------------- decontamination
 
   /** Benchmark decontamination: flag training documents sharing any hashed

@@ -56,4 +56,23 @@ class GraftFunctionsSpec extends SparkSpec {
       "SQL cell ids match the Column API bitwise")
     assert(viaCol.select("cell").distinct().count() > 1, "cells actually partition the space")
   }
+
+  test("graft_redact_pii / graft_sample_keep == Scrub Column API") {
+    import org.apache.spark.sql.functions.col
+    import graft.llm.Scrub
+    GraftFunctions.register(spark)
+    val red = spark.sql(
+      "SELECT graft_redact_pii('write a.b@c.org or +1-555-0000 now') AS r")
+      .collect().head.getString(0)
+    assert(red == "write <EMAIL> or <PHONE> now")
+
+    Tables.documents(spark, "/root/testdata/sf0.001").createOrReplaceTempView("docs_s")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM docs_s WHERE graft_sample_keep(doc_id, 250000, 'seed-x')")
+    val viaCol = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(Scrub.stratifiedKeep(col("doc_id"), col("lang"), Nil, 250000L, "seed-x"))
+      .select("doc_id")
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "SQL sample filter == stratifiedKeep with a flat rate")
+  }
 }

@@ -32,4 +32,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(viaRank.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaRank).isEmpty,
       "GlobalRank-based ntile == window ntile, bitwise")
   }
+
+  test("decontaminate: benchmark side broadcasts; exactly one scan per corpus role") {
+    val df = SparkEntry.queries("decontaminate")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast (tiny vs the corpus):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a shuffle join against the tiny benchmark set is the wrong shape:\n$plan")
+  }
+
+  test("doc_repetition: one source scan feeds both gram sizes") {
+    val df = SparkEntry.queries("doc_repetition")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
+  }
+
+  test("pii_redact: shuffle-free scan projection (orderBy exchange only)") {
+    val df = SparkEntry.queries("pii_redact")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"redaction must stay narrow; found $exchanges exchanges:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"no join/agg belongs in a redaction pass:\n$plan")
+  }
 }

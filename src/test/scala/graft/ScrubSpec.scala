@@ -35,6 +35,20 @@ class ScrubSpec extends SparkSpec {
     assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0)
   }
 
+  test("stratified sampling: deterministic, rate-proportional, stratum-routed") {
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "lang")
+    val keep = Scrub.stratifiedKeep(col("doc_id"), col("lang"),
+      Seq("en" -> 500000L), 100000L, "spec-seed")
+    val kept = df.filter(keep).collect().map(r => (r.getLong(0), r.getString(1)))
+    val keptAgain = df.filter(keep).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq == keptAgain.toSeq, "same seed -> identical slice")
+    val enFrac = kept.count(_._2 == "en") / 1000.0
+    val deFrac = kept.count(_._2 == "de") / 1000.0
+    assert(enFrac > 0.42 && enFrac < 0.58, s"en ~50%, got $enFrac")
+    assert(deFrac > 0.05 && deFrac < 0.16, s"unknown stratum takes default ~10%, got $deFrac")
+  }
+
   test("contamination: benchmark copy flagged fully, unrelated doc clean") {
     val docs = Seq(
       (0L, "one two three four five six seven"),  // benchmark (id % 2 == 0... use pred below)
