@@ -541,7 +541,7 @@ object SparkEntry {
   // ------------------------------------------------- LLM-pipeline operators
   // (training-data ops over documents/embeddings — SURVEY §7 north star)
 
-  import graft.llm.{Dedup, Similarity, TextAnalysis => TA, MultiModal, Scrub}
+  import graft.llm.{Dedup, Similarity, TextAnalysis => TA, MultiModal, Scrub, Quantizer}
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
@@ -630,6 +630,19 @@ object SparkEntry {
     // 16×8-bit bands, ranked by exact cosine — the high-recall scale path.
     "similarity_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0, k = 5)
+        .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
+        .orderBy("q_id", "rnk", "n_id")),
+
+    // TRAINED IVF codebook: 3 Lloyd rounds of exact-integer k-means (k=8)
+    // from deterministic phash seeds — bit-replayed by the DuckDB oracle.
+    "quantizer_kmeans" -> ((s, d) =>
+      Quantizer.centroidsDF(s, Quantizer.train(emb(s, d))).orderBy("cid", "idx")),
+
+    // IVF probe with the trained codebook: assignment is a narrow codegen'd
+    // argmin (codebook rides the plan as literals), rerank is exact cosine.
+    "similarity_ivf_trained" -> ((s, d) =>
+      Quantizer.ivfTopK(emb(s, d), Quantizer.train(emb(s, d)),
+          col("vec_id") % 20 === 0, k = 3)
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
 
@@ -1134,6 +1147,9 @@ object SparkEntry {
       "similarity_topk" -> sqlTopK(k = 5, sameCell = false),
       "similarity_ivf" -> sqlTopK(k = 3, sameCell = true),
       "similarity_lsh" -> sqlLshTopK(k = 5),
+      "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
+      "similarity_ivf_trained" ->
+        graft.llm.Quantizer.sqlIvfTopK("q.vec_id % 20 = 0", topK = 3),
 
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,
