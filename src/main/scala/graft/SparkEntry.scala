@@ -739,7 +739,13 @@ object SparkEntry {
         .filter(Scrub.stratifiedKeep(col("doc_id"), col("lang"), MixRatesPpm,
           MixDefaultPpm, MixSeed))
         .select("doc_id", "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // GPT-style sequence packing: concatenate-then-chunk into 256-token
+    // windows, bucketed so no window goes single-partition; straddling docs
+    // split across consecutive sequences.
+    "pack_sequences" -> ((s, d) =>
+      graft.llm.Pack.sequences(docs(s, d)).orderBy("bucket", "seq", "doc_id"))
   )
 
   /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
@@ -1235,7 +1241,9 @@ object SparkEntry {
       "sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${Scrub.sqlStratifiedKeep("doc_id", "lang", MixRatesPpm, MixDefaultPpm, MixSeed)}
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+
+      "pack_sequences" -> graft.llm.Pack.sqlSequences()
     )
   }
 

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.expr.PortableHash
+
+/** GPT-style sequence packing: documents are concatenated in a
+  * deterministic order and cut into fixed-length token windows — the step
+  * that turns a filtered corpus into training sequences. A document
+  * straddling a window boundary is SPLIT across consecutive sequences
+  * (concatenate-then-chunk, as GPT-2/3 pipelines pack), so the output maps
+  * each document to every sequence it feeds: `(bucket, seq, doc_id,
+  * tok_start, tok_len)` with `tok_start` the slice offset inside the doc.
+  *
+  * Scale shape: a GLOBAL concatenation order would be a single-partition
+  * window — instead docs hash into `buckets` independent streams
+  * (`pmod(phash(doc_id), buckets)`), each packed by a PARTITIONED window
+  * cumulative sum; the per-sequence explode fans out at most
+  * `ceil(n_tok / seqLen) + 1` rows per doc. Bucket count scales with the
+  * corpus (each bucket is one reducer's worth of window state); packing is
+  * deterministic on any topology because bucket and order are hash/id
+  * derived, never partition-derived.
+  *
+  * `seqLen` must be a power of two: offsets divide exactly in double FP, so
+  * Spark's `floor(x / L)` and DuckDB's `x // L` agree bit-for-bit.
+  */
+object Pack {
+
+  val SeqLen = 256
+  val Buckets = 8
+
+  private def bucketOf(docId: Column, buckets: Int): Column =
+    pmod(PortableHash.phash(concat(lit("pack:"), docId.cast("string"))), lit(buckets))
+
+  def sequences(docs: DataFrame, seqLen: Int = SeqLen,
+                buckets: Int = Buckets): DataFrame = {
+    require(seqLen > 0 && (seqLen & (seqLen - 1)) == 0, "seqLen must be a power of two")
+    val base = docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", bucketOf(col("doc_id"), buckets))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = base
+      .withColumn("end_off", sum("n_tok").over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+    val firstSeq = floor(col("start_off") / lit(seqLen)).cast("long")
+    val lastSeq = floor((col("end_off") - 1) / lit(seqLen)).cast("long")
+    offs
+      .withColumn("seq", explode(sequence(firstSeq, lastSeq)))
+      .withColumn("o_start", greatest(col("start_off"), col("seq") * seqLen))
+      .withColumn("o_end", least(col("end_off"), (col("seq") + 1) * seqLen))
+      .select(col("bucket"), col("seq"), col("doc_id"),
+        (col("o_start") - col("start_off")).as("tok_start"),
+        (col("o_end") - col("o_start")).as("tok_len"))
+  }
+
+  /** DuckDB mirror of [[sequences]] over the `documents` view. */
+  def sqlSequences(seqLen: Int = SeqLen, buckets: Int = Buckets): String = {
+    val ph = PortableHash.sqlPhash("('pack:' || doc_id::VARCHAR)")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(${TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok,
+       |         ((($ph % $buckets) + $buckets) % $buckets) AS bucket
+       |  FROM documents
+       |),
+       |o AS (
+       |  SELECT doc_id, n_tok, bucket,
+       |         sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS end_off
+       |  FROM t WHERE n_tok > 0
+       |),
+       |e AS (SELECT *, end_off - n_tok AS start_off FROM o),
+       |x AS (
+       |  SELECT bucket, doc_id, start_off, end_off,
+       |         unnest(range(start_off // $seqLen, (end_off - 1) // $seqLen + 1)) AS seq
+       |  FROM e
+       |)
+       |SELECT bucket::BIGINT AS bucket, seq::BIGINT AS seq, doc_id,
+       |       (greatest(start_off, seq * $seqLen) - start_off)::BIGINT AS tok_start,
+       |       (least(end_off, (seq + 1) * $seqLen) - greatest(start_off, seq * $seqLen))::BIGINT AS tok_len
+       |FROM x
+       |ORDER BY bucket, seq, doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Pack
+
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single bucket: exact greedy concatenate-then-chunk, straddlers split") {
+    // token counts: 3, 3, 4 with seqLen 4 -> doc 10 fills [0,3), doc 11
+    // spans [3,6) straddling the seq-0/1 boundary, doc 12 spans [6,10)
+    // straddling seq-1/2.
+    val docs = Seq(
+      (10L, "a b c"),
+      (11L, "d e f"),
+      (12L, "g h i j")
+    ).toDF("doc_id", "text")
+    val out = Pack.sequences(docs, seqLen = 4, buckets = 1)
+      .orderBy("seq", "doc_id", "tok_start")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 10L, 0L, 3L), // doc 10 fully in seq 0
+      (0L, 11L, 0L, 1L), // doc 11 head fills seq 0
+      (1L, 11L, 1L, 2L), // doc 11 tail opens seq 1
+      (1L, 12L, 0L, 2L), // doc 12 head closes seq 1
+      (2L, 12L, 2L, 2L)  // doc 12 tail opens seq 2
+    ))
+  }
+
+  test("token mass is conserved and every sequence but the last is full") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Pack.sequences(docs, seqLen = 64, buckets = 4).cache()
+    val totalPacked = out.agg(sum("tok_len")).collect().head.getLong(0)
+    val totalTokens = docs
+      .select(size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(totalPacked == totalTokens, "no token lost or duplicated")
+    val fills = out.groupBy("bucket", "seq").agg(sum("tok_len").as("fill"))
+    val lastSeq = fills.groupBy("bucket").agg(max("seq").as("last"))
+    val nonLast = fills.join(lastSeq, Seq("bucket")).filter(col("seq") < col("last"))
+    assert(nonLast.filter(col("fill") =!= 64).count() == 0,
+      "interior sequences are exactly seqLen tokens")
+    out.unpersist()
+  }
+
+  test("bucketing is deterministic and partition-independent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Pack.sequences(docs).collect().map(_.toSeq).toSet
+    val b = Pack.sequences(docs.repartition(13)).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
