@@ -745,7 +745,15 @@ object SparkEntry {
     // windows, bucketed so no window goes single-partition; straddling docs
     // split across consecutive sequences.
     "pack_sequences" -> ((s, d) =>
-      graft.llm.Pack.sequences(docs(s, d)).orderBy("bucket", "seq", "doc_id"))
+      graft.llm.Pack.sequences(docs(s, d)).orderBy("bucket", "seq", "doc_id")),
+
+    // Incremental corpus update: the NEW batch (doc_id % 10 == 9) probes the
+    // EXISTING index on exact fingerprints + LSH bands — linear in the
+    // batch, never re-clustering the corpus.
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.incremental(docs(s, d), pmod(col("doc_id"), lit(10)) === 9,
+          shingleSize = 3, numPerms = 16, numBands = 4, threshold = 0.5)
+        .orderBy("doc_id"))
   )
 
   /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
@@ -1243,7 +1251,10 @@ object SparkEntry {
            |WHERE ${Scrub.sqlStratifiedKeep("doc_id", "lang", MixRatesPpm, MixDefaultPpm, MixSeed)}
            |ORDER BY doc_id""".stripMargin,
 
-      "pack_sequences" -> graft.llm.Pack.sqlSequences()
+      "pack_sequences" -> graft.llm.Pack.sqlSequences(),
+
+      "dedup_incremental" -> sqlIncremental(e => s"(($e % 10) = 9)",
+        shingleSize = 3, numPerms = 16, numBands = 4, thr = 0.5)
     )
   }
 
@@ -1294,7 +1305,10 @@ object SparkEntry {
     * (candidates + exact jaccard over distinct shingle sets). Emitted
     * WITHOUT the `WITH ` prefix so callers can prepend `WITH RECURSIVE`.
     */
-  private def sqlVerifiedCte(shingleSize: Int, numPerms: Int, numBands: Int): String = {
+  /** Shared LSH CTE base (`t/th/s/nz/sg/bd/bb/k`): banded signatures + the
+    * distinct shingle sets, over ALL documents.
+    */
+  private def sqlLshBase(shingleSize: Int, numPerms: Int, numBands: Int): String = {
     import graft.llm.{Dedup, TextAnalysis => TA}
     val toks = TA.sqlTokens("text")
     val rpb = numPerms / numBands
@@ -1308,14 +1322,48 @@ object SparkEntry {
        |          for b in range(0, $numBands)]) AS t
        |  FROM sg),
        |bb AS (SELECT doc_id, t['band'] AS band, t['bh'] AS bh FROM bd),
+       |k AS (SELECT doc_id, list_distinct(sh) AS sh FROM s)""".stripMargin
+  }
+
+  private def sqlVerifiedCte(shingleSize: Int, numPerms: Int, numBands: Int): String =
+    s"""${sqlLshBase(shingleSize, numPerms, numBands)},
        |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
        |  FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
        |  GROUP BY 1, 2),
-       |k AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
        |v AS (SELECT a, b, n_bands,
        |  round(len(list_intersect(l.sh, r.sh))::DOUBLE /
        |        len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
        |  FROM cand JOIN k l ON a = l.doc_id JOIN k r ON b = r.doc_id)""".stripMargin
+
+  /** Oracle twin of [[graft.llm.Dedup.incremental]]: batch docs (pred on
+    * doc_id) probe the index on exact fingerprints and LSH bands.
+    */
+  private def sqlIncremental(batchPred: String => String, shingleSize: Int,
+                             numPerms: Int, numBands: Int, thr: Double): String = {
+    import graft.llm.{Dedup, TextAnalysis => TA}
+    s"""WITH ${sqlLshBase(shingleSize, numPerms, numBands)},
+       |fpx AS (SELECT DISTINCT ${Dedup.sqlFingerprint("text")} AS fp
+       |  FROM documents WHERE NOT ${batchPred("doc_id")}),
+       |bfp AS (SELECT doc_id, ${Dedup.sqlFingerprint("text")} AS fp
+       |  FROM documents WHERE ${batchPred("doc_id")}),
+       |ex AS (SELECT b.doc_id, (i.fp IS NOT NULL) AS is_exact
+       |  FROM bfp b LEFT JOIN fpx i ON b.fp = i.fp),
+       |cand AS (SELECT DISTINCT l.doc_id AS bid, r.doc_id AS iid
+       |  FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh
+       |  WHERE ${batchPred("l.doc_id")} AND NOT ${batchPred("r.doc_id")}),
+       |ver AS (SELECT bid, iid,
+       |  round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+       |        len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
+       |  FROM cand JOIN k l ON bid = l.doc_id JOIN k r ON iid = r.doc_id),
+       |best AS (SELECT bid, max(jac_r) AS bj FROM ver GROUP BY 1),
+       |pick AS (SELECT v.bid, min(v.iid) AS near_id, max(v.jac_r) AS best_jac_r
+       |  FROM ver v JOIN best t2 ON v.bid = t2.bid AND v.jac_r = t2.bj GROUP BY 1)
+       |SELECT e.doc_id, e.is_exact,
+       |  coalesce(p.near_id, -1)::BIGINT AS near_id,
+       |  coalesce(p.best_jac_r, -1.0)::DOUBLE AS best_jac_r,
+       |  (NOT e.is_exact AND coalesce(p.best_jac_r < $thr, TRUE)) AS keep
+       |FROM ex e LEFT JOIN pick p ON e.doc_id = p.bid
+       |ORDER BY doc_id""".stripMargin
   }
 
   private def sqlProjectPixel(proj: Projection, zoom: Int): String =

@@ -95,19 +95,20 @@ object Dedup {
       s"list_min([(($a * h + $b) % $MinhashPrime) for h in $hashesE])"
     }.mkString("[", ", ", "]")
 
-  /** MinHash+LSH candidate pairs: docs sharing ≥1 band bucket, with the
-    * number of shared bands. One wide shuffle on (band, hash); no cross
-    * product.
+  /** Banded LSH signature rows `(doc_id, band, bh)` — the join-key stream
+    * shared by within-corpus candidate generation ([[minhashCandidates]])
+    * and batch-vs-index probing ([[incremental]]).
+    *
+    * Signature via explode + numPerms codegen'd min-aggregates, NOT per-row
+    * array lambdas: higher-order functions run interpreted (measured ~3 µs
+    * per element — 100+ s at sf0.1), while a hash aggregate over exploded
+    * shingle hashes is whole-stage codegen with map-side partial mins, so
+    * the doc_id shuffle carries only numPerms longs per document. This is
+    * also the 100 TB shape: min is algebraic, no skew (doc_id grouping).
     */
-  def minhashCandidates(
+  def bandedSignatures(
       docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numPerms / numBands
-    // Signature via explode + 16 codegen'd min-aggregates, NOT per-row array
-    // lambdas: higher-order functions run interpreted (measured ~3 µs per
-    // element — 100+ s at sf0.1), while a hash aggregate over exploded
-    // shingle hashes is whole-stage codegen with map-side partial mins, so
-    // the doc_id shuffle carries only numPerms longs per document. This is
-    // also the 100 TB shape: min is algebraic, no skew (doc_id grouping).
     val perms = permConstants(numPerms)
     val sigCols = perms.zipWithIndex.map { case ((a, b), k) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"sig_$k")
@@ -124,9 +125,24 @@ object Dedup {
           (bi * rowsPerBand until (bi + 1) * rowsPerBand)
             .map(k => col(s"sig_$k").cast("string")): _*)).as("bh"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("t"))
       .select(col("doc_id"), col("t.band").as("band"), col("t.bh").as("bh"))
+  }
+
+  /** Distinct hashed-shingle set per doc — the exact-verification operand. */
+  def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
+    docs
+      .select(col("doc_id"), tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
+
+  /** MinHash+LSH candidate pairs: docs sharing ≥1 band bucket, with the
+    * number of shared bands. One wide shuffle on (band, hash); no cross
+    * product.
+    */
+  def minhashCandidates(
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
+    val banded = bandedSignatures(docs, shingleSize, numPerms, numBands)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -145,9 +161,7 @@ object Dedup {
   def verifiedJaccard(
       docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
     val cand = minhashCandidates(docs, shingleSize, numPerms, numBands)
-    val sets = docs
-      .select(col("doc_id"), tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
+    val sets = shingleSets(docs, shingleSize)
     cand
       .join(sets.as("l"), col("a") === col("l.doc_id"))
       .join(sets.as("r"), col("b") === col("r.doc_id"))
@@ -220,6 +234,57 @@ object Dedup {
     e.select(col("a").as("doc_id"), col("b").as("cluster_id"))
       .union(e.select(col("b").as("doc_id"), col("b").as("cluster_id")).distinct())
       .distinct()
+  }
+
+  /** Incremental corpus update: dedup a NEW batch against the EXISTING
+    * index without touching index-vs-index pairs — the production shape for
+    * growing a 100 TB corpus (re-clustering the whole corpus per delivery
+    * would be quadratic in deliveries; probing the index is linear in the
+    * batch). Two layers, same geometry as the batch pipeline:
+    *
+    *   - exact: batch fingerprints left-join the DISTINCT index fingerprint
+    *     set (at scale: a shuffle join on the 32-hex key; the distinct index
+    *     side is the dedup'd corpus — no broadcast assumption);
+    *   - near: batch band signatures probe index band signatures on
+    *     (band, bh) — candidates are verified with exact jaccard, and each
+    *     batch doc reports its best match (max jaccard, smallest index id
+    *     on ties).
+    *
+    * `isBatch` must be a predicate on `doc_id` (it is applied to derived
+    * frames that only carry `doc_id`). Sentinel outputs (-1 id / -1.0
+    * jaccard) instead of NULLs keep cross-engine dtypes stable. `keep` is
+    * the admission verdict: not an exact dup and best jaccard < threshold.
+    */
+  def incremental(docs: DataFrame, isBatch: Column, shingleSize: Int,
+                  numPerms: Int, numBands: Int, threshold: Double): DataFrame = {
+    val batch = docs.filter(isBatch)
+    val index = docs.filter(!isBatch)
+    val idxFp = index.select(fingerprint(col("text")).as("fp"))
+      .distinct().withColumn("hit", lit(true))
+    val exact = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(idxFp, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_exact"))
+    val bands = bandedSignatures(docs, shingleSize, numPerms, numBands)
+    val cand = bands.filter(isBatch).as("l")
+      .join(bands.filter(!isBatch).as("r"), Seq("band", "bh"))
+      .select(col("l.doc_id").as("bid"), col("r.doc_id").as("iid"))
+      .distinct()
+    val sets = shingleSets(docs, shingleSize)
+    val ver = cand
+      .join(sets.as("ls"), col("bid") === col("ls.doc_id"))
+      .join(sets.as("rs"), col("iid") === col("rs.doc_id"))
+      .select(col("bid"), col("iid"),
+        round(size(array_intersect(col("ls.sh"), col("rs.sh"))).cast("double") /
+          size(array_union(col("ls.sh"), col("rs.sh"))), 6).as("jac_r"))
+    val best = ver.groupBy("bid").agg(max("jac_r").as("bj"))
+    val pick = ver.join(best, Seq("bid")).filter(col("jac_r") === col("bj"))
+      .groupBy("bid").agg(min("iid").as("near_id"), max("jac_r").as("best_jac_r"))
+    exact.join(pick, col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"), col("is_exact"),
+        coalesce(col("near_id"), lit(-1L)).as("near_id"),
+        coalesce(col("best_jac_r"), lit(-1.0)).as("best_jac_r"),
+        (!col("is_exact") &&
+          coalesce(col("best_jac_r") < threshold, lit(true))).as("keep"))
   }
 
   /** Exact n-gram Jaccard over candidate pairs blocked on a normalized-text

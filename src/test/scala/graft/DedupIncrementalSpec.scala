@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Dedup
+
+class DedupIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch docs route to exact-dup / near-dup / novel against the index") {
+    // index: ids 0-2 (even pred keeps 9x out); batch: ids 9, 19, 29
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "completely different content that resembles nothing else here at all"),
+      (2L, "third corpus document with its own unique vocabulary and phrasing"),
+      (9L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+      (19L, "the quick brown fox jumps over the lazy dog again and AGAIN today"), // near dup of 0
+      (29L, "entirely novel text sharing no shingles with any index document whatsoever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(docs, pmod(col("doc_id"), lit(10)) === 9,
+        shingleSize = 3, numPerms = 16, numBands = 4, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.map(_._1).toSeq == Seq(9L, 19L, 29L), "only batch docs in the verdict")
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(9L)._2 && !byId(9L)._5, "identical text -> exact dup, dropped")
+    assert(byId(9L)._3 == 0L && byId(9L)._4 == 1.0, "exact dup also matches via bands")
+    assert(!byId(19L)._2 && byId(19L)._3 == 0L && byId(19L)._4 >= 0.5 && !byId(19L)._5,
+      "near dup of index doc 0 -> dropped with best match recorded")
+    assert(!byId(29L)._2 && byId(29L)._3 == -1L && byId(29L)._4 == -1.0 && byId(29L)._5,
+      "novel doc -> kept, sentinel match fields")
+  }
+
+  test("index is never compared against itself") {
+    // two identical index docs must not appear anywhere in the output
+    val docs = Seq(
+      (0L, "duplicate index content one two three four five six seven"),
+      (2L, "duplicate index content one two three four five six seven"),
+      (9L, "unrelated batch text with completely separate words throughout")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(docs, pmod(col("doc_id"), lit(10)) === 9,
+        shingleSize = 3, numPerms = 16, numBands = 4, threshold = 0.5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(9L))
+    assert(out.head.getBoolean(4), "novel batch doc kept")
+  }
+}
