@@ -753,7 +753,12 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) =>
       Dedup.incremental(docs(s, d), pmod(col("doc_id"), lit(10)) === 9,
           shingleSize = 3, numPerms = 16, numBands = 4, threshold = 0.5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Top-3 distinctive tokens per document by TF-IDF (token-keyed DF join,
+    // doc-partitioned ranking window — both scale-safe).
+    "tfidf_topk" -> ((s, d) =>
+      TA.tfidfTopK(docs(s, d), k = 3).orderBy("doc_id", "rnk"))
   )
 
   /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
@@ -1254,7 +1259,9 @@ object SparkEntry {
       "pack_sequences" -> graft.llm.Pack.sqlSequences(),
 
       "dedup_incremental" -> sqlIncremental(e => s"(($e % 10) = 9)",
-        shingleSize = 3, numPerms = 16, numBands = 4, thr = 0.5)
+        shingleSize = 3, numPerms = 16, numBands = 4, thr = 0.5),
+
+      "tfidf_topk" -> TA.sqlTfidfTopK(k = 3)
     )
   }
 

@@ -154,4 +154,45 @@ object TextAnalysis {
        |       THEN (1::BIGINT << i) ELSE 0 END
        |  for i in range(0, 32)])::BIGINT""".stripMargin
   }
+
+  /** Top-k distinctive tokens per document by TF-IDF: the standard
+    * "what makes this doc different" extractor (topic routing, boilerplate
+    * spotting). Scale shape: one explode, a (doc, token) hash aggregate for
+    * TF, a token-keyed aggregate for DF, and a shuffle join on token
+    * (the DF table is vocabulary-sized — never broadcast-assumed); corpus
+    * size N arrives via a 1-row broadcast cross join, and the ranking window
+    * partitions by doc_id. Scores are rounded to 6 before ranking so both
+    * engines rank identical values; ties break by token.
+    */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, "t").crossJoin(broadcast(n))
+      .withColumn("score_r",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_r").desc, col("t"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("doc_id"), col("t").as("token"), col("tf"), col("df"),
+        col("score_r"), col("rnk"))
+  }
+
+  /** DuckDB mirror of [[tfidfTopK]] over the `documents` view. */
+  def sqlTfidfTopK(k: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+       |s AS (SELECT tf.doc_id, tf.t, tf.tf, df.df,
+       |  round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS score_r
+       |  FROM tf JOIN df USING (t) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_r DESC, t) AS rnk
+       |  FROM s)
+       |SELECT doc_id, t AS token, tf, df, score_r, rnk FROM r WHERE rnk <= $k
+       |ORDER BY doc_id, rnk""".stripMargin
 }

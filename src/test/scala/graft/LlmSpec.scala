@@ -29,6 +29,24 @@ class LlmSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 4L)), "exact dup shares all 4 bands; no other pair")
   }
 
+  test("tfidf: rare tokens outrank ubiquitous ones; ties break by token") {
+    val docs = Seq(
+      (1L, "common common zebra"),
+      (2L, "common yak"),
+      (3L, "common common common")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, k = 2)
+      .orderBy("doc_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(5)))
+    // df(common)=3 -> idf=ln(1)=0; zebra/yak df=1 -> idf=ln(3)
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq("zebra", "common"),
+      "rare token first despite tf(common)=2")
+    assert(out.filter(_._1 == 2L).map(_._2).toSeq == Seq("yak", "common"))
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq("common"), "only one distinct token")
+    val zebra = out.find(t => t._1 == 1L && t._2 == "zebra").get
+    assert(zebra._3 == 1L && zebra._4 == 1L)
+  }
+
   test("jaccard: identical=1, disjoint pairs absent (blocking)") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
