@@ -758,7 +758,12 @@ object SparkEntry {
     // Top-3 distinctive tokens per document by TF-IDF (token-keyed DF join,
     // doc-partitioned ranking window — both scale-safe).
     "tfidf_topk" -> ((s, d) =>
-      TA.tfidfTopK(docs(s, d), k = 3).orderBy("doc_id", "rnk"))
+      TA.tfidfTopK(docs(s, d), k = 3).orderBy("doc_id", "rnk")),
+
+    // Materialized packed sequences: the actual seqLen-token payloads, doc
+    // slices concatenated in pack order (group payload bounded by seqLen).
+    "pack_payloads" -> ((s, d) =>
+      graft.llm.Pack.payloads(docs(s, d)).orderBy("bucket", "seq"))
   )
 
   /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
@@ -1261,7 +1266,9 @@ object SparkEntry {
       "dedup_incremental" -> sqlIncremental(e => s"(($e % 10) = 9)",
         shingleSize = 3, numPerms = 16, numBands = 4, thr = 0.5),
 
-      "tfidf_topk" -> TA.sqlTfidfTopK(k = 3)
+      "tfidf_topk" -> TA.sqlTfidfTopK(k = 3),
+
+      "pack_payloads" -> graft.llm.Pack.sqlPayloads()
     )
   }
 

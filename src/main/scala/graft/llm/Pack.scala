@@ -56,10 +56,12 @@ object Pack {
         (col("o_end") - col("o_start")).as("tok_len"))
   }
 
-  /** DuckDB mirror of [[sequences]] over the `documents` view. */
-  def sqlSequences(seqLen: Int = SeqLen, buckets: Int = Buckets): String = {
+  /** Shared oracle CTE body: `pk` = (bucket, seq, doc_id, tok_start,
+    * tok_len), the [[sequences]] output.
+    */
+  private def sqlPackCtes(seqLen: Int, buckets: Int): String = {
     val ph = PortableHash.sqlPhash("('pack:' || doc_id::VARCHAR)")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, len(${TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok,
        |         ((($ph % $buckets) + $buckets) % $buckets) AS bucket
        |  FROM documents
@@ -75,11 +77,56 @@ object Pack {
        |  SELECT bucket, doc_id, start_off, end_off,
        |         unnest(range(start_off // $seqLen, (end_off - 1) // $seqLen + 1)) AS seq
        |  FROM e
-       |)
-       |SELECT bucket::BIGINT AS bucket, seq::BIGINT AS seq, doc_id,
-       |       (greatest(start_off, seq * $seqLen) - start_off)::BIGINT AS tok_start,
-       |       (least(end_off, (seq + 1) * $seqLen) - greatest(start_off, seq * $seqLen))::BIGINT AS tok_len
-       |FROM x
-       |ORDER BY bucket, seq, doc_id""".stripMargin
+       |),
+       |pk AS (
+       |  SELECT bucket::BIGINT AS bucket, seq::BIGINT AS seq, doc_id,
+       |         (greatest(start_off, seq * $seqLen) - start_off)::BIGINT AS tok_start,
+       |         (least(end_off, (seq + 1) * $seqLen) - greatest(start_off, seq * $seqLen))::BIGINT AS tok_len
+       |  FROM x
+       |)""".stripMargin
   }
+
+  /** DuckDB mirror of [[sequences]] over the `documents` view. */
+  def sqlSequences(seqLen: Int = SeqLen, buckets: Int = Buckets): String =
+    s"""WITH ${sqlPackCtes(seqLen, buckets)}
+       |SELECT bucket, seq, doc_id, tok_start, tok_len FROM pk
+       |ORDER BY bucket, seq, doc_id""".stripMargin
+
+  /** Materialized packed sequences: for each (bucket, seq), the actual
+    * token payload — doc slices concatenated in pack order — plus doc and
+    * token counts. The group payload is bounded by `seqLen` tokens by
+    * construction, so the sorted-collect is memory-safe at any corpus size
+    * (same argument as the tile-feature cascades).
+    */
+  def payloads(docs: DataFrame, seqLen: Int = SeqLen,
+               buckets: Int = Buckets): DataFrame = {
+    val parts = sequences(docs, seqLen, buckets)
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    parts.join(toks, "doc_id")
+      .select(col("bucket"), col("seq"), col("doc_id"), col("tok_len"),
+        array_join(slice(col("toks"), (col("tok_start") + 1).cast("int"),
+          col("tok_len").cast("int")), " ").as("piece"))
+      .groupBy("bucket", "seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tok_len").as("n_tok"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+            x => x.getField("piece")),
+          " ").as("text"))
+  }
+
+  /** DuckDB mirror of [[payloads]]. */
+  def sqlPayloads(seqLen: Int = SeqLen, buckets: Int = Buckets): String =
+    s"""WITH ${sqlPackCtes(seqLen, buckets)},
+       |tk AS (SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
+       |pc AS (
+       |  SELECT bucket, seq, pk.doc_id, tok_len,
+       |         array_to_string(toks[tok_start + 1 : tok_start + tok_len], ' ') AS piece
+       |  FROM pk JOIN tk ON pk.doc_id = tk.doc_id
+       |)
+       |SELECT bucket, seq, count(*)::BIGINT AS n_docs, sum(tok_len)::BIGINT AS n_tok,
+       |       string_agg(piece, ' ' ORDER BY doc_id) AS text
+       |FROM pc GROUP BY 1, 2
+       |ORDER BY bucket, seq""".stripMargin
 }

@@ -44,6 +44,22 @@ class PackSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("payloads: pieces reassemble the exact token stream in pack order") {
+    val docs = Seq(
+      (10L, "a b c"),
+      (11L, "d e f"),
+      (12L, "g h i j")
+    ).toDF("doc_id", "text")
+    val out = Pack.payloads(docs, seqLen = 4, buckets = 1)
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 4L, "a b c d"),  // doc 10 + head of doc 11
+      (1L, 2L, 4L, "e f g h"),  // tail of 11 + head of 12
+      (2L, 1L, 2L, "i j")       // tail of 12
+    ))
+  }
+
   test("bucketing is deterministic and partition-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Pack.sequences(docs).collect().map(_.toSeq).toSet

@@ -142,4 +142,34 @@ class StreamingSpec extends SparkSpec {
         ts("2024-01-01 13:00:00").getTime * 1000L, 3L)), s"bridged session in $batch")
     } finally q.stop()
   }
+
+  test("streaming corpus admission: stream-static join drops index-known docs") {
+    implicit val sql = spark.sqlContext
+    val index = Seq(
+      (0L, "known corpus document one"),
+      (1L, "known corpus document two")
+    ).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.admit(in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("admitted").outputMode("append").start()
+    try {
+      in.addData((10L, "a brand new document"), (11L, "known corpus document one"))
+      q.processAllAvailable()
+      in.addData((12L, "KNOWN   corpus Document two"), // dup modulo normalization
+                 (13L, "another novel text"))
+      q.processAllAvailable()
+      val got = spark.table("admitted").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(10L, 13L),
+        s"index dups (exact and normalized) dropped across batches: $got")
+      // the streaming verdict matches the batch incremental exact layer
+      val all = index.union(Seq((10L, "a brand new document"),
+        (11L, "known corpus document one"), (12L, "KNOWN   corpus Document two"),
+        (13L, "another novel text")).toDF("doc_id", "text"))
+      val batchKeep = graft.llm.Dedup.incremental(all, col("doc_id") >= 10,
+          shingleSize = 3, numPerms = 16, numBands = 4, threshold = 1.1) // near layer off
+        .filter(!col("is_exact")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(batchKeep == got, s"streaming admission == batch exact layer: $batchKeep")
+    } finally q.stop()
+  }
 }
