@@ -6,8 +6,9 @@ import java.nio.file.{Files, Paths}
   * reference's Jackson-YAML `MapConfiguration.build`
   * (`MapConfiguration.java:28-67`, `example.yml`). Supports exactly the
   * shape that config uses: `key: value` pairs, one level of nesting by
-  * two-space indentation, full-line `#` comments and blank lines. No
-  * external dependency (the sandbox resolves none beyond Spark).
+  * two-space indentation, full-line and trailing `#` comments (YAML starts
+  * a comment at `#` preceded by whitespace) and blank lines. No external
+  * dependency (the sandbox resolves none beyond Spark).
   *
   * Reference keys → engine config: `tilesThreshold` → threshold,
   * `tileSize`/`tileBufferSize`/`maxZoom` → ditto, `hbase.keySaltModulus` →
@@ -29,7 +30,11 @@ object ConfigLoader {
       val ci = line.indexOf(':')
       if (ci > 0) {
         val k = line.substring(0, ci).trim
-        val v = line.substring(ci + 1).trim
+        val rawV = line.substring(ci + 1)
+        // trailing comment: '#' preceded by whitespace (YAML rule) — a bare
+        // '#' inside a value (e.g. a URL fragment) is kept
+        val cut = rawV.indexOf(" #")
+        val v = (if (cut >= 0) rawV.substring(0, cut) else rawV).trim
         if (v.isEmpty && !indented) section = Some(k) // nested-section header
         else if (v.nonEmpty) {
           if (indented && section.isDefined) out += (s"${section.get}.$k" -> v)

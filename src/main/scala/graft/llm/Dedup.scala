@@ -255,15 +255,21 @@ object Dedup {
     * jaccard) instead of NULLs keep cross-engine dtypes stable. `keep` is
     * the admission verdict: not an exact dup and best jaccard < threshold.
     */
+  /** Distinct fingerprint probe table of an index corpus: (fp, known=true).
+    * Shared with the streaming twin ([[graft.streaming.DocStream.admit]]) so
+    * batch and streaming admission can never diverge on probe construction.
+    */
+  def indexFingerprints(index: DataFrame): DataFrame =
+    index.select(fingerprint(col("text")).as("fp"))
+      .distinct().withColumn("known", lit(true))
+
   def incremental(docs: DataFrame, isBatch: Column, shingleSize: Int,
                   numPerms: Int, numBands: Int, threshold: Double): DataFrame = {
     val batch = docs.filter(isBatch)
     val index = docs.filter(!isBatch)
-    val idxFp = index.select(fingerprint(col("text")).as("fp"))
-      .distinct().withColumn("hit", lit(true))
     val exact = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .join(idxFp, Seq("fp"), "left")
-      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_exact"))
+      .join(indexFingerprints(index), Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("known"), lit(false)).as("is_exact"))
     val bands = bandedSignatures(docs, shingleSize, numPerms, numBands)
     val cand = bands.filter(isBatch).as("l")
       .join(bands.filter(!isBatch).as("r"), Seq("band", "bh"))

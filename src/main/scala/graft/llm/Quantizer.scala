@@ -163,6 +163,8 @@ object Quantizer {
     * assignment of every vector with the trained codebook).
     */
   def sqlTrainCtes(k: Int = K, iters: Int = Iters, dim: Int = Dim): String = {
+    require(k <= TieBase,
+      s"argmin key encodes cid in base $TieBase: k=$k would collide across centroids")
     val ph = PortableHash.sqlPhash("vec_id::VARCHAR")
     val b = new StringBuilder
     b ++= s"""eq AS (

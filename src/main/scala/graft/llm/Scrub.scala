@@ -82,10 +82,15 @@ object Scrub {
   // ------------------------------------------------------------- redaction
 
   /** Conservative patterns valid in both Java regex (Spark) and RE2
-    * (DuckDB): no lookarounds, no backreferences.
+    * (DuckDB): no lookarounds, no backreferences. Emails match
+    * case-insensitively (`(?i)` — valid in both engines; a case-sensitive
+    * pattern silently leaks `John.Doe@Example.COM` into training data).
+    * Phones match 2–4 dash-separated digit groups (`+1-555-0000` and
+    * `415-555-2671` alike); the leading group is capped at 3 digits so ISO
+    * dates (`2024-01-01`) cannot match.
     */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  val PhonePattern = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,3}(-[0-9]{3,4}){2,3}"
 
   /** Redact emails then phones (order matters only for determinism — the
     * patterns cannot overlap: one requires `@`, the other digits-and-dashes

@@ -50,10 +50,13 @@ object GlobalRank {
     val local = df.withColumn("__bkt", bucket)
       .withColumn("__lrn", row_number().over(
         Window.partitionBy("__bkt").orderBy(sortCols: _*)))
-    // counts from the POST-shuffLE frame, not a fresh source scan: the
-    // bucket exchange is identical in both branches, so ReuseExchange
-    // serves the counts pass from the same shuffle files
-    val counts = local
+    // Bucket counts are a SECOND pass over the input (a separate action —
+    // exchange reuse never crosses actions), but a cheap one: bucket id is
+    // a narrow expression over the scan and the aggregate is map-side
+    // partial down to `buckets` rows. Callers ranking an expensive derived
+    // frame should persist it first; counting before the window keeps the
+    // window out of this pass entirely.
+    val counts = df.withColumn("__bkt", bucket)
       .groupBy("__bkt").agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum

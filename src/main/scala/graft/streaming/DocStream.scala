@@ -22,15 +22,10 @@ object DocStream {
   /** `newDocs` (streaming or batch: doc_id, text) filtered to fingerprints
     * absent from `index` (static: text). Emits (doc_id, text, fp).
     */
-  def admit(newDocs: DataFrame, index: DataFrame): DataFrame = {
-    val idxFp = index
-      .select(Dedup.fingerprint(col("text")).as("fp"))
-      .distinct()
-      .withColumn("known", lit(true))
+  def admit(newDocs: DataFrame, index: DataFrame): DataFrame =
     newDocs
       .withColumn("fp", Dedup.fingerprint(col("text")))
-      .join(idxFp, Seq("fp"), "left_outer")
+      .join(Dedup.indexFingerprints(index), Seq("fp"), "left_outer")
       .filter(col("known").isNull)
       .select("doc_id", "text", "fp")
-  }
 }

@@ -30,18 +30,47 @@ case class TileAddressing(proj: Projection, tileSize: Int, bufferSize: Int) {
   /** array<struct<tileX,tileY,pixelX,pixelY>> for a global pixel (x,y).
     * Schema: `TileXYUDF.java:62-70` (int-typed; valid to zoom ≤ 16).
     */
-  def addresses(zoom: Int, x: Column, y: Column): Column = {
-    val nX = nTilesX(zoom); val nY = nTilesY(zoom)
-    val ts = lit(tileSize); val buf = lit(bufferSize)
-    val tx = floor(x / ts).cast("int"); val ty = floor(y / ts).cast("int")
-    val lx = (x - tx * ts).cast("int"); val ly = (y - ty * ts).cast("int")
+  def addresses(zoom: Int, x: Column, y: Column): Column =
+    addressesImpl(x, y, "int", nTilesX(zoom), nTilesY(zoom))
+
+  def nTilesXL(zoom: Int): Long = proj.zzH.toLong * (1L << zoom)
+  def nTilesYL(zoom: Int): Long = proj.zzV.toLong * (1L << zoom)
+
+  /** LongType variant of [[addresses]] for zoom > 16 — the reference caps
+    * its int-typed schema at 16 ("higher requires tileXY to be LongType",
+    * `TileXYUDF.java:65-69`); this path lifts that cap. Tile math is exact
+    * INTEGER division (not a double `floor`, which would misplace pixels
+    * ≥ 2^53 near tile boundaries), so addressing itself is exact for any
+    * BIGINT pixel; the practical zoom ceiling (~43) comes from the pixel
+    * SOURCE — `Projections.globalPixelLong` computes pixels in doubles.
+    * Same wrap/buffer semantics, proven equal to the int path at shared
+    * zooms by `TileAddressSpec`.
+    */
+  def addressesLong(zoom: Int, x: Column, y: Column): Column =
+    addressesImpl(x, y, "bigint", nTilesXL(zoom), nTilesYL(zoom))
+
+  /** Shared fan-out: all arithmetic in exact BIGINT (integral division for
+    * the tile id — pixels are non-negative so truncation == floor), struct
+    * fields cast to `castT`.
+    */
+  private def addressesImpl(x: Column, y: Column, castT: String,
+                            nX: Long, nY: Long): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    def idiv(a: Column, b: Long): Column =
+      ColumnBridge.column(IntegralDivide(
+        ColumnBridge.expression(a), ColumnBridge.expression(lit(b))))
+    val ts = lit(tileSize.toLong); val buf = lit(bufferSize.toLong)
+    val xl = x.cast("bigint"); val yl = y.cast("bigint")
+    val tx = idiv(xl, tileSize.toLong); val ty = idiv(yl, tileSize.toLong)
+    val lx = xl - tx * ts; val ly = yl - ty * ts
     val west = lx < buf; val east = lx >= ts - buf
     val north = ly < buf; val south = ly >= ts - buf
-    def wrapX(t: Column) = pmod(t, lit(nX)).cast("int")
-    def wrapY(t: Column) = pmod(t, lit(nY)).cast("int")
+    def wrapX(t: Column) = pmod(t, lit(nX))
+    def wrapY(t: Column) = pmod(t, lit(nY))
     def addr(txc: Column, tyc: Column, lxc: Column, lyc: Column) =
-      struct(txc.as("tileX"), tyc.as("tileY"),
-             lxc.cast("int").as("pixelX"), lyc.cast("int").as("pixelY"))
+      struct(txc.cast(castT).as("tileX"), tyc.cast(castT).as("tileY"),
+             lxc.cast(castT).as("pixelX"), lyc.cast(castT).as("pixelY"))
     def guarded(cond: Column, a: Column) = when(cond, a).otherwise(lit(null))
     val candidates = array(
       addr(tx, ty, lx, ly),
@@ -55,43 +84,6 @@ case class TileAddressing(proj: Projection, tileSize: Int, bufferSize: Int) {
       guarded(south && east, addr(wrapX(tx + 1), wrapY(ty + 1), lx - ts, ly - ts))
     )
     // Set semantics as in the reference (`TileXYUDF.java:90-103`).
-    array_distinct(filter(candidates, c => c.isNotNull))
-  }
-
-  def nTilesXL(zoom: Int): Long = proj.zzH.toLong * (1L << zoom)
-  def nTilesYL(zoom: Int): Long = proj.zzV.toLong * (1L << zoom)
-
-  /** LongType variant of [[addresses]] for zoom > 16 — the reference caps
-    * its int-typed schema at 16 ("higher requires tileXY to be LongType",
-    * `TileXYUDF.java:65-69`); this path lifts that cap (good to zoom ~50:
-    * global pixel counts stay < 2^62). Same wrap/buffer semantics, proven
-    * equal to the int path at shared zooms by `TileAddressSpec`.
-    */
-  def addressesLong(zoom: Int, x: Column, y: Column): Column = {
-    val nX = nTilesXL(zoom); val nY = nTilesYL(zoom)
-    val ts = lit(tileSize.toLong); val buf = lit(bufferSize.toLong)
-    val xl = x.cast("bigint"); val yl = y.cast("bigint")
-    val tx = floor(xl / ts).cast("bigint"); val ty = floor(yl / ts).cast("bigint")
-    val lx = xl - tx * ts; val ly = yl - ty * ts
-    val west = lx < buf; val east = lx >= ts - buf
-    val north = ly < buf; val south = ly >= ts - buf
-    def wrapX(t: Column) = pmod(t, lit(nX)).cast("bigint")
-    def wrapY(t: Column) = pmod(t, lit(nY)).cast("bigint")
-    def addr(txc: Column, tyc: Column, lxc: Column, lyc: Column) =
-      struct(txc.as("tileX"), tyc.as("tileY"),
-             lxc.cast("bigint").as("pixelX"), lyc.cast("bigint").as("pixelY"))
-    def guarded(cond: Column, a: Column) = when(cond, a).otherwise(lit(null))
-    val candidates = array(
-      addr(tx, ty, lx, ly),
-      guarded(north, addr(tx, wrapY(ty - 1), lx, ly + ts)),
-      guarded(south, addr(tx, wrapY(ty + 1), lx, ly - ts)),
-      guarded(west, addr(wrapX(tx - 1), ty, lx + ts, ly)),
-      guarded(east, addr(wrapX(tx + 1), ty, lx - ts, ly)),
-      guarded(north && west, addr(wrapX(tx - 1), wrapY(ty - 1), lx + ts, ly + ts)),
-      guarded(north && east, addr(wrapX(tx + 1), wrapY(ty - 1), lx - ts, ly + ts)),
-      guarded(south && west, addr(wrapX(tx - 1), wrapY(ty + 1), lx + ts, ly - ts)),
-      guarded(south && east, addr(wrapX(tx + 1), wrapY(ty + 1), lx - ts, ly - ts))
-    )
     array_distinct(filter(candidates, c => c.isNotNull))
   }
 

@@ -45,6 +45,19 @@ class ConfigSpec extends SparkSpec {
     assert(!kv.contains("hbase"), "section headers are not values")
   }
 
+  test("parseYaml: trailing comments stripped, bare # inside values kept") {
+    val kv = ConfigLoader.parseYaml(
+      """tileSize: 512  # 1/8th buffer below
+        |targetDirectory: hdfs://x/out # prod path
+        |fragmenty: hdfs://x/out#frag
+        |""".stripMargin)
+    assert(kv("tileSize") == "512", "numeric value survives a trailing comment")
+    assert(kv("targetDirectory") == "hdfs://x/out")
+    assert(kv("fragmenty") == "hdfs://x/out#frag", "YAML: '#' without leading space is content")
+    assert(ConfigLoader.toPipelineConfig(kv).tileSize == 512,
+      "toInt no longer throws on commented values")
+  }
+
   test("toPipelineConfig: reference keys map onto the engine config") {
     val cfg = ConfigLoader.toPipelineConfig(ConfigLoader.parseYaml(yaml))
     assert(cfg.workDir == "hdfs://example/tmp/out")

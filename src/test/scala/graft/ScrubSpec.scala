@@ -35,6 +35,19 @@ class ScrubSpec extends SparkSpec {
     assert(rows(1).getInt(1) == 0 && rows(1).getInt(2) == 0)
   }
 
+  test("redaction: uppercase emails, 3-3-4 phones; ISO dates untouched") {
+    val df = Seq(
+      "Reach John.Doe@Example.COM or 415-555-2671 after 2024-01-01 10:05:00"
+    ).toDF("text")
+      .select(Scrub.redact(col("text")).as("red"),
+        Scrub.emailCount(col("text")).as("ne"),
+        Scrub.phoneCount(col("text")).as("np"))
+    val r = df.collect().head
+    assert(r.getString(0) == "Reach <EMAIL> or <PHONE> after 2024-01-01 10:05:00",
+      s"case-insensitive email + undashed-prefix phone redacted, date kept: ${r.getString(0)}")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+  }
+
   test("stratified sampling: deterministic, rate-proportional, stratum-routed") {
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
     val df = rows.toDF("doc_id", "lang")
