@@ -665,20 +665,18 @@ object SparkEntry {
     // Composite quality score + routing class (the filter stage of a
     // training-data pipeline).
     "doc_quality" -> ((s, d) => {
-      val toks = TA.tokens(col("text"))
-      val nTok = size(toks)
-      val ttr = when(nTok === 0, 0.0)
-        .otherwise(size(array_distinct(toks)).cast("double") / nTok)
-      val stopRatio = when(nTok === 0, 0.0)
-        .otherwise(size(filter(toks, t => t.isInCollection(TA.LangStopwords.head._2)))
-          .cast("double") / nTok)
-      val q = round(lit(0.3) * least(nTok.cast("double") / 100.0, lit(1.0)) +
-        lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio), 6)
+      val q = TA.qualityScore(col("text"))
       docs(s, d)
         .select(col("doc_id"), q.as("quality"),
           when(q >= 0.7, "high").when(q >= 0.4, "mid").otherwise("low").as("quality_class"))
         .orderBy("doc_id")
     }),
+
+    // Composed FineWeb-style cleaning pass: redact → quality + repetition
+    // gates → exact-dedup keeper, one admission verdict per document.
+    "corpus_clean" -> ((s, d) =>
+      Scrub.cleanCorpus(docs(s, d), minQuality = 0.4, maxTop2 = 0.6)
+        .orderBy("doc_id")),
 
     // End-to-end dedup verdict: every document keeps or drops based on its
     // near-dup cluster (keep == cluster minimum or unclustered) — the final
@@ -1216,23 +1214,15 @@ object SparkEntry {
             |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
             |ORDER BY d.doc_id""".stripMargin),
 
-      "doc_quality" -> {
-        val toksE = toks
-        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
-           |m AS (SELECT doc_id, len(toks) AS n_tok,
-           |  CASE WHEN len(toks) = 0 THEN 0.0
-           |       ELSE len(list_distinct(toks))::DOUBLE / len(toks) END AS ttr,
-           |  CASE WHEN len(toks) = 0 THEN 0.0
-           |       ELSE len(list_filter(toks, x -> x IN ($enStop)))::DOUBLE / len(toks) END AS stop_ratio
-           |  FROM t),
-           |q AS (SELECT doc_id,
-           |  round(0.3 * least(n_tok::DOUBLE / 100.0, 1.0) + 0.4 * ttr +
-           |        0.3 * (1.0 - stop_ratio), 6) AS quality FROM m)
+      "doc_quality" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |q AS (SELECT doc_id, ${TA.sqlQualityScore("toks")} AS quality FROM t)
            |SELECT doc_id, quality,
            |  CASE WHEN quality >= 0.7 THEN 'high'
            |       WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS quality_class
-           |FROM q ORDER BY doc_id""".stripMargin
-      },
+           |FROM q ORDER BY doc_id""".stripMargin,
+
+      "corpus_clean" -> Scrub.sqlCleanCorpus(minQuality = 0.4, maxTop2 = 0.6),
 
       "vocab_topk" ->
         s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),

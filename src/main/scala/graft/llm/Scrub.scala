@@ -111,6 +111,55 @@ object Scrub {
   def sqlPhoneCount(e: String): String =
     s"len(regexp_extract_all($e, '$PhonePattern'))"
 
+  // ----------------------------------------------------- composed pipeline
+
+  /** End-to-end corpus admission — the composed cleaning pass a
+    * FineWeb/RefinedWeb-style pipeline runs per document, as ONE operator:
+    * redact PII first (nothing downstream ever sees raw PII), then gate on
+    * composite quality and 2-gram repetition, then keep only the exact-dedup
+    * keeper (smallest doc_id per redacted fingerprint). Every layer is the
+    * same scale shape as its standalone key (narrow redaction, explode +
+    * codegen'd aggregates, one fingerprint shuffle), so the composition adds
+    * no new bottleneck.
+    */
+  def cleanCorpus(docs: DataFrame, minQuality: Double, maxTop2: Double): DataFrame = {
+    val red = docs.select(col("doc_id"), redact(col("text")).as("rtext"))
+    val rep = repetitionByKey(red, "doc_id", "rtext")
+      .select(col("doc_id"), col("top2_frac_r"))
+    val fps = red.select(col("doc_id"), Dedup.fingerprint(col("rtext")).as("fp"))
+    val keepers = fps.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val dd = fps.join(keepers, "fp")
+      .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_keeper"))
+    val qual = red.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("rtext")).as("quality"))
+    qual.join(rep, "doc_id").join(dd, "doc_id")
+      .select(col("doc_id"), col("quality"), col("top2_frac_r"), col("is_keeper"),
+        (col("quality") >= minQuality && col("top2_frac_r") <= maxTop2 &&
+          col("is_keeper")).as("admitted"))
+  }
+
+  /** DuckDB mirror of [[cleanCorpus]] over the `documents` view. */
+  def sqlCleanCorpus(minQuality: Double, maxTop2: Double): String =
+    s"""WITH red AS (SELECT doc_id, ${sqlRedact("text")} AS rtext FROM documents),
+       |tk AS (SELECT doc_id, ${TextAnalysis.sqlTokens("rtext")} AS toks FROM red),
+       |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM tk),
+       |g2 AS (SELECT doc_id, unnest(${Dedup.sqlHashedShingles("th", 2)}) AS g FROM th),
+       |a2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+       |s2 AS (SELECT doc_id, max(cnt) AS top2, sum(cnt) AS tot2 FROM a2 GROUP BY 1),
+       |rep AS (SELECT r.doc_id,
+       |  CASE WHEN COALESCE(s2.tot2, 0) = 0 THEN 0.0
+       |       ELSE round(s2.top2::DOUBLE / s2.tot2, 6) END AS top2_frac_r
+       |  FROM red r LEFT JOIN s2 ON r.doc_id = s2.doc_id),
+       |fps AS (SELECT doc_id, ${Dedup.sqlFingerprint("rtext")} AS fp FROM red),
+       |kp AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY 1),
+       |dd AS (SELECT f.doc_id, (f.doc_id = kp.keep_id) AS is_keeper
+       |  FROM fps f JOIN kp ON f.fp = kp.fp),
+       |q AS (SELECT doc_id, ${TextAnalysis.sqlQualityScore("toks")} AS quality FROM tk)
+       |SELECT q.doc_id AS doc_id, q.quality, rep.top2_frac_r, dd.is_keeper,
+       |  (q.quality >= $minQuality AND rep.top2_frac_r <= $maxTop2 AND dd.is_keeper) AS admitted
+       |FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN dd ON q.doc_id = dd.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
   // ------------------------------------------------------------- sampling
 
   /** Deterministic stratified sampling — the data-mixing primitive: keep a

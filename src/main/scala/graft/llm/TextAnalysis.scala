@@ -155,6 +155,32 @@ object TextAnalysis {
        |  for i in range(0, 32)])::BIGINT""".stripMargin
   }
 
+  /** Composite quality score in [0, 1]: 0.3·length-saturation + 0.4·TTR +
+    * 0.3·(1 − stopword ratio), rounded to 6 — the gate shared by
+    * `doc_quality` and `corpus_clean`.
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks)
+    val ttr = when(nTok === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / nTok)
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isInCollection(LangStopwords.head._2)))
+        .cast("double") / nTok)
+    round(lit(0.3) * least(nTok.cast("double") / 100.0, lit(1.0)) +
+      lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio), 6)
+  }
+
+  /** DuckDB mirror of [[qualityScore]] over a tokens-list SQL expression. */
+  def sqlQualityScore(toksE: String): String = {
+    val enStop = LangStopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"round(0.3 * least(len($toksE)::DOUBLE / 100.0, 1.0) + " +
+      s"0.4 * (CASE WHEN len($toksE) = 0 THEN 0.0 " +
+      s"ELSE len(list_distinct($toksE))::DOUBLE / len($toksE) END) + " +
+      s"0.3 * (1.0 - (CASE WHEN len($toksE) = 0 THEN 0.0 " +
+      s"ELSE len(list_filter($toksE, x -> x IN ($enStop)))::DOUBLE / len($toksE) END)), 6)"
+  }
+
   /** Top-k distinctive tokens per document by TF-IDF: the standard
     * "what makes this doc different" extractor (topic routing, boilerplate
     * spotting). Scale shape: one explode, a (doc, token) hash aggregate for

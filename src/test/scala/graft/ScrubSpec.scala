@@ -48,6 +48,20 @@ class ScrubSpec extends SparkSpec {
     assert(r.getInt(1) == 1 && r.getInt(2) == 1)
   }
 
+  test("cleanCorpus: each gate independently fails the right document") {
+    val good = "the quick brown fox and a lazy dog walk to the busy market in town square today"
+    val docs = Seq(
+      (0L, good),                                     // admitted
+      (1L, good),                                     // exact dup of 0 -> keeper lost
+      (2L, "spam spam spam spam spam spam spam spam") // repetitive -> top2 gate
+    ).toDF("doc_id", "text")
+    val out = Scrub.cleanCorpus(docs, minQuality = 0.4, maxTop2 = 0.6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq((0L, true, true), (1L, false, false), (2L, true, false)),
+      s"keeper/dup/repetition verdicts: ${out.toSeq}")
+  }
+
   test("stratified sampling: deterministic, rate-proportional, stratum-routed") {
     val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
     val df = rows.toDF("doc_id", "lang")
