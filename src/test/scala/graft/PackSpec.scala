@@ -60,6 +60,38 @@ class PackSpec extends SparkSpec {
     ))
   }
 
+  test("property: random corpora — slices contiguous, per-doc mass exact, fills bounded") {
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(30))("w" + rnd.nextInt(50)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = Pack.sequences(docs, seqLen = 8, buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per-doc: slices are contiguous from 0 across consecutive seqs
+    rows.groupBy(_._3).foreach { case (doc, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.head._4 == 0L, s"doc $doc first slice starts at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 == a._4 + a._5, s"doc $doc slices contiguous")
+          assert(b._2 == a._2 + 1, s"doc $doc spans consecutive seqs")
+        case _ =>
+      }
+    }
+    // per-sequence: fill never exceeds seqLen
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      assert(rs.map(_._5).sum <= 8, s"seq $k fill <= seqLen")
+    }
+    // docs with zero tokens are absent; all others carry exact token mass
+    val expected = docs.select(col("doc_id"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packed = rows.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    expected.foreach { case (doc, n) =>
+      assert(packed.getOrElse(doc, 0L) == n, s"doc $doc token mass")
+    }
+  }
+
   test("bucketing is deterministic and partition-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Pack.sequences(docs).collect().map(_.toSeq).toSet
