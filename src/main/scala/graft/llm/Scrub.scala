@@ -124,8 +124,21 @@ object Scrub {
     */
   def cleanCorpus(docs: DataFrame, minQuality: Double, maxTop2: Double): DataFrame = {
     val red = docs.select(col("doc_id"), redact(col("text")).as("rtext"))
-    val rep = repetitionByKey(red, "doc_id", "rtext")
-      .select(col("doc_id"), col("top2_frac_r"))
+    // 2-gram-only repetition: the gate uses top2_frac_r alone, so the
+    // 3-gram half of repetitionByKey's tagged explode would be dead rows
+    // here (same values as its n=2 slice, asserted in ScrubSpec).
+    val rep = red
+      .select(col("doc_id"),
+        Dedup.tokenHashes(TextAnalysis.tokens(col("rtext"))).as("th"))
+      .select(col("doc_id"), explode_outer(Dedup.hashedShingles(col("th"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(col("g")).as("cnt"))
+      .groupBy("doc_id")
+      .agg(coalesce(max(when(col("g").isNotNull, col("cnt"))), lit(0L)).as("top2"),
+        coalesce(sum(when(col("g").isNotNull, col("cnt"))), lit(0L)).as("tot2"))
+      .select(col("doc_id"),
+        when(col("tot2") === 0, 0.0)
+          .otherwise(round(col("top2").cast("double") / col("tot2"), 6))
+          .as("top2_frac_r"))
     val fps = red.select(col("doc_id"), Dedup.fingerprint(col("rtext")).as("fp"))
     val keepers = fps.groupBy("fp").agg(min("doc_id").as("keep_id"))
     val dd = fps.join(keepers, "fp")

@@ -49,6 +49,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 documents scan, found $scans:\n$plan")
   }
 
+  test("pack_sequences / tfidf_topk / corpus_clean: no single-partition row stage") {
+    // A SinglePartition exchange is only legitimate as the final merge of a
+    // scalar aggregate (k partial states, not rows) — e.g. tfidf's corpus
+    // count N. Anything else (a global window, a global sort inside the
+    // pipeline) is a scale bug.
+    for (key <- Seq("pack_sequences", "tfidf_topk", "corpus_clean")) {
+      val lines = SparkEntry.queries(key)(spark, d)
+        .queryExecution.executedPlan.toString.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+        case (_, i) =>
+          val parent = lines.take(i).reverse.find(_.trim.nonEmpty).getOrElse("")
+          assert(parent.contains("HashAggregate(keys=[]"),
+            s"$key: SinglePartition not under a scalar aggregate:\n${lines.mkString("\n")}")
+      }
+    }
+  }
+
   test("pii_redact: shuffle-free scan projection (orderBy exchange only)") {
     val df = SparkEntry.queries("pii_redact")(spark, d)
     val plan = df.queryExecution.executedPlan.toString

@@ -48,6 +48,18 @@ class ScrubSpec extends SparkSpec {
     assert(r.getInt(1) == 1 && r.getInt(2) == 1)
   }
 
+  test("cleanCorpus top2_frac_r == repetitionByKey's n=2 slice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), Scrub.redact(col("text")).as("rtext"))
+    val viaClean = Scrub.cleanCorpus(
+        Tables.documents(spark, "/root/testdata/sf0.001"), 0.4, 0.6)
+      .select("doc_id", "top2_frac_r")
+    val viaRep = Scrub.repetitionByKey(docs, "doc_id", "rtext")
+      .select("doc_id", "top2_frac_r")
+    assert(viaClean.exceptAll(viaRep).isEmpty && viaRep.exceptAll(viaClean).isEmpty,
+      "the 2-gram-only gate is bitwise the full operator's n=2 slice")
+  }
+
   test("cleanCorpus: each gate independently fails the right document") {
     val good = "the quick brown fox and a lazy dog walk to the busy market in town square today"
     val docs = Seq(
