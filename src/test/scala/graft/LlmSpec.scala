@@ -69,6 +69,18 @@ class LlmSpec extends SparkSpec {
     assert(hs(0) != hs(2), "different content differs (overwhelmingly likely)")
   }
 
+  test("scaledBitsPerBand tracks log2(corpus); fixture default is its own output") {
+    import graft.llm.Similarity
+    assert(Similarity.scaledBitsPerBand(2000) == Similarity.BitsPerBand,
+      "the 16x8 fixture geometry is the scaled choice at corpus=2000")
+    assert(Similarity.scaledBitsPerBand(1000000000L) == 27, "1e9 vectors -> 27 bits")
+    assert(Similarity.scaledBitsPerBand(10) == Similarity.QuantizerBits,
+      "tiny corpora floor at the quantizer width")
+    val sizes = Seq(100L, 10000L, 1000000L, 100000000L)
+    assert(sizes.map(Similarity.scaledBitsPerBand(_)) == sizes.map(Similarity.scaledBitsPerBand(_)).sorted,
+      "monotone in corpus size")
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
