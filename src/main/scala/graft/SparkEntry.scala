@@ -646,6 +646,14 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
 
+    // Multi-probe IVF: queries probe their 2 nearest trained cells —
+    // boundary-recall recovery at nprobe× candidate cost.
+    "similarity_ivf_probes" -> ((s, d) =>
+      Quantizer.ivfTopKProbes(emb(s, d), Quantizer.train(emb(s, d)),
+          col("vec_id") % 20 === 0, k = 3, nprobe = 2)
+        .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
+        .orderBy("q_id", "rnk", "n_id")),
+
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
 
@@ -1172,6 +1180,8 @@ object SparkEntry {
       "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
       "similarity_ivf_trained" ->
         graft.llm.Quantizer.sqlIvfTopK("q.vec_id % 20 = 0", topK = 3),
+      "similarity_ivf_probes" ->
+        graft.llm.Quantizer.sqlIvfTopKProbes("q.vec_id % 20 = 0", topK = 3, nprobe = 2),
 
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,

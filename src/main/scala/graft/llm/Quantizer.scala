@@ -124,6 +124,29 @@ object Quantizer {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-probe IVF top-k: each query probes its `nprobe` NEAREST cells
+    * (same exact-integer distance as assignment, [[graft.expr.KMeansProbes]])
+    * instead of one — recovering the recall a boundary-adjacent query loses
+    * in [[ivfTopK]], at nprobe× candidate cost. A candidate's cell is
+    * unique, so the probe join produces no duplicate pairs.
+    */
+  def ivfTopKProbes(emb: DataFrame, centroids: Array[Array[Long]],
+                    isQuery: Column, k: Int, nprobe: Int): DataFrame = {
+    val n = Similarity.withNorm(assignAll(emb, centroids))
+    val q = n.filter(isQuery)
+      .withColumn("probe", explode(
+        graft.expr.KMeansProbes.probes(col("embedding"), centroids, Scale.toDouble, nprobe)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("probe"))
+    val pairs = q.join(n, col("probe") === col("cid") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(Similarity.dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("cos_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // --------------------------------------------------------- oracle mirror
 
   /** Tie-break base for the SQL argmin key `(|c|² - 2 v·c) * TieBase + cid`
@@ -189,6 +212,42 @@ object Quantizer {
        |SELECT cid, r.range::INTEGER AS idx, ei[r.range + 1]::BIGINT AS ci
        |FROM c$iters CROSS JOIN range($dim) r
        |ORDER BY cid, idx""".stripMargin
+
+  /** Oracle for [[ivfTopKProbes]]: centroids ranked per query by the same
+    * exact-integer (distance, cid) order, top `nprobe` probed, cosine
+    * rerank.
+    */
+  def sqlIvfTopKProbes(queryPred: String, topK: Int, nprobe: Int, k: Int = K,
+                       iters: Int = Iters, dim: Int = Dim): String =
+    s"""WITH ${sqlTrainCtes(k, iters, dim)},
+       |n AS (
+       |  SELECT eq.vec_id, eq.embedding, a.cid,
+       |         sqrt(${Similarity.sqlDot("eq.embedding", "eq.embedding")}) AS nrm
+       |  FROM eq JOIN a${iters + 1} a USING (vec_id)
+       |),
+       |pm AS (
+       |  SELECT q.vec_id, c.cid,
+       |         (list_sum([x*x for x in c.ei])::BIGINT
+       |          - 2*list_sum([p[1]*p[2] for p in list_zip(q.ei, c.ei)])::BIGINT) AS m
+       |  FROM eq q CROSS JOIN c$iters c WHERE $queryPred
+       |),
+       |pr AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY m, cid) AS r
+       |    FROM pm
+       |  ) WHERE r <= $nprobe
+       |),
+       |pairs AS (
+       |  SELECT pr.vec_id AS q_id, n.vec_id AS n_id,
+       |         round(${Similarity.sqlDot("qn.embedding", "n.embedding")} / (qn.nrm * n.nrm), 6) AS cos_r
+       |  FROM pr JOIN n qn ON pr.vec_id = qn.vec_id
+       |          JOIN n ON n.cid = pr.cid AND n.vec_id <> pr.vec_id
+       |)
+       |SELECT q_id, n_id, cos_r, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
+       |  FROM pairs
+       |) WHERE rnk <= $topK
+       |ORDER BY q_id, rnk, n_id""".stripMargin
 
   /** Oracle for [[ivfTopK]]: final assignment + in-cell cosine rerank. */
   def sqlIvfTopK(queryPred: String, topK: Int, k: Int = K, iters: Int = Iters,

@@ -57,6 +57,21 @@ class QuantizerSpec extends SparkSpec {
       "identical seeds: second centroid keeps its (identical) seed position")
   }
 
+  test("probes: head == assignment cell; probes distinct; count == nprobe") {
+    val cents = Quantizer.train(fixture, k = 4, iters = 1)
+    val rows = fixture
+      .select(col("vec_id"),
+        graft.expr.KMeansAssign.assign(col("embedding"), cents, Quantizer.Scale.toDouble).as("cid"),
+        graft.expr.KMeansProbes.probes(col("embedding"), cents, Quantizer.Scale.toDouble, 2).as("pr"))
+      .collect()
+    rows.foreach { r =>
+      val pr = r.getSeq[Int](2)
+      assert(pr.length == 2 && pr.distinct.length == 2, s"vec ${r.getLong(0)}: $pr")
+      assert(pr.head == r.getInt(1),
+        s"vec ${r.getLong(0)}: first probe is the assignment cell")
+    }
+  }
+
   test("assignment plan is narrow: no exchange, no join") {
     val cents = Quantizer.train(fixture, k = 4, iters = 1)
     val plan = Quantizer.assignAll(fixture, cents).queryExecution.executedPlan.toString
