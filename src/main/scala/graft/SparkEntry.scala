@@ -689,10 +689,14 @@ object SparkEntry {
     // End-to-end dedup verdict: every document keeps or drops based on its
     // near-dup cluster (keep == cluster minimum or unclustered) — the final
     // composition of candidate generation, verification and clustering.
+    // No broadcast hint on the clusters side: membership of a near-dup-heavy
+    // corpus is O(duplicated docs) — billions of rows at 100 TB, past the
+    // 8 GB broadcast ceiling. Both sides are doc_id-keyed, so the shuffle
+    // join is the scale-safe shape; AQE still broadcasts when it IS small.
     "dedup_decisions" -> ((s, d) => {
       val clusters = Dedup.clusters(verifiedPairs(s, d))
       docs(s, d).select(col("doc_id"))
-        .join(broadcast(clusters), Seq("doc_id"), "left")
+        .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
           (coalesce(col("cluster_id"), col("doc_id")) === col("doc_id")).as("keep"))

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.expr.PortableHash
 
 /** Deduplication operators for training-data pipelines.
@@ -136,14 +137,68 @@ object Dedup {
       .select(col("doc_id"), tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
       .select(col("doc_id"), array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
 
+  /** The two expensive per-doc frames of the dedup cascade, MATERIALIZED
+    * once and shared by every consumer (candidate self-join, verification
+    * joins, clustering, decisions). Without this each consumer re-derives
+    * the tokenize→md5→shingle subtree — the round-2 plan audit showed
+    * `verifiedJaccard` computing it 4× per query (both self-join sides plus
+    * both verification joins). `localCheckpoint` materializes eagerly and
+    * cuts lineage, so every downstream reference reads the stored blocks; a
+    * production cluster would use reliable `checkpoint` (same call shape,
+    * HDFS-backed) — the same trade [[clusters]] already makes for its
+    * iterative lineage.
+    */
+  final case class SignatureIndex(banded: DataFrame, sets: DataFrame)
+
+  def signatureIndex(
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): SignatureIndex =
+    SignatureIndex(
+      bandedSignatures(docs, shingleSize, numPerms, numBands).localCheckpoint(),
+      shingleSets(docs, shingleSize).localCheckpoint())
+
+  /** Default band-bucket occupancy cap (docs per (band, bh) bucket admitted
+    * to candidate generation). `scaledBitsPerBand`-style geometry bounds the
+    * RANDOM-occupancy case, but adversarial duplication — 10⁶ copies of one
+    * boilerplate page share every band hash — makes a single bucket
+    * quadratic (10¹² pairs from one key). Oversized buckets carry no
+    * information LSH needs anyway: their members are exact or near-exact
+    * duplicates, which [[exact]]-fingerprint dedup already handles with one
+    * linear shuffle. The cap bounds per-bucket work at C(cap, 2) while
+    * staying far above any honest near-dup group (fixture max occupancy is
+    * single digits; a cluster operator would size it like
+    * `scaledBitsPerBand`: a few × the expected bucket size).
+    */
+  val MaxBandBucket = 1000
+
+  /** Band rows whose (band, bh) bucket holds ≤ `maxBucket` docs. The
+    * occupancy count is a window over the SAME (band, bh) hash partitioning
+    * the candidate self-join needs next — no extra shuffle shape.
+    */
+  def cappedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .filter(col("__occ") <= maxBucket)
+      .drop("__occ")
+
   /** MinHash+LSH candidate pairs: docs sharing ≥1 band bucket, with the
     * number of shared bands. One wide shuffle on (band, hash); no cross
-    * product.
+    * product; buckets over `maxBucket` are diverted to exact-fingerprint
+    * handling (see [[MaxBandBucket]]).
     */
   def minhashCandidates(
-      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
-    val banded = bandedSignatures(docs, shingleSize, numPerms, numBands)
-    banded.as("l").join(banded.as("r"),
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int,
+      maxBucket: Int = MaxBandBucket): DataFrame =
+    minhashCandidatesFrom(
+      bandedSignatures(docs, shingleSize, numPerms, numBands).localCheckpoint(),
+      maxBucket)
+
+  /** [[minhashCandidates]] over a pre-materialized band frame (so the
+    * signature subtree is computed once, not once per self-join side).
+    */
+  def minhashCandidatesFrom(
+      banded: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
+    val ok = cappedBuckets(banded, maxBucket)
+    ok.as("l").join(ok.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
@@ -159,12 +214,20 @@ object Dedup {
     * skewed and quadratic at corpus scale).
     */
   def verifiedJaccard(
-      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
-    val cand = minhashCandidates(docs, shingleSize, numPerms, numBands)
-    val sets = shingleSets(docs, shingleSize)
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int,
+      maxBucket: Int = MaxBandBucket): DataFrame =
+    verifiedJaccardFrom(
+      signatureIndex(docs, shingleSize, numPerms, numBands), maxBucket)
+
+  /** [[verifiedJaccard]] over a shared [[SignatureIndex]]: exactly one
+    * tokenize/md5 pass per corpus role, however many consumers.
+    */
+  def verifiedJaccardFrom(
+      idx: SignatureIndex, maxBucket: Int = MaxBandBucket): DataFrame = {
+    val cand = minhashCandidatesFrom(idx.banded, maxBucket)
     cand
-      .join(sets.as("l"), col("a") === col("l.doc_id"))
-      .join(sets.as("r"), col("b") === col("r.doc_id"))
+      .join(idx.sets.as("l"), col("a") === col("l.doc_id"))
+      .join(idx.sets.as("r"), col("b") === col("r.doc_id"))
       .select(col("a"), col("b"), col("n_bands"),
         (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
           size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
@@ -270,12 +333,12 @@ object Dedup {
     val exact = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .join(indexFingerprints(index), Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("known"), lit(false)).as("is_exact"))
-    val bands = bandedSignatures(docs, shingleSize, numPerms, numBands)
-    val cand = bands.filter(isBatch).as("l")
-      .join(bands.filter(!isBatch).as("r"), Seq("band", "bh"))
+    val idx = signatureIndex(docs, shingleSize, numPerms, numBands)
+    val cand = idx.banded.filter(isBatch).as("l")
+      .join(idx.banded.filter(!isBatch).as("r"), Seq("band", "bh"))
       .select(col("l.doc_id").as("bid"), col("r.doc_id").as("iid"))
       .distinct()
-    val sets = shingleSets(docs, shingleSize)
+    val sets = idx.sets
     val ver = cand
       .join(sets.as("ls"), col("bid") === col("ls.doc_id"))
       .join(sets.as("rs"), col("iid") === col("rs.doc_id"))

@@ -138,16 +138,37 @@ object Similarity {
       s"{'band': $b, 'cell': ${sqlCellId(vecE, b, bitsPerBand, dim)}}"
     }.mkString("[", ", ", "]")
 
+  /** Default (band, cell) occupancy cap for candidate generation — same
+    * rationale as [[graft.llm.Dedup.MaxBandBucket]]: `scaledBitsPerBand`
+    * bounds RANDOM occupancy, but adversarial duplication (10⁶ copies of one
+    * embedding) floods a single cell and makes it quadratic. Members of an
+    * oversized cell are (near-)identical vectors, which exact-fingerprint /
+    * exact-vector dedup handles linearly — diverting them loses no
+    * information an ANN index needs.
+    */
+  val MaxCellBucket = 1000
+
   /** Multi-band LSH candidate pairs (a < b): vectors colliding in ≥1 band,
     * with the collision count. ONE shuffle on (band, cell); no cross
     * product — the 100 TB shape for embedding near-dup candidate gen.
+    * Cells holding more than `maxBucket` vectors are diverted (see
+    * [[MaxCellBucket]]); the occupancy window runs on the same (band, cell)
+    * partitioning the self-join shuffles to anyway.
     */
   def lshCandidates(emb: DataFrame, bands: Int = Bands,
-                    bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
+                    bitsPerBand: Int = BitsPerBand, dim: Int = Dim,
+                    maxBucket: Int = MaxCellBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "cell")
+    // materialized once: the self-join would otherwise evaluate the
+    // bands×bits hyperplane dots (the expensive subtree) on BOTH sides
     val cells = emb
       .select(col("vec_id"),
         posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
           .as(Seq("band", "cell")))
+      .withColumn("__occ", count(lit(1)).over(w))
+      .filter(col("__occ") <= maxBucket)
+      .drop("__occ")
+      .localCheckpoint()
     cells.as("l").join(cells.as("r"),
         col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
           col("l.vec_id") < col("r.vec_id"))

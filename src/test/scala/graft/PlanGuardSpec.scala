@@ -66,6 +66,26 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("dedup_verified: signature subtrees materialize once — no md5/parquet rescan in the final plan") {
+    // Round-2 plan audit: verifiedJaccard computed the tokenize→md5→shingle
+    // subtree ~4× (both self-join sides + both verification joins). With the
+    // shared SignatureIndex the final plan must read the materialized frames
+    // only — any md5 or documents re-scan means the recompute came back.
+    val df = SparkEntry.queries("dedup_verified")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"dedup_verified re-scans the corpus instead of the signature index:\n$plan")
+    assert(!plan.toLowerCase.contains("md5"),
+      s"md5 subtree recomputed downstream of the signature index:\n$plan")
+  }
+
+  test("dedup_decisions: clusters side carries no broadcast hint (8 GB ceiling at scale)") {
+    val df = SparkEntry.queries("dedup_decisions")(spark, d)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("strategy=broadcast"),
+      s"cluster membership is O(duplicated docs) — never pin a broadcast:\n$plan")
+  }
+
   test("pii_redact: shuffle-free scan projection (orderBy exchange only)") {
     val df = SparkEntry.queries("pii_redact")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
