@@ -510,12 +510,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // HLL approximate distinct (no oracle: sketch internals are
-    // engine-specific; the driver records a rows-only check).
+    // HLL approximate distinct. The sketch VALUE is engine-specific (DuckDB
+    // can't replay Spark's HLL++), so the oracle-checkable output is the
+    // bounded-error CONTRACT: the exact distinct count plus a boolean
+    // asserting |approx - exact| <= max(2, 5% of exact). rsd=0.01 makes the
+    // 5% tolerance a 5-sigma band (rsd is a STANDARD DEVIATION, not a
+    // bound — at the default 0.05 about a third of groups sit outside 1
+    // sigma, measured 17/130 on the fixture). The oracle emits the same
+    // exact count and a literal `true`, so the hash matches iff every
+    // group's HLL estimate is inside the band (deterministic per dataset:
+    // HLL++ has no RNG). The approx aggregate still runs in the plan — the
+    // exact count rides the same single shuffle as a second aggregate.
     "agg_approx_distinct" -> ((s, d) =>
       exploded(s, d)
         .groupBy("map_key")
-        .agg(approx_count_distinct(col("event_id")).as("approx_events"))
+        .agg(
+          approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
+          countDistinct(col("event_id")).as("n_events"))
+        .select(col("map_key"), col("n_events"),
+          (abs(col("approx_events") - col("n_events")) <=
+            greatest(lit(2L), ceil(col("n_events") * lit(0.05)).cast("bigint")))
+            .as("hll_ok"))
         .orderBy("map_key")),
 
     // Exact interpolated percentiles (both engines use the same
@@ -991,6 +1006,13 @@ object SparkEntry {
       "agg_distinct" ->
         """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // bounded-error HLL contract: the oracle emits the exact count and a
+      // literal true; the compare goes red iff Spark's HLL estimate leaves
+      // the documented 5%/±2 band on any group (see the query comment)
+      "agg_approx_distinct" -> (sqlOcc +
+        """SELECT map_key, count(DISTINCT event_id) AS n_events, true AS hll_ok
+          |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "events_window_hourly" ->
         """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, LogicalPlan, Project, SubqueryAlias}
 
 /** Scalable global ranking — the replacement for `Window.orderBy(...)` with
   * no `partitionBy`, which Spark warns about ("No Partition Defined for
@@ -28,14 +29,36 @@ import org.apache.spark.sql.expressions.Window
   */
 object GlobalRank {
 
+  /** The rank needs three passes over the input (boundary sample, bucket
+    * counts, the ranked output itself) and exchange reuse never crosses
+    * actions — fine over a bare parquet scan (each pass re-reads pruned
+    * files), but a derived frame (join/agg/window upstream) would recompute
+    * its whole subtree 3×. Bare-scan shapes: any stack of
+    * project/filter/alias over a leaf.
+    */
+  private def isBareScan(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode       => true
+    case p: Project        => isBareScan(p.child)
+    case f: LFilter        => isBareScan(f.child)
+    case s: SubqueryAlias  => isBareScan(s.child)
+    case _                 => false
+  }
+
   /** df + exact global `row_number` (1-based, ordered by `rangeCol` asc then
     * `tieBreak` asc) in column `out`, plus the total row count — without a
     * single-partition window. `buckets` should scale with the cluster
     * (≥ shuffle partitions).
+    *
+    * Non-bare-scan inputs are materialized once (`localCheckpoint`; a
+    * production cluster would use reliable `checkpoint`) so the three
+    * passes read stored blocks instead of recomputing the derived subtree.
     */
   def withGlobalRowNumberAndCount(
-      df: DataFrame, rangeCol: String, tieBreak: Seq[String],
+      df0: DataFrame, rangeCol: String, tieBreak: Seq[String],
       buckets: Int, out: String): (DataFrame, Long) = {
+    val df =
+      if (isBareScan(df0.queryExecution.optimizedPlan)) df0
+      else df0.localCheckpoint()
     val probs = (1 until buckets).map(_.toDouble / buckets)
     val bRow = df.agg(
       expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
@@ -52,10 +75,10 @@ object GlobalRank {
         Window.partitionBy("__bkt").orderBy(sortCols: _*)))
     // Bucket counts are a SECOND pass over the input (a separate action —
     // exchange reuse never crosses actions), but a cheap one: bucket id is
-    // a narrow expression over the scan and the aggregate is map-side
-    // partial down to `buckets` rows. Callers ranking an expensive derived
-    // frame should persist it first; counting before the window keeps the
-    // window out of this pass entirely.
+    // a narrow expression over the scan (or the checkpointed blocks for
+    // derived inputs) and the aggregate is map-side partial down to
+    // `buckets` rows; counting before the window keeps the window out of
+    // this pass entirely.
     val counts = df.withColumn("__bkt", bucket)
       .groupBy("__bkt").agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -22,6 +22,33 @@ class GlobalRankSpec extends SparkSpec {
       "distributed rank == window rank, bitwise")
   }
 
+  test("derived input is materialized once: no recompute of the upstream subtree") {
+    // an aggregate-derived frame: without auto-materialization the three
+    // rank passes would each recompute the groupBy
+    val base = (1 to 1000).map(i => (i.toLong % 97, i.toDouble)).toDF("k", "x")
+    val derived = base.groupBy("k").agg(sum("x").as("v"))
+    val ranked = GlobalRank.withGlobalRowNumber(derived, "v", Seq("k"), buckets = 8, out = "rn")
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"derived input must be checkpointed, not recomputed:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"upstream aggregate leaked into the ranked plan (recompute):\n$plan")
+    // and the rank is still exact
+    val expected = derived.withColumn("rn",
+      row_number().over(Window.orderBy("v", "k")).cast("long"))
+    assert(ranked.exceptAll(expected).isEmpty && expected.exceptAll(ranked).isEmpty)
+  }
+
+  test("bare-scan input is NOT checkpointed (pruned re-reads beat materializing the scan)") {
+    val d = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, d).select(col("o_orderkey"), col("o_totalprice"))
+    val ranked = GlobalRank.withGlobalRowNumber(
+      orders, "o_totalprice", Seq("o_orderkey"), buckets = 8, out = "rn")
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan parquet") && !plan.contains("ExistingRDD"),
+      s"a project-over-scan input should stay a scan:\n$plan")
+  }
+
   test("ntile edges: fewer rows than tiles; all-equal range keys") {
     val tiny = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v")
     val t = GlobalRank.withNtile(tiny, "v", Seq("id"), buckets = 4, tiles = 4, out = "q")
