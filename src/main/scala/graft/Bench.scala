@@ -15,6 +15,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated key subset — the fresh-JVM isolation loop for
+    // chasing per-query regressions without the shared-JVM ordering noise
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,20 +32,42 @@ object Bench {
     // land after the JSON and break that parse.
     spark.sparkContext.setLogLevel("ERROR")
     GraftConf.ensure(spark)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def rep(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+    // reps>1: keep the per-query MIN across repetitions (the least-noise
+    // estimate on a shared container); failures stay -1 regardless of reps
+    val all = (1 to reps).map { i =>
+      val r = rep()
+      if (reps > 1) r.foreach { case (k, v) => System.err.println(f"[bench rep$i] $k $v%.3f") }
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = all.transpose.map { timings =>
+      val name = timings.head._1
+      val vs = timings.map(_._2)
+      name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
+    }
+    def r3(v: Double): String = // 3 decimals: ms precision, ~40% shorter line
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failed queries keep their -1 sentinel in `queries` but must not
     // subtract from the headline total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    println(line)
+    // full-fidelity copy: the round-2 driver capture truncated the stdout
+    // tail and lost the total + the alphabetically-first keys
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     spark.stop()
   }
 }

@@ -519,14 +519,20 @@ object SparkEntry {
     // sigma, measured 17/130 on the fixture). The oracle emits the same
     // exact count and a literal `true`, so the hash matches iff every
     // group's HLL estimate is inside the band (deterministic per dataset:
-    // HLL++ has no RNG). The approx aggregate still runs in the plan — the
-    // exact count rides the same single shuffle as a second aggregate.
+    // HLL++ has no RNG). Shape matters: mixing countDistinct with the HLL
+    // in ONE agg makes Catalyst expand + partially aggregate keyed by
+    // (map_key, event_id) — allocating a ~22 KB rsd=0.01 sketch per
+    // DISTINCT VALUE (~1M sketches at sf0.1, measured 77-106 s). HLL
+    // registers are max-based and duplicate-insensitive, so dedup the
+    // pairs first and run count + HLL over the distinct frame: identical
+    // estimates, one distinct shuffle, 130 sketches (measured ~3 s).
     "agg_approx_distinct" -> ((s, d) =>
       exploded(s, d)
+        .select("map_key", "event_id").distinct()
         .groupBy("map_key")
         .agg(
           approx_count_distinct(col("event_id"), 0.01).as("approx_events"),
-          countDistinct(col("event_id")).as("n_events"))
+          count(col("event_id")).as("n_events"))
         .select(col("map_key"), col("n_events"),
           (abs(col("approx_events") - col("n_events")) <=
             greatest(lit(2L), ceil(col("n_events") * lit(0.05)).cast("bigint")))
@@ -788,7 +794,46 @@ object SparkEntry {
     // Materialized packed sequences: the actual seqLen-token payloads, doc
     // slices concatenated in pack order (group payload bounded by seqLen).
     "pack_payloads" -> ((s, d) =>
-      graft.llm.Pack.payloads(docs(s, d)).orderBy("bucket", "seq"))
+      graft.llm.Pack.payloads(docs(s, d)).orderBy("bucket", "seq")),
+
+    // Corpus n-gram LM counts: top-50 bigrams by frequency. Same distributed
+    // shape as vocab_topk — explode + hash agg (map-side partial counts),
+    // TakeOrderedAndProject for the top-k; never a global window, so the
+    // 10^9+-distinct-ngram frame of a web corpus stays partitioned.
+    "ngram_counts" -> ((s, d) =>
+      docs(s, d)
+        .select(TA.tokens(col("text")).as("toks"))
+        .select(explode(TA.shingles(col("toks"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("ngram"))
+        .limit(50)),
+
+    // Semantic dedup clustering: the alternating large-star/small-star CC
+    // used for text near-dups, over embedding-cosine LSH edges — groups of
+    // semantically near-identical samples (the embedding analog of
+    // dedup_clusters; no edge broadcast, O(log n) rounds).
+    "semantic_clusters" -> ((s, d) => {
+      val edges = Similarity.nearDupPairs(emb(s, d), 0.4).select("a", "b")
+      Dedup.clusters(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
+    // Data-mixing report: doc and token share of every (lang, source) slice
+    // — the weights table a mixture-sampling stage consumes. The corpus
+    // total rides a 1-row broadcast (scalar agg cross join), never a global
+    // window.
+    "mix_report" -> ((s, d) => {
+      val t = docs(s, d).select(col("lang"), col("source"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val agg = t.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val tot = agg.agg(sum("n_tokens").as("tot"))
+      agg.crossJoin(tot)
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share_r"))
+        .orderBy("lang", "source")
+    })
   )
 
   /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
@@ -1163,20 +1208,35 @@ object SparkEntry {
         (s"WITH ${sqlVerifiedCte(3, 16, 4)}\n" +
           "SELECT a, b, n_bands, jac_r, (jac_r >= 0.5) AS is_dup FROM v ORDER BY 1, 2"),
 
-      "embedding_neardup" -> {
-        val cells = Similarity.sqlBandCells(
-          "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
-        val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
-        s"""WITH n AS (SELECT vec_id, embedding,
-           |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
-           |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
-           |cc AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
-           |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-           |  FROM cc l JOIN cc r ON l.band = r.band AND l.cell = r.cell AND l.vec_id < r.vec_id),
-           |p AS (SELECT a, b, $cos AS cos_r
-           |  FROM cand JOIN n l ON a = l.vec_id JOIN n r ON b = r.vec_id)
-           |SELECT a, b, cos_r FROM p WHERE cos_r >= 0.4 ORDER BY 1, 2""".stripMargin
-      },
+      "embedding_neardup" ->
+        (s"WITH ${sqlNearDupCte(0.4)}\n" +
+          "SELECT a, b, cos_r FROM ndp ORDER BY 1, 2"),
+
+      // Reference CC over the near-dup edge set (recursive reachability is
+      // the oracle-side stand-in for the engine's alternating-star rounds).
+      "semantic_clusters" ->
+        (s"WITH RECURSIVE ${sqlNearDupCte(0.4)},\n" +
+          """e AS (SELECT a, b FROM ndp UNION ALL SELECT b, a FROM ndp),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+            |SELECT id AS vec_id, least(id, min(r)) AS cluster_id
+            |FROM reach GROUP BY id ORDER BY 1""".stripMargin),
+
+      "ngram_counts" ->
+        s"""WITH t AS (SELECT $toks AS toks FROM documents),
+           |g AS (SELECT unnest(${TA.sqlShingles("toks", 2)}) AS ngram FROM t)
+           |SELECT ngram, count(*) AS freq FROM g GROUP BY 1
+           |ORDER BY freq DESC, ngram LIMIT 50""".stripMargin,
+
+      "mix_report" ->
+        s"""WITH t AS (SELECT lang, source, len($toks)::BIGINT AS n_tok FROM documents),
+           |a AS (SELECT lang, source, count(*) AS n_docs,
+           |  sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1, 2)
+           |SELECT lang, source, n_docs, n_tokens,
+           |  round(n_tokens::DOUBLE / (SELECT sum(n_tokens)::BIGINT FROM a), 6) AS token_share_r
+           |FROM a ORDER BY 1, 2""".stripMargin,
 
       "text_stats" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks,
@@ -1363,6 +1423,26 @@ object SparkEntry {
        |  FROM sg),
        |bb AS (SELECT doc_id, t['band'] AS band, t['bh'] AS bh FROM bd),
        |k AS (SELECT doc_id, list_distinct(sh) AS sh FROM s)""".stripMargin
+  }
+
+  /** Oracle CTE chain for embedding near-dup pairs, ending in
+    * `ndp(a, b, cos_r)` — shared by `embedding_neardup` (pair list) and
+    * `semantic_clusters` (CC over the same edges).
+    */
+  private def sqlNearDupCte(threshold: Double): String = {
+    import graft.llm.Similarity
+    val cells = Similarity.sqlBandCells(
+      "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+    val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+    s"""n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+       |cc AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM cc l JOIN cc r ON l.band = r.band AND l.cell = r.cell AND l.vec_id < r.vec_id),
+       |p AS (SELECT a, b, $cos AS cos_r
+       |  FROM cand JOIN n l ON a = l.vec_id JOIN n r ON b = r.vec_id),
+       |ndp AS (SELECT a, b, cos_r FROM p WHERE cos_r >= $threshold)""".stripMargin
   }
 
   private def sqlVerifiedCte(shingleSize: Int, numPerms: Int, numBands: Int): String =

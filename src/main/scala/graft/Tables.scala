@@ -8,10 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (reference: `MapBuilder.java:134-159` reads an Avro snapshot glob with
   * `format("com.databricks.spark.avro")`). Round 2 makes the format a SEAM:
   * every table resolves through the session conf `graft.tables.format`
-  * (default `parquet`), so a deployment points the same queries at ORC — or
-  * Avro, once the spark-avro connector is on the classpath (it is not
-  * bundled in this sandbox) — without touching a single query. Tables are
-  * expected at `<sfDir>/<name>.<format>`.
+  * (default `parquet`), so a deployment points the same queries at ORC or
+  * Avro — Spark 4 bundles the avro datasource inside spark-sql itself, and
+  * `FormatsSpec` proves `scan_project` runs unchanged over an Avro snapshot
+  * — without touching a single query. Tables are expected at
+  * `<sfDir>/<name>.<format>`.
   *
   * Self-describing formats only: CSV/JSON need a pinned schema (inference
   * would re-scan 100 TB and can silently widen types between runs) — read
@@ -27,7 +28,7 @@ object Tables {
     val fmt = spark.conf.get(FormatKey, "parquet")
     require(fmt != "csv" && fmt != "json",
       s"text formats need a pinned schema - use graft.io.Formats.readCsv/readJson")
-    spark.read.format(fmt).load(s"$sfDir/$name.$fmt")
+    spark.read.format(graft.io.Formats.provider(fmt)).load(s"$sfDir/$name.$fmt")
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

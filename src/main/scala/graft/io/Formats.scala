@@ -4,21 +4,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Schema-pinned source readers / sink writers for the formats bundled with
-  * Spark (parquet, ORC, CSV, JSON).
+  * Spark (parquet, ORC, Avro, CSV, JSON).
   *
-  * The reference ingests Avro (`MapBuilder.java:134-159`; the spark-avro
-  * datasource is not bundled offline, so Avro ingest is modeled by parquet —
-  * SURVEY §2.1 S1). Production posture: ALWAYS pin the schema on text
-  * formats — schema inference re-reads the input (a second 100 TB scan) and
-  * can silently widen types between runs.
+  * Avro is the reference's actual ingest format (`MapBuilder.java:134-159`,
+  * `format("com.databricks.spark.avro")`); Spark 4 bundles the avro
+  * datasource in spark-sql itself (`org.apache.spark.sql.avro`), so the
+  * same `Tables` seam covers it — `FormatsSpec` proves the round trip and
+  * runs a driver query over an Avro copy of the tables. Production posture:
+  * ALWAYS pin the schema on text formats — schema inference re-reads the
+  * input (a second 100 TB scan) and can silently widen types between runs.
   */
 object Formats {
+
+  /** Spark 4 ships the full avro datasource (serializer, deserializer,
+    * `AvroFileFormat`) inside spark-sql itself, but without the
+    * `DataSourceRegister` service entry, so the short name `avro` throws
+    * "external data source module" — the fully-qualified provider class
+    * resolves fine. Map the short name here; everything else passes through.
+    */
+  val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def provider(format: String): String =
+    if (format == "avro") AvroProvider else format
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  def readAvro(spark: SparkSession, path: String): DataFrame =
+    spark.read.format(AvroProvider).load(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema)
@@ -33,5 +49,5 @@ object Formats {
     df.write.mode("overwrite")
       .option("header", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
-      .format(format).save(path)
+      .format(provider(format)).save(path)
 }

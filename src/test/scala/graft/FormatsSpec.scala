@@ -19,6 +19,7 @@ class FormatsSpec extends SparkSpec {
     val back = format match {
       case "parquet" => Formats.readParquet(spark, s"$dir/nation")
       case "orc" => Formats.readOrc(spark, s"$dir/nation")
+      case "avro" => Formats.readAvro(spark, s"$dir/nation")
       case "csv" => Formats.readCsv(spark, s"$dir/nation", src.schema)
       case "json" => Formats.readJson(spark, s"$dir/nation", src.schema)
     }
@@ -29,6 +30,7 @@ class FormatsSpec extends SparkSpec {
 
   test("parquet round trip")(roundTrip("parquet"))
   test("orc round trip")(roundTrip("orc"))
+  test("avro round trip (the reference's ingest format)")(roundTrip("avro"))
   test("csv round trip (pinned schema)")(roundTrip("csv"))
   test("json round trip (pinned schema)")(roundTrip("json"))
 
@@ -48,6 +50,20 @@ class FormatsSpec extends SparkSpec {
       assert(orcResult == parquetResult,
         "filter_quality over ORC == over parquet, query code untouched")
       assert(Tables.nation(spark, dir).count() == parquetNation)
+    } finally spark.conf.set(Tables.FormatKey, "parquet")
+  }
+
+  test("Tables format seam: scan_project runs unchanged over an Avro snapshot (the reference's ingest)") {
+    val dir = Files.createTempDirectory("graft_avro_seam").toString
+    Formats.write(Tables.table(spark, sf, "events"), s"$dir/events.avro", "avro")
+    val parquetResult = SparkEntry.queries("scan_project")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set(Tables.FormatKey, "avro")
+    try {
+      val avroResult = SparkEntry.queries("scan_project")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(avroResult == parquetResult,
+        "scan_project over the Avro snapshot == over parquet, query code untouched")
     } finally spark.conf.set(Tables.FormatKey, "parquet")
   }
 

@@ -110,6 +110,30 @@ class LlmSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (3L, 1L), (5L, 1L), (7L, 7L), (9L, 7L)))
   }
 
+  test("semantic_clusters: every near-dup edge lands inside one cluster; labels are component minima") {
+    val d = "/root/testdata/sf0.001"
+    val label = SparkEntry.queries("semantic_clusters")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = SparkEntry.queries("embedding_neardup")(spark, d)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must produce near-dup edges")
+    edges.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"edge ($a,$b) split across clusters")
+    }
+    label.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid not labeled by its minimum")
+    }
+  }
+
+  test("mix_report: shares sum to 1 and slice counts add up to the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("mix_report")(spark, d).collect()
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"token shares must sum to 1, got $shareSum")
+    val nDocs = rows.map(_.getLong(2)).sum
+    assert(nDocs == Tables.documents(spark, d).count(), "every document in exactly one slice")
+  }
+
   test("verifiedJaccard: exact jaccard attached to LSH candidates only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

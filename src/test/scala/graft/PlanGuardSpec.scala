@@ -86,6 +86,22 @@ class PlanGuardSpec extends SparkSpec {
       s"cluster membership is O(duplicated docs) — never pin a broadcast:\n$plan")
   }
 
+  test("ngram_counts: corpus-sized ngram frame is TakeOrderedAndProject, not a global window/sort") {
+    val plan = SparkEntry.queries("ngram_counts")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be distributed TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"), s"no window over the ngram frame:\n$plan")
+  }
+
+  test("mix_report: corpus total rides a 1-row broadcast, never a global window") {
+    val plan = SparkEntry.queries("mix_report")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the scalar total must broadcast into the per-slice frame:\n$plan")
+    assert(!plan.contains("Window"), s"no window in mix_report:\n$plan")
+  }
+
   test("pii_redact: shuffle-free scan projection (orderBy exchange only)") {
     val df = SparkEntry.queries("pii_redact")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
