@@ -63,6 +63,12 @@ object Sinks {
     * `[nPixels:int][x:int y:int nFeat:int [borYear:int count:long]*]*`.
     * Input rows must carry sorted arrays (Pyramid.tiles guarantees it), so
     * the bytes are reproducible across runs and cluster sizes.
+    *
+    * PRODUCTION SEAM: to emit real Mapbox vector tiles, replace ONLY this
+    * map body with an MVT encoder (e.g. no.ecc.vectortile.VectorTileEncoder,
+    * the lib the reference uses) — the (key, pixels with feature arrays) →
+    * (key, bytes) contract, the upstream sorted-array guarantee, and
+    * [[writeSorted]]'s salt partitioning all stay as-is.
     */
   def encodeTiles(tiles: DataFrame)(implicit spark: SparkSession): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
