@@ -66,8 +66,10 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
     println(line)
     // full-fidelity copy: the round-2 driver capture truncated the stdout
-    // tail and lost the total + the alphabetically-first keys
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    // tail and lost the total + the alphabetically-first keys. Subset
+    // (SPARK_GRAFT_QUERIES) dev runs must not clobber the full-run artifact.
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     spark.stop()
   }
 }
