@@ -822,12 +822,16 @@ object SparkEntry {
     // Data-mixing report: doc and token share of every (lang, source) slice
     // — the weights table a mixture-sampling stage consumes. The corpus
     // total rides a 1-row broadcast (scalar agg cross join), never a global
-    // window.
+    // window. The slice aggregate is localCheckpoint'd: referencing it twice
+    // (slices + the scalar total) would otherwise duplicate the whole
+    // tokenize+scan subtree into both plan branches — two full corpus scans
+    // at 100 TB for a frame of |lang x source| rows.
     "mix_report" -> ((s, d) => {
       val t = docs(s, d).select(col("lang"), col("source"),
         size(TA.tokens(col("text"))).cast("long").as("n_tok"))
       val agg = t.groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .localCheckpoint()
       val tot = agg.agg(sum("n_tokens").as("tot"))
       agg.crossJoin(tot)
         .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),

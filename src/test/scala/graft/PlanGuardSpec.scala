@@ -94,12 +94,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window over the ngram frame:\n$plan")
   }
 
-  test("mix_report: corpus total rides a 1-row broadcast, never a global window") {
+  test("mix_report: corpus total rides a 1-row broadcast, never a global window; corpus scanned once") {
     val plan = SparkEntry.queries("mix_report")(spark, d)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"the scalar total must broadcast into the per-slice frame:\n$plan")
     assert(!plan.contains("Window"), s"no window in mix_report:\n$plan")
+    // the slice agg is localCheckpoint'd: both consumers (slices + scalar
+    // total) must read the checkpointed frame, never re-scan the corpus —
+    // an un-checkpointed self-reference duplicates the tokenize+scan
+    // subtree into each branch
+    assert(!plan.contains("FileScan parquet"),
+      s"corpus must be scanned once, inside the checkpoint - not per branch:\n$plan")
   }
 
   test("pii_redact: shuffle-free scan projection (orderBy exchange only)") {
