@@ -192,10 +192,16 @@ object TextAnalysis {
     */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
+    // The TF frame feeds three consumers (DF aggregate, corpus-N scalar,
+    // and the scoring join's probe side); un-checkpointed, each reference
+    // re-runs the tokenize+explode+aggregate subtree - three corpus scans.
+    // Materializing the token index once is the 100 TB shape (same pattern
+    // as Dedup.SignatureIndex).
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(df, "t").crossJoin(broadcast(n))
