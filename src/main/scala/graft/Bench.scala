@@ -32,6 +32,24 @@ object Bench {
     // land after the JSON and break that parse.
     spark.sparkContext.setLogLevel("ERROR")
     GraftConf.ensure(spark)
+    // Untimed JVM warm-up: the first timed keys otherwise absorb 5-9 s of
+    // one-time classloader/janino/scheduler cost (measured in BASELINE.md's
+    // round-3 adjudication — cold rep1 5-8 s vs warm 0.6-1.1 s on UNCHANGED
+    // code). One throwaway pass exercising scan, shuffle agg, broadcast
+    // join, window and the noop sink makes every reported number a query
+    // cost, not a who-runs-first artifact. No query result is cached: the
+    // warm-up touches none of the bench tables.
+    def warmUp(): Unit = {
+      import org.apache.spark.sql.functions._
+      val r = spark.range(0, 100000).select(col("id"), pmod(col("id"), lit(97)).as("k"))
+      val agg = r.groupBy("k").agg(sum("id").as("s"), approx_count_distinct(col("id")).as("a"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")
+      r.join(broadcast(agg), "k")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+    warmUp()
     def rep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
