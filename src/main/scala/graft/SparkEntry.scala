@@ -622,8 +622,7 @@ object SparkEntry {
     }),
 
     "lang_id" -> ((s, d) =>
-      TA.langIdByKey(docs(s, d), "doc_id", "text")
-        .join(docs(s, d).select("doc_id", "lang"), Seq("doc_id"))
+      TA.langIdByKey(docs(s, d), "doc_id", "text", carry = Seq("lang"))
         .select("doc_id", "lang", "pred_lang")
         .orderBy("doc_id")),
 

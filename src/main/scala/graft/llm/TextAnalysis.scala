@@ -90,8 +90,8 @@ object TextAnalysis {
     * subtree). Identical results ([[langId]] remains the spec; the oracle is
     * unchanged).
     */
-  def langIdByKey(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
-      : org.apache.spark.sql.DataFrame = {
+  def langIdByKey(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val hitCols = LangStopwords.map { case (l, ws) =>
       sum(when(col("t").isInCollection(ws), 1L).otherwise(0L)).as(s"hits_$l")
     }
@@ -102,11 +102,15 @@ object TextAnalysis {
     val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
       when(s === best && best > 0, lit(l)).otherwise(acc)
     }
-    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("t"))
-      .groupBy(idCol)
+    // `carry`: passenger columns kept through the aggregate (functionally
+    // dependent on idCol) — grouping by them rides the same shuffle and
+    // saves callers a join-back (which would re-scan the corpus).
+    df.select(col(idCol) +: carry.map(col) :+
+        explode_outer(tokens(col(textCol))).as("t"): _*)
+      .groupBy(idCol, carry: _*)
       .agg(hitCols.head, (hitCols.tail :+ cjkCol): _*)
-      .select(col(idCol),
-        when(col("cjk") === 1, lit("zh")).otherwise(pick).as("pred_lang"))
+      .select(col(idCol) +: carry.map(col) :+
+        when(col("cjk") === 1, lit("zh")).otherwise(pick).as("pred_lang"): _*)
   }
 
   /** 32-bit simhash over token multiset using the portable hash: bit i is
