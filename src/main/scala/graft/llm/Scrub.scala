@@ -123,7 +123,13 @@ object Scrub {
     * no new bottleneck.
     */
   def cleanCorpus(docs: DataFrame, minQuality: Double, maxTop2: Double): DataFrame = {
+    // The redacted corpus feeds four consumers (repetition, quality, and
+    // both sides of the dedup layer); un-checkpointed, each reference
+    // re-runs the scan + double regex pass. Materializing the redacted
+    // text once is what a production pipeline does anyway (the raw-PII
+    // frame must not outlive this stage).
     val red = docs.select(col("doc_id"), redact(col("text")).as("rtext"))
+      .localCheckpoint()
     // 2-gram-only repetition: the gate uses top2_frac_r alone, so the
     // 3-gram half of repetitionByKey's tagged explode would be dead rows
     // here (same values as its n=2 slice, asserted in ScrubSpec).
@@ -139,7 +145,9 @@ object Scrub {
         when(col("tot2") === 0, 0.0)
           .otherwise(round(col("top2").cast("double") / col("tot2"), 6))
           .as("top2_frac_r"))
+    // skinny (doc_id, fp) frame read by keepers AND the keeper join probe
     val fps = red.select(col("doc_id"), Dedup.fingerprint(col("rtext")).as("fp"))
+      .localCheckpoint()
     val keepers = fps.groupBy("fp").agg(min("doc_id").as("keep_id"))
     val dd = fps.join(keepers, "fp")
       .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_keeper"))

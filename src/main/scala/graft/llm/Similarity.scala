@@ -185,9 +185,10 @@ object Similarity {
   def topK(emb: DataFrame, isQuery: Column, k: Int,
            sameCellOnly: Boolean = false, dim: Int = Dim): DataFrame = {
     val n0 = withNorm(emb)
-    val n = if (sameCellOnly)
+    // query side ⊂ corpus side: one norm/cell pass feeds both join inputs
+    val n = (if (sameCellOnly)
       n0.withColumn("cell", cellId(col("embedding"), QuantizerBand, QuantizerBits, dim))
-    else n0
+    else n0).localCheckpoint()
     val qCols = Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")) ++ (if (sameCellOnly) Seq(col("cell").as("q_cell")) else Nil)
     val q = n.filter(isQuery).select(qCols: _*)
@@ -208,16 +209,22 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, bands: Int = Bands,
               bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
+    // materialized once: the query side is a subset of the corpus side, so
+    // an un-checkpointed self-reference would run the bands×bits hyperplane
+    // dots over the corpus twice (queries ⊂ corpus makes pushdown moot)
     val cells = emb
       .select(col("vec_id"),
         posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
           .as(Seq("band", "cell")))
+      .localCheckpoint()
     val qc = cells.filter(isQuery).withColumnRenamed("vec_id", "q_id")
     val cand = qc.join(cells, Seq("band", "cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
+    // the norm frame probes both rerank joins — one scan, not two
     val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint()
     val pairs = cand
       .join(n.as("l"), col("q_id") === col("l.vec_id"))
       .join(n.as("r"), col("n_id") === col("r.vec_id"))
@@ -236,7 +243,9 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double, bands: Int = Bands,
                    bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
     val cand = lshCandidates(emb, bands, bitsPerBand, dim).select("a", "b")
+    // both verify joins probe the norm frame — one scan, not two
     val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint()
     cand
       .join(n.as("l"), col("a") === col("l.vec_id"))
       .join(n.as("r"), col("b") === col("r.vec_id"))
