@@ -818,6 +818,23 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Per-vector keep/drop verdict over the semantic clusters — the
+    // embedding analog of dedup_decisions, completing the semantic path
+    // (pairs → clusters → decisions). Same scale posture: no broadcast
+    // hint on the clusters side (membership is O(duplicated vectors)),
+    // shuffle left join on vec_id, singletons keep themselves.
+    "semantic_decisions" -> ((s, d) => {
+      val edges = Similarity.nearDupPairs(emb(s, d), 0.4).select("a", "b")
+      val clusters = Dedup.clusters(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      emb(s, d).select(col("vec_id"))
+        .join(clusters, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+        .orderBy("vec_id")
+    }),
+
     // Data-mixing report: doc and token share of every (lang, source) slice
     // — the weights table a mixture-sampling stage consumes. The corpus
     // total rides a 1-row broadcast (scalar agg cross join), never a global
@@ -1226,6 +1243,21 @@ object SparkEntry {
             |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
             |SELECT id AS vec_id, least(id, min(r)) AS cluster_id
             |FROM reach GROUP BY id ORDER BY 1""".stripMargin),
+
+      "semantic_decisions" ->
+        (s"WITH RECURSIVE ${sqlNearDupCte(0.4)},\n" +
+          """e AS (SELECT a, b FROM ndp UNION ALL SELECT b, a FROM ndp),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+            |cl AS (SELECT id AS vec_id, least(id, min(r)) AS cluster_id
+            |       FROM reach GROUP BY id)
+            |SELECT v.vec_id,
+            |  COALESCE(cl.cluster_id, v.vec_id) AS cluster_id,
+            |  (COALESCE(cl.cluster_id, v.vec_id) = v.vec_id) AS keep
+            |FROM embeddings v LEFT JOIN cl ON v.vec_id = cl.vec_id
+            |ORDER BY v.vec_id""".stripMargin),
 
       "ngram_counts" ->
         s"""WITH t AS (SELECT $toks AS toks FROM documents),

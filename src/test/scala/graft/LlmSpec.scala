@@ -125,6 +125,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semantic_decisions: exactly one keeper per cluster, singletons keep themselves") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("semantic_decisions")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == Tables.embeddings(spark, d).count(),
+      "every vector gets a verdict")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._3) == 1, s"cluster $cid must have exactly one keeper")
+      assert(members.find(_._3).get._1 == cid, s"keeper of $cid must be its minimum")
+    }
+    val clustered = SparkEntry.queries("semantic_clusters")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    rows.filterNot(r => clustered(r._1)).foreach { case (v, cid, keep) =>
+      assert(cid == v && keep, s"singleton $v must keep itself")
+    }
+  }
+
   test("mix_report: shares sum to 1 and slice counts add up to the corpus") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("mix_report")(spark, d).collect()
