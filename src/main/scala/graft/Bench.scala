@@ -87,7 +87,8 @@ object Bench {
     // tail and lost the total + the alphabetically-first keys. Subset
     // (SPARK_GRAFT_QUERIES) dev runs must not clobber the full-run artifact.
     if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      java.nio.file.Files.writeString( // absolute: cwd of a spark-submit launch is not the repo
+        java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), line + "\n")
     spark.stop()
   }
 }

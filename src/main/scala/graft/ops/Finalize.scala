@@ -61,9 +61,12 @@ object Finalize {
                     mode: String): Option[String] = {
     val v = s"$db.${viewName(prefix, mode)}"
     if (!spark.catalog.tableExists(v)) None
-    else spark.table(v).queryExecution.analyzed.collect {
+    // Try: a DANGLING pointer (base table dropped out-of-band) fails view
+    // analysis with TABLE_OR_VIEW_NOT_FOUND — that must read as "no live
+    // target", not crash cleanup() for every other mode in the prefix.
+    else scala.util.Try(spark.table(v).queryExecution.analyzed.collect {
       case r: LogicalRelation => r.catalogTable.map(_.identifier.table)
-    }.flatten.headOption
+    }.flatten.headOption).toOption.flatten
   }
 
   /** All generation tables of `mode`, oldest → newest. */

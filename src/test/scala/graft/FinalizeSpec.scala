@@ -73,6 +73,26 @@ class FinalizeSpec extends SparkSpec {
       Seq("maps_tiles_20240103_0000", "maps_tiles_20240104_0000"))
   }
 
+  test("cleanup survives a dangling pointer: a view whose base table was dropped out-of-band reads as no-live-target") {
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    spark.sql(s"CREATE DATABASE $db")
+
+    writeGen("points", "20240101_0000", 1)
+    Finalize.publish(spark, db, prefix, "points", "20240101_0000")
+    // out-of-band drop leaves maps_points_current dangling
+    spark.sql(s"DROP TABLE $db.maps_points_20240101_0000")
+    assert(Finalize.currentTarget(spark, db, prefix, "points").isEmpty,
+      "dangling pointer must read as no live target, not crash")
+
+    // retention for the UNRELATED tiles mode must still work
+    for ((stamp, n) <- Seq(("20240101_0000", 1), ("20240102_0000", 2),
+        ("20240103_0000", 3)))
+      writeGen("tiles", stamp, n)
+    assert(Finalize.cleanup(spark, db, prefix, "tiles", keep = 2) ==
+      Seq("maps_tiles_20240101_0000"),
+      "cleanup must not abort on the other mode's dangling pointer")
+  }
+
   test("retention is per mode and respects the other mode's pointer") {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     spark.sql(s"CREATE DATABASE $db")
