@@ -1200,20 +1200,13 @@ object SparkEntry {
            |  count(*) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      // shares sqlLshBase so the occupancy cap (and every future change to
+      // the LSH chain) can never diverge from the other dedup oracles
       "dedup_minhash" ->
-        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-           |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
-           |s AS (SELECT doc_id, ${Dedup.sqlHashedShingles("th", 3)} AS sh FROM th),
-           |nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-           |sg AS (SELECT doc_id, ${Dedup.sqlMinhashSignature("sh", 16)} AS sig FROM nz),
-           |bd AS (SELECT doc_id,
-           |  unnest([{'band': b, 'bh': ${graft.expr.PortableHash.sqlPhash("array_to_string((sig)[b * 4 + 1 : b * 4 + 4], ',')")}}
-           |          for b in range(0, 4)]) AS t
-           |  FROM sg),
-           |bb AS (SELECT doc_id, t['band'] AS band, t['bh'] AS bh FROM bd)
-           |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
-           |FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        (s"WITH ${sqlLshBase(3, 16, 4)}\n" +
+          """SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
+            |FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
       "dedup_simhash" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
@@ -1424,7 +1417,10 @@ object SparkEntry {
     s"""WITH n AS (SELECT vec_id, embedding,
        |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
        |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
-       |cc AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc AS (SELECT vec_id, band, cell FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+       |  WHERE occ <= ${Similarity.MaxCellBucket}),
        |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
        |  FROM cc q JOIN cc e ON q.band = e.band AND q.cell = e.cell AND q.vec_id <> e.vec_id
        |  WHERE q.vec_id % 20 = 0),
@@ -1456,7 +1452,10 @@ object SparkEntry {
        |  unnest([{'band': b, 'bh': ${graft.expr.PortableHash.sqlPhash(s"array_to_string((sig)[b * $rpb + 1 : b * $rpb + $rpb], ',')")}}
        |          for b in range(0, $numBands)]) AS t
        |  FROM sg),
-       |bb AS (SELECT doc_id, t['band'] AS band, t['bh'] AS bh FROM bd),
+       |bb0 AS (SELECT doc_id, t['band'] AS band, t['bh'] AS bh FROM bd),
+       |bb AS (SELECT doc_id, band, bh FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, bh) AS occ FROM bb0)
+       |  WHERE occ <= ${graft.llm.Dedup.MaxBandBucket}),
        |k AS (SELECT doc_id, list_distinct(sh) AS sh FROM s)""".stripMargin
   }
 
@@ -1472,7 +1471,10 @@ object SparkEntry {
     s"""n AS (SELECT vec_id, embedding,
        |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
        |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
-       |cc AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc AS (SELECT vec_id, band, cell FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+       |  WHERE occ <= ${Similarity.MaxCellBucket}),
        |cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |  FROM cc l JOIN cc r ON l.band = r.band AND l.cell = r.cell AND l.vec_id < r.vec_id),
        |p AS (SELECT a, b, $cos AS cos_r

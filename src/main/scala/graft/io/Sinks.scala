@@ -40,10 +40,24 @@ object Sinks {
     val spark = df.sparkSession
     val schema = df.schema
     val keyIdx = schema.fieldIndex("key")
+    // validates each key against the declared modulo: a run salted for a
+    // DIFFERENT modulo must fail loudly here, not crash with an opaque
+    // out-of-range partition id (wider salt) or silently straddle region
+    // boundaries (narrower salt sorts between 2-char split points)
+    val saltWidth = graft.expr.Salt.saltCharCount(saltModulo)
     val partitioner = new org.apache.spark.Partitioner {
       override def numPartitions: Int = saltModulo
-      override def getPartition(key: Any): Int =
-        key.asInstanceOf[String].takeWhile(_ != ':').toInt
+      override def getPartition(key: Any): Int = {
+        val k = key.asInstanceOf[String]
+        val pfx = k.takeWhile(_ != ':')
+        require(pfx.length == saltWidth && pfx.forall(_.isDigit),
+          s"key '$k' is not salted for modulo $saltModulo " +
+            s"(expected a $saltWidth-digit prefix)")
+        val s = pfx.toInt
+        require(s < saltModulo,
+          s"key '$k' has salt $s >= modulo $saltModulo")
+        s
+      }
     }
     val rows = df.rdd
       .map(r => (r.getString(keyIdx), r))

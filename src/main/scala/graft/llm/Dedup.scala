@@ -170,13 +170,18 @@ object Dedup {
     */
   val MaxBandBucket = 1000
 
-  /** Band rows whose (band, bh) bucket holds ≤ `maxBucket` docs. The
-    * occupancy count is a window over the SAME (band, bh) hash partitioning
-    * the candidate self-join needs next — no extra shuffle shape.
+  /** Band rows whose bucket (keyed by `cols`, default (band, bh)) holds
+    * ≤ `maxBucket` docs. The occupancy count is a window over the SAME
+    * partitioning the candidate self-join needs next — no extra shuffle
+    * shape. Shared by the text path here and the embedding path
+    * ([[graft.llm.Similarity.lshCandidates]]/`lshTopK`, (band, cell) keys)
+    * so the capping semantics can never diverge between them.
     */
-  def cappedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+  def cappedBuckets(banded: DataFrame, maxBucket: Int,
+                    cols: Seq[String] = Seq("band", "bh")): DataFrame =
     banded
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "bh")))
+      .withColumn("__occ",
+        count(lit(1)).over(Window.partitionBy(cols.map(col): _*)))
       .filter(col("__occ") <= maxBucket)
       .drop("__occ")
 
@@ -334,8 +339,15 @@ object Dedup {
       .join(indexFingerprints(index), Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("known"), lit(false)).as("is_exact"))
     val idx = signatureIndex(docs, shingleSize, numPerms, numBands)
-    val cand = idx.banded.filter(isBatch).as("l")
-      .join(idx.banded.filter(!isBatch).as("r"), Seq("band", "bh"))
+    // Same adversarial-flood cap as minhashCandidates: an uncapped
+    // batch-vs-index band join is (batch bucket) × (index bucket) rows per
+    // (band, bh) key — a boilerplate flood present on BOTH sides goes
+    // quadratic. Occupancy is counted over the COMBINED frame (one window,
+    // mirrored verbatim by the oracle); diverted content is exact/near-exact
+    // duplication, which the exact-fingerprint probe above still reports.
+    val capped = cappedBuckets(idx.banded, MaxBandBucket)
+    val cand = capped.filter(isBatch).as("l")
+      .join(capped.filter(!isBatch).as("r"), Seq("band", "bh"))
       .select(col("l.doc_id").as("bid"), col("r.doc_id").as("iid"))
       .distinct()
     val sets = idx.sets

@@ -158,16 +158,15 @@ object Similarity {
   def lshCandidates(emb: DataFrame, bands: Int = Bands,
                     bitsPerBand: Int = BitsPerBand, dim: Int = Dim,
                     maxBucket: Int = MaxCellBucket): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "cell")
     // materialized once: the self-join would otherwise evaluate the
-    // bands×bits hyperplane dots (the expensive subtree) on BOTH sides
-    val cells = emb
-      .select(col("vec_id"),
-        posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
-          .as(Seq("band", "cell")))
-      .withColumn("__occ", count(lit(1)).over(w))
-      .filter(col("__occ") <= maxBucket)
-      .drop("__occ")
+    // bands×bits hyperplane dots (the expensive subtree) on BOTH sides;
+    // occupancy capping shares Dedup.cappedBuckets so text and embedding
+    // LSH can never diverge on the divert semantics
+    val cells = Dedup.cappedBuckets(
+        emb.select(col("vec_id"),
+          posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
+            .as(Seq("band", "cell"))),
+        maxBucket, cols = Seq("band", "cell"))
       .localCheckpoint()
     cells.as("l").join(cells.as("r"),
         col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
@@ -208,14 +207,19 @@ object Similarity {
     * `distinct` collapses multi-band collisions before the cosine pass.
     */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, bands: Int = Bands,
-              bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
+              bitsPerBand: Int = BitsPerBand, dim: Int = Dim,
+              maxBucket: Int = MaxCellBucket): DataFrame = {
     // materialized once: the query side is a subset of the corpus side, so
     // an un-checkpointed self-reference would run the bands×bits hyperplane
-    // dots over the corpus twice (queries ⊂ corpus makes pushdown moot)
-    val cells = emb
-      .select(col("vec_id"),
-        posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
-          .as(Seq("band", "cell")))
+    // dots over the corpus twice (queries ⊂ corpus makes pushdown moot).
+    // Occupancy-capped like lshCandidates — an uncapped query-vs-corpus
+    // band join goes quadratic when a flooded cell sits on both sides
+    // (combined-frame count, mirrored by the oracle).
+    val cells = Dedup.cappedBuckets(
+        emb.select(col("vec_id"),
+          posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
+            .as(Seq("band", "cell"))),
+        maxBucket, cols = Seq("band", "cell"))
       .localCheckpoint()
     val qc = cells.filter(isQuery).withColumnRenamed("vec_id", "q_id")
     val cand = qc.join(cells, Seq("band", "cell"))

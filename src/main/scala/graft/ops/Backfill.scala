@@ -69,11 +69,12 @@ object Backfill {
   /** Bulk-load one family's sorted run set into the prepared target —
     * the engine model of `FinaliseBackfill`'s LoadIncrementalHFiles over
     * `PrepareBackfill`'s regions. Validates the load against the table's
-    * pinned region contract: the family must be declared, the data's salt
-    * modulo must match the split layout (a run sorted for modulo 100 fed
-    * into a 10-region table would straddle boundaries), and rows are routed
-    * through [[graft.io.Sinks.sortedBySalt]] so partition i is region i's
-    * sorted run.
+    * pinned region contract: the family must be declared, and the data's
+    * salt modulo must match the split layout — enforced per key by the
+    * salt-aligned partitioner's width/range checks (a run salted for
+    * modulo 100 fed into a 10-region table fails loudly instead of
+    * straddling boundaries). Rows are routed through
+    * [[graft.io.Sinks.sortedBySalt]] so partition i is region i's sorted run.
     */
   def bulkLoad(spark: SparkSession, db: String, table: String, family: String,
                kv: DataFrame): Unit = {

@@ -62,6 +62,23 @@ class BackfillSpec extends SparkSpec {
     }
   }
 
+  test("bulkLoad: a run salted for a different modulo fails loudly, both directions") {
+    freshDb()
+    Backfill.createTarget(spark, db, "m10_t", "points", 10)
+    Backfill.createTarget(spark, db, "m100_t", "points", 100)
+    val kv10 = (1 to 50).map(i => s"k$i").toDF("k")
+      .select(Salt.salted(col("k"), 10).as("key"), encode(col("k"), "UTF-8").as("value"))
+    val kv100 = (1 to 50).map(i => s"k$i").toDF("k")
+      .select(Salt.salted(col("k"), 100).as("key"), encode(col("k"), "UTF-8").as("value"))
+    // wider salt into a 10-region table: would be an out-of-range partition
+    intercept[Exception] { Backfill.bulkLoad(spark, db, "m10_t", "EPSG_4326", kv100) }
+    // narrower salt into a 100-region table: would silently straddle splits
+    intercept[Exception] { Backfill.bulkLoad(spark, db, "m100_t", "EPSG_4326", kv10) }
+    // matching moduli still load
+    Backfill.bulkLoad(spark, db, "m10_t", "EPSG_4326", kv10)
+    assert(spark.table(s"$db.m10_t").count() == 50)
+  }
+
   test("withSnapshot: body sees the point-in-time image, not later source writes; snapshot and barrier always cleaned") {
     freshDb()
     (1 to 50).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
