@@ -835,6 +835,21 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Token-length distribution in power-of-2 buckets — the profile a
+    // packing stage consults to pick seqLen and outlier cutoffs. Bucket
+    // edges are literal comparisons (a CASE chain, identical text in the
+    // oracle), NOT floor(log2(n)): FP log at exact powers of two rounds
+    // differently across engines. One map-side-partial hash agg over ≤18
+    // groups — nothing about this shape changes at 100 TB.
+    "length_histogram" -> ((s, d) => {
+      val t = docs(s, d).select(size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val bucketLo = (0 to 16).map(1L << _).reverse
+        .foldRight(lit(0L)) { (p, acc) => when(col("n_tok") >= p, lit(p)).otherwise(acc) }
+      t.groupBy(bucketLo.as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("bucket_lo")
+    }),
+
     // Data-mixing report: doc and token share of every (lang, source) slice
     // — the weights table a mixture-sampling stage consumes. The corpus
     // total rides a 1-row broadcast (scalar agg cross join), never a global
@@ -1257,6 +1272,16 @@ object SparkEntry {
            |g AS (SELECT unnest(${TA.sqlShingles("toks", 2)}) AS ngram FROM t)
            |SELECT ngram, count(*) AS freq FROM g GROUP BY 1
            |ORDER BY freq DESC, ngram LIMIT 50""".stripMargin,
+
+      "length_histogram" -> {
+        // same boundaries, same test order as the Spark when-chain
+        val cases = (0 to 16).map(1L << _).reverse
+          .map(p => s"WHEN n_tok >= $p THEN $p").mkString(" ")
+        s"""WITH t AS (SELECT len($toks)::BIGINT AS n_tok FROM documents)
+           |SELECT (CASE $cases ELSE 0 END)::BIGINT AS bucket_lo,
+           |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+      },
 
       "mix_report" ->
         s"""WITH t AS (SELECT lang, source, len($toks)::BIGINT AS n_tok FROM documents),

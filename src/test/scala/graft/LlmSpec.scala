@@ -142,6 +142,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("length_histogram: every doc in exactly one power-of-2 bucket, token totals preserved") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("length_histogram")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (lo, _, _) =>
+      assert(lo == 0 || (lo & (lo - 1)) == 0, s"bucket_lo $lo not a power of 2")
+    }
+    assert(rows.map(_._2).sum == Tables.documents(spark, d).count(),
+      "every document lands in exactly one bucket")
+    val totalToks = Tables.documents(spark, d)
+      .select(sum(size(graft.llm.TextAnalysis.tokens(col("text")))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == totalToks, "token mass preserved across buckets")
+  }
+
   test("mix_report: shares sum to 1 and slice counts add up to the corpus") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("mix_report")(spark, d).collect()
