@@ -556,8 +556,51 @@ object SparkEntry {
       events(s, d)
         .select(expr("from_json(props, 'k INT').k").as("k_val"))
         .groupBy("k_val").agg(count(lit(1)).as("n"))
-        .orderBy("k_val"))
+        .orderBy("k_val")),
+
+    // Banded interval join (attribution windows): purchases landing inside
+    // a signup's 6-hour window, WITHOUT a BroadcastNestedLoopJoin — ranges
+    // explode into fixed-width buckets, points key by their bucket, and the
+    // match is an equi-join on the bucket id (graft.ops.RangeJoin).
+    "join_range" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"),
+        expr("ts div 1000").as("t_us"), col("event_type"), col("value"))
+      val windows = ev
+        .filter(col("event_type") === "signup" && pmod(col("event_id"), lit(50)) === 0)
+        .select(col("event_id").as("signup_id"), col("t_us").as("lo_us"),
+          (col("t_us") + lit(RangeJoinWindowUs)).as("hi_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("t_us"), col("value"))
+      graft.ops.RangeJoin
+        .pointInRange(purchases, "t_us", windows, "lo_us", "hi_us", RangeJoinWindowUs)
+        .groupBy("signup_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .orderBy("signup_id")
+    }),
+
+    // Z-order (Morton) layout key: bit-interleaved 16-bit grid coords over
+    // the event coordinates, aggregated per 12-bit z prefix — the per-file
+    // min/max stats a z-ordered write would give a data-skipping reader
+    // (each prefix bucket's bounding box is tight on BOTH dims; see
+    // graft.ops.ZOrder.layout for the write-side repartitionByRange shape).
+    "zorder_layout" -> ((s, d) => {
+      import graft.ops.ZOrder
+      val q = occ(s, d).select(
+        ZOrder.quantize16(col("lng"), -180, 180).as("qx"),
+        ZOrder.quantize16(col("lat"), -90, 90).as("qy"))
+      q.select(col("qx"), col("qy"),
+          ZOrder.interleave(col("qx"), col("qy")).as("z"))
+        .groupBy(shiftright(col("z"), 20).as("z_prefix"))
+        .agg(count(lit(1)).as("n"),
+          min("qx").as("min_qx"), max("qx").as("max_qx"),
+          min("qy").as("min_qy"), max("qy").as("max_qy"))
+        .orderBy("z_prefix")
+    })
   )
+
+  /** Attribution-window span for `join_range` (6 h in epoch micros). */
+  private val RangeJoinWindowUs = 21600000000L
 
   // ------------------------------------------------- LLM-pipeline operators
   // (training-data ops over documents/embeddings — SURVEY §7 north star)
@@ -868,6 +911,42 @@ object SparkEntry {
         .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
           round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share_r"))
         .orderBy("lang", "source")
+    }),
+
+    // Levenshtein verification of minhash-LSH candidates — the character-
+    // level sibling of dedup_verified, for near-dup families token jaccard
+    // is blind to (in-token edits, OCR noise). DP bounded to the first 256
+    // normalized chars per doc; candidates still come from the banded
+    // signatures, never a cross product.
+    "dedup_editdistance" -> ((s, d) =>
+      Dedup.editVerified(docs(s, d), shingleSize = 3, numPerms = 16, numBands = 4,
+          prefixChars = 256)
+        .select(col("a"), col("b"), col("n_bands"), col("edit_dist"),
+          col("edit_sim_r"), (col("edit_sim_r") >= 0.8).as("is_dup"))
+        .orderBy("a", "b")),
+
+    // Exactly-k-per-language uniform sample (distributed reservoir): the
+    // k smallest portable-hash values per group — count pass broadcast back
+    // as a per-group hash threshold, so the rank window runs over ~8k rows
+    // per group, never the group itself.
+    "sample_reservoir" -> ((s, d) =>
+      graft.llm.Sample.reservoirByGroup(docs(s, d), "lang", "doc_id",
+          k = 10, seed = "res-v1")
+        .orderBy("lang", "rnk")),
+
+    // Unicode NFC canonicalization (custom codegen'd Catalyst expression —
+    // Spark has no NFC built-in). A deterministic decomposed suffix is
+    // planted (combining acute/diaeresis, mirrored via chr() in the oracle)
+    // so the normalization provably runs: every row composes and changes.
+    "text_normalize" -> ((s, d) => {
+      val planted = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+      val raw = TA.normText(planted)
+      val nfc = graft.expr.NfcNormalize.nfc(raw)
+      docs(s, d).select(col("doc_id"),
+          length(raw).as("raw_len"), length(nfc).as("nfc_len"),
+          (raw =!= nfc).as("changed"),
+          md5(nfc.cast("binary")).as("nfc_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1201,7 +1280,31 @@ object SparkEntry {
 
       "json_from_schema" ->
         """SELECT json_extract_string(props, '$.k')::INTEGER AS k_val, count(*) AS n
-          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "join_range" ->
+        s"""WITH w AS (SELECT event_id AS signup_id, epoch_us(ts) AS lo_us,
+           |  epoch_us(ts) + $RangeJoinWindowUs AS hi_us
+           |  FROM events WHERE event_type = 'signup' AND (event_id % 50) = 0),
+           |p AS (SELECT event_id, epoch_us(ts) AS t_us, value
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT signup_id, count(*) AS n_purchases,
+           |  sum(value::DECIMAL(12,2))::DOUBLE AS sum_value
+           |FROM w JOIN p ON t_us >= lo_us AND t_us < hi_us
+           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "zorder_layout" -> {
+        import graft.ops.ZOrder
+        val z = ZOrder.sqlInterleave("qx", "qy")
+        sqlOcc +
+          s"""SELECT ($z >> 20) AS z_prefix, count(*) AS n,
+             |  min(qx) AS min_qx, max(qx) AS max_qx,
+             |  min(qy) AS min_qy, max(qy) AS max_qy
+             |FROM (SELECT ${ZOrder.sqlQuantize16("lng", -180, 180)} AS qx,
+             |             ${ZOrder.sqlQuantize16("lat", -90, 90)} AS qy
+             |      FROM occ)
+             |GROUP BY 1 ORDER BY 1""".stripMargin
+      }
     ) ++ llmOracles
   }
 
@@ -1407,7 +1510,39 @@ object SparkEntry {
 
       "tfidf_topk" -> TA.sqlTfidfTopK(k = 3),
 
-      "pack_payloads" -> graft.llm.Pack.sqlPayloads()
+      "pack_payloads" -> graft.llm.Pack.sqlPayloads(),
+
+      "dedup_editdistance" -> {
+        val dist = "levenshtein(l.nt, r.nt)"
+        val sim = s"round(1.0 - $dist::DOUBLE / greatest(length(l.nt), length(r.nt), 1), 6)"
+        s"""WITH ${sqlLshBase(3, 16, 4)},
+           |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
+           |  FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+           |  GROUP BY 1, 2),
+           |nt AS (SELECT doc_id, substr(${TA.sqlNormText("text")}, 1, 256) AS nt
+           |  FROM documents)
+           |SELECT a, b, n_bands, $dist::INTEGER AS edit_dist,
+           |  $sim AS edit_sim_r, ($sim >= 0.8) AS is_dup
+           |FROM cand JOIN nt l ON a = l.doc_id JOIN nt r ON b = r.doc_id
+           |ORDER BY 1, 2""".stripMargin
+      },
+
+      "sample_reservoir" ->
+        graft.llm.Sample.sqlReservoirByGroup("documents", "lang", "doc_id",
+          k = 10, seed = "res-v1"),
+
+      "text_normalize" -> {
+        // same decomposed suffix the engine plants: chr(769) = COMBINING
+        // ACUTE, chr(776) = COMBINING DIAERESIS
+        val planted = "text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'"
+        val raw = TA.sqlNormText(planted)
+        s"""WITH c AS (SELECT doc_id, $raw AS raw FROM documents)
+           |SELECT doc_id, length(raw)::INTEGER AS raw_len,
+           |  length(nfc_normalize(raw))::INTEGER AS nfc_len,
+           |  (raw != nfc_normalize(raw)) AS changed,
+           |  md5(nfc_normalize(raw)) AS nfc_md5
+           |FROM c ORDER BY doc_id""".stripMargin
+      }
     )
   }
 

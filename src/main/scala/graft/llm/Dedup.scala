@@ -238,6 +238,36 @@ object Dedup {
           size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
   }
 
+  /** Edit-distance verification of minhash-LSH candidates: the Levenshtein
+    * sibling of [[verifiedJaccardFrom]], for near-dup families where token
+    * overlap is blind (small character edits inside tokens, OCR noise,
+    * template fills). Candidates still come from the banded signatures — the
+    * DP never runs on a cross product — and each text is truncated to
+    * `prefixChars` NORMALIZED chars so the per-pair cost is bounded at
+    * O(prefixChars²) regardless of document size (the standard bound for
+    * web-scale edit verification; similarity on a shared prefix upper-bounds
+    * whole-doc similarity for boilerplate-headed near-dups, which is the
+    * family LSH hands us). edit_sim = 1 − dist / max(len_a, len_b, 1).
+    */
+  def editVerified(
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int,
+      prefixChars: Int, maxBucket: Int = MaxBandBucket): DataFrame = {
+    // minhashCandidates materializes the banded frame, so both self-join
+    // sides read stored blocks — same single-scan contract as the jaccard
+    // cascade; the text join sides are plain pruned scans (doc_id, text).
+    val cand = minhashCandidates(docs, shingleSize, numPerms, numBands, maxBucket)
+    val keyed = docs.select(col("doc_id"),
+      substring(TextAnalysis.normText(col("text")), 1, prefixChars).as("nt"))
+    val dist = levenshtein(col("l.nt"), col("r.nt"))
+    val sim = lit(1.0) - dist.cast("double") /
+      greatest(length(col("l.nt")), length(col("r.nt")), lit(1))
+    cand
+      .join(keyed.as("l"), col("a") === col("l.doc_id"))
+      .join(keyed.as("r"), col("b") === col("r.doc_id"))
+      .select(col("a"), col("b"), col("n_bands"),
+        dist.as("edit_dist"), round(sim, 6).as("edit_sim_r"))
+  }
+
   /** Near-duplicate clusters: connected components over a pair list
     * (a < b), labeling every member with the smallest doc_id reachable —
     * the standard dedup-grouping step after candidate verification.

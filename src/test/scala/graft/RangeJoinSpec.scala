@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("banded interval join == naive theta join on random points/ranges") {
+    val rnd = new scala.util.Random(11)
+    val points = Seq.tabulate(500)(i => (i.toLong, rnd.nextLong(100000L))).toDF("pid", "t")
+    val ranges = Seq.tabulate(60) { i =>
+      val lo = rnd.nextLong(95000L)
+      (i.toLong, lo, lo + 1 + rnd.nextLong(8000L)) // spans 0–8 buckets at w=1000
+    }.toDF("rid", "lo", "hi")
+    val banded = RangeJoin.pointInRange(points, "t", ranges, "lo", "hi", 1000L)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ranges, col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == naive, s"banded=${banded.size} naive=${naive.size}")
+    assert(naive.nonEmpty, "fixture must actually produce matches")
+  }
+
+  test("half-open boundary semantics: lo inclusive, hi exclusive, no duplicate pairs") {
+    val points = Seq((1L, 100L), (2L, 199L), (3L, 200L), (4L, 99L)).toDF("pid", "t")
+    val ranges = Seq((7L, 100L, 200L)).toDF("rid", "lo", "hi")
+    // bucket width far smaller than the span: the range covers many buckets
+    val out = RangeJoin.pointInRange(points, "t", ranges, "lo", "hi", 10L)
+      .select("pid").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L), "lo in, hi out, below-lo out; each pair exactly once")
+  }
+
+  test("the plan is an equi-join on the bucket key, not a nested loop") {
+    val points = Seq.tabulate(100)(i => (i.toLong, i.toLong * 7)).toDF("pid", "t")
+    val ranges = Seq.tabulate(10)(i => (i.toLong, i * 50L, i * 50L + 30L)).toDF("rid", "lo", "hi")
+    val plan = RangeJoin.pointInRange(points, "t", ranges, "lo", "hi", 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+  }
+}
