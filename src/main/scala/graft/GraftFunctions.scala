@@ -101,7 +101,24 @@ object GraftFunctions {
             Literal(1L << b): Expression)), Some(Literal(0L))): Expression
         }.reduce((a, b) => fn("+", a, b))
       },
-      "graft_lsh_cell(vec, band, bits, dim) - deterministic sign-bit LSH cell id")
+      "graft_lsh_cell(vec, band, bits, dim) - deterministic sign-bit LSH cell id"),
+    ("graft_nfc",
+      (es: Seq[Expression]) => graft.expr.NfcNormalize(es.head),
+      "graft_nfc(str) - Unicode NFC canonical normalization (codegen'd)"),
+    ("graft_zorder",
+      (es: Seq[Expression]) => {
+        // bit-interleave via the same magic-number spreading ZOrder.interleave
+        // emits on the Column side, as a function tree over built-ins
+        def spread(e: Expression): Expression = {
+          def step(x: Expression, shiftBits: Int, mask: Long): Expression =
+            fn("&", fn("|", x, fn("shiftleft", x, i(shiftBits))), Literal(mask))
+          val s0 = fn("&", e, Literal(0xFFFFL))
+          step(step(step(step(s0, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL),
+            2, 0x33333333L), 1, 0x55555555L)
+        }
+        fn("|", spread(es.head), fn("shiftleft", spread(es(1)), i(1)))
+      },
+      "graft_zorder(x, y) - Morton interleave of two 16-bit grid coords")
   )
 
   /** Register into a live session (temp functions). */

@@ -934,6 +934,14 @@ object SparkEntry {
           k = 10, seed = "res-v1")
         .orderBy("lang", "rnk")),
 
+    // Incremental semantic dedup: the NEW vector batch (vec_id % 10 == 9)
+    // probes the EXISTING index through the shared (band, cell) LSH — the
+    // embedding analog of dedup_incremental, linear in the batch.
+    "semantic_incremental" -> ((s, d) =>
+      Similarity.incremental(emb(s, d), pmod(col("vec_id"), lit(10)) === 9,
+          threshold = 0.4)
+        .orderBy("vec_id")),
+
     // Unicode NFC canonicalization (custom codegen'd Catalyst expression —
     // Spark has no NFC built-in). A deterministic decomposed suffix is
     // planted (combining acute/diaeresis, mirrored via chr() in the oracle)
@@ -1531,6 +1539,9 @@ object SparkEntry {
         graft.llm.Sample.sqlReservoirByGroup("documents", "lang", "doc_id",
           k = 10, seed = "res-v1"),
 
+      "semantic_incremental" ->
+        sqlSemanticIncremental(e => s"(($e % 10) = 9)", thr = 0.4),
+
       "text_normalize" -> {
         // same decomposed suffix the engine plants: chr(769) = COMBINING
         // ACUTE, chr(776) = COMBINING DIAERESIS
@@ -1640,6 +1651,39 @@ object SparkEntry {
        |p AS (SELECT a, b, $cos AS cos_r
        |  FROM cand JOIN n l ON a = l.vec_id JOIN n r ON b = r.vec_id),
        |ndp AS (SELECT a, b, cos_r FROM p WHERE cos_r >= $threshold)""".stripMargin
+  }
+
+  /** Oracle twin of [[graft.llm.Similarity.incremental]]: batch vectors
+    * (pred on vec_id) probe index vectors on shared (band, cell), verified
+    * by exact cosine — same CTE geometry as [[sqlNearDupCte]] with the
+    * batch/index split of [[sqlIncremental]].
+    */
+  private def sqlSemanticIncremental(batchPred: String => String, thr: Double): String = {
+    import graft.llm.Similarity
+    val cells = Similarity.sqlBandCells(
+      "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+    val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+       |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc AS (SELECT vec_id, band, cell FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+       |  WHERE occ <= ${Similarity.MaxCellBucket}),
+       |cand AS (SELECT DISTINCT b.vec_id AS bid, i.vec_id AS iid
+       |  FROM cc b JOIN cc i ON b.band = i.band AND b.cell = i.cell
+       |  WHERE ${batchPred("b.vec_id")} AND NOT ${batchPred("i.vec_id")}),
+       |ver AS (SELECT bid, iid, $cos AS cos_r
+       |  FROM cand JOIN n l ON bid = l.vec_id JOIN n r ON iid = r.vec_id),
+       |best AS (SELECT bid, max(cos_r) AS bc FROM ver GROUP BY 1),
+       |pick AS (SELECT v.bid, min(v.iid) AS near_id, max(v.cos_r) AS best_cos_r
+       |  FROM ver v JOIN best t2 ON v.bid = t2.bid AND v.cos_r = t2.bc GROUP BY 1)
+       |SELECT e.vec_id, coalesce(p.near_id, -1)::BIGINT AS near_id,
+       |  coalesce(p.best_cos_r, -2.0)::DOUBLE AS best_cos_r,
+       |  coalesce(p.best_cos_r < $thr, TRUE) AS keep
+       |FROM embeddings e LEFT JOIN pick p ON e.vec_id = p.bid
+       |WHERE ${batchPred("e.vec_id")}
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   private def sqlVerifiedCte(shingleSize: Int, numPerms: Int, numBands: Int): String =

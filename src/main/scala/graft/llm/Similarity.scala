@@ -240,6 +240,51 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Incremental embedding-corpus update: a NEW batch of vectors probes the
+    * EXISTING index through the shared (band, cell) LSH — linear in the
+    * batch, never re-comparing index-vs-index (the embedding analog of
+    * [[graft.llm.Dedup.incremental]], closing the semantic path the same
+    * way: pairs → clusters → decisions → incremental). Batch cells join
+    * index cells on (band, cell) under the same flood cap, candidates are
+    * verified by exact cosine, and each batch vector reports its best index
+    * match (max cosine, smallest index id on ties). Sentinels (-1 id /
+    * -2.0 cosine — below the [-1, 1] range) keep dtypes stable; `keep` is
+    * the admission verdict: best cosine under `threshold`.
+    *
+    * `isBatch` must be a predicate on `vec_id` (it is applied to the cell
+    * frame, which only carries `vec_id`).
+    */
+  def incremental(emb: DataFrame, isBatch: Column, threshold: Double,
+                  bands: Int = Bands, bitsPerBand: Int = BitsPerBand,
+                  dim: Int = Dim, maxBucket: Int = MaxCellBucket): DataFrame = {
+    val cells = Dedup.cappedBuckets(
+        emb.select(col("vec_id"),
+          posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
+            .as(Seq("band", "cell"))),
+        maxBucket, cols = Seq("band", "cell"))
+      .localCheckpoint()
+    val bc = cells.filter(isBatch).select(col("vec_id").as("bid"), col("band"), col("cell"))
+    val ic = cells.filter(!isBatch).select(col("vec_id").as("iid"), col("band"), col("cell"))
+    val cand = bc.join(ic, Seq("band", "cell")).select("bid", "iid").distinct()
+    val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint()
+    val ver = cand
+      .join(n.as("l"), col("bid") === col("l.vec_id"))
+      .join(n.as("r"), col("iid") === col("r.vec_id"))
+      .select(col("bid"), col("iid"),
+        round(dot(col("l.embedding"), col("r.embedding")) /
+          (col("l.nrm") * col("r.nrm")), 6).as("cos_r"))
+    val best = ver.groupBy("bid").agg(max("cos_r").as("bc"))
+    val pick = ver.join(best, Seq("bid")).filter(col("cos_r") === col("bc"))
+      .groupBy("bid").agg(min("iid").as("near_id"), max("cos_r").as("best_cos_r"))
+    emb.filter(isBatch).select(col("vec_id"))
+      .join(pick, col("vec_id") === col("bid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("near_id"), lit(-1L)).as("near_id"),
+        coalesce(col("best_cos_r"), lit(-2.0)).as("best_cos_r"),
+        coalesce(col("best_cos_r") < threshold, lit(true)).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b): multi-band LSH
     * candidates verified with exact cosine. Round 1 compared all pairs
     * within the fixture `label`; this is the computed-quantizer version.

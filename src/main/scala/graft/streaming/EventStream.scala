@@ -51,6 +51,41 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * `join_range` attribution query: purchases join the signups whose
+    * `[s_ts, s_ts + window)` window contains them.
+    *
+    * Spark rejects stream-stream joins without an equality predicate, and
+    * the SAME banding that gives the batch RangeJoin its shuffle key fixes
+    * that here: signups explode into the (≤2, deduped) fixed-width time
+    * buckets their window covers, purchases key by their own bucket, and
+    * the join is bucket-equality plus the precise range bound. The range
+    * condition on the two watermarked timestamp columns is what lets Spark
+    * evict join state (signups after window + watermark, purchases after
+    * watermark) — without it a stream-stream join buffers forever. A
+    * purchase emits once per containing window (bucket dedup keeps aligned
+    * windows from double-emitting), exactly like the batch shape.
+    */
+  def attribution(signups: DataFrame, purchases: DataFrame,
+                  windowUs: Long = 21600000000L,
+                  watermark: String = "2 hours"): DataFrame = {
+    val s = signups
+      .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+      // covered buckets: first div w .. (last valid instant) div w — exact
+      // integer arithmetic (div), deduped for the window-aligned case
+      .withColumn("bkt", explode(array_distinct(array(
+        expr(s"unix_micros(s_ts) div $windowUs"),
+        expr(s"(unix_micros(s_ts) + $windowUs - 1) div $windowUs")))))
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+      .withColumn("bkt", expr(s"unix_micros(p_ts) div $windowUs"))
+    p.join(s, p("bkt") === s("bkt") &&
+        expr(s"p_ts >= s_ts AND p_ts < s_ts + INTERVAL $windowUs MICROSECOND"))
+      .select(col("signup_id"), col("purchase_id"), col("p_ts"), col("value"))
+  }
+
   // ---- sessionization --------------------------------------------------
 
   case class Ev(ts: java.sql.Timestamp, user_id: Long)

@@ -43,4 +43,27 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(9L))
     assert(out.head.getBoolean(4), "novel batch doc kept")
   }
+
+  test("semantic incremental: batch vectors route to near-dup / novel against the index") {
+    import graft.llm.Similarity
+    val rnd = new scala.util.Random(31)
+    val v0 = Array.fill(Similarity.Dim)(rnd.nextFloat() * 2 - 1)
+    // near-copy: tiny perturbation keeps cosine ~1 and band sign bits equal
+    val near = v0.map(x => x + 0.001f)
+    val novel = Array.fill(Similarity.Dim)(rnd.nextFloat() * 2 - 1)
+    val other = Array.fill(Similarity.Dim)(rnd.nextFloat() * 2 - 1)
+    val emb = Seq((0L, v0), (1L, other), (9L, near), (19L, novel))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Similarity.incremental(emb, pmod(col("vec_id"), lit(10)) === 9,
+        threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.map(_._1).toSeq == Seq(9L, 19L), "only batch vectors in the verdict")
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(9L)._2 == 0L && byId(9L)._3 > 0.999 && !byId(9L)._4,
+      "near-copy of index vector 0 -> dropped with best match recorded")
+    assert(byId(19L)._4, s"novel vector kept (best=${byId(19L)._3})")
+    assert(byId(19L)._3 < 0.9, "novel vector's best cosine is under the threshold")
+  }
 }

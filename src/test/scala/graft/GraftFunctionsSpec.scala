@@ -75,4 +75,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
       "SQL sample filter == stratifiedKeep with a flat rate")
   }
+
+  test("graft_nfc / graft_zorder == expression and Column APIs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val nfc = spark.sql("SELECT graft_nfc('cafe\u0301') AS n").collect().head.getString(0)
+    assert(nfc == "caf\u00e9", "SQL NFC composes the combining acute")
+
+    val rnd = new scala.util.Random(29)
+    val pts = Seq.fill(100)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    pts.toDF("x", "y").createOrReplaceTempView("zpts")
+    val viaSql = spark.sql("SELECT graft_zorder(x, y) AS z FROM zpts")
+    val viaCol = pts.toDF("x", "y")
+      .select(graft.ops.ZOrder.interleave(col("x"), col("y")).as("z"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty,
+      "SQL morton code matches the Column API bitwise")
+  }
 }

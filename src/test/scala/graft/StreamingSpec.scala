@@ -172,4 +172,37 @@ class StreamingSpec extends SparkSpec {
       assert(batchKeep == got, s"streaming admission == batch exact layer: $batchKeep")
     } finally q.stop()
   }
+
+  test("stream-stream interval join: purchases attribute to containing signup windows across batches") {
+    implicit val sql = spark.sqlContext
+    val signups = MemoryStream[(Timestamp, Long, String, Double)]
+    val purchases = MemoryStream[(Timestamp, Long, String, Double)]
+    val joined = EventStream.attribution(
+      signups.toDF().toDF("ts", "event_id", "event_type", "value"),
+      purchases.toDF().toDF("ts", "event_id", "event_type", "value"),
+      windowUs = 21600000000L, watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      signups.addData((ts("2024-01-01 10:00:00"), 100L, "signup", 0.0))
+      purchases.addData((ts("2024-01-01 12:00:00"), 200L, "purchase", 5.0)) // inside
+      q.processAllAvailable()
+      // a later batch: one more purchase inside the window (stream-stream
+      // state must still hold the signup), one outside it
+      purchases.addData(
+        (ts("2024-01-01 15:59:00"), 201L, "purchase", 7.0),  // inside, near edge
+        (ts("2024-01-01 16:00:00"), 202L, "purchase", 9.0))  // at hi: excluded
+      q.processAllAvailable()
+      // advance both watermarks so all pairs flush from the join state
+      signups.addData((ts("2024-01-02 10:00:00"), 101L, "signup", 0.0))
+      purchases.addData((ts("2024-01-02 10:00:00"), 299L, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .filter(col("purchase_id") < 290)
+        .select("signup_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (100L, 201L)),
+        s"half-open window semantics across micro-batches: $got")
+    } finally q.stop()
+  }
 }
