@@ -116,4 +116,35 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Aggregate"),
       s"no join/agg belongs in a redaction pass:\n$plan")
   }
+
+  test("join_range: bucket equi-join, never a nested loop over points x ranges") {
+    val plan = SparkEntry.queries("join_range")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the banded range join must plan as an equi-join:\n$plan")
+  }
+
+  test("sample_reservoir: group counts broadcast; rank window sees only prefilter survivors") {
+    val df = SparkEntry.queries("sample_reservoir")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"|groups| counts must broadcast back, not shuffle the corpus:\n$plan")
+    // the hash-threshold prefilter must sit BELOW the window (the window
+    // otherwise sorts whole groups — the thing the two-pass design avoids)
+    val winIdx = plan.indexOf("Window")
+    val filtIdx = plan.indexOf("< least(4294967296")
+    assert(winIdx >= 0 && filtIdx > winIdx,
+      s"prefilter must run before the rank window:\n$plan")
+  }
+
+  test("dedup_editdistance: candidates read the materialized bands; text joined from pruned scans") {
+    val df = SparkEntry.queries("dedup_editdistance")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("md5"),
+      s"signature subtree must be materialized once, not recomputed:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"one pruned documents scan per text side, got $scans:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"text-side scans must prune to (doc_id, text):\n$plan")
+  }
 }
