@@ -107,15 +107,15 @@ object GraftFunctions {
       "graft_nfc(str) - Unicode NFC canonical normalization (codegen'd)"),
     ("graft_zorder",
       (es: Seq[Expression]) => {
-        // bit-interleave via the same magic-number spreading ZOrder.interleave
-        // emits on the Column side, as a function tree over built-ins
-        def spread(e: Expression): Expression = {
-          def step(x: Expression, shiftBits: Int, mask: Long): Expression =
-            fn("&", fn("|", x, fn("shiftleft", x, i(shiftBits))), Literal(mask))
-          val s0 = fn("&", e, Literal(0xFFFFL))
-          step(step(step(step(s0, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL),
-            2, 0x33333333L), 1, 0x55555555L)
-        }
+        // expression-tree rendering of the ONE shared spreading schedule
+        // (ZOrder.SpreadSteps) — constants can't drift from the Column/SQL
+        // forms; GraftFunctionsSpec pins bitwise equality
+        import graft.ops.ZOrder
+        def spread(e: Expression): Expression =
+          ZOrder.SpreadSteps.foldLeft(fn("&", e, Literal(ZOrder.InputMask))) {
+            case (x, (sh, mask)) =>
+              fn("&", fn("|", x, fn("shiftleft", x, i(sh))), Literal(mask))
+          }
         fn("|", spread(es.head), fn("shiftleft", spread(es(1)), i(1)))
       },
       "graft_zorder(x, y) - Morton interleave of two 16-bit grid coords")

@@ -599,8 +599,10 @@ object SparkEntry {
     })
   )
 
-  /** Attribution-window span for `join_range` (6 h in epoch micros). */
-  private val RangeJoinWindowUs = 21600000000L
+  /** Attribution-window span for `join_range` — shared with the streaming
+    * twin so batch and streaming attribution can never drift apart.
+    */
+  private val RangeJoinWindowUs = graft.streaming.EventStream.AttributionWindowUs
 
   // ------------------------------------------------- LLM-pipeline operators
   // (training-data ops over documents/embeddings — SURVEY §7 north star)
@@ -1527,7 +1529,9 @@ object SparkEntry {
            |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
            |  FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
            |  GROUP BY 1, 2),
-           |nt AS (SELECT doc_id, substr(${TA.sqlNormText("text")}, 1, 256) AS nt
+           |nt AS (SELECT doc_id,
+           |  regexp_replace(substr(${TA.sqlNormText("text")}, 1, 256),
+           |                 '[^ -~]', '?', 'g') AS nt
            |  FROM documents)
            |SELECT a, b, n_bands, $dist::INTEGER AS edit_dist,
            |  $sim AS edit_sim_r, ($sim >= 0.8) AS is_dup

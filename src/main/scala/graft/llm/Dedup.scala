@@ -248,6 +248,15 @@ object Dedup {
     * web-scale edit verification; similarity on a shared prefix upper-bounds
     * whole-doc similarity for boilerplate-headed near-dups, which is the
     * family LSH hands us). edit_sim = 1 − dist / max(len_a, len_b, 1).
+    *
+    * The DP runs over the ASCII PROJECTION of the prefix (every non-ASCII
+    * code point replaced by `?`): Spark's `levenshtein` counts code points
+    * while DuckDB's counts BYTES, so on raw text the engines disagree on
+    * any multi-byte character ('e'+combining-acute vs 'e' is 1 in Spark,
+    * 2 in DuckDB) — projecting to ASCII makes byte and code-point
+    * semantics coincide, the same portable-domain move as
+    * [[graft.expr.PortableHash]]. Distances stay sane (an accented char
+    * still differs from its base letter by exactly 1 substitution).
     */
   def editVerified(
       docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int,
@@ -257,7 +266,9 @@ object Dedup {
     // cascade; the text join sides are plain pruned scans (doc_id, text).
     val cand = minhashCandidates(docs, shingleSize, numPerms, numBands, maxBucket)
     val keyed = docs.select(col("doc_id"),
-      substring(TextAnalysis.normText(col("text")), 1, prefixChars).as("nt"))
+      regexp_replace(
+        substring(TextAnalysis.normText(col("text")), 1, prefixChars),
+        "[^ -~]", "?").as("nt"))
     val dist = levenshtein(col("l.nt"), col("r.nt"))
     val sim = lit(1.0) - dist.cast("double") /
       greatest(length(col("l.nt")), length(col("r.nt")), lit(1))

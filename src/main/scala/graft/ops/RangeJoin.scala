@@ -33,8 +33,14 @@ object RangeJoin {
                    ranges: DataFrame, loCol: String, hiCol: String,
                    bucketWidth: Long): DataFrame = {
     val w = lit(bucketWidth)
+    // Empty/inverted ranges (hi <= lo) are dropped BEFORE the explode:
+    // they can never match the half-open predicate, and Spark's
+    // sequence(start, stop) auto-reverses for start > stop — a single
+    // corrupt range row would otherwise explode into floor(lo/w)+1
+    // spurious bucket rows (unbounded amplification the residual filter
+    // then pays to discard).
     // last covered bucket: floor((hi - 1) / w) — hi itself is exclusive
-    val r = ranges.withColumn("__bkt",
+    val r = ranges.filter(col(hiCol) > col(loCol)).withColumn("__bkt",
       explode(sequence(floor(col(loCol) / w).cast("long"),
         floor((col(hiCol) - 1) / w).cast("long"))))
     val p = points.withColumn("__bkt", floor(col(ptCol) / w).cast("long"))

@@ -23,22 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Spread the low 16 bits of `v` to even bit positions (0,2,4,…,30). */
-  private def spread16(v: Column): Column = {
-    var x = v.bitwiseAND(lit(0xFFFFL))
-    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
-    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
-    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
-    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
-  }
+  /** The magic-number spreading schedule — the ONE copy of the constants
+    * every representation (Column, DuckDB SQL, SQL-surface Expression,
+    * local reference) derives from, so the encodings cannot drift.
+    */
+  val SpreadSteps: Seq[(Int, Long)] =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+  val InputMask = 0xFFFFL
 
-  private def sqlSpread16(e: String): String = {
-    val s0 = s"(($e) & 65535)"
-    val s1 = s"((($s0 | ($s0 << 8)) & 16711935))"
-    val s2 = s"((($s1 | ($s1 << 4)) & 252645135))"
-    val s3 = s"((($s2 | ($s2 << 2)) & 858993459))"
-    s"(($s3 | ($s3 << 1)) & 1431655765)"
-  }
+  /** Spread the low 16 bits of `v` to even bit positions (0,2,4,…,30). */
+  private def spread16(v: Column): Column =
+    SpreadSteps.foldLeft(v.bitwiseAND(lit(InputMask))) { case (x, (sh, mask)) =>
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    }
+
+  private def sqlSpread16(e: String): String =
+    SpreadSteps.foldLeft(s"(($e) & $InputMask)") { case (x, (sh, mask)) =>
+      s"((($x | ($x << $sh)) & $mask))"
+    }
 
   /** 32-bit Morton code of two 16-bit coords (x even bits, y odd bits). */
   def interleave(x: Column, y: Column): Column =
@@ -49,13 +51,10 @@ object ZOrder {
 
   /** Reference JVM implementation for property tests. */
   def interleaveLocal(x: Int, y: Int): Long = {
-    def sp(v: Long): Long = {
-      var r = v & 0xFFFFL
-      r = (r | (r << 8)) & 0x00FF00FFL
-      r = (r | (r << 4)) & 0x0F0F0F0FL
-      r = (r | (r << 2)) & 0x33333333L
-      (r | (r << 1)) & 0x55555555L
-    }
+    def sp(v: Long): Long =
+      SpreadSteps.foldLeft(v & InputMask) { case (r, (sh, mask)) =>
+        (r | (r << sh)) & mask
+      }
     sp(x.toLong) | (sp(y.toLong) << 1)
   }
 

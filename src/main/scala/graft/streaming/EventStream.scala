@@ -66,8 +66,14 @@ object EventStream {
     * purchase emits once per containing window (bucket dedup keeps aligned
     * windows from double-emitting), exactly like the batch shape.
     */
+  /** Attribution-window span (6 h in epoch micros) — the ONE constant both
+    * the batch `join_range` query and the streaming twin default to, so the
+    * two pipelines cannot silently drift apart.
+    */
+  val AttributionWindowUs: Long = 21600000000L
+
   def attribution(signups: DataFrame, purchases: DataFrame,
-                  windowUs: Long = 21600000000L,
+                  windowUs: Long = AttributionWindowUs,
                   watermark: String = "2 hours"): DataFrame = {
     val s = signups
       .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))

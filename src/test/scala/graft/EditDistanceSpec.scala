@@ -33,6 +33,19 @@ class EditDistanceSpec extends SparkSpec {
     assert(s > 0.95, s"edit similarity $s")
   }
 
+  test("non-ASCII code points project to '?' so engine and oracle agree byte-for-byte") {
+    // DuckDB levenshtein counts BYTES, Spark counts code points — the ASCII
+    // projection makes them coincide. An accented char still costs exactly
+    // one substitution against its base letter.
+    val accented = base.replaceFirst("quick", "qu\u00efck") // i-diaeresis
+    val docs = Seq((1L, base + " " + base), (2L, (accented + " " + accented)))
+      .toDF("doc_id", "text")
+    val out = Dedup.editVerified(docs, 3, 16, 4, prefixChars = 256)
+      .as[(Long, Long, Long, Int, Double)].collect()
+    assert(out.length == 1, s"near-dup pair must survive banding: ${out.toSeq}")
+    assert(out.head._4 == 2, s"one '?'-vs-'i' substitution per copy, got ${out.head._4}")
+  }
+
   test("DP is bounded: texts identical in the first prefixChars verify as equal") {
     val longA = base * 5 + " tail-A"
     val longB = base * 5 + " completely-different-tail-B"

@@ -30,6 +30,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L), "lo in, hi out, below-lo out; each pair exactly once")
   }
 
+  test("empty and inverted ranges produce zero rows, not exploded buckets") {
+    val points = Seq((1L, 100L)).toDF("pid", "t")
+    val ranges = Seq(
+      (1L, 100L, 100L),      // empty half-open range
+      (2L, 1000000L, 0L)     // corrupt inverted range
+    ).toDF("rid", "lo", "hi")
+    val out = RangeJoin.pointInRange(points, "t", ranges, "lo", "hi", 10L)
+    assert(out.count() == 0, "hi <= lo can never contain a point")
+    // and the degenerate ranges never reach the explode (no row blow-up):
+    // sequence() would emit 100001 buckets for the inverted range at w=10
+    val exploded = ranges.filter(col("hi") > col("lo")).count()
+    assert(exploded == 0, "both degenerate ranges filtered before banding")
+  }
+
   test("the plan is an equi-join on the bucket key, not a nested loop") {
     val points = Seq.tabulate(100)(i => (i.toLong, i.toLong * 7)).toDF("pid", "t")
     val ranges = Seq.tabulate(10)(i => (i.toLong, i * 50L, i * 50L + 30L)).toDF("rid", "lo", "hi")
