@@ -539,6 +539,39 @@ object SparkEntry {
             .as("hll_ok"))
         .orderBy("map_key")),
 
+    // Approximate percentiles (GK sketch) under a BOUNDED-RANK-ERROR
+    // contract — the same pattern as agg_approx_distinct's HLL check: the
+    // oracle can't replay an engine-specific sketch, so the engine verifies
+    // its own guarantee (approx_percentile(acc) bounds rank error by n/acc)
+    // and ships booleans the oracle pins to TRUE. The returned quantile is
+    // a real data element whose rank lies in (rank_lt, rank_le]; ok iff
+    // that interval is within n/acc + 1 of the target rank p·n. The
+    // verification join re-scans the fact table — that's the check, not the
+    // production query; at scale the sketch alone is one map-side pass.
+    "agg_approx_percentile" -> ((s, d) => {
+      val acc = 1000
+      val approx = lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr(s"approx_percentile(l_quantity, array(0.5, 0.9), $acc)").as("ap"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("ap"), 1).as("ap50"), element_at(col("ap"), 2).as("ap90"))
+      def okCol(p: Double, apCol: String) = {
+        val tol = col("n").cast("double") / acc + 1
+        val target = col("n") * p
+        (col(s"rank_lt_$apCol") - tol <= target && target <= col(s"rank_le_$apCol") + tol)
+      }
+      lineitem(s, d).join(broadcast(approx), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(max("n").as("n"),
+          sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L)).as("rank_lt_ap50"),
+          sum(when(col("l_quantity") <= col("ap50"), 1L).otherwise(0L)).as("rank_le_ap50"),
+          sum(when(col("l_quantity") < col("ap90"), 1L).otherwise(0L)).as("rank_lt_ap90"),
+          sum(when(col("l_quantity") <= col("ap90"), 1L).otherwise(0L)).as("rank_le_ap90"))
+        .select(col("l_returnflag"), col("n"),
+          okCol(0.5, "ap50").as("ok50"), okCol(0.9, "ap90").as("ok90"))
+        .orderBy("l_returnflag")
+    }),
+
     // Exact interpolated percentiles (both engines use the same
     // linear-interpolation definition).
     "agg_percentile" -> ((s, d) =>
@@ -852,6 +885,25 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("ngram"))
         .limit(50)),
 
+    // Support-threshold frequent tokens (the scale-honest sibling of
+    // vocab_topk: output is every token above a ppm support floor, not a
+    // fixed k). One explode + hash agg (map-side partials); the token-freq
+    // frame is localCheckpoint'd so the scalar total doesn't re-run the
+    // corpus scan; the total rides a 1-row broadcast. Pure integer
+    // threshold arithmetic (freq·10⁶ ≥ ppm·total) — no FP boundary.
+    "heavy_hitters" -> ((s, d) => {
+      val freq = docs(s, d)
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val tot = freq.agg(sum("freq").as("tot"))
+      freq.crossJoin(tot)
+        .filter(col("freq") * lit(1000000L) >= lit(HeavyHitterPpm) * col("tot"))
+        .select(col("token"), col("freq"),
+          expr("(freq * 1000000) div tot").as("ppm"))
+        .orderBy(col("freq").desc, col("token"))
+    }),
+
     // Semantic dedup clustering: the alternating large-star/small-star CC
     // used for text near-dups, over embedding-cosine LSH edges — groups of
     // semantically near-identical samples (the embedding analog of
@@ -959,6 +1011,9 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** Support floor for `heavy_hitters` (ppm of total corpus tokens). */
+  private val HeavyHitterPpm = 2000L
 
   /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
   private val MixRatesPpm = Seq("en" -> 500000L, "fr" -> 250000L)
@@ -1281,6 +1336,12 @@ object SparkEntry {
           |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
           |FROM events ORDER BY event_id""".stripMargin,
 
+      // engine-side bounded-rank-error check (see the query comment): the
+      // oracle pins the exact group counts and TRUE verdicts
+      "agg_approx_percentile" ->
+        """SELECT l_returnflag, count(*) AS n, true AS ok50, true AS ok90
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
       "agg_percentile" ->
         """SELECT l_returnflag,
           |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
@@ -1379,6 +1440,14 @@ object SparkEntry {
             |  (COALESCE(cl.cluster_id, v.vec_id) = v.vec_id) AS keep
             |FROM embeddings v LEFT JOIN cl ON v.vec_id = cl.vec_id
             |ORDER BY v.vec_id""".stripMargin),
+
+      "heavy_hitters" ->
+        s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+           |f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1),
+           |tt AS (SELECT sum(freq) AS tot FROM f)
+           |SELECT token, freq, (freq * 1000000) // tot AS ppm
+           |FROM f, tt WHERE freq * 1000000 >= $HeavyHitterPpm * tot
+           |ORDER BY freq DESC, token""".stripMargin,
 
       "ngram_counts" ->
         s"""WITH t AS (SELECT $toks AS toks FROM documents),

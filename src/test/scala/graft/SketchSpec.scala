@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts of the self-verifying approximate keys: the oracle pins TRUE
+  * verdicts, so these specs prove the verdicts MEAN something — the check
+  * passes on the real sketch and fails on a corrupted one.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+  private val d = "/root/testdata/sf0.001"
+
+  test("agg_approx_percentile: rank-error verdicts hold on the fixture") {
+    val rows = SparkEntry.queries("agg_approx_percentile")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        s"GK sketch must meet its n/accuracy rank bound: $r")
+    }
+  }
+
+  test("the rank check is falsifiable: a corrupted quantile fails it") {
+    // replay the check with a deliberately wrong 'approx' value (the group
+    // max) — the ok computation must reject it, proving TRUE isn't vacuous
+    val li = Tables.lineitem(spark, d)
+    val fake = li.groupBy("l_returnflag")
+      .agg(max("l_quantity").as("ap50"), count(lit(1)).as("n"))
+    val acc = 1000
+    val checked = li.join(broadcast(fake), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(max("n").as("n"),
+        sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("l_quantity") <= col("ap50"), 1L).otherwise(0L)).as("le"))
+      .select((col("lt") - (col("n") / acc + 1) <= col("n") * 0.5 &&
+        col("n") * 0.5 <= col("le") + (col("n") / acc + 1)).as("ok"))
+    assert(checked.collect().forall(!_.getBoolean(0)),
+      "max-as-median must violate the p=0.5 rank bound")
+  }
+
+  test("heavy_hitters: support floor is exact and complete") {
+    val out = SparkEntry.queries("heavy_hitters")(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val freq = Tables.documents(spark, d)
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect().toMap
+    val tot = freq.values.sum
+    val floor = 2000L
+    out.foreach { case (t, f, ppm) =>
+      assert(freq(t) == f && f * 1000000L >= floor * tot, s"$t below floor")
+      assert(ppm == f * 1000000L / tot, s"$t ppm mismatch")
+    }
+    val missed = freq.filter { case (t, f) =>
+      f * 1000000L >= floor * tot && !out.exists(_._1 == t)
+    }
+    assert(missed.isEmpty, s"tokens above the floor missing from output: $missed")
+  }
+}
