@@ -19,7 +19,14 @@ object Bench {
     // chasing per-query regressions without the shared-JVM ordering noise
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // fail LOUDLY on a typo'd subset: a name that matches nothing would
+    // otherwise benchmark zero queries and print a success-shaped artifact
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown SPARK_GRAFT_QUERIES keys: ${unknown.mkString(", ")}")
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,7 +95,9 @@ object Bench {
     // (SPARK_GRAFT_QUERIES) dev runs must not clobber the full-run artifact.
     if (only.isEmpty)
       java.nio.file.Files.writeString( // absolute: cwd of a spark-submit launch is not the repo
-        java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), line + "\n")
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_LAST.json"),
+        line + "\n")
     spark.stop()
   }
 }

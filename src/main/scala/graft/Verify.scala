@@ -8,6 +8,11 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated key subset (dev loop; driver passes 2)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    // a typo'd subset name would silently dump nothing and read as green
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query keys: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -107,17 +107,24 @@ object Dedup {
     * the doc_id shuffle carries only numPerms longs per document. This is
     * also the 100 TB shape: min is algebraic, no skew (doc_id grouping).
     */
-  def bandedSignatures(
-      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
+  /** Raw hashed-shingle array per doc — the ONE tokenize→md5→shingle pass
+    * every signature-family frame derives from.
+    */
+  def shingleFrame(docs: DataFrame, shingleSize: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        tokenHashes(TextAnalysis.tokens(col("text"))).as("th")) // the one md5 pass
+      .select(col("doc_id"), hashedShingles(col("th"), shingleSize).as("sh"))
+
+  /** Banded LSH rows from a pre-built (doc_id, sh) shingle frame. */
+  def bandedFromShingles(shingles: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numPerms / numBands
     val perms = permConstants(numPerms)
     val sigCols = perms.zipWithIndex.map { case ((a, b), k) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"sig_$k")
     }
-    val sig = docs
-      .select(col("doc_id"),
-        tokenHashes(TextAnalysis.tokens(col("text"))).as("th")) // the one md5 pass
-      .select(col("doc_id"), explode(hashedShingles(col("th"), shingleSize)).as("h"))
+    val sig = shingles
+      .select(col("doc_id"), explode(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until numBands).map { bi =>
@@ -131,11 +138,14 @@ object Dedup {
       .select(col("doc_id"), col("t.band").as("band"), col("t.bh").as("bh"))
   }
 
+  def bandedSignatures(
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame =
+    bandedFromShingles(shingleFrame(docs, shingleSize), numPerms, numBands)
+
   /** Distinct hashed-shingle set per doc — the exact-verification operand. */
   def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
-    docs
-      .select(col("doc_id"), tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
-      .select(col("doc_id"), array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
+    shingleFrame(docs, shingleSize)
+      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
 
   /** The two expensive per-doc frames of the dedup cascade, MATERIALIZED
     * once and shared by every consumer (candidate self-join, verification
@@ -150,11 +160,22 @@ object Dedup {
     */
   final case class SignatureIndex(banded: DataFrame, sets: DataFrame)
 
+  /** The corpus is tokenized/md5'd/shingled ONCE: the raw shingle frame is
+    * the checkpointed root, and BOTH index members derive from its stored
+    * blocks — `banded` via the min-agg signature pipeline (itself
+    * checkpointed: it is consumed by both self-join sides), `sets` as a
+    * cheap `array_distinct` projection (re-evaluated per consumer over
+    * stored blocks — no md5, no corpus scan). Checkpointing banded and
+    * sets INDEPENDENTLY from `docs` would run the expensive subtree twice
+    * per index build.
+    */
   def signatureIndex(
-      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): SignatureIndex =
+      docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): SignatureIndex = {
+    val sh = shingleFrame(docs, shingleSize).localCheckpoint()
     SignatureIndex(
-      bandedSignatures(docs, shingleSize, numPerms, numBands).localCheckpoint(),
-      shingleSets(docs, shingleSize).localCheckpoint())
+      bandedFromShingles(sh, numPerms, numBands).localCheckpoint(),
+      sh.select(col("doc_id"), array_distinct(col("sh")).as("sh")))
+  }
 
   /** Default band-bucket occupancy cap (docs per (band, bh) bucket admitted
     * to candidate generation). `scaledBitsPerBand`-style geometry bounds the

@@ -148,6 +148,33 @@ object Similarity {
     */
   val MaxCellBucket = 1000
 
+  /** Capped, MATERIALIZED (vec_id, band, cell) rows — the one copy of the
+    * cells construction every consumer (candidate self-join, top-k probe,
+    * incremental probe) shares, so the divert semantics and the
+    * checkpoint policy can never drift between them. Materialized because
+    * every consumer references it from both sides of a join — an
+    * un-checkpointed self-reference would evaluate the bands×bits
+    * hyperplane dots (the expensive subtree) twice. Occupancy capping
+    * shares [[Dedup.cappedBuckets]] so text and embedding LSH can never
+    * diverge on the divert semantics either.
+    */
+  private def cappedCells(emb: DataFrame, bands: Int, bitsPerBand: Int,
+                          dim: Int, maxBucket: Int): DataFrame =
+    Dedup.cappedBuckets(
+        emb.select(col("vec_id"),
+          posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
+            .as(Seq("band", "cell"))),
+        maxBucket, cols = Seq("band", "cell"))
+      .localCheckpoint()
+
+  /** Materialized (vec_id, embedding, nrm) frame for rerank joins — every
+    * verification stage probes it twice (query and candidate side): one
+    * scan + one norm pass, shared.
+    */
+  private def normFrame(emb: DataFrame): DataFrame =
+    withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint()
+
   /** Multi-band LSH candidate pairs (a < b): vectors colliding in ≥1 band,
     * with the collision count. ONE shuffle on (band, cell); no cross
     * product — the 100 TB shape for embedding near-dup candidate gen.
@@ -158,16 +185,7 @@ object Similarity {
   def lshCandidates(emb: DataFrame, bands: Int = Bands,
                     bitsPerBand: Int = BitsPerBand, dim: Int = Dim,
                     maxBucket: Int = MaxCellBucket): DataFrame = {
-    // materialized once: the self-join would otherwise evaluate the
-    // bands×bits hyperplane dots (the expensive subtree) on BOTH sides;
-    // occupancy capping shares Dedup.cappedBuckets so text and embedding
-    // LSH can never diverge on the divert semantics
-    val cells = Dedup.cappedBuckets(
-        emb.select(col("vec_id"),
-          posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
-            .as(Seq("band", "cell"))),
-        maxBucket, cols = Seq("band", "cell"))
-      .localCheckpoint()
+    val cells = cappedCells(emb, bands, bitsPerBand, dim, maxBucket)
     cells.as("l").join(cells.as("r"),
         col("l.band") === col("r.band") && col("l.cell") === col("r.cell") &&
           col("l.vec_id") < col("r.vec_id"))
@@ -184,10 +202,15 @@ object Similarity {
   def topK(emb: DataFrame, isQuery: Column, k: Int,
            sameCellOnly: Boolean = false, dim: Int = Dim): DataFrame = {
     val n0 = withNorm(emb)
-    // query side ⊂ corpus side: one norm/cell pass feeds both join inputs
-    val n = (if (sameCellOnly)
+    // Checkpoint ONLY when the frame carries the quantizer cell (an
+    // expensive bits×dim dot subtree worth computing once for both join
+    // sides). Plain withNorm is a cheap projection over a bare scan —
+    // materializing the whole corpus to save a pruned re-read is the trade
+    // ops.GlobalRank's isBareScan guard declines for the same reason.
+    val n = if (sameCellOnly)
       n0.withColumn("cell", cellId(col("embedding"), QuantizerBand, QuantizerBits, dim))
-    else n0).localCheckpoint()
+        .localCheckpoint()
+    else n0
     val qCols = Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col("nrm").as("q_nrm")) ++ (if (sameCellOnly) Seq(col("cell").as("q_cell")) else Nil)
     val q = n.filter(isQuery).select(qCols: _*)
@@ -209,26 +232,13 @@ object Similarity {
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int, bands: Int = Bands,
               bitsPerBand: Int = BitsPerBand, dim: Int = Dim,
               maxBucket: Int = MaxCellBucket): DataFrame = {
-    // materialized once: the query side is a subset of the corpus side, so
-    // an un-checkpointed self-reference would run the bands×bits hyperplane
-    // dots over the corpus twice (queries ⊂ corpus makes pushdown moot).
-    // Occupancy-capped like lshCandidates — an uncapped query-vs-corpus
-    // band join goes quadratic when a flooded cell sits on both sides
-    // (combined-frame count, mirrored by the oracle).
-    val cells = Dedup.cappedBuckets(
-        emb.select(col("vec_id"),
-          posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
-            .as(Seq("band", "cell"))),
-        maxBucket, cols = Seq("band", "cell"))
-      .localCheckpoint()
+    val cells = cappedCells(emb, bands, bitsPerBand, dim, maxBucket)
     val qc = cells.filter(isQuery).withColumnRenamed("vec_id", "q_id")
     val cand = qc.join(cells, Seq("band", "cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    // the norm frame probes both rerank joins — one scan, not two
-    val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
-      .localCheckpoint()
+    val n = normFrame(emb)
     val pairs = cand
       .join(n.as("l"), col("q_id") === col("l.vec_id"))
       .join(n.as("r"), col("n_id") === col("r.vec_id"))
@@ -257,17 +267,11 @@ object Similarity {
   def incremental(emb: DataFrame, isBatch: Column, threshold: Double,
                   bands: Int = Bands, bitsPerBand: Int = BitsPerBand,
                   dim: Int = Dim, maxBucket: Int = MaxCellBucket): DataFrame = {
-    val cells = Dedup.cappedBuckets(
-        emb.select(col("vec_id"),
-          posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
-            .as(Seq("band", "cell"))),
-        maxBucket, cols = Seq("band", "cell"))
-      .localCheckpoint()
+    val cells = cappedCells(emb, bands, bitsPerBand, dim, maxBucket)
     val bc = cells.filter(isBatch).select(col("vec_id").as("bid"), col("band"), col("cell"))
     val ic = cells.filter(!isBatch).select(col("vec_id").as("iid"), col("band"), col("cell"))
     val cand = bc.join(ic, Seq("band", "cell")).select("bid", "iid").distinct()
-    val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
-      .localCheckpoint()
+    val n = normFrame(emb)
     val ver = cand
       .join(n.as("l"), col("bid") === col("l.vec_id"))
       .join(n.as("r"), col("iid") === col("r.vec_id"))
@@ -292,9 +296,7 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, threshold: Double, bands: Int = Bands,
                    bitsPerBand: Int = BitsPerBand, dim: Int = Dim): DataFrame = {
     val cand = lshCandidates(emb, bands, bitsPerBand, dim).select("a", "b")
-    // both verify joins probe the norm frame — one scan, not two
-    val n = withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
-      .localCheckpoint()
+    val n = normFrame(emb)
     cand
       .join(n.as("l"), col("a") === col("l.vec_id"))
       .join(n.as("r"), col("b") === col("r.vec_id"))

@@ -73,7 +73,12 @@ object Finalize {
   def generations(spark: SparkSession, db: String, prefix: String,
                   mode: String): Seq[String] =
     spark.catalog.listTables(db).collect().map(_.name)
-      .filter(_.matches(s"${prefix}_${mode}_$StampRe")).sorted.toSeq
+      // Pattern.quote: a prefix/mode containing regex metacharacters (e.g.
+      // "maps.v2") must match literally, not as a wildcard that could sweep
+      // up — and cleanup() could then DROP — another deployment's tables
+      .filter(_.matches(
+        s"${java.util.regex.Pattern.quote(s"${prefix}_${mode}_")}$StampRe"))
+      .sorted.toSeq
 
   /** Drop all but the newest `keep` generations of `mode`, never dropping a
     * table any `{prefix}_*_current` pointer references (defensive in-use
@@ -82,7 +87,9 @@ object Finalize {
   def cleanup(spark: SparkSession, db: String, prefix: String, mode: String,
               keep: Int = 2): Seq[String] = {
     val live: Set[String] = spark.catalog.listTables(db).collect()
-      .map(_.name).filter(_.matches(s"${prefix}_\\w+_current")).toSeq
+      .map(_.name)
+      .filter(_.matches(s"${java.util.regex.Pattern.quote(s"${prefix}_")}\\w+_current"))
+      .toSeq
       .flatMap { v =>
         val m = v.stripPrefix(s"${prefix}_").stripSuffix("_current")
         currentTarget(spark, db, prefix, m)

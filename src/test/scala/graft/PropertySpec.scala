@@ -15,13 +15,16 @@ import graft.tiles._
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  /** Deterministic sample of `n` values from `gen`. */
-  private def sample[T](gen: Gen[T], n: Int, seed: Long): Seq[T] = {
-    val p = Gen.Parameters.default
-    Iterator.iterate((Seed(seed), Option.empty[T])) { case (s, _) =>
-      (s.next, gen.apply(p, s))
-    }.drop(1).map(_._2).flatten.take(n).toSeq
-  }
+  /** Deterministic sample of `n` INDEPENDENT values from `gen`.
+    * `Gen.listOfN` threads the generator's own seed stream — stepping a
+    * seed once per sample by hand would overlap the random streams of
+    * consecutive samples (a compound generator consumes several draws, so
+    * sample i's later components reuse sample i+1's earlier ones), leaving
+    * the "random" points pairwise correlated.
+    */
+  private def sample[T](gen: Gen[T], n: Int, seed: Long): Seq[T] =
+    Gen.listOfN(n, gen).apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(sys.error("generator exhausted"))
 
   private val latLng: Gen[(Double, Double)] = for {
     lat <- Gen.chooseNum(-95.0, 95.0) // includes non-plottable |lat| > 90
