@@ -107,24 +107,32 @@ object Dedup {
     * the doc_id shuffle carries only numPerms longs per document. This is
     * also the 100 TB shape: min is algebraic, no skew (doc_id grouping).
     */
-  /** Raw hashed-shingle array per doc — the ONE tokenize→md5→shingle pass
-    * every signature-family frame derives from.
+  /** (doc_id, th) token-hash frame — the ONE tokenize→md5 pass every
+    * signature-family frame derives from.
     */
-  def shingleFrame(docs: DataFrame, shingleSize: Int): DataFrame =
-    docs
-      .select(col("doc_id"),
-        tokenHashes(TextAnalysis.tokens(col("text"))).as("th")) // the one md5 pass
-      .select(col("doc_id"), hashedShingles(col("th"), shingleSize).as("sh"))
+  def tokenHashFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
 
-  /** Banded LSH rows from a pre-built (doc_id, sh) shingle frame. */
-  def bandedFromShingles(shingles: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
+  /** Banded LSH rows from a (doc_id, th) token-hash frame.
+    *
+    * SHAPE MATTERS here: the shingle expression feeds `explode` DIRECTLY,
+    * so `th` stays a per-row column under the Generate. Routing it through
+    * an intermediate `select(hashedShingles(th) as sh)` projection lets
+    * Catalyst inline the th alias into the shingle lambda's `element_at`
+    * calls — which then re-evaluates the tokenize→md5 subtree PER ELEMENT
+    * ACCESS (~3 full re-tokenizations per shingle; observed as a 100×+
+    * single-task stall on the 10× replica).
+    */
+  def bandedFromTokenHashes(
+      th: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numPerms / numBands
     val perms = permConstants(numPerms)
     val sigCols = perms.zipWithIndex.map { case ((a, b), k) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"sig_$k")
     }
-    val sig = shingles
-      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val sig = th
+      .select(col("doc_id"), explode(hashedShingles(col("th"), shingleSize)).as("h"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until numBands).map { bi =>
@@ -140,12 +148,13 @@ object Dedup {
 
   def bandedSignatures(
       docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame =
-    bandedFromShingles(shingleFrame(docs, shingleSize), numPerms, numBands)
+    bandedFromTokenHashes(tokenHashFrame(docs), shingleSize, numPerms, numBands)
 
   /** Distinct hashed-shingle set per doc — the exact-verification operand. */
   def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
-    shingleFrame(docs, shingleSize)
-      .select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+    tokenHashFrame(docs)
+      .select(col("doc_id"),
+        array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
 
   /** The two expensive per-doc frames of the dedup cascade, MATERIALIZED
     * once and shared by every consumer (candidate self-join, verification
@@ -160,21 +169,22 @@ object Dedup {
     */
   final case class SignatureIndex(banded: DataFrame, sets: DataFrame)
 
-  /** The corpus is tokenized/md5'd/shingled ONCE: the raw shingle frame is
-    * the checkpointed root, and BOTH index members derive from its stored
-    * blocks — `banded` via the min-agg signature pipeline (itself
-    * checkpointed: it is consumed by both self-join sides), `sets` as a
-    * cheap `array_distinct` projection (re-evaluated per consumer over
-    * stored blocks — no md5, no corpus scan). Checkpointing banded and
-    * sets INDEPENDENTLY from `docs` would run the expensive subtree twice
-    * per index build.
+  /** The corpus is tokenized/md5'd ONCE: the (doc_id, th) token-hash
+    * frame is the checkpointed root — `th` becomes a STORED attribute —
+    * and both index members derive from its stored blocks: `banded`
+    * through the explode + min-agg pipeline (itself checkpointed — both
+    * self-join sides consume it), `sets` as the integer-arithmetic
+    * shingle + distinct projection. Checkpointing banded and sets
+    * INDEPENDENTLY from `docs` (the pre-round-3 shape) ran the md5 pass
+    * twice per index build.
     */
   def signatureIndex(
       docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): SignatureIndex = {
-    val sh = shingleFrame(docs, shingleSize).localCheckpoint()
+    val th = tokenHashFrame(docs).localCheckpoint()
     SignatureIndex(
-      bandedFromShingles(sh, numPerms, numBands).localCheckpoint(),
-      sh.select(col("doc_id"), array_distinct(col("sh")).as("sh")))
+      bandedFromTokenHashes(th, shingleSize, numPerms, numBands).localCheckpoint(),
+      th.select(col("doc_id"),
+        array_distinct(hashedShingles(col("th"), shingleSize)).as("sh")))
   }
 
   /** Default band-bucket occupancy cap (docs per (band, bh) bucket admitted
