@@ -117,6 +117,19 @@ class PlanGuardSpec extends SparkSpec {
       s"no join/agg belongs in a redaction pass:\n$plan")
   }
 
+  test("signatureIndex: both members derive from the stored token hashes — no md5 re-derivation") {
+    import graft.llm.Dedup
+    val idx = Dedup.signatureIndex(Tables.documents(spark, d), 3, 16, 4)
+    // banded is a checkpoint (LogicalRDD) and sets is a projection over the
+    // checkpointed th frame: if either plan mentions md5, someone re-rooted
+    // an index member at the raw corpus and the one-pass contract is gone
+    Seq("banded" -> idx.banded, "sets" -> idx.sets).foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("md5"),
+        s"signatureIndex.$name re-derives the md5 pass:\n$plan")
+    }
+  }
+
   test("join_range: bucket equi-join, never a nested loop over points x ranges") {
     val plan = SparkEntry.queries("join_range")(spark, d)
       .queryExecution.executedPlan.toString
