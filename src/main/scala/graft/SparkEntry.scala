@@ -768,6 +768,17 @@ object SparkEntry {
       Dedup.clusters(verifiedPairs(s, d)).orderBy("doc_id")
     }),
 
+    // Duplication profile: near-dup cluster-size histogram — the
+    // observability frame a dedup pipeline reports ("how much duplication
+    // does the corpus carry, in what group sizes"). Two map-side-partial
+    // aggregations over the (doc_id, cluster_id) labeling; output is
+    // |distinct sizes| rows, nowhere near data scale.
+    "dedup_cluster_stats" -> ((s, d) =>
+      Dedup.clusters(verifiedPairs(s, d))
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")),
+
     // Composite quality score + routing class (the filter stage of a
     // training-data pipeline).
     "doc_quality" -> ((s, d) => {
@@ -1544,6 +1555,19 @@ object SparkEntry {
             |  (COALESCE(cl.cluster_id, d.doc_id) = d.doc_id) AS keep
             |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
             |ORDER BY d.doc_id""".stripMargin),
+
+      "dedup_cluster_stats" ->
+        (s"WITH RECURSIVE ${sqlVerifiedCte(3, 16, 4)},\n" +
+          """e AS (SELECT a, b FROM v WHERE jac_r >= 0.5
+            |      UNION ALL SELECT b, a FROM v WHERE jac_r >= 0.5),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+            |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+            |       FROM reach GROUP BY id),
+            |cs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
+            |SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "doc_quality" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
