@@ -752,6 +752,23 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
 
+    // Product-quantization codes: per-subspace exact-integer k-means
+    // codebooks (4×16-dim slices, 8 codes each), encoding = m codegen'd
+    // argmin projections — a 64-float vector becomes 4 small codes, the
+    // compression that makes billion-scale ANN fit in memory.
+    "pq_codes" -> ((s, d) =>
+      Quantizer.pqEncode(emb(s, d), Quantizer.pqTrain(emb(s, d)))
+        .orderBy("vec_id")),
+
+    // IVF-PQ retrieval: coarse trained cell routing + asymmetric-distance
+    // ranking over the DECODED codes (exact-integer ADC, so the DuckDB
+    // replay agrees bit-for-bit) — the classic two-level ANN read path.
+    "similarity_pq" -> ((s, d) =>
+      Quantizer.pqTopK(emb(s, d), Quantizer.train(emb(s, d)),
+          Quantizer.pqTrain(emb(s, d)), pmod(col("vec_id"), lit(20)) === 0,
+          topK = 5)
+        .orderBy("q_id", "rnk", "n_id")),
+
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
 
@@ -1510,6 +1527,8 @@ object SparkEntry {
       "similarity_ivf" -> sqlTopK(k = 3, sameCell = true),
       "similarity_lsh" -> sqlLshTopK(k = 5),
       "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
+      "pq_codes" -> graft.llm.Quantizer.sqlPqCodes(),
+      "similarity_pq" -> graft.llm.Quantizer.sqlPqTopK("(q.vec_id % 20) = 0", topK = 5),
       "similarity_ivf_trained" ->
         graft.llm.Quantizer.sqlIvfTopK("q.vec_id % 20 = 0", topK = 3),
       "similarity_ivf_probes" ->

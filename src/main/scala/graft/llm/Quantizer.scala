@@ -147,6 +147,94 @@ object Quantizer {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** PQ defaults: 4 subspaces × 16 dims, 8 codes each, 2 Lloyd rounds —
+    * a 64-dim vector compresses to 4 small codes (12 bits total vs 256
+    * bytes of floats), the memory trade that makes billion-scale ANN fit
+    * in RAM. Kept deliberately small so the DuckDB oracle can replay all
+    * four sub-trainings.
+    */
+  val PqM = 4
+  val PqK = 8
+  val PqIters = 2
+
+  /** Per-subspace codebooks: [[train]] run on each dim/m-wide slice of the
+    * embedding. Reuses the whole exact-integer Lloyd pipeline — the
+    * codebooks are bit-stable and oracle-replayable per subspace.
+    */
+  def pqTrain(emb: DataFrame, m: Int = PqM, k: Int = PqK, iters: Int = PqIters,
+              dim: Int = Dim): Seq[Array[Array[Long]]] = {
+    val sub = dim / m
+    require(sub * m == dim, s"dim $dim must split evenly into $m subspaces")
+    (0 until m).map { j =>
+      train(emb.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding")), k, iters, sub)
+    }
+  }
+
+  /** PQ encoding: m codegen'd argmin projections over the subvector slices
+    * — narrow, no shuffle, the full-corpus pass of a PQ index build.
+    */
+  def pqEncode(emb: DataFrame, books: Seq[Array[Array[Long]]],
+               dim: Int = Dim): DataFrame = {
+    val sub = dim / books.length
+    emb.select(col("vec_id") +: books.zipWithIndex.map { case (cb, j) =>
+      KMeansAssign.assign(slice(col("embedding"), j * sub + 1, sub), cb, Scale.toDouble)
+        .as(s"code_$j")
+    }: _*)
+  }
+
+  /** Decoded (reconstructed) vector as a literal-lookup column: each code
+    * indexes its subspace codebook (plan literals), concatenated back to a
+    * dim-wide integer vector stored as floats (codebook entries are ≤10^4
+    * in magnitude — exact in float).
+    */
+  private def decodedCol(books: Seq[Array[Array[Long]]], sub: Int): Column =
+    concat(books.zipWithIndex.map { case (cb, j) =>
+      val lut = typedlit(cb.map(_.map(_.toFloat).toSeq).toSeq)
+      element_at(lut,
+        (KMeansAssign.assign(slice(col("embedding"), j * sub + 1, sub), cb, Scale.toDouble)
+          + 1).cast("int"))
+    }: _*)
+
+  /** IVF-PQ top-k: queries probe their coarse k-means cell (shuffle
+    * equi-join on cid — never a cross product), candidates rank by the
+    * EXACT-INTEGER asymmetric distance Σ(qᵢ − decodedᵢ)², computed as
+    * |q|² − 2·q·d + |d|² over three codegen'd [[graft.expr.FloatVectorDot]]
+    * calls (every operand is an integer ≤10⁴ stored in float: products and
+    * sums stay exact in double far below 2⁵³, so the BIGINT cast is exact
+    * and the DuckDB mirror — direct integer list arithmetic — agrees
+    * bit-for-bit). The corpus side carries only codes + decoded lookups
+    * (narrow projections); at scale this is the classic IVF-PQ read path:
+    * coarse cell routing + m table lookups per candidate instead of a
+    * full-vector scan.
+    */
+  def pqTopK(emb: DataFrame, coarse: Array[Array[Long]],
+             books: Seq[Array[Array[Long]]], isQuery: Column, topK: Int,
+             dim: Int = Dim): DataFrame = {
+    val sub = dim / books.length
+    val qi = quantize(col("embedding"))
+    val qf = transform(qi, x => x.cast("float"))
+    val dec = decodedCol(books, sub)
+    val corpus = emb.select(col("vec_id").as("n_id"),
+        KMeansAssign.assign(col("embedding"), coarse, Scale.toDouble).as("cid"),
+        dec.as("dec"))
+      .withColumn("ndd", Similarity.dot(col("dec"), col("dec")))
+    val queries = emb.filter(isQuery).select(col("vec_id").as("q_id"),
+        KMeansAssign.assign(col("embedding"), coarse, Scale.toDouble).as("cid"),
+        qf.as("qf"))
+      .withColumn("qq", Similarity.dot(col("qf"), col("qf")))
+    val pairs = queries.join(corpus, Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("qq") - lit(2.0) * Similarity.dot(col("qf"), col("dec")) + col("ndd"))
+          .cast("long").as("adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc"), col("n_id"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= topK)
+  }
+
   // --------------------------------------------------------- oracle mirror
 
   /** Tie-break base for the SQL argmin key `(|c|² - 2 v·c) * TieBase + cid`
@@ -181,28 +269,33 @@ object Quantizer {
        |  ) GROUP BY cid
        |) g USING (cid)""".stripMargin
 
-  /** The full training replay as a WITH-clause body: defines CTEs `eq`
-    * (vec_id, embedding, ei), `c0..c$iters` (codebooks), `a$iters+1` (final
-    * assignment of every vector with the trained codebook).
+  /** The full training replay as a WITH-clause body: defines CTEs
+    * `${p}eq` (vec_id, embedding, ei), `${p}c0..${p}c$iters` (codebooks),
+    * `${p}a$iters+1` (final assignment of every vector with the trained
+    * codebook). `prefix` namespaces the CTEs so several trainings can
+    * coexist in one oracle (the PQ sub-quantizers); `vecExpr` selects the
+    * trained vector — a subvector slice for PQ subspaces.
     */
-  def sqlTrainCtes(k: Int = K, iters: Int = Iters, dim: Int = Dim): String = {
+  def sqlTrainCtes(k: Int = K, iters: Int = Iters, dim: Int = Dim,
+                   prefix: String = "", vecExpr: String = "embedding"): String = {
     require(k <= TieBase,
       s"argmin key encodes cid in base $TieBase: k=$k would collide across centroids")
+    val p = prefix
     val ph = PortableHash.sqlPhash("vec_id::VARCHAR")
     val b = new StringBuilder
-    b ++= s"""eq AS (
-             |  SELECT vec_id, embedding, ${sqlQuantize("embedding")} AS ei FROM embeddings
+    b ++= s"""${p}eq AS (
+             |  SELECT vec_id, embedding, ${sqlQuantize(vecExpr)} AS ei FROM embeddings
              |),
-             |c0 AS (
+             |${p}c0 AS (
              |  SELECT cid, ei FROM (
-             |    SELECT row_number() OVER (ORDER BY $ph, vec_id) - 1 AS cid, ei FROM eq
+             |    SELECT row_number() OVER (ORDER BY $ph, vec_id) - 1 AS cid, ei FROM ${p}eq
              |  ) WHERE cid < $k
              |)""".stripMargin
     for (t <- 1 to iters) {
-      b ++= s",\na$t AS (\n${sqlAssign("eq", s"c${t - 1}")}\n)"
-      b ++= s",\nc$t AS (\n${sqlUpdate(s"a$t", "eq", s"c${t - 1}", dim)}\n)"
+      b ++= s",\n${p}a$t AS (\n${sqlAssign(s"${p}eq", s"${p}c${t - 1}")}\n)"
+      b ++= s",\n${p}c$t AS (\n${sqlUpdate(s"${p}a$t", s"${p}eq", s"${p}c${t - 1}", dim)}\n)"
     }
-    b ++= s",\na${iters + 1} AS (\n${sqlAssign("eq", s"c$iters")}\n)"
+    b ++= s",\n${p}a${iters + 1} AS (\n${sqlAssign(s"${p}eq", s"${p}c$iters")}\n)"
     b.toString
   }
 
@@ -248,6 +341,63 @@ object Quantizer {
        |  FROM pairs
        |) WHERE rnk <= $topK
        |ORDER BY q_id, rnk, n_id""".stripMargin
+
+  /** The m prefixed sub-quantizer trainings (`s0_…`, `s1_…`, …), each over
+    * its subvector slice — the WITH-body shared by the PQ oracles.
+    */
+  private def sqlPqTrainings(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val sub = dim / m
+    (0 until m).map { j =>
+      sqlTrainCtes(k, iters, sub, prefix = s"s${j}_",
+        vecExpr = s"embedding[${j * sub + 1}:${(j + 1) * sub}]")
+    }.mkString(",\n")
+  }
+
+  /** Oracle for [[pqEncode]]-shaped output (vec_id, code_0..code_{m-1}). */
+  def sqlPqCodes(m: Int = PqM, k: Int = PqK, iters: Int = PqIters,
+                 dim: Int = Dim): String = {
+    val joins = (0 until m)
+      .map(j => s"JOIN s${j}_a${iters + 1} s$j USING (vec_id)").mkString("\n")
+    val cols = (0 until m).map(j => s"s$j.cid AS code_$j").mkString(", ")
+    s"""WITH ${sqlPqTrainings(m, k, iters, dim)}
+       |SELECT e.vec_id, $cols
+       |FROM embeddings e
+       |$joins
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Oracle for [[pqTopK]]: coarse training + m sub-trainings, decoded
+    * vectors via codebook joins, exact-integer ADC distance, in-cell rank.
+    */
+  def sqlPqTopK(queryPred: String, topK: Int, m: Int = PqM, pqK: Int = PqK,
+                pqIters: Int = PqIters, k: Int = K, iters: Int = Iters,
+                dim: Int = Dim): String = {
+    val decJoins = (0 until m)
+      .map(j => s"JOIN s${j}_a${pqIters + 1} a$j USING (vec_id) " +
+        s"JOIN s${j}_c$pqIters b$j ON b$j.cid = a$j.cid").mkString("\n  ")
+    val decExpr = (0 until m).map(j => s"b$j.ei")
+      .reduce((a, b) => s"list_concat($a, $b)")
+    s"""WITH ${sqlTrainCtes(k, iters, dim)},
+       |${sqlPqTrainings(m, pqK, pqIters, dim)},
+       |dec AS (
+       |  SELECT e.vec_id, $decExpr AS dei
+       |  FROM embeddings e
+       |  $decJoins
+       |),
+       |n AS (SELECT eq.vec_id, a.cid, eq.ei FROM eq JOIN a${iters + 1} a USING (vec_id)),
+       |pairs AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    list_sum([(p[1]-p[2])*(p[1]-p[2]) for p in list_zip(q.ei, d.dei)])::BIGINT AS adc
+       |  FROM n q JOIN n ON q.cid = n.cid AND q.vec_id <> n.vec_id
+       |  JOIN dec d ON d.vec_id = n.vec_id
+       |  WHERE $queryPred
+       |)
+       |SELECT q_id, n_id, adc, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
+       |  FROM pairs
+       |) WHERE rnk <= $topK
+       |ORDER BY q_id, rnk, n_id""".stripMargin
+  }
 
   /** Oracle for [[ivfTopK]]: final assignment + in-cell cosine rerank. */
   def sqlIvfTopK(queryPred: String, topK: Int, k: Int = K, iters: Int = Iters,

@@ -78,4 +78,59 @@ class QuantizerSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
       s"full-corpus assignment must be a narrow projection:\n$plan")
   }
+
+  test("PQ: codes in range, encoding narrow, sub-training partition-independent") {
+    val books = Quantizer.pqTrain(fixture)
+    assert(books.length == Quantizer.PqM)
+    val booksB = Quantizer.pqTrain(fixture.repartition(5))
+    assert(books.map(_.map(_.toSeq).toSeq) == booksB.map(_.map(_.toSeq).toSeq),
+      "per-subspace codebooks are topology-independent")
+    val codes = Quantizer.pqEncode(fixture, books)
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"PQ encoding must be a narrow projection:\n$plan")
+    (0 until Quantizer.PqM).foreach { j =>
+      val bad = codes.filter(col(s"code_$j") < 0 || col(s"code_$j") >= Quantizer.PqK).count()
+      assert(bad == 0, s"subspace $j codes out of [0, ${Quantizer.PqK})")
+    }
+  }
+
+  test("PQ ADC: an exact duplicate vector is its twin's nearest neighbor at distance == own reconstruction error") {
+    // plant an exact duplicate pair: identical vectors share codes, so
+    // ADC(q, dup) == ADC(q, decode(q)) — the quantization error itself —
+    // and nothing can rank closer than your own reconstruction
+    val base = fixture.limit(50).select("vec_id", "embedding")
+    val dup = base.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val emb = base.union(dup)
+    val coarse = Quantizer.train(emb)
+    val books = Quantizer.pqTrain(emb)
+    val top = Quantizer.pqTopK(emb, coarse, books, col("vec_id") === 0, topK = 3)
+      .orderBy("rnk").collect()
+    assert(top.nonEmpty, "query cell contains at least the duplicate")
+    assert(top.head.getLong(1) == 100000L,
+      s"the exact duplicate must rank first, got ${top.toSeq}")
+    assert(top.head.getLong(2) <= top.last.getLong(2), "ADC ascending")
+  }
+
+  test("PQ ADC equals the brute-force integer distance to the decoded vector") {
+    val emb = fixture.limit(40)
+    val coarse = Quantizer.train(emb)
+    val books = Quantizer.pqTrain(emb)
+    // reference: decode codes driver-side and compute sum((q - d)^2) exactly
+    val codes = Quantizer.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> (0 until Quantizer.PqM).map(j => r.getInt(j + 1))).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x => math.floor(x * 10000.0).toLong))
+      .toMap
+    def decoded(id: Long): Seq[Long] =
+      (0 until Quantizer.PqM).flatMap(j => books(j)(codes(id)(j)))
+    val got = Quantizer.pqTopK(emb, coarse, books, lit(true), topK = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    got.foreach { case ((q, n), adc) =>
+      val want = vecs(q).zip(decoded(n)).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(adc == want, s"ADC($q,$n): engine $adc vs reference $want")
+    }
+    assert(got.nonEmpty)
+  }
 }
