@@ -917,8 +917,12 @@ object SparkEntry {
     // vocab_topk: output is every token above a ppm support floor, not a
     // fixed k). One explode + hash agg (map-side partials); the token-freq
     // frame is localCheckpoint'd so the scalar total doesn't re-run the
-    // corpus scan; the total rides a 1-row broadcast. Pure integer
-    // threshold arithmetic (freq·10⁶ ≥ ppm·total) — no FP boundary.
+    // corpus scan; the total rides a 1-row broadcast. Exact integer
+    // threshold (freq·10⁶ ≥ ppm·total ⟺ freq ≥ ⌈ppm·total/10⁶⌉) computed in
+    // DECIMAL(38,0): `freq * 1000000` wraps a long once total corpus tokens
+    // pass ~9.2e12 — a count a 100 TB corpus exceeds — and non-ANSI Spark
+    // wraps silently. Decimal keeps the comparison exact at any corpus size;
+    // `div` on decimals returns BIGINT, so output types are unchanged.
     "heavy_hitters" -> ((s, d) => {
       val freq = docs(s, d)
         .select(explode(TA.tokens(col("text"))).as("token"))
@@ -926,9 +930,10 @@ object SparkEntry {
         .localCheckpoint()
       val tot = freq.agg(sum("freq").as("tot"))
       freq.crossJoin(tot)
-        .filter(col("freq") * lit(1000000L) >= lit(HeavyHitterPpm) * col("tot"))
+        .filter(col("freq") >= expr(
+          s"(CAST($HeavyHitterPpm AS DECIMAL(38,0)) * tot + 999999) div 1000000"))
         .select(col("token"), col("freq"),
-          expr("(freq * 1000000) div tot").as("ppm"))
+          expr("(CAST(freq AS DECIMAL(38,0)) * 1000000) div tot").as("ppm"))
         .orderBy(col("freq").desc, col("token"))
     }),
 
@@ -1472,7 +1477,7 @@ object SparkEntry {
       "heavy_hitters" ->
         s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
            |f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1),
-           |tt AS (SELECT sum(freq) AS tot FROM f)
+           |tt AS (SELECT sum(freq)::BIGINT AS tot FROM f)
            |SELECT token, freq, (freq * 1000000) // tot AS ppm
            |FROM f, tt WHERE freq * 1000000 >= $HeavyHitterPpm * tot
            |ORDER BY freq DESC, token""".stripMargin,

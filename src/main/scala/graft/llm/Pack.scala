@@ -22,8 +22,9 @@ import graft.expr.PortableHash
   * deterministic on any topology because bucket and order are hash/id
   * derived, never partition-derived.
   *
-  * `seqLen` must be a power of two: offsets divide exactly in double FP, so
-  * Spark's `floor(x / L)` and DuckDB's `x // L` agree bit-for-bit.
+  * Sequence ids use exact long division (`div`), so Spark and DuckDB's
+  * `x // L` agree bit-for-bit at any corpus size; `seqLen` is kept a power
+  * of two as a layout convention (aligned, cache-friendly chunks).
   */
 object Pack {
 
@@ -45,8 +46,11 @@ object Pack {
     val offs = base
       .withColumn("end_off", sum("n_tok").over(w))
       .withColumn("start_off", col("end_off") - col("n_tok"))
-    val firstSeq = floor(col("start_off") / lit(seqLen)).cast("long")
-    val lastSeq = floor((col("end_off") - 1) / lit(seqLen)).cast("long")
+    // exact long division (offsets are non-negative, so div == floor) —
+    // floor(x / L) through doubles would lose exactness past 2^53 total
+    // corpus tokens; DuckDB's `//` is exact integer floor division too
+    val firstSeq = call_function("div", col("start_off"), lit(seqLen.toLong))
+    val lastSeq = call_function("div", col("end_off") - 1, lit(seqLen.toLong))
     offs
       .withColumn("seq", explode(sequence(firstSeq, lastSeq)))
       .withColumn("o_start", greatest(col("start_off"), col("seq") * seqLen))

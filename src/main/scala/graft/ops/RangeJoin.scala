@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.expr.IntMath
+
 /** Banded (bucketed) interval join: match points `p` against ranges
   * `[lo, hi)` WITHOUT a BroadcastNestedLoopJoin.
   *
@@ -32,18 +34,19 @@ object RangeJoin {
   def pointInRange(points: DataFrame, ptCol: String,
                    ranges: DataFrame, loCol: String, hiCol: String,
                    bucketWidth: Long): DataFrame = {
-    val w = lit(bucketWidth)
     // Empty/inverted ranges (hi <= lo) are dropped BEFORE the explode:
     // they can never match the half-open predicate, and Spark's
     // sequence(start, stop) auto-reverses for start > stop — a single
     // corrupt range row would otherwise explode into floor(lo/w)+1
     // spurious bucket rows (unbounded amplification the residual filter
     // then pays to discard).
-    // last covered bucket: floor((hi - 1) / w) — hi itself is exclusive
+    // last covered bucket: floorDiv(hi - 1, w) — hi itself is exclusive.
+    // IntMath.floorDiv, not floor(col / w): double division mis-buckets
+    // |values| >= 2^53 (epoch-nanos domain) and silently drops matches.
     val r = ranges.filter(col(hiCol) > col(loCol)).withColumn("__bkt",
-      explode(sequence(floor(col(loCol) / w).cast("long"),
-        floor((col(hiCol) - 1) / w).cast("long"))))
-    val p = points.withColumn("__bkt", floor(col(ptCol) / w).cast("long"))
+      explode(sequence(IntMath.floorDiv(col(loCol), bucketWidth),
+        IntMath.floorDiv(col(hiCol) - 1, bucketWidth))))
+    val p = points.withColumn("__bkt", IntMath.floorDiv(col(ptCol), bucketWidth))
     p.join(r, p("__bkt") === r("__bkt") &&
         col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bkt")

@@ -6,6 +6,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+import graft.expr.IntMath
+
 /** Structured-Streaming surface for the events table.
   *
   * The reference is pure batch over an HDFS snapshot (SURVEY §2.8) — these
@@ -78,15 +80,18 @@ object EventStream {
     val s = signups
       .select(col("event_id").as("signup_id"), col("ts").as("s_ts"))
       .withWatermark("s_ts", watermark)
-      // covered buckets: first div w .. (last valid instant) div w — exact
-      // integer arithmetic (div), deduped for the window-aligned case
+      // covered buckets: floorDiv(first, w) .. floorDiv(last valid instant,
+      // w), deduped for the window-aligned case. IntMath.floorDiv — the SAME
+      // bucket function as the batch RangeJoin — so batch and streaming
+      // assign identical buckets on all inputs, including pre-1970 ts where
+      // truncating `div` and floor disagree.
       .withColumn("bkt", explode(array_distinct(array(
-        expr(s"unix_micros(s_ts) div $windowUs"),
-        expr(s"(unix_micros(s_ts) + $windowUs - 1) div $windowUs")))))
+        IntMath.floorDiv(expr("unix_micros(s_ts)"), windowUs),
+        IntMath.floorDiv(expr(s"unix_micros(s_ts) + ${windowUs - 1}"), windowUs)))))
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", watermark)
-      .withColumn("bkt", expr(s"unix_micros(p_ts) div $windowUs"))
+      .withColumn("bkt", IntMath.floorDiv(expr("unix_micros(p_ts)"), windowUs))
     p.join(s, p("bkt") === s("bkt") &&
         expr(s"p_ts >= s_ts AND p_ts < s_ts + INTERVAL $windowUs MICROSECOND"))
       .select(col("signup_id"), col("purchase_id"), col("p_ts"), col("value"))

@@ -44,6 +44,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(exploded == 0, "both degenerate ranges filtered before banding")
   }
 
+  test("bucketing is exact for negative and >=2^53 domains (epoch nanos)") {
+    // floor(t / w) through doubles mis-buckets here: 2^53+1 rounds, and
+    // negative values truncate toward zero instead of down. Both sides of
+    // each boundary must land with exact-integer bucketing.
+    val w = 1000000000L // 1 s in nanos
+    val big = (1L << 60) // ~36 years in epoch nanos, far past 2^53
+    val points = Seq(
+      (1L, big), (2L, big + w - 1), (3L, big + w), // straddle a bucket edge
+      (4L, -w), (5L, -1L), (6L, 0L)                // pre-1970 straddle
+    ).toDF("pid", "t")
+    val ranges = Seq(
+      (10L, big, big + w),       // matches pids 1, 2 only
+      (20L, -w, 0L)              // matches pids 4, 5 only (0 exclusive)
+    ).toDF("rid", "lo", "hi")
+    val got = RangeJoin.pointInRange(points, "t", ranges, "lo", "hi", w)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L), (5L, 20L)), s"got $got")
+  }
+
+  test("IntMath.floorDiv agrees with Math.floorDiv across the long range") {
+    val vals = Seq(Long.MinValue + 1, -(1L << 60) - 7, -1000001L, -1L, 0L, 1L,
+      999999L, (1L << 53) + 1, (1L << 60) + 3, Long.MaxValue)
+    val widths = Seq(1L, 7L, 1000000L, 1L << 40)
+    for (w <- widths) {
+      val got = vals.toDF("x")
+        .select(graft.expr.IntMath.floorDiv(col("x"), w)).as[Long].collect()
+      val want = vals.map(Math.floorDiv(_, w))
+      assert(got.toSeq == want, s"w=$w: got ${got.toSeq}, want $want")
+    }
+  }
+
   test("the plan is an equi-join on the bucket key, not a nested loop") {
     val points = Seq.tabulate(100)(i => (i.toLong, i.toLong * 7)).toDF("pid", "t")
     val ranges = Seq.tabulate(10)(i => (i.toLong, i * 50L, i * 50L + 30L)).toDF("rid", "lo", "hi")
