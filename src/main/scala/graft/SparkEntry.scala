@@ -645,6 +645,17 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** Per-directory embedding-corpus count, cached for the JVM lifetime: one
+    * cheap count job funds the occupancy-scaled LSH band width
+    * ([[Similarity.autoBitsPerBand]]) that EVERY similarity/semantic key
+    * runs on — the 100 TB posture (cell occupancy pinned, not the fixture
+    * constant) is the default, not a caller knob. Public so the occupancy
+    * spec can pin that the keys' width tracks the corpus.
+    */
+  private val embCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def lshBitsFor(s: SparkSession, d: String): Int =
+    Similarity.autoBitsPerBand(embCounts.getOrElseUpdate(d, emb(s, d).count()))
+
   /** LSH-verified near-dup edges (jac ≥ 0.5) — shared by the clustering and
     * decision keys.
     */
@@ -684,7 +695,8 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     "embedding_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(emb(s, d), 0.4).orderBy("a", "b")),
+      Similarity.nearDupPairs(emb(s, d), 0.4, bitsPerBand = lshBitsFor(s, d))
+        .orderBy("a", "b")),
 
     "text_stats" -> ((s, d) => {
       val toks = TA.tokens(col("text"))
@@ -727,7 +739,8 @@ object SparkEntry {
     // Multi-band LSH retrieval: candidates collide with the query in ≥1 of
     // 16×8-bit bands, ranked by exact cosine — the high-recall scale path.
     "similarity_lsh" -> ((s, d) =>
-      Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0, k = 5)
+      Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0, k = 5,
+          bitsPerBand = lshBitsFor(s, d))
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
 
@@ -942,7 +955,8 @@ object SparkEntry {
     // semantically near-identical samples (the embedding analog of
     // dedup_clusters; no edge broadcast, O(log n) rounds).
     "semantic_clusters" -> ((s, d) => {
-      val edges = Similarity.nearDupPairs(emb(s, d), 0.4).select("a", "b")
+      val edges = Similarity.nearDupPairs(emb(s, d), 0.4,
+        bitsPerBand = lshBitsFor(s, d)).select("a", "b")
       Dedup.clusters(edges)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id")
@@ -954,7 +968,8 @@ object SparkEntry {
     // hint on the clusters side (membership is O(duplicated vectors)),
     // shuffle left join on vec_id, singletons keep themselves.
     "semantic_decisions" -> ((s, d) => {
-      val edges = Similarity.nearDupPairs(emb(s, d), 0.4).select("a", "b")
+      val edges = Similarity.nearDupPairs(emb(s, d), 0.4,
+        bitsPerBand = lshBitsFor(s, d)).select("a", "b")
       val clusters = Dedup.clusters(edges)
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
       emb(s, d).select(col("vec_id"))
@@ -1026,7 +1041,7 @@ object SparkEntry {
     // embedding analog of dedup_incremental, linear in the batch.
     "semantic_incremental" -> ((s, d) =>
       Similarity.incremental(emb(s, d), pmod(col("vec_id"), lit(10)) === 9,
-          threshold = 0.4)
+          threshold = 0.4, bitsPerBand = lshBitsFor(s, d))
         .orderBy("vec_id")),
 
     // Unicode NFC canonicalization (custom codegen'd Catalyst expression —

@@ -90,6 +90,19 @@ object Similarity {
     math.max(QuantizerBits, math.ceil(math.log(cells) / math.log(2)).toInt)
   }
 
+  /** The band width the PRODUCTION entry points use: never narrower than
+    * the fixture default (the recall math above was tuned at `BitsPerBand`;
+    * shrinking it on a small corpus buys nothing and changes results), and
+    * growing as log2(corpus) beyond it so the occupancy law — not the
+    * fixture constant — is what a 100 TB caller gets by default. The query
+    * keys thread the corpus count in via `SparkEntry`; the DuckDB oracle
+    * stays valid because every verification-scale corpus sits in the
+    * `<= scaledBitsPerBand⁻¹(BitsPerBand)` regime where this returns
+    * exactly `BitsPerBand`.
+    */
+  def autoBitsPerBand(corpusSize: Long, targetOccupancy: Long = 8): Int =
+    math.max(BitsPerBand, scaledBitsPerBand(corpusSize, targetOccupancy))
+
   /** Deterministic ±1 hyperplane for (band, bit): each entry's sign is the
     * parity of a PortableHash — reproducible everywhere, no RNG state.
     */

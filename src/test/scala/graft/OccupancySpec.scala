@@ -44,6 +44,26 @@ class OccupancySpec extends SparkSpec {
       "capping below the bucket occupancy diverts every pair")
   }
 
+  test("band width scales with the corpus: the occupancy law is the entry-point default") {
+    // autoBitsPerBand = the width SparkEntry threads into every
+    // similarity/semantic key: never below the fixture default (recall
+    // tuning assumed 8), then growing as log2(corpus / occupancy).
+    assert(Similarity.autoBitsPerBand(500) == 8, "verification-scale corpus keeps the fixture width")
+    assert(Similarity.autoBitsPerBand(2000) == 8, "sf0.1 corpus keeps the fixture width")
+    assert(Similarity.autoBitsPerBand(20000) == 12, "the 10x replica runs 2^12 cells/band")
+    assert(Similarity.autoBitsPerBand(1000000000L) == 27, "a 10^9 corpus gets 27 bits")
+    val widths = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(Similarity.autoBitsPerBand(_))
+    assert(widths == widths.sorted, s"monotone in corpus size: $widths")
+
+    // and the QUERY KEYS run on it: SparkEntry derives the width from the
+    // actual table count, so a bigger snapshot directory widens the cells
+    // with no caller knob
+    assert(SparkEntry.lshBitsFor(spark, "/root/testdata/sf0.001") ==
+      Similarity.autoBitsPerBand(
+        graft.Tables.embeddings(spark, "/root/testdata/sf0.001").count()))
+  }
+
   test("embedding LSH: a 1500-vector identical flood is diverted; honest pair survives") {
     val vFlood = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
     val vHonest = Array.tabulate(64)(i => math.cos(i.toDouble).toFloat)
