@@ -119,7 +119,12 @@ object MapPipeline {
       val input = if (epsg == "EPSG:3031") south else tileInput
       val t3 = Pyramid.build(input, proj, zoom, cfg.tileSize, cfg.bufferSize, cfg.saltModulo)
       val dir = s"${cfg.workDir}/tiles/${epsg.replaceAll(":", "_")}/z$zoom"
-      Sinks.writeSorted(Sinks.encodeTiles(t3).toDF("key", "value"), cfg.saltModulo, dir)
+      // both codecs in one encode scan: `value` = the oracle-checkable
+      // deterministic layout, `mvt` = real Mapbox Vector Tile wire bytes
+      Sinks.writeSorted(
+        Sinks.encodeTilesWithMvt(t3, cfg.tileSize, cfg.borCodes)
+          .toDF("key", "value", "mvt"),
+        cfg.saltModulo, dir)
       dir
     }
     Result(prepared, tileInput, pointsPath, tileDirs)

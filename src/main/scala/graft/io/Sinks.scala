@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * partition per salt, keys sorted within each partition, so a bulk-loader
   * (or any range-partitioned store) can consume partitions as sorted runs.
   *
-  * Blob encoding (`VectorTiles.java:39-85`, `ProtobufTiles.java:31-51`)
-  * is replaced by a deterministic length-prefixed big-endian layout —
-  * MVT/protobuf byte-exactness is not oracle-checkable and the libs are
-  * unavailable offline; what matters at the engine layer is a stable,
-  * schema-documented binary contract.
+  * Blob encoding: two codecs over the same tile rows. The deterministic
+  * length-prefixed big-endian layout ([[encodeTiles]]) is the
+  * oracle-checkable twin; [[encodeTilesMvt]] emits real Mapbox Vector Tile
+  * bytes through the hand-rolled [[Mvt]] writer (the wire format the
+  * reference produces via `no.ecc.vectortile`, `VectorTiles.java:39-85`).
+  * The pipeline writes both side by side.
   */
 object Sinks {
 
@@ -87,18 +88,84 @@ object Sinks {
   def encodeTiles(tiles: DataFrame)(implicit spark: SparkSession): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
     tiles.select(col("key"), col("tile")).map { r =>
-      val key = r.getString(0)
-      val pixels = r.getSeq[Row](1)
-      val nBytes = 4 + pixels.map(p => 12 + p.getSeq[Row](2).length * 12).sum
-      val bb = ByteBuffer.allocate(nBytes)
-      bb.putInt(pixels.length)
-      pixels.foreach { p =>
-        bb.putInt(p.getInt(0)); bb.putInt(p.getInt(1))
-        val feats = p.getSeq[Row](2)
-        bb.putInt(feats.length)
-        feats.foreach { f => bb.putInt(f.getInt(0)); bb.putLong(f.getLong(1)) }
+      (r.getString(0), encodeTileValue(r.getSeq[Row](1)))
+    }
+  }
+
+  /** The custom-codec body shared by [[encodeTiles]] and
+    * [[encodeTilesWithMvt]] — one implementation, no drift.
+    */
+  private def encodeTileValue(pixels: Seq[Row]): Array[Byte] = {
+    val nBytes = 4 + pixels.map(p => 12 + p.getSeq[Row](2).length * 12).sum
+    val bb = ByteBuffer.allocate(nBytes)
+    bb.putInt(pixels.length)
+    pixels.foreach { p =>
+      bb.putInt(p.getInt(0)); bb.putInt(p.getInt(1))
+      val feats = p.getSeq[Row](2)
+      bb.putInt(feats.length)
+      feats.foreach { f => bb.putInt(f.getInt(0)); bb.putLong(f.getLong(1)) }
+    }
+    bb.array()
+  }
+
+  /** Restructure one tile's pixel rows into MVT layers, mirroring
+    * `VectorTiles.java:55-82`: per pixel, features regroup as
+    * bor → (year → count); each (pixel, bor) becomes one point feature in
+    * the layer named by the bor string, attribute key = year as string
+    * (`"null"` when absent, `String.valueOf` semantics, `:76`). Unlike the
+    * reference's `HashMap.keySet` iteration, order is insertion-deterministic
+    * end to end.
+    */
+  private def mvtLayers(pixels: Seq[Row], codes: Map[Int, String])
+      : Seq[(String, Seq[Mvt.PointFeature])] = {
+    val layers = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Mvt.PointFeature]]
+    pixels.foreach { p =>
+      val x = p.getInt(0); val y = p.getInt(1)
+      val perBor = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long)]]
+      p.getSeq[Row](2).foreach { f =>
+        val enc = f.getInt(0); val count = f.getLong(1)
+        val bor = codes.getOrElse(enc % 100, "UNKNOWN")
+        val year = enc / 100
+        perBor.getOrElseUpdate(bor, scala.collection.mutable.ArrayBuffer.empty) +=
+          ((if (year > 0) year.toString else "null") -> count)
       }
-      (key, bb.array())
+      perBor.foreach { case (bor, attrs) =>
+        layers.getOrElseUpdate(bor, scala.collection.mutable.ArrayBuffer.empty) +=
+          Mvt.PointFeature(x, y, attrs.toSeq)
+      }
+    }
+    layers.iterator.map { case (n, fs) => (n, fs.toSeq) }.toSeq
+  }
+
+  /** Real MVT wire-format tile blobs over the same (key, tile) contract as
+    * [[encodeTiles]]. `extent` is the tile size (the reference passes its
+    * tileSize as the encoder extent, `VectorTiles.java:40`).
+    */
+  def encodeTilesMvt(tiles: DataFrame, extent: Int,
+                     codes: Seq[(String, Int)] = graft.expr.BorYear.EventTypeCodes)
+      (implicit spark: SparkSession): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    val codeMap = codes.map(_.swap).toMap
+    tiles.select(col("key"), col("tile")).map { r =>
+      (r.getString(0), Mvt.encode(mvtLayers(r.getSeq[Row](1), codeMap), extent))
+    }
+  }
+
+  /** One pass, both codecs: (key, custom value, mvt bytes) — what the
+    * pipeline writes, so wire-format consumers and the oracle-checkable
+    * codec share a single encode scan.
+    */
+  def encodeTilesWithMvt(tiles: DataFrame, extent: Int,
+                         codes: Seq[(String, Int)] = graft.expr.BorYear.EventTypeCodes)
+      (implicit spark: SparkSession): Dataset[(String, Array[Byte], Array[Byte])] = {
+    import spark.implicits._
+    val codeMap = codes.map(_.swap).toMap
+    tiles.select(col("key"), col("tile")).map { r =>
+      val pixels = r.getSeq[Row](1)
+      (r.getString(0), encodeTileValue(pixels),
+        Mvt.encode(mvtLayers(pixels, codeMap), extent))
     }
   }
 

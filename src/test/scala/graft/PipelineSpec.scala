@@ -74,6 +74,18 @@ class PipelineSpec extends SparkSpec {
     val bigViews = res.tileInput
       .agg(sum("occCount")).collect().head.getLong(0)
     assert(tileViewTotal == bigViews, "z0 primary pixels conserve tile-path counts")
+
+    // the sink carries BOTH codecs: the mvt column decodes as wire-format
+    // vector tiles conserving the same per-tile counts as the custom codec
+    val mvtIdx = z0.schema.fieldIndex("mvt")
+    z0.collect().foreach { r =>
+      val custom = Sinks.decodeTile(r.getAs[Array[Byte]]("value"))
+      val layers = graft.io.Mvt.decode(r.getAs[Array[Byte]](mvtIdx))
+      assert(layers.nonEmpty && layers.forall(_.extent == 512))
+      val customTotal = custom.flatMap(_._3).map(_._2).sum
+      val mvtTotal = layers.flatMap(_.features).flatMap(_.attrs).map(_._2).sum
+      assert(mvtTotal == customTotal, s"mvt conserves counts for key ${r.getString(0)}")
+    }
   }
 
   test("catalog CTAS barrier: checkpoints become real catalog tables, same pipeline output") {
