@@ -51,13 +51,19 @@ object MapPipeline {
     * has no Hive metastore (SURVEY §7.5); the in-memory catalog exercises
     * the identical SQL surface, so a Hive-enabled session drops in.
     */
-  case class CatalogBarrier(db: String = "graft") extends Barrier {
+  case class CatalogBarrier(db: String = "graft",
+                            partitionBy: Seq[String] = Nil) extends Barrier {
     def materialize(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       val view = s"__ctas_${db}_$name"
       df.createOrReplaceTempView(view)
       spark.sql(s"DROP TABLE IF EXISTS $db.$name")
-      spark.sql(s"CREATE TABLE $db.$name USING parquet AS SELECT * FROM $view")
+      // a real Hive deployment partitions the pyramid checkpoint tables
+      // (e.g. by zoom) so downstream zoom-sliced reads prune at the
+      // metastore level — same CTAS surface, one clause
+      val part =
+        if (partitionBy.isEmpty) "" else partitionBy.mkString(" PARTITIONED BY (", ", ", ")")
+      spark.sql(s"CREATE TABLE $db.$name USING parquet$part AS SELECT * FROM $view")
       spark.catalog.dropTempView(view)
       spark.table(s"$db.$name")
     }
@@ -72,8 +78,18 @@ object MapPipeline {
       threshold: Long = 250000,
       projections: Seq[String] = Seq("EPSG:3857", "EPSG:4326", "EPSG:3575", "EPSG:3031"),
       borCodes: Seq[(String, Int)] = BorYear.EventTypeCodes,
-      barrier: Option[Barrier] = None) {
+      barrier: Option[Barrier] = None,
+      // per-stage wall-clock hook (BenchPipeline); stages run eagerly
+      // (barrier writes, sink writes), so each callback is a real wall time
+      onStage: (String, Double) => Unit = (_, _) => ()) {
     def effectiveBarrier: Barrier = barrier.getOrElse(PathBarrier(workDir))
+  }
+
+  private def timed[T](cfg: Config)(name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    cfg.onStage(name, (System.nanoTime() - t0) / 1e9)
+    r
   }
 
   /** `prepared` / `tileInput` are the post-barrier handles (parquet scan or
@@ -85,30 +101,38 @@ object MapPipeline {
   def run(spark: SparkSession, occ: DataFrame, mapKeysArray: Column, cfg: Config): Result = {
     val barrier = cfg.effectiveBarrier
     // -- 1. prepare + materialization barrier
-    val prepared = barrier.materialize(spark,
-      Pyramid.prepareInput(occ, mapKeysArray, cfg.borCodes), "prepared")
+    val prepared = timed(cfg)("prepare_barrier") {
+      barrier.materialize(spark,
+        Pyramid.prepareInput(occ, mapKeysArray, cfg.borCodes), "prepared")
+    }
 
     // -- 2. cardinality split (broadcast semi/anti join, not driver collect)
     val bigViews = prepared.groupBy("mapKey")
       .agg(sum("occCount").as("n")).filter(col("n") >= cfg.threshold)
       .select("mapKey")
-    val tileInput = barrier.materialize(spark,
-      prepared.join(broadcast(bigViews), Seq("mapKey"), "left_semi"), "tile_input")
+    val tileInput = timed(cfg)("tile_input_barrier") {
+      barrier.materialize(spark,
+        prepared.join(broadcast(bigViews), Seq("mapKey"), "left_semi"), "tile_input")
+    }
     val pointInput = prepared.join(broadcast(bigViews), Seq("mapKey"), "left_anti")
 
     // -- 3. point path
     implicit val s: SparkSession = spark
     val pointsPath = s"${cfg.workDir}/points"
-    Sinks.writeSorted(
-      Sinks.encodePoints(PointMap.pointFeatures(pointInput, cfg.saltModulo))
-        .toDF("key", "value"),
-      cfg.saltModulo, pointsPath)
+    timed(cfg)("points_sink") {
+      Sinks.writeSorted(
+        Sinks.encodePoints(PointMap.pointFeatures(pointInput, cfg.saltModulo))
+          .toDF("key", "value"),
+        cfg.saltModulo, pointsPath)
+    }
 
     // -- 4. tile path: projections × zooms, slowest (deepest) first
     val needsSouth = cfg.projections.contains("EPSG:3031")
     val south = // 100 km buffer ≈ lat <= 1 (TileMapBuilder.java:59-62)
-      if (needsSouth) barrier.materialize(spark,
-        tileInput.filter(col("lat") <= 1), "tile_input_south")
+      if (needsSouth) timed(cfg)("south_barrier") {
+        barrier.materialize(spark,
+          tileInput.filter(col("lat") <= 1), "tile_input_south")
+      }
       else tileInput
 
     val tileDirs = for {
@@ -117,14 +141,16 @@ object MapPipeline {
     } yield {
       val proj = Projections.fromEpsg(epsg)
       val input = if (epsg == "EPSG:3031") south else tileInput
-      val t3 = Pyramid.build(input, proj, zoom, cfg.tileSize, cfg.bufferSize, cfg.saltModulo)
       val dir = s"${cfg.workDir}/tiles/${epsg.replaceAll(":", "_")}/z$zoom"
-      // both codecs in one encode scan: `value` = the oracle-checkable
-      // deterministic layout, `mvt` = real Mapbox Vector Tile wire bytes
-      Sinks.writeSorted(
-        Sinks.encodeTilesWithMvt(t3, cfg.tileSize, cfg.borCodes)
-          .toDF("key", "value", "mvt"),
-        cfg.saltModulo, dir)
+      timed(cfg)(s"tiles/${epsg.replaceAll(":", "_")}/z$zoom") {
+        val t3 = Pyramid.build(input, proj, zoom, cfg.tileSize, cfg.bufferSize, cfg.saltModulo)
+        // both codecs in one encode scan: `value` = the oracle-checkable
+        // deterministic layout, `mvt` = real Mapbox Vector Tile wire bytes
+        Sinks.writeSorted(
+          Sinks.encodeTilesWithMvt(t3, cfg.tileSize, cfg.borCodes)
+            .toDF("key", "value", "mvt"),
+          cfg.saltModulo, dir)
+      }
       dir
     }
     Result(prepared, tileInput, pointsPath, tileDirs)

@@ -572,6 +572,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The PRODUCTION shape of approximate percentiles: the GK sketch alone
+    // — ONE map-side pass over the fact table, one tiny row per group, no
+    // verification join (that re-scan is the self-check key's job, above).
+    // No oracle entry: the sketch's element choice is engine-specific, so
+    // the driver records the weaker rows-only check here, while the
+    // rank-error CONTRACT stays pinned by agg_approx_percentile and
+    // SketchSpec. This is the key the bench should read as the shipped
+    // cost of a percentile pass at scale.
+    "agg_approx_percentile_sketch" -> ((s, d) =>
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("ap"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          element_at(col("ap"), 1).as("ap50"), element_at(col("ap"), 2).as("ap90"))
+        .orderBy("l_returnflag")),
+
     // Exact interpolated percentiles (both engines use the same
     // linear-interpolation definition).
     "agg_percentile" -> ((s, d) =>
@@ -743,6 +759,30 @@ object SparkEntry {
           bitsPerBand = lshBitsFor(s, d))
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
+
+    // Index-quality audit: recall@k of the LSH retrieval against the exact
+    // top-k, per query — the metric an ANN deployment watches when tuning
+    // bands/bits. Both paths are the keys above (same tiebreaks), composed
+    // by a left join from truth to retrieved; fully oracle-replayable. At
+    // scale the exact side is the expensive audit run on a SAMPLE of
+    // queries (here the same %20 slice both keys use) — the point is the
+    // measurement shape, not running brute force over the corpus.
+    "similarity_recall" -> ((s, d) => {
+      val k = 5
+      val isQ = col("vec_id") % 20 === 0
+      val exact = Similarity.topK(emb(s, d), isQ, k = k)
+        .select(col("q_id"), col("n_id"))
+      val retrieved = Similarity.lshTopK(emb(s, d), isQ, k = k,
+          bitsPerBand = lshBitsFor(s, d))
+        .select(col("q_id").as("r_q"), col("n_id").as("r_n"))
+      exact.join(retrieved,
+          col("q_id") === col("r_q") && col("n_id") === col("r_n"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k_exact"), count(col("r_n")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k_exact"), 6).as("recall_r"))
+        .orderBy("q_id")
+    }),
 
     // TRAINED IVF codebook: 3 Lloyd rounds of exact-integer k-means (k=8)
     // from deterministic phash seeds — bit-replayed by the DuckDB oracle.
@@ -1546,6 +1586,8 @@ object SparkEntry {
       "similarity_topk" -> sqlTopK(k = 5, sameCell = false),
       "similarity_ivf" -> sqlTopK(k = 3, sameCell = true),
       "similarity_lsh" -> sqlLshTopK(k = 5),
+
+      "similarity_recall" -> sqlRecall(k = 5),
       "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
       "pq_codes" -> graft.llm.Quantizer.sqlPqCodes(),
       "similarity_pq" -> graft.llm.Quantizer.sqlPqTopK("(q.vec_id % 20) = 0", topK = 5),
@@ -1736,6 +1778,44 @@ object SparkEntry {
        |r AS (SELECT q_id, n_id, cos_r,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, cos_r, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk, n_id""".stripMargin
+  }
+
+  /** Oracle twin of the `similarity_recall` audit: brute-force exact top-k
+    * left-joined by the banded-LSH retrieval, recall per query — the same
+    * two chains as [[sqlTopK]] and [[sqlLshTopK]], CTE-renamed to compose.
+    */
+  private def sqlRecall(k: Int): String = {
+    import graft.llm.Similarity
+    val cells = Similarity.sqlBandCells(
+      "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+    val cosQ = s"round(${Similarity.sqlDot("q_emb", "e.embedding")} / (q_nrm * e.nrm), 6)"
+    val cosL = s"round(${Similarity.sqlDot("l.embedding", "rr.embedding")} / (l.nrm * rr.nrm), 6)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM n WHERE vec_id % 20 = 0),
+       |bp AS (SELECT q_id, e.vec_id AS n_id, $cosQ AS cos_r
+       |  FROM q JOIN n e ON q_id <> e.vec_id),
+       |br AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM bp),
+       |exact AS (SELECT q_id, n_id FROM br WHERE rnk <= $k),
+       |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+       |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc AS (SELECT vec_id, band, cell FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+       |  WHERE occ <= ${Similarity.MaxCellBucket}),
+       |cand AS (SELECT DISTINCT qq.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM cc qq JOIN cc e ON qq.band = e.band AND qq.cell = e.cell AND qq.vec_id <> e.vec_id
+       |  WHERE qq.vec_id % 20 = 0),
+       |lp AS (SELECT q_id, n_id, $cosL AS cos_r
+       |  FROM cand JOIN n l ON q_id = l.vec_id JOIN n rr ON n_id = rr.vec_id),
+       |lr AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM lp),
+       |ret AS (SELECT q_id, n_id FROM lr WHERE rnk <= $k)
+       |SELECT e.q_id, count(r.n_id) AS n_hits,
+       |  round(count(r.n_id)::DOUBLE / count(*), 6) AS recall_r
+       |FROM exact e LEFT JOIN ret r ON e.q_id = r.q_id AND e.n_id = r.n_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Oracle twin of [[graft.llm.Dedup.verifiedJaccard]]: CTE chain from

@@ -4,7 +4,9 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 import graft.analog.{OccurrenceAnalog => OA}
+import graft.expr.BorYear
 import graft.io.Sinks
+import graft.tiles.{Projections, Pyramid}
 
 /** End-to-end pipeline run at sf0.001 (mini pyramid: maxZoom 2), checking
   * the invariants the reference's HBase bulkload depends on: per-partition
@@ -86,6 +88,41 @@ class PipelineSpec extends SparkSpec {
       val mvtTotal = layers.flatMap(_.features).flatMap(_.attrs).map(_._2).sum
       assert(mvtTotal == customTotal, s"mvt conserves counts for key ${r.getString(0)}")
     }
+  }
+
+  test("partitioned CTAS barrier: zoom-partitioned checkpoint prunes on re-read") {
+    // the metastore shape a real Hive deployment uses for the pyramid
+    // checkpoint tables: PARTITIONED BY (zoom), so zoom-sliced consumers
+    // prune partitions instead of scanning the whole pyramid
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val occ = events.filter(OA.qualityFilter)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        OA.lat.as("lat"), OA.lng.as("lng"),
+        col("event_type").as("basisOfRecord"), OA.yearCol.as("year"))
+    val prepared = Pyramid.prepareInput(occ, OA.mapKeysArray, BorYear.EventTypeCodes)
+    val proj = Projections.fromEpsg("EPSG:3857")
+    val byZoom = (0 to 1).map { z =>
+      Pyramid.build(prepared, proj, z, 512, 64, 10).withColumn("zoom", lit(z))
+    }.reduce(_ unionByName _)
+
+    val barrier = MapPipeline.CatalogBarrier(db = "graft_part", partitionBy = Seq("zoom"))
+    val table = barrier.materialize(spark, byZoom, "pyramid")
+
+    val parts = spark.sql("SHOW PARTITIONS graft_part.pyramid")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("zoom=0", "zoom=1"), s"one partition per zoom: ${parts.toSeq}")
+
+    // a zoom-sliced read prunes at the partition level (no data filter,
+    // no full-pyramid scan) and returns exactly that zoom's tiles
+    val z1 = table.filter(col("zoom") === 1)
+    val plan = z1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zoom"),
+      s"zoom filter prunes partitions:\n$plan")
+    val z1Expected = byZoom.filter(col("zoom") === 1).count()
+    assert(z1.count() == z1Expected && z1Expected > 0)
+    assert(table.count() == byZoom.count(), "full re-read preserves every tile row")
+
+    spark.sql("DROP DATABASE graft_part CASCADE")
   }
 
   test("catalog CTAS barrier: checkpoints become real catalog tables, same pipeline output") {

@@ -37,6 +37,34 @@ class SketchSpec extends SparkSpec {
       "max-as-median must violate the p=0.5 rank bound")
   }
 
+  test("agg_approx_percentile_sketch: one-pass production shape, values honor the rank bound") {
+    val q = SparkEntry.queries("agg_approx_percentile_sketch")(spark, d)
+    // production shape: exactly one scan, no verification join
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"sketch-only key must scan the fact table once:\n$plan")
+    assert(!plan.contains("Join"), s"no verification join in the shipped shape:\n$plan")
+    // and its sketch values satisfy the same rank contract the self-check
+    // key enforces (recomputed here against the raw data)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    val byFlag = Tables.lineitem(spark, d)
+      .select("l_returnflag", "l_quantity")
+      .as[(String, Double)].collect().groupBy(_._1)
+    rows.foreach { r =>
+      val vals = byFlag(r.getString(0)).map(_._2).sorted
+      val n = r.getLong(1)
+      assert(n == vals.length)
+      val tol = n.toDouble / 1000 + 1
+      for ((p, idx) <- Seq((0.5, 2), (0.9, 3))) {
+        val ap = r.getDouble(idx)
+        val rankLt = vals.count(_ < ap); val rankLe = vals.count(_ <= ap)
+        assert(rankLt - tol <= p * n && p * n <= rankLe + tol,
+          s"${r.getString(0)} p=$p: ap=$ap rank=($rankLt,$rankLe] target=${p * n}")
+      }
+    }
+  }
+
   test("heavy_hitters: support floor is exact and complete") {
     val out = SparkEntry.queries("heavy_hitters")(spark, d)
       .as[(String, Long, Long)].collect()

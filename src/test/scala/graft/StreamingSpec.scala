@@ -143,6 +143,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: streaming sessionization == batch twin under random arrival permutations") {
+    // The EventStream.sessionize contract: identical sessions to
+    // sessionizeBatch for ANY arrival order within the watermark. Random
+    // event sets, randomly permuted and split into random micro-batches —
+    // late events may extend sessions backwards or bridge them, and the
+    // result must still be the batch answer.
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val base = ts("2024-01-01 00:00:00").getTime
+    val evGen = for {
+      user <- org.scalacheck.Gen.choose(1L, 3L)
+      min <- org.scalacheck.Gen.choose(0, 600) // 10 h span, 30 min gap => several sessions
+    } yield Ev(new Timestamp(base + min * 60000L), user)
+    for (trial <- 0 until 4) {
+      val events = org.scalacheck.Gen.listOfN(24, evGen)
+        .apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(7000L + trial))
+        .getOrElse(sys.error("generator exhausted"))
+      val rnd = new scala.util.Random(31L * trial + 5)
+      val arrival = rnd.shuffle(events)
+      // split into 1-4 micro-batches at random cut points
+      val cuts = (Seq(0, arrival.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(arrival.size)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => arrival.slice(a, b) }
+      val in = MemoryStream[Ev]
+      val name = s"sessions_prop_$trial"
+      // watermark far wider than the event span: nothing is ever late-dropped
+      val q = EventStream.sessionize(in.toDS(), gapSec = 1800, watermark = "7 days")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        // sentinels push the watermark past every session + gap
+        in.addData(Ev(ts("2024-02-15 00:00:00"), 99L)); q.processAllAvailable()
+        in.addData(Ev(ts("2024-03-15 00:00:00"), 99L)); q.processAllAvailable()
+        val streamed = spark.table(name).filter(col("user_id") < 99)
+          .select("user_id", "session_start_us", "session_end_us", "n_events")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        val batch = EventStream.sessionizeBatch(
+            events.toDF().select(col("user_id"),
+              (col("ts").cast("long") * 1000000L).as("ts_us")),
+            gapSec = 1800)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(streamed == batch,
+          s"trial $trial (batch sizes ${batches.map(_.size)}): $streamed != $batch")
+        assert(batch.nonEmpty, s"trial $trial fixture produced sessions")
+      } finally q.stop()
+    }
+  }
+
   test("streaming corpus admission: stream-static join drops index-known docs") {
     implicit val sql = spark.sqlContext
     val index = Seq(
