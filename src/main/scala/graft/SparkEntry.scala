@@ -146,6 +146,32 @@ object SparkEntry {
         .filter(col("occ_count") >= Threshold)
         .orderBy("map_key")),
 
+    // Salted two-phase aggregation over the structurally skewed map_key
+    // (the ALL view carries EVERY record, MapKeysUDF.java:115, so a plain
+    // group-by parks the whole dataset on one reducer): phase 1 splits each
+    // key across 8 deterministic salt buckets, phase 2 merges partials.
+    // Values are identical to the direct group-by — exactly what the
+    // oracle pins — while no reducer ever holds a hot key alone.
+    "agg_skew_salted" -> ((s, d) =>
+      graft.ops.Skew.saltedAgg(exploded(s, d), Seq("map_key"), col("event_id"), 8)(
+        Seq(count(lit(1)).as("c1")),
+        Seq(sum("c1").as("n_events")))
+        .orderBy("map_key")),
+
+    // Salted equi-join against the same structural skew: the left
+    // (exploded events) gets a deterministic salt, the moderate right side
+    // (per-view coordinate stats — too large to broadcast at corpus scale)
+    // replicates across the 8 salt buckets, so the hot view's probe rows
+    // spread over 8 reducers. Results identical to the plain join.
+    "join_skew_salted" -> ((s, d) => {
+      val stats = preAgg(s, d).groupBy("map_key")
+        .agg(count(lit(1)).as("n_coords"))
+      graft.ops.Skew.saltedJoin(exploded(s, d), stats, "map_key", col("event_id"), 8)
+        .groupBy("map_key")
+        .agg(count(lit(1)).as("n_events"), max("n_coords").as("n_coords"))
+        .orderBy("map_key")
+    }),
+
     // ---- A2: the core pre-aggregation (TileMapBuilder.java:86-104)
     "agg_count_by_coord" -> ((s, d) =>
       preAgg(s, d)
@@ -1161,6 +1187,19 @@ object SparkEntry {
       "filter_quality" ->
         s"""SELECT event_type, count(*) AS n FROM events
            |WHERE ${OA.sqlQualityFilter} GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // the salted two-phase agg must be value-identical to the direct
+      // group-by; sum of per-salt counts widens to HUGEINT in DuckDB, so
+      // pin BIGINT like every other summed-count oracle
+      "agg_skew_salted" -> (sqlOcc +
+        """SELECT map_key, count(*)::BIGINT AS n_events
+          |FROM ex GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "join_skew_salted" -> (sqlOcc +
+        """SELECT map_key, count(*)::BIGINT AS n_events, max(n_coords) AS n_coords
+          |FROM ex JOIN (SELECT map_key, count(*)::BIGINT AS n_coords
+          |              FROM pre GROUP BY 1) stats USING (map_key)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
       // sum(user_id)::BIGINT: DuckDB's sum(BIGINT) yields HUGEINT, which
       // pandas materializes as float64 and breaks the driver's dtype-
