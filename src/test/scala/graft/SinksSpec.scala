@@ -59,6 +59,32 @@ class SinksSpec extends SparkSpec {
     assert(decoded.map(l => l.name -> l.features) == layers)
   }
 
+  test("property: MVT codec round-trips arbitrary layer/feature/attr structures") {
+    import graft.io.Mvt
+    import org.scalacheck.Gen
+    val attr = for {
+      k <- Gen.oneOf(Gen.choose(1500, 2026).map(_.toString), Gen.const("null"))
+      v <- Gen.oneOf(Gen.choose(0L, 1000L), Gen.choose(0L, Long.MaxValue))
+    } yield (k, v)
+    val feature = for {
+      x <- Gen.choose(-128, 640) // incl. buffer coords outside [0, extent)
+      y <- Gen.choose(-128, 640)
+      attrs <- Gen.listOfN(3, attr).map(_.distinctBy(_._1))
+    } yield Mvt.PointFeature(x, y, attrs)
+    val layer = for {
+      name <- Gen.oneOf("view", "click", "purchase", "signup", "error")
+      feats <- Gen.nonEmptyListOf(feature).map(_.take(20))
+    } yield (name, feats)
+    val tileGen = Gen.listOfN(4, layer).map(_.distinctBy(_._1))
+    for (seed <- 0 until 50) {
+      val layers = tileGen(Gen.Parameters.default, org.scalacheck.rng.Seed(9000L + seed))
+        .getOrElse(sys.error("generator exhausted"))
+      val decoded = Mvt.decode(Mvt.encode(layers, 512))
+      assert(decoded.map(l => (l.name, l.features)) == layers &&
+        decoded.forall(_.extent == 512), s"seed $seed round-trip")
+    }
+  }
+
   test("encodeTilesWithMvt: both codecs from one scan; MVT layers follow VectorTiles semantics") {
     implicit val s = spark
     // borYear: 202403 = (2024, "view"), 202401 = (2024, "click"),
