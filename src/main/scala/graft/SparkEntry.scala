@@ -831,6 +831,27 @@ object SparkEntry {
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
 
+    // Recall audit of the trained-IVF multi-probe path (the companion of
+    // similarity_recall's LSH audit): recall@3 vs exact top-3 per query,
+    // same sample-only exact side. Together the two recall keys are the
+    // index-quality dashboard for both ANN families.
+    "similarity_recall_ivf" -> ((s, d) => {
+      val k = 3
+      val isQ = col("vec_id") % 20 === 0
+      val exact = Similarity.topK(emb(s, d), isQ, k = k)
+        .select(col("q_id"), col("n_id"))
+      val retrieved = Quantizer.ivfTopKProbes(emb(s, d), Quantizer.train(emb(s, d)),
+          isQ, k = k, nprobe = 2)
+        .select(col("q_id").as("r_q"), col("n_id").as("r_n"))
+      exact.join(retrieved,
+          col("q_id") === col("r_q") && col("n_id") === col("r_n"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k_exact"), count(col("r_n")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k_exact"), 6).as("recall_r"))
+        .orderBy("q_id")
+    }),
+
     // Product-quantization codes: per-subspace exact-integer k-means
     // codebooks (4×16-dim slices, 8 codes each), encoding = m codegen'd
     // argmin projections — a 64-float vector becomes 4 small codes, the
@@ -1634,6 +1655,7 @@ object SparkEntry {
         graft.llm.Quantizer.sqlIvfTopK("q.vec_id % 20 = 0", topK = 3),
       "similarity_ivf_probes" ->
         graft.llm.Quantizer.sqlIvfTopKProbes("q.vec_id % 20 = 0", topK = 3, nprobe = 2),
+      "similarity_recall_ivf" -> sqlRecallIvf(k = 3, nprobe = 2),
 
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,
@@ -1817,6 +1839,32 @@ object SparkEntry {
        |r AS (SELECT q_id, n_id, cos_r,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, cos_r, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk, n_id""".stripMargin
+  }
+
+  /** Oracle twin of `similarity_recall_ivf`: the trained-IVF multi-probe
+    * chain ([[graft.llm.Quantizer.sqlIvfProbePairs]], which replays the
+    * whole k-means training in CTEs) ranked to top-k, against the brute
+    * exact top-k over the same trained-norm frame `n`.
+    */
+  private def sqlRecallIvf(k: Int, nprobe: Int): String = {
+    import graft.llm.{Quantizer, Similarity}
+    val cos = s"round(${Similarity.sqlDot("q_emb", "e.embedding")} / (q_nrm * e.nrm), 6)"
+    s"""WITH ${Quantizer.sqlTrainCtes()},
+       |${Quantizer.sqlIvfProbePairs("q.vec_id % 20 = 0", nprobe)},
+       |lr AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM pairs),
+       |ret AS (SELECT q_id, n_id FROM lr WHERE rnk <= $k),
+       |bq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM n WHERE vec_id % 20 = 0),
+       |bp AS (SELECT q_id, e.vec_id AS n_id, $cos AS cos_r
+       |  FROM bq JOIN n e ON q_id <> e.vec_id),
+       |br AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM bp),
+       |exact AS (SELECT q_id, n_id FROM br WHERE rnk <= $k)
+       |SELECT e.q_id, count(r.n_id) AS n_hits,
+       |  round(count(r.n_id)::DOUBLE / count(*), 6) AS recall_r
+       |FROM exact e LEFT JOIN ret r ON e.q_id = r.q_id AND e.n_id = r.n_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Oracle twin of the `similarity_recall` audit: brute-force exact top-k

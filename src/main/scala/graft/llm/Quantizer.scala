@@ -306,14 +306,14 @@ object Quantizer {
        |FROM c$iters CROSS JOIN range($dim) r
        |ORDER BY cid, idx""".stripMargin
 
-  /** Oracle for [[ivfTopKProbes]]: centroids ranked per query by the same
-    * exact-integer (distance, cid) order, top `nprobe` probed, cosine
-    * rerank.
+  /** WITH-body continuing [[sqlTrainCtes]]: `n` (every vector with trained
+    * cell + norm), `pm/pr` (per-query centroid ranking, top `nprobe`
+    * probed), `pairs` (candidates with exact-cosine scores). Shared by the
+    * probes oracle and the IVF recall audit.
     */
-  def sqlIvfTopKProbes(queryPred: String, topK: Int, nprobe: Int, k: Int = K,
-                       iters: Int = Iters, dim: Int = Dim): String =
-    s"""WITH ${sqlTrainCtes(k, iters, dim)},
-       |n AS (
+  def sqlIvfProbePairs(queryPred: String, nprobe: Int,
+                       iters: Int = Iters): String =
+    s"""n AS (
        |  SELECT eq.vec_id, eq.embedding, a.cid,
        |         sqrt(${Similarity.sqlDot("eq.embedding", "eq.embedding")}) AS nrm
        |  FROM eq JOIN a${iters + 1} a USING (vec_id)
@@ -335,7 +335,16 @@ object Quantizer {
        |         round(${Similarity.sqlDot("qn.embedding", "n.embedding")} / (qn.nrm * n.nrm), 6) AS cos_r
        |  FROM pr JOIN n qn ON pr.vec_id = qn.vec_id
        |          JOIN n ON n.cid = pr.cid AND n.vec_id <> pr.vec_id
-       |)
+       |)""".stripMargin
+
+  /** Oracle for [[ivfTopKProbes]]: centroids ranked per query by the same
+    * exact-integer (distance, cid) order, top `nprobe` probed, cosine
+    * rerank.
+    */
+  def sqlIvfTopKProbes(queryPred: String, topK: Int, nprobe: Int, k: Int = K,
+                       iters: Int = Iters, dim: Int = Dim): String =
+    s"""WITH ${sqlTrainCtes(k, iters, dim)},
+       |${sqlIvfProbePairs(queryPred, nprobe, iters)}
        |SELECT q_id, n_id, cos_r, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
        |  FROM pairs
