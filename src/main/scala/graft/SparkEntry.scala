@@ -793,6 +793,10 @@ object SparkEntry {
     // scale the exact side is the expensive audit run on a SAMPLE of
     // queries (here the same %20 slice both keys use) — the point is the
     // measurement shape, not running brute force over the corpus.
+    // Fixture recall reads LOW (LSH ~0.25, IVF ~0.56, PQ ~0.10 mean): the
+    // synthetic embeddings are near-uniform on the sphere, so true top-k
+    // neighbors are barely more similar than anyone else — exactly the
+    // regime an honest audit should expose rather than smooth over.
     "similarity_recall" -> ((s, d) => {
       val k = 5
       val isQ = col("vec_id") % 20 === 0
@@ -868,6 +872,27 @@ object SparkEntry {
           Quantizer.pqTrain(emb(s, d)), pmod(col("vec_id"), lit(20)) === 0,
           topK = 5)
         .orderBy("q_id", "rnk", "n_id")),
+
+    // PQ recall audit, closing the dashboard trio (LSH, trained IVF, PQ):
+    // recall@5 of IVF-PQ retrieval vs exact top-5. PQ recall reads lower by
+    // design — ADC ranks over lossy 4x16-dim codes — and THAT is the number
+    // this key surfaces: the compression/recall trade made measurable.
+    "similarity_recall_pq" -> ((s, d) => {
+      val k = 5
+      val isQ = pmod(col("vec_id"), lit(20)) === 0
+      val exact = Similarity.topK(emb(s, d), isQ, k = k)
+        .select(col("q_id"), col("n_id"))
+      val retrieved = Quantizer.pqTopK(emb(s, d), Quantizer.train(emb(s, d)),
+          Quantizer.pqTrain(emb(s, d)), isQ, topK = k)
+        .select(col("q_id").as("r_q"), col("n_id").as("r_n"))
+      exact.join(retrieved,
+          col("q_id") === col("r_q") && col("n_id") === col("r_n"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k_exact"), count(col("r_n")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k_exact"), 6).as("recall_r"))
+        .orderBy("q_id")
+    }),
 
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
@@ -1656,6 +1681,7 @@ object SparkEntry {
       "similarity_ivf_probes" ->
         graft.llm.Quantizer.sqlIvfTopKProbes("q.vec_id % 20 = 0", topK = 3, nprobe = 2),
       "similarity_recall_ivf" -> sqlRecallIvf(k = 3, nprobe = 2),
+      "similarity_recall_pq" -> sqlRecallPq(k = 5),
 
       "multimodal_features" ->
         """SELECT doc_id, octet_length(encode(text))::INTEGER AS byte_len,
@@ -1839,6 +1865,33 @@ object SparkEntry {
        |r AS (SELECT q_id, n_id, cos_r,
        |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM p)
        |SELECT q_id, n_id, cos_r, rnk FROM r WHERE rnk <= $k ORDER BY q_id, rnk, n_id""".stripMargin
+  }
+
+  /** Oracle twin of `similarity_recall_pq`: the IVF-PQ retrieval chain
+    * (all five codebook trainings replayed, ADC ranking) against the brute
+    * exact top-k over true embeddings.
+    */
+  private def sqlRecallPq(k: Int): String = {
+    import graft.llm.{Quantizer, Similarity}
+    val cos = s"round(${Similarity.sqlDot("q_emb", "e.embedding")} / (q_nrm * e.nrm), 6)"
+    s"""WITH ${Quantizer.sqlPqAllTrainings()},
+       |${Quantizer.sqlPqPairs("(q.vec_id % 20) = 0")},
+       |lr AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk FROM pairs),
+       |ret AS (SELECT q_id, n_id FROM lr WHERE rnk <= $k),
+       |bn AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |bq AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM bn WHERE vec_id % 20 = 0),
+       |bp AS (SELECT q_id, e.vec_id AS n_id, $cos AS cos_r
+       |  FROM bq JOIN bn e ON q_id <> e.vec_id),
+       |br AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM bp),
+       |exact AS (SELECT q_id, n_id FROM br WHERE rnk <= $k)
+       |SELECT e.q_id, count(r.n_id) AS n_hits,
+       |  round(count(r.n_id)::DOUBLE / count(*), 6) AS recall_r
+       |FROM exact e LEFT JOIN ret r ON e.q_id = r.q_id AND e.n_id = r.n_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Oracle twin of `similarity_recall_ivf`: the trained-IVF multi-probe

@@ -375,20 +375,19 @@ object Quantizer {
        |ORDER BY e.vec_id""".stripMargin
   }
 
-  /** Oracle for [[pqTopK]]: coarse training + m sub-trainings, decoded
-    * vectors via codebook joins, exact-integer ADC distance, in-cell rank.
+  /** WITH-body continuing the coarse + sub-quantizer trainings: `dec`
+    * (decoded vectors via codebook joins), `n` (quantized vectors with
+    * trained coarse cell), `pairs` (in-cell candidates with exact-integer
+    * ADC distance). Shared by the PQ retrieval oracle and its recall audit.
     */
-  def sqlPqTopK(queryPred: String, topK: Int, m: Int = PqM, pqK: Int = PqK,
-                pqIters: Int = PqIters, k: Int = K, iters: Int = Iters,
-                dim: Int = Dim): String = {
+  def sqlPqPairs(queryPred: String, m: Int = PqM, pqIters: Int = PqIters,
+                 iters: Int = Iters): String = {
     val decJoins = (0 until m)
       .map(j => s"JOIN s${j}_a${pqIters + 1} a$j USING (vec_id) " +
         s"JOIN s${j}_c$pqIters b$j ON b$j.cid = a$j.cid").mkString("\n  ")
     val decExpr = (0 until m).map(j => s"b$j.ei")
       .reduce((a, b) => s"list_concat($a, $b)")
-    s"""WITH ${sqlTrainCtes(k, iters, dim)},
-       |${sqlPqTrainings(m, pqK, pqIters, dim)},
-       |dec AS (
+    s"""dec AS (
        |  SELECT e.vec_id, $decExpr AS dei
        |  FROM embeddings e
        |  $decJoins
@@ -400,13 +399,29 @@ object Quantizer {
        |  FROM n q JOIN n ON q.cid = n.cid AND q.vec_id <> n.vec_id
        |  JOIN dec d ON d.vec_id = n.vec_id
        |  WHERE $queryPred
-       |)
+       |)""".stripMargin
+  }
+
+  /** The coarse training + the m sub-quantizer trainings as one WITH-body
+    * (what every PQ oracle starts from).
+    */
+  def sqlPqAllTrainings(m: Int = PqM, pqK: Int = PqK, pqIters: Int = PqIters,
+                        k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
+    s"${sqlTrainCtes(k, iters, dim)},\n${sqlPqTrainings(m, pqK, pqIters, dim)}"
+
+  /** Oracle for [[pqTopK]]: coarse training + m sub-trainings, decoded
+    * vectors via codebook joins, exact-integer ADC distance, in-cell rank.
+    */
+  def sqlPqTopK(queryPred: String, topK: Int, m: Int = PqM, pqK: Int = PqK,
+                pqIters: Int = PqIters, k: Int = K, iters: Int = Iters,
+                dim: Int = Dim): String =
+    s"""WITH ${sqlPqAllTrainings(m, pqK, pqIters, k, iters, dim)},
+       |${sqlPqPairs(queryPred, m, pqIters, iters)}
        |SELECT q_id, n_id, adc, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rnk
        |  FROM pairs
        |) WHERE rnk <= $topK
        |ORDER BY q_id, rnk, n_id""".stripMargin
-  }
 
   /** Oracle for [[ivfTopK]]: final assignment + in-cell cosine rerank. */
   def sqlIvfTopK(queryPred: String, topK: Int, k: Int = K, iters: Int = Iters,
