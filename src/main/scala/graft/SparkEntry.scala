@@ -894,6 +894,26 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // Balanced export sharding: documents rank-striped into 8 shards by
+    // token count desc — shard i takes global ranks i, i+8, i+16, …, so
+    // per-shard token mass is near-equal (greedy striping), the layout a
+    // training job wants its input shards in. The global rank runs on the
+    // distributed ops.GlobalRank (range-bucketed, never a single-partition
+    // window); output is the per-shard balance report.
+    "export_shards" -> ((s, d) => {
+      val shards = 8
+      val sized = docs(s, d).select(col("doc_id"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+        sized.withColumn("neg_tok", -col("n_tok")),
+        "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
+      ranked
+        .withColumn("shard", pmod(col("rn") - 1, lit(shards.toLong)).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("shard")
+    }),
+
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
 
@@ -1621,6 +1641,14 @@ object SparkEntry {
            |SELECT token, freq, (freq * 1000000) // tot AS ppm
            |FROM f, tt WHERE freq * 1000000 >= $HeavyHitterPpm * tot
            |ORDER BY freq DESC, token""".stripMargin,
+
+      "export_shards" ->
+        s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+           |r AS (SELECT doc_id, n_tok,
+           |  row_number() OVER (ORDER BY -n_tok, doc_id) AS rn FROM t)
+           |SELECT ((rn - 1) % 8)::INTEGER AS shard, count(*) AS n_docs,
+           |  sum(n_tok)::BIGINT AS n_tokens
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "ngram_counts" ->
         s"""WITH t AS (SELECT $toks AS toks FROM documents),
