@@ -1147,6 +1147,56 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    // Mixing-rate planner: the step between mix_report (what the corpus IS)
+    // and sample_stratified (how to sample it) — per language, the exact
+    // integer-ppm keep rate that downsamples every over-represented
+    // language to the uniform token target (tot/n_langs); under-target
+    // languages keep everything (rate 10⁶ — upsampling is a training-loop
+    // choice, not a filter). Same decimal-safe threshold arithmetic as
+    // heavy_hitters; the ppm rates feed sample_stratified directly.
+    "mix_rates" -> ((s, d) => {
+      val t = docs(s, d).select(col("lang"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val agg = t.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .localCheckpoint()
+      val tot = agg.agg(sum("n_tokens").as("tot"), count(lit(1)).as("n_langs"))
+      agg.crossJoin(tot)
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("tot div n_langs").as("target_tokens"),
+          least(lit(1000000L),
+            expr("(CAST(tot div n_langs AS DECIMAL(38,0)) * 1000000) div n_tokens"))
+            .as("rate_ppm"))
+        .orderBy("lang")
+    }),
+
+    // The mixing EXECUTOR, closing the loop report → plan → apply: every
+    // document passes the same deterministic hash gate sample_stratified
+    // uses (phash("mix:"+doc_id) mod 10⁶ < rate), but against the COMPUTED
+    // per-language rates of mix_rates instead of static knobs. Rates ride a
+    // broadcast (|langs| rows); the gate is a codegen'd narrow filter — no
+    // shuffle beyond the tiny rate aggregation. Output: per-language kept
+    // doc/token mass, i.e. the post-mix corpus profile.
+    "mix_apply" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("lang"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens")).localCheckpoint()
+      val tot = agg.agg(sum("n_tokens").as("tot"), count(lit(1)).as("n_langs"))
+      val rates = agg.crossJoin(tot).select(col("lang"),
+        least(lit(1000000L),
+          expr("(CAST(tot div n_langs AS DECIMAL(38,0)) * 1000000) div n_tokens"))
+          .as("rate_ppm"))
+      val gate = pmod(graft.expr.PortableHash.phash(
+        concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L))
+      t.join(broadcast(rates), Seq("lang"))
+        .withColumn("keep", gate < col("rate_ppm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("lang")
+    }),
+
     // Levenshtein verification of minhash-LSH candidates — the character-
     // level sibling of dedup_verified, for near-dup families token jaccard
     // is blind to (in-token edits, OCR noise). DP bounded to the first 256
@@ -1641,6 +1691,30 @@ object SparkEntry {
            |SELECT token, freq, (freq * 1000000) // tot AS ppm
            |FROM f, tt WHERE freq * 1000000 >= $HeavyHitterPpm * tot
            |ORDER BY freq DESC, token""".stripMargin,
+
+      "mix_rates" ->
+        s"""WITH t AS (SELECT lang, len($toks)::BIGINT AS n_tok FROM documents),
+           |a AS (SELECT lang, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+           |      FROM t GROUP BY 1),
+           |tt AS (SELECT sum(n_tokens)::BIGINT AS tot, count(*)::BIGINT AS n_langs FROM a)
+           |SELECT lang, n_docs, n_tokens, (tot // n_langs) AS target_tokens,
+           |  least(1000000, ((tot // n_langs) * 1000000) // n_tokens) AS rate_ppm
+           |FROM a, tt ORDER BY 1""".stripMargin,
+
+      "mix_apply" ->
+        s"""WITH t AS (SELECT doc_id, lang, len($toks)::BIGINT AS n_tok FROM documents),
+           |a AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1),
+           |tt AS (SELECT sum(n_tokens)::BIGINT AS tot, count(*)::BIGINT AS n_langs FROM a),
+           |r AS (SELECT lang,
+           |  least(1000000, ((tot // n_langs) * 1000000) // n_tokens) AS rate_ppm
+           |  FROM a, tt),
+           |g AS (SELECT t.lang, t.n_tok,
+           |  (${graft.expr.PortableHash.sqlPhash("'mix:' || doc_id::VARCHAR")} % 1000000) < r.rate_ppm AS keep
+           |  FROM t JOIN r USING (lang))
+           |SELECT lang, count(*) AS n_docs,
+           |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           |  sum(CASE WHEN keep THEN n_tok ELSE 0 END)::BIGINT AS kept_tokens
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "export_shards" ->
         s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
