@@ -150,6 +150,31 @@ class PlanGuardSpec extends SparkSpec {
       s"prefilter must run before the rank window:\n$plan")
   }
 
+  test("mix_apply: computed rates broadcast into the corpus; no shuffle join, no window") {
+    val plan = SparkEntry.queries("mix_apply")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |langs|-row rate frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a shuffle join against the tiny rate frame is the wrong shape:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the mixing executor:\n$plan")
+  }
+
+  test("export_shards: global rank is bucket-partitioned, never a single-partition window") {
+    val plan = SparkEntry.queries("export_shards")(spark, d)
+      .queryExecution.executedPlan.toString
+    // GlobalRank's window partitions by the range bucket; the scale bug
+    // would be a partition-less window (SinglePartition under Window)
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val parent = lines.take(i).reverse.find(_.trim.nonEmpty).getOrElse("")
+        assert(parent.contains("HashAggregate(keys=[]"),
+          s"export_shards: SinglePartition not under a scalar aggregate:\n$plan")
+    }
+    assert(plan.contains("Window"), s"rank window expected (bucket-partitioned):\n$plan")
+  }
+
   test("dedup_editdistance: candidates read the materialized bands; text joined from pruned scans") {
     val df = SparkEntry.queries("dedup_editdistance")(spark, d)
     val plan = df.queryExecution.executedPlan.toString
