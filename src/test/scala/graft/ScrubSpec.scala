@@ -88,6 +88,29 @@ class ScrubSpec extends SparkSpec {
     assert(deFrac > 0.05 && deFrac < 0.16, s"unknown stratum takes default ~10%, got $deFrac")
   }
 
+  test("mixing loop: mix_apply lands downsampled languages near mix_rates' token target") {
+    val d = "/root/testdata/sf0.001"
+    val rates = SparkEntry.queries("mix_rates")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap // lang -> (target, ppm)
+    val applied = SparkEntry.queries("mix_apply")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap // lang -> (kept, keptTok)
+    assert(rates.keySet == applied.keySet && rates.nonEmpty)
+    val down = rates.filter(_._2._2 < 1000000L)
+    assert(down.nonEmpty, "the fixture must have at least one over-represented language")
+    down.foreach { case (lang, (target, _)) =>
+      val keptTok = applied(lang)._2.toDouble
+      assert(math.abs(keptTok - target) / target < 0.25,
+        s"$lang kept $keptTok tokens vs target $target — hash gate off its rate")
+    }
+    // full-rate languages keep everything
+    rates.filter(_._2._2 == 1000000L).foreach { case (lang, _) =>
+      val (kept, _) = applied(lang)
+      val total = SparkEntry.queries("mix_apply")(spark, d)
+        .filter(col("lang") === lang).collect().head.getLong(1)
+      assert(kept == total, s"$lang under target must keep all docs")
+    }
+  }
+
   test("contamination: benchmark copy flagged fully, unrelated doc clean") {
     val docs = Seq(
       (0L, "one two three four five six seven"),  // benchmark (id % 2 == 0... use pred below)
