@@ -10,7 +10,7 @@ object GraftConf {
   def ensure(spark: SparkSession): SparkSession = {
     // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 refuses to
     // read as a timestamp ([PARQUET_TYPE_ILLEGAL]); read as BIGINT nanos and
-    // convert explicitly (timestamp_micros(ts div 1000)).
+    // convert explicitly (timestamp_micros(IntMath.floorDiv(ts, 1000))).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark

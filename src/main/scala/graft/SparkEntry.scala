@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.analog.{OccurrenceAnalog => OA}
-import graft.expr.{BorYear, Salt}
+import graft.expr.{BorYear, IntMath, Salt}
 import graft.tiles._
 
 /** Driver contract — one `queries` entry + oracle SQL per operator from
@@ -407,7 +407,7 @@ object SparkEntry {
     // identical session boundaries, oracle-checkable (SURVEY §2.8).
     "sessionize_batch" -> ((s, d) =>
       graft.streaming.EventStream.sessionizeBatch(
-          events(s, d).select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          events(s, d).select(col("user_id"), IntMath.floorDiv(col("ts"), 1000L).as("ts_us")),
           gapSec = 1800)
         .orderBy("user_id", "session_start_us")),
 
@@ -503,7 +503,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"))
+          IntMath.floorDiv(col("ts"), 1000L).as("ts_us"))
         .withColumn("last_signup_us",
           max(when(col("event_type") === "signup", col("ts_us"))).over(w))
         .select("event_id", "user_id", "ts_us", "last_signup_us")
@@ -530,7 +530,7 @@ object SparkEntry {
     "window_lag" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, d)
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        .select(col("event_id"), col("user_id"), IntMath.floorDiv(col("ts"), 1000L).as("ts_us"))
         .withColumn("prev_us", lag("ts_us", 1).over(w))
         .withColumn("next_us", lead("ts_us", 1).over(w))
         .orderBy("event_id")
@@ -639,7 +639,7 @@ object SparkEntry {
     // match is an equi-join on the bucket id (graft.ops.RangeJoin).
     "join_range" -> ((s, d) => {
       val ev = events(s, d).select(col("event_id"),
-        expr("ts div 1000").as("t_us"), col("event_type"), col("value"))
+        IntMath.floorDiv(col("ts"), 1000L).as("t_us"), col("event_type"), col("value"))
       val windows = ev
         .filter(col("event_type") === "signup" && pmod(col("event_id"), lit(50)) === 0)
         .select(col("event_id").as("signup_id"), col("t_us").as("lo_us"),

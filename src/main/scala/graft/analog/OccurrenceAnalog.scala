@@ -35,11 +35,13 @@ object OccurrenceAnalog {
   def lng: Column =
     ((col("user_id") * 53 + col("event_id")) % 360 - 180 +
       (col("user_id") % 100) / lit(100.0)).cast("double")
-  /** events.ts arrives as BIGINT nanos (see [[graft.GraftConf]]); truncate
-    * to micros with integer division (double division would lose precision —
-    * epoch-nanos exceed 2^53).
+  /** events.ts arrives as BIGINT nanos (see [[graft.GraftConf]]); floor to
+    * micros with exact integer arithmetic ([[graft.expr.IntMath.floorDiv]] —
+    * double division loses precision past 2^53, and truncating `div` would
+    * round pre-1970 nanos the wrong way vs DuckDB's flooring `epoch_us`).
     */
-  def tsCol: Column = expr("timestamp_micros(ts div 1000)")
+  def tsCol: Column =
+    call_function("timestamp_micros", graft.expr.IntMath.floorDiv(col("ts"), 1000L))
   def yearCol: Column = year(tsCol)
 
   /** Rank key i: null every 7th user (staggered per rank) else user_id % prime. */
