@@ -758,6 +758,20 @@ object SparkEntry {
         .select("doc_id", "lang", "pred_lang")
         .orderBy("doc_id")),
 
+    // Language-ID quality matrix: labeled lang × predicted lang with doc
+    // and token mass per cell — the confusion artifact that tells a corpus
+    // owner where the n-gram heuristic misroutes data (and how many
+    // training tokens each confusion costs). One langIdByKey pass (token
+    // counts ride the same carry), then a tiny (langs²) aggregation.
+    "lang_confusion" -> ((s, d) => {
+      val scored = TA.langIdByKey(
+        docs(s, d).withColumn("n_tok", size(TA.tokens(col("text"))).cast("long")),
+        "doc_id", "text", carry = Seq("lang", "n_tok"))
+      scored.groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     "doc_fingerprint" -> ((s, d) =>
       docs(s, d)
         .select(col("doc_id"), Dedup.tokenHashes(TA.tokens(col("text"))).as("th"))
@@ -1762,6 +1776,11 @@ object SparkEntry {
       "lang_id" ->
         s"""SELECT doc_id, lang, ${TA.sqlLangId("text")} AS pred_lang
            |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "lang_confusion" ->
+        s"""SELECT lang, ${TA.sqlLangId("text")} AS pred_lang,
+           |  count(*) AS n_docs, sum(len($toks))::BIGINT AS n_tokens
+           |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "doc_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
