@@ -671,8 +671,114 @@ object SparkEntry {
           min("qx").as("min_qx"), max("qx").as("max_qx"),
           min("qy").as("min_qy"), max("qy").as("max_qy"))
         .orderBy("z_prefix")
+    }),
+
+    // Cohort retention matrix: users bucketed by first-active day, distinct
+    // activity counted per (cohort, day-offset) cell. Two hash aggs + one
+    // equi-join on user_id; the (user, day) frame is already distinct so
+    // the cell count is a plain count — no count-distinct shuffle. Day ids
+    // are exact integer floor-division on the raw nano timestamps (the
+    // repo-wide IntMath.floorDiv contract; double math drifts past 2^53).
+    "events_retention" -> ((s, d) => {
+      val ud = events(s, d)
+        .select(col("user_id"), IntMath.floorDiv(col("ts"), NanosPerDay).as("day"))
+        .distinct()
+      val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ud.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Ordered conversion funnel: per user, the first signup, then the first
+    // view AFTER it, first click after that, first purchase after that —
+    // a chain of conditional min-aggregations joined on user_id (every
+    // stage frame is one row per surviving user, so each join after the
+    // first is broadcast-sized by construction). Output: users reaching
+    // each stage in order.
+    "events_funnel" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        IntMath.floorDiv(col("ts"), 1000L).as("ts_us"))
+      def firstAfter(stage: String, prev: DataFrame, prevCol: String, out: String) =
+        e.filter(col("event_type") === stage)
+          .join(prev.select("user_id", prevCol), Seq("user_id"))
+          .filter(col("ts_us") >= col(prevCol))
+          .groupBy("user_id").agg(min("ts_us").as(out))
+      val t1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val t2 = firstAfter("view", t1, "t1", "t2")
+      val t3 = firstAfter("click", t2, "t2", "t3")
+      val t4 = firstAfter("purchase", t3, "t3", "t4")
+      Seq((1, "signup", t1), (2, "view", t2), (3, "click", t3), (4, "purchase", t4))
+        .map { case (i, nm, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(i).as("stage_idx"), lit(nm).as("stage"), col("n_users"))
+        }
+        .reduce(_ union _)
+        .orderBy("stage_idx")
+    }),
+
+    // SCD2-style state intervals (gaps-and-islands): collapse each user's
+    // consecutive runs of the same event_type into validity intervals
+    // (from_us, to_us, n_events). One shuffle on user_id funds both
+    // windows AND the final group-by; per-user history is bounded, so the
+    // window never sees corpus-scale partitions.
+    "state_intervals" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        IntMath.floorDiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val prev = lag("event_type", 1).over(w)
+      e.withColumn("chg",
+          when(prev.isNull || col("event_type") =!= prev, 1L).otherwise(0L))
+        .withColumn("run_id", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(min("ts_us").as("from_us"), max("ts_us").as("to_us"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "event_type", "from_us", "to_us", "n_events")
+        .orderBy("user_id", "from_us")
+    }),
+
+    // Per-group z-score outliers: population mean/variance from EXACT
+    // decimal sums (order-independent — double summation would make the
+    // answer depend on partitioning), tiny stats table broadcast back,
+    // flag |z| > 3. The inputs to every float op are identical in Spark
+    // and DuckDB (decimal→double is correctly rounded in both), so the
+    // rounded z agrees bit-for-bit.
+    "events_anomaly" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val stats = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,6)")).as("s2"))
+      val mean = col("s1").cast("double") / col("n")
+      val varp = greatest(col("s2").cast("double") / col("n") - mean * mean, lit(0.0))
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - mean) / sqrt(varp))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z_r"))
+        .orderBy("event_id")
+    }),
+
+    // Bloom-filter pre-filtered semi join: the dim side (high-value signup
+    // users) is sketched into ONE bounded bloom, the fact side is filtered
+    // by might_contain BEFORE its shuffle, and an exact semi join removes
+    // the bloom's false positives — Spark's runtime-filter pattern exposed
+    // as a library operator (see graft.ops.BloomJoin).
+    "join_bloom" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      val dim = e.filter(col("event_type") === "signup" && col("value") > 300.0)
+        .select(col("user_id"))
+      graft.ops.BloomJoin.semiJoin(e, dim, "user_id", estItems = 10000L)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
     })
   )
+
+  /** Exact nanoseconds per day for retention-day bucketing. */
+  private val NanosPerDay = 86400L * 1000000000L
 
   /** Attribution-window span for `join_range` — shared with the streaming
     * twin so batch and streaming attribution can never drift apart.
@@ -1253,8 +1359,46 @@ object SparkEntry {
           (raw =!= nfc).as("changed"),
           md5(nfc.cast("binary")).as("nfc_md5"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Boilerplate shingle exposure (CCNet frequent-paragraph removal,
+    // shingle-grained): corpus-wide doc-frequency over 5-gram shingles,
+    // docs flagged by the ppm of their shingles that are boilerplate.
+    "boilerplate_flag" -> ((s, d) =>
+      graft.llm.NgramModel
+        .boilerplateFlag(docs(s, d), n = BoilerN, minDf = BoilerMinDf, maxPpm = BoilerMaxPpm)
+        .orderBy("doc_id")),
+
+    // Add-one bigram LM score per doc (exact-integer ppm of probability
+    // mass — the KenLM-perplexity stand-in for corpus-typicality ranking).
+    "lm_score" -> ((s, d) =>
+      graft.llm.NgramModel.lmScore(docs(s, d)).orderBy("doc_id")),
+
+    // First BPE merge level: corpus-wide adjacent-character-pair counts
+    // inside tokens, top-20 — the seed statistic a byte-pair tokenizer
+    // trainer ranks merges by. Same distributed top-k contract as
+    // vocab_topk: explode + map-side-partial hash agg +
+    // TakeOrderedAndProject (never a global window).
+    "bpe_pairs" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        // single-char tokens have no pairs; Spark's sequence(1, 0) would
+        // count DOWN and fabricate one, so gate before exploding
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(20))
   )
+
+  /** Boilerplate-flag parameters, shared by the query and its oracle:
+    * 5-gram shingles, boilerplate = in ≥2 docs, drop docs ≥30% exposed.
+    */
+  private val BoilerN = 5
+  private val BoilerMinDf = 2L
+  private val BoilerMaxPpm = 300000L
 
   /** Support floor for `heavy_hitters` (ppm of total corpus tokens). */
   private val HeavyHitterPpm = 2000L
@@ -1577,6 +1721,67 @@ object SparkEntry {
           |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
           |          ROWS UNBOUNDED PRECEDING) AS last_signup_us
           |FROM events ORDER BY event_id""".stripMargin,
+
+      "events_retention" ->
+        """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+          |            FROM events),
+          |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+          |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+          |  count(*)::BIGINT AS n_users
+          |FROM ud JOIN c USING (user_id)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "events_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+          |t1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+          |       WHERE event_type = 'signup' GROUP BY 1),
+          |t2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN t1 USING (user_id)
+          |       WHERE event_type = 'view' AND ts_us >= t1 GROUP BY 1),
+          |t3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN t2 USING (user_id)
+          |       WHERE event_type = 'click' AND ts_us >= t2 GROUP BY 1),
+          |t4 AS (SELECT e.user_id, min(ts_us) AS t4 FROM e JOIN t3 USING (user_id)
+          |       WHERE event_type = 'purchase' AND ts_us >= t3 GROUP BY 1)
+          |SELECT * FROM (
+          |  SELECT 1 AS stage_idx, 'signup' AS stage, count(*)::BIGINT AS n_users FROM t1
+          |  UNION ALL
+          |  SELECT 2, 'view', count(*)::BIGINT FROM t2
+          |  UNION ALL
+          |  SELECT 3, 'click', count(*)::BIGINT FROM t3
+          |  UNION ALL
+          |  SELECT 4, 'purchase', count(*)::BIGINT FROM t4)
+          |ORDER BY stage_idx""".stripMargin,
+
+      "state_intervals" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          |           FROM events),
+          |f AS (SELECT *, CASE WHEN lag(event_type) OVER
+          |        (PARTITION BY user_id ORDER BY ts_us, event_id)
+          |        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+          |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          |        ROWS UNBOUNDED PRECEDING) AS run_id FROM f)
+          |SELECT user_id, event_type, min(ts_us) AS from_us, max(ts_us) AS to_us,
+          |  count(*)::BIGINT AS n_events
+          |FROM r GROUP BY user_id, run_id, event_type
+          |ORDER BY user_id, from_us""".stripMargin,
+
+      "events_anomaly" ->
+        """WITH st AS (SELECT event_type, count(*)::BIGINT AS n,
+          |    sum(value::DECIMAL(18,2)) AS s1,
+          |    sum((value * value)::DECIMAL(28,6)) AS s2
+          |  FROM events GROUP BY 1),
+          |z AS (SELECT e.event_id, e.event_type, e.value,
+          |    (e.value - s1::DOUBLE / n)
+          |      / sqrt(greatest(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n),
+          |                      0.0)) AS z
+          |  FROM events e JOIN st USING (event_type))
+          |SELECT event_id, event_type, value, round(z, 6) AS z_r
+          |FROM z WHERE abs(z) > 3 ORDER BY event_id""".stripMargin,
+
+      "join_bloom" ->
+        """WITH dim AS (SELECT DISTINCT user_id FROM events
+          |             WHERE event_type = 'signup' AND value > 300)
+          |SELECT e.event_id, e.user_id, e.event_type
+          |FROM events e JOIN dim USING (user_id) ORDER BY event_id""".stripMargin,
 
       "agg_grouping_sets" ->
         """SELECT r_name, o_orderpriority, count(*) AS n_orders
@@ -1939,6 +2144,22 @@ object SparkEntry {
            |  (raw != nfc_normalize(raw)) AS changed,
            |  md5(nfc_normalize(raw)) AS nfc_md5
            |FROM c ORDER BY doc_id""".stripMargin
+      },
+
+      "boilerplate_flag" ->
+        (graft.llm.NgramModel.sqlBoilerplateFlag(BoilerN, BoilerMinDf, BoilerMaxPpm) +
+          "\nORDER BY 1"),
+
+      "lm_score" ->
+        (graft.llm.NgramModel.sqlLmScore + "\nORDER BY 1"),
+
+      "bpe_pairs" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+           |p AS (SELECT unnest([substr(tok, i, 2) for i in range(1, length(tok))]) AS pair
+           |      FROM tk WHERE length(tok) >= 2)
+           |SELECT pair, count(*)::BIGINT AS freq FROM p GROUP BY 1
+           |ORDER BY freq DESC, pair LIMIT 20""".stripMargin
       }
     )
   }

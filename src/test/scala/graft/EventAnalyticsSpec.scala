@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Edge-case contracts for the event-analytics query keys (retention,
+  * funnel, state intervals, anomaly) that the uniform fixture cannot pin:
+  * out-of-order funnel stages must NOT count, interval runs must split on
+  * state change only, retention offsets must be cohort-relative.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Events in the fixture's raw shape: ts as BIGINT nanoseconds. */
+  private def ev(rows: (Long, Long, String, Long, Double)*): DataFrame =
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  private def writeDir(df: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ev").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def run(key: String, df: DataFrame): Array[org.apache.spark.sql.Row] =
+    SparkEntry.queries(key)(spark, writeDir(df)).collect()
+
+  test("events_funnel: a view BEFORE the user's signup does not convert") {
+    val us = 1000L // ns per us step
+    val rows = ev(
+      (1L, 1L, "view", 5L * us, 1.0),    // pre-signup view: must not count
+      (2L, 1L, "signup", 10L * us, 1.0),
+      (3L, 2L, "signup", 10L * us, 1.0),
+      (4L, 2L, "view", 20L * us, 1.0),
+      (5L, 2L, "click", 30L * us, 1.0))
+    val out = run("events_funnel", rows).map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "signup", 2L), (2, "view", 1L),
+      (3, "click", 1L), (4, "purchase", 0L)))
+  }
+
+  test("events_funnel: same-timestamp stage counts (>= boundary)") {
+    val out = run("events_funnel", ev(
+      (1L, 1L, "signup", 1000L, 1.0),
+      (2L, 1L, "view", 1000L, 1.0)))
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 1L), (3, 0L), (4, 0L)))
+  }
+
+  test("state_intervals: runs split on state change, not on time gaps") {
+    val out = run("state_intervals", ev(
+      (1L, 1L, "view", 1000L, 1.0),
+      (2L, 1L, "view", 999999000L, 1.0), // huge gap, same state: same run
+      (3L, 1L, "click", 1000000000L, 1.0),
+      (4L, 1L, "view", 1000001000L, 1.0))) // back to view: NEW run
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("view", 1L, 999999L, 2L),
+      ("click", 1000000L, 1000000L, 1L),
+      ("view", 1000001L, 1000001L, 1L)))
+  }
+
+  test("events_retention: offsets are cohort-relative and distinct per day") {
+    val day = 86400L * 1000000000L
+    val out = run("events_retention", ev(
+      (1L, 1L, "view", 0L, 1.0),          // user 1 cohort day 0
+      (2L, 1L, "view", 1L, 1.0),          // same day: distinct-collapsed
+      (3L, 1L, "view", 2 * day, 1.0),     // day 2 -> offset 2
+      (4L, 2L, "view", day, 1.0),         // user 2 cohort day 1
+      (5L, 2L, "view", 2 * day, 1.0)))    // day 2 -> offset 1
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 1L), (0L, 2L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("events_anomaly: only the planted outlier is flagged") {
+    // 200 calm rows (value 10 or 12) + one wild row per type
+    val calm = (1L to 200L).map(i =>
+      (i, i % 7, "view", i * 1000L, if (i % 2 == 0) 10.0 else 12.0))
+    val wild = Seq((900L, 3L, "view", 901000L, 500.0))
+    val out = run("events_anomaly", ev(calm ++ wild: _*))
+    assert(out.length == 1 && out.head.getLong(0) == 900L && out.head.getDouble(3) > 3.0)
+  }
+}
