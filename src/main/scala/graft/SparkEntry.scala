@@ -680,9 +680,13 @@ object SparkEntry {
     // are exact integer floor-division on the raw nano timestamps (the
     // repo-wide IntMath.floorDiv contract; double math drifts past 2^53).
     "events_retention" -> ((s, d) => {
+      // checkpointed: the distinct (user, day) frame feeds BOTH the cohort
+      // agg and the cell join; without the barrier each side re-scans the
+      // fact table (the frame itself is tiny — one row per user-day)
       val ud = events(s, d)
         .select(col("user_id"), IntMath.floorDiv(col("ts"), NanosPerDay).as("day"))
         .distinct()
+        .localCheckpoint()
       val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
       ud.join(cohort, Seq("user_id"))
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
@@ -697,8 +701,13 @@ object SparkEntry {
     // first is broadcast-sized by construction). Output: users reaching
     // each stage in order.
     "events_funnel" -> ((s, d) => {
+      // checkpointed: the stage chain consumes this narrow frame SEVEN
+      // times (4 stage filters + 3 prev-stage joins); without the barrier
+      // the executed plan re-scans the fact table for each — 10 corpus
+      // scans at 100 TB. One scan materializes 3 columns, the rest read it.
       val e = events(s, d).select(col("user_id"), col("event_type"),
         IntMath.floorDiv(col("ts"), 1000L).as("ts_us"))
+        .localCheckpoint()
       def firstAfter(stage: String, prev: DataFrame, prevCol: String, out: String) =
         e.filter(col("event_type") === stage)
           .join(prev.select("user_id", prevCol), Seq("user_id"))
