@@ -732,21 +732,11 @@ object SparkEntry {
     // (from_us, to_us, n_events). One shuffle on user_id funds both
     // windows AND the final group-by; per-user history is bounded, so the
     // window never sees corpus-scale partitions.
-    "state_intervals" -> ((s, d) => {
-      val e = events(s, d).select(col("user_id"), col("event_type"),
-        IntMath.floorDiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
-      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val prev = lag("event_type", 1).over(w)
-      e.withColumn("chg",
-          when(prev.isNull || col("event_type") =!= prev, 1L).otherwise(0L))
-        .withColumn("run_id", sum("chg").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "run_id", "event_type")
-        .agg(min("ts_us").as("from_us"), max("ts_us").as("to_us"),
-          count(lit(1)).as("n_events"))
-        .select("user_id", "event_type", "from_us", "to_us", "n_events")
-        .orderBy("user_id", "from_us")
-    }),
+    "state_intervals" -> ((s, d) =>
+      graft.streaming.EventStream.stateIntervalsBatch(
+          events(s, d).select(col("user_id"), col("event_type"),
+            IntMath.floorDiv(col("ts"), 1000L).as("ts_us"), col("event_id")))
+        .orderBy("user_id", "from_us")),
 
     // Per-group z-score outliers: population mean/variance from EXACT
     // decimal sums (order-independent — double summation would make the

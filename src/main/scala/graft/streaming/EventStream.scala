@@ -156,6 +156,89 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ---- state intervals (SCD2 runs) -------------------------------------
+
+  case class EvT(ts: java.sql.Timestamp, user_id: Long, event_id: Long,
+                 event_type: String)
+  /** Per-user unfinalized events, sorted by (tsUs, eventId). */
+  case class IntervalState(evs: Seq[(Long, Long, String)])
+  case class IntervalRow(user_id: Long, event_type: String, from_us: Long,
+                         to_us: Long, n_events: Long)
+
+  /** Streaming twin of the `state_intervals` batch key: collapse each
+    * user's consecutive same-event_type runs into validity intervals,
+    * correct under ANY arrival order within the watermark.
+    *
+    * Finality is SUCCESSOR-gated, not gap-gated: a run's extent depends on
+    * the next run's first event (a late arrival landing between two runs
+    * can extend, split, or bridge them), so run i is emitted only once the
+    * watermark strictly passes run i+1's start — after which every
+    * accepted future event has ts ≥ watermark > that boundary and can only
+    * land later. The LAST run can always be extended by a future
+    * same-state event, so it stays open until more data arrives (the
+    * stream-end sentinel pattern in the specs); state per user is bounded
+    * by the open-suffix length, same class as [[sessionize]]'s open set.
+    */
+  def stateIntervals(events: Dataset[EvT], watermark: String = "2 hours")
+                    (implicit spark: SparkSession): Dataset[IntervalRow] = {
+    import spark.implicits._
+
+    def update(userId: Long, batch: Iterator[EvT],
+               state: GroupState[IntervalState]): Iterator[IntervalRow] = {
+      val incoming = batch.map(e => (e.ts.getTime * 1000L +
+        (e.ts.getNanos % 1000000) / 1000L, e.event_id, e.event_type)).toSeq
+      val all = (state.getOption.map(_.evs).getOrElse(Seq.empty) ++ incoming)
+        .sortBy(t => (t._1, t._2))
+      // runs of consecutive identical event_type in (ts, event_id) order
+      val runs = all.foldLeft(Vector.empty[Vector[(Long, Long, String)]]) {
+        case (acc, e) if acc.nonEmpty && acc.last.head._3 == e._3 =>
+          acc.init :+ (acc.last :+ e)
+        case (acc, e) => acc :+ Vector(e)
+      }
+      val wmUs = state.getCurrentWatermarkMs * 1000L
+      val ripe = runs.zipWithIndex.takeWhile { case (_, i) =>
+        i + 1 < runs.size && wmUs > runs(i + 1).head._1
+      }.map(_._1)
+      val remaining = all.drop(ripe.map(_.size).sum)
+      if (remaining.isEmpty) state.remove()
+      else {
+        state.update(IntervalState(remaining))
+        // wake this user when the watermark crosses the next pending run
+        // boundary even if no further events of theirs arrive
+        if (runs.size > ripe.size + 1) {
+          val nextBoundaryMs = runs(ripe.size + 1).head._1 / 1000L
+          state.setTimeoutTimestamp(
+            math.max(nextBoundaryMs + 1, state.getCurrentWatermarkMs + 1))
+        }
+      }
+      ripe.iterator.map(r =>
+        IntervalRow(userId, r.head._3, r.head._1, r.last._1, r.size))
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Batch twin of [[stateIntervals]] (identical intervals): lag-flag +
+    * running run counter + group, over (user_id, event_type, ts_us,
+    * event_id) columns. Oracle-checkable; backs the `state_intervals` key.
+    */
+  def stateIntervalsBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val prev = lag("event_type", 1).over(w)
+    events
+      .withColumn("chg",
+        when(prev.isNull || col("event_type") =!= prev, 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(min("ts_us").as("from_us"), max("ts_us").as("to_us"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "event_type", "from_us", "to_us", "n_events")
+  }
+
   /** Batch twin of [[sessionize]] (identical session boundaries), expressed
     * relationally — lag + running session counter + group. `tsUs` must be a
     * BIGINT epoch-microseconds column. Oracle-checkable.

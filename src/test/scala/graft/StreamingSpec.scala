@@ -253,4 +253,88 @@ class StreamingSpec extends SparkSpec {
         s"half-open window semantics across micro-batches: $got")
     } finally q.stop()
   }
+
+  test("streaming state intervals: late arrival splits a run; successor-gated emission") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import EventStream.EvT
+    val in = MemoryStream[EvT]
+    val q = EventStream.stateIntervals(in.toDS(), watermark = "7 days")
+      .writeStream.format("memory").queryName("intervals_ooo")
+      .outputMode("append").start()
+    try {
+      // batch 1: view @10:00, view @11:00 — looks like one run
+      in.addData(EvT(ts("2024-01-01 10:00:00"), 1L, 1L, "view"),
+        EvT(ts("2024-01-01 11:00:00"), 1L, 3L, "view"))
+      q.processAllAvailable()
+      // batch 2: LATE click @10:30 splits the run into three
+      in.addData(EvT(ts("2024-01-01 10:30:00"), 1L, 2L, "click"))
+      q.processAllAvailable()
+      // sentinels advance the watermark past every boundary
+      in.addData(EvT(ts("2024-02-01 00:00:00"), 99L, 90L, "view"))
+      q.processAllAvailable()
+      in.addData(EvT(ts("2024-03-01 00:00:00"), 99L, 91L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("intervals_ooo").filter(col("user_id") < 99)
+        .select("event_type", "from_us", "to_us", "n_events")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val us = (t: String) => ts(t).getTime * 1000L
+      // the LAST run (view @11:00) can always be extended -> never emitted
+      assert(got == Set(
+        ("view", us("2024-01-01 10:00:00"), us("2024-01-01 10:00:00"), 1L),
+        ("click", us("2024-01-01 10:30:00"), us("2024-01-01 10:30:00"), 1L)),
+        s"split-by-late-arrival intervals: $got")
+    } finally q.stop()
+  }
+
+  test("property: streaming state intervals == batch twin under random arrival permutations") {
+    // Contract: for ANY arrival order within the watermark, the emitted
+    // intervals equal stateIntervalsBatch minus each user's LAST interval
+    // (which a future same-state event could always extend).
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import EventStream.EvT
+    val base = ts("2024-01-01 00:00:00").getTime
+    val types = Vector("view", "click", "purchase")
+    val evGen = for {
+      user <- org.scalacheck.Gen.choose(1L, 2L)
+      min <- org.scalacheck.Gen.choose(0, 120)
+      t <- org.scalacheck.Gen.oneOf(types)
+    } yield (user, min, t)
+    for (trial <- 0 until 3) {
+      val raw = org.scalacheck.Gen.listOfN(18, evGen)
+        .apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(9100L + trial))
+        .getOrElse(sys.error("generator exhausted"))
+      val events = raw.zipWithIndex.map { case ((u, min, t), i) =>
+        EvT(new Timestamp(base + min * 60000L), u, i.toLong, t)
+      }
+      val rnd = new scala.util.Random(77L * trial + 3)
+      val arrival = rnd.shuffle(events)
+      val cuts = (Seq(0, arrival.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(arrival.size)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => arrival.slice(a, b) }
+      val in = MemoryStream[EvT]
+      val name = s"intervals_prop_$trial"
+      val q = EventStream.stateIntervals(in.toDS(), watermark = "7 days")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => if (b.nonEmpty) { in.addData(b: _*); q.processAllAvailable() } }
+        in.addData(EvT(ts("2024-02-15 00:00:00"), 99L, 900L, "view")); q.processAllAvailable()
+        in.addData(EvT(ts("2024-03-15 00:00:00"), 99L, 901L, "view")); q.processAllAvailable()
+        val streamed = spark.table(name).filter(col("user_id") < 99)
+          .select("user_id", "event_type", "from_us", "to_us", "n_events")
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        val batchAll = EventStream.stateIntervalsBatch(
+            events.toDF().select(col("user_id"), col("event_type"),
+              (col("ts").cast("long") * 1000000L).as("ts_us"), col("event_id")))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+        // drop each user's last (still-open) interval from the batch answer
+        val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.maxBy(_._3)).values.toSet
+        assert(streamed == batchAll -- lastPerUser,
+          s"trial $trial: streamed $streamed != finalized batch ${batchAll -- lastPerUser}")
+      } finally q.stop()
+    }
+  }
 }
