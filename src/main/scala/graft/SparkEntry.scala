@@ -1042,6 +1042,14 @@ object SparkEntry {
     "multimodal_frames" -> ((s, d) =>
       MultiModal.frames(docs(s, d))(s).orderBy("doc_id")),
 
+    // Perceptual-hash near-dup over the opaque payload: chunk-simhash
+    // (32-bit) + the classic 4-block Hamming banding, occupancy-capped,
+    // exact bit_count verify — content dedup for media columns where
+    // byte-exact fingerprints miss re-encodes.
+    "multimodal_neardup" -> ((s, d) =>
+      MultiModal.nearDupPayloads(docs(s, d), maxHamming = PhashMaxHamming)
+        .orderBy("a", "b")),
+
     // Near-dup clustering: connected components over LSH-verified jaccard
     // pairs — the grouping step that turns pairwise candidates into dedup
     // groups.
@@ -1398,6 +1406,11 @@ object SparkEntry {
   private val BoilerN = 5
   private val BoilerMinDf = 2L
   private val BoilerMaxPpm = 300000L
+
+  /** `multimodal_neardup` Hamming threshold — the 4-band scheme guarantees
+    * recall strictly below 4 flips (see MultiModal.nearDupPayloads).
+    */
+  private val PhashMaxHamming = 3
 
   /** Support floor for `heavy_hitters` (ppm of total corpus tokens). */
   private val HeavyHitterPpm = 2000L
@@ -2159,7 +2172,10 @@ object SparkEntry {
            |      FROM tk WHERE length(tok) >= 2)
            |SELECT pair, count(*)::BIGINT AS freq FROM p GROUP BY 1
            |ORDER BY freq DESC, pair LIMIT 20""".stripMargin
-      }
+      },
+
+      "multimodal_neardup" ->
+        (MultiModal.sqlNearDupPayloads(PhashMaxHamming) + "\nORDER BY 1, 2")
     )
   }
 

@@ -122,4 +122,77 @@ object MultiModal {
     import spark.implicits._
     sampleFrames(payloads(docs).as[Payload])(spark).toDF()
   }
+
+  // ---- perceptual-hash near-dup ----------------------------------------
+
+  /** Chunk window width (code points) for the perceptual hash. */
+  val ChunkLen = 8
+  /** Hamming bands over the 32-bit phash: 4 bands × 8 bits. */
+  val PhashBands = 4
+
+  /** 32-bit perceptual hash of the decoded payload: simhash over its
+    * fixed-width chunk windows (the binary analog of word-token simhash —
+    * a few flipped chunks flip few hash bits). Chunks are code-point
+    * windows of the decoded content, like [[frameOf]], so the DuckDB
+    * oracle recomputes identical windows via substr. Scale shape: chunk
+    * explode + one portable hash per chunk + 32 codegen'd conditional
+    * sums per doc (`TextAnalysis.simhash32FromHashes`), map-side partials.
+    */
+  def phash32(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), explode_outer(expr(
+        s"""CASE WHEN length(text) = 0 THEN array()
+           |ELSE transform(sequence(0, cast((length(text) + ${ChunkLen - 1}) div $ChunkLen as int) - 1),
+           |               f -> substring(text, f * $ChunkLen + 1, $ChunkLen)) END""".stripMargin))
+        .as("c"))
+      .select(col("doc_id"), graft.expr.PortableHash.phash(col("c")).as("h"))
+    TextAnalysis.simhash32FromHashes(chunks, "doc_id")
+      .withColumnRenamed("simhash", "ph")
+  }
+
+  /** Near-duplicate payload pairs: phash bands (8-bit bytes) bucket the
+    * candidates — with 4 bands, two payloads within `maxHamming` < 4 bit
+    * flips MUST share an intact band (pigeonhole: missing every band
+    * needs ≥ 4 flips — the classic simhash block scheme) — then the exact
+    * Hamming distance verifies. Same bucketed-candidates-then-verify
+    * contract as the MinHash chain, including the occupancy cap
+    * (`Dedup.cappedBuckets`): a band byte shared by millions of exact-dup
+    * payloads is exact-dedup's job, not a quadratic bucket here.
+    */
+  def nearDupPayloads(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < PhashBands,
+      s"$PhashBands bands guarantee recall only below $PhashBands flips")
+    val p = phash32(docs).localCheckpoint() // both self-join sides read it
+    val banded = Dedup.cappedBuckets(
+      p.select(col("doc_id"), col("ph"),
+          explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+        .withColumn("bh", expr("shiftright(ph, band * 8) & 255")),
+      Dedup.MaxBandBucket)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("l.ph").as("pa"), col("r.ph").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** DuckDB mirror of [[nearDupPayloads]] over a `documents` table. */
+  def sqlNearDupPayloads(maxHamming: Int): String = {
+    val chunks = s"[substr(text, f * $ChunkLen + 1, $ChunkLen) " +
+      s"for f in range(0, (length(text) + ${ChunkLen - 1}) // $ChunkLen)]"
+    s"""WITH t AS (SELECT doc_id, $chunks AS cs FROM documents),
+       |p AS (SELECT doc_id, ${TextAnalysis.sqlSimhash32("cs")} AS ph FROM t),
+       |b0 AS (SELECT doc_id, ph, band, (ph >> (band * 8)) & 255 AS bh
+       |       FROM p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |b AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band, bh) AS occ
+       |                     FROM b0) WHERE occ <= ${Dedup.MaxBandBucket}),
+       |c AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.ph AS pa, r.ph AS pb
+       |      FROM b l JOIN b r ON l.band = r.band AND l.bh = r.bh
+       |        AND l.doc_id < r.doc_id)
+       |SELECT a, b, bit_count(xor(pa, pb))::BIGINT AS hamming FROM c
+       |WHERE bit_count(xor(pa, pb)) <= $maxHamming""".stripMargin
+  }
 }

@@ -135,6 +135,18 @@ object TextAnalysis {
     * 32 longs per document. Bit-identical to [[simhash32]].
     */
   def simhash32ByKey(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    simhash32FromHashes(
+      df.select(col(idCol), explode_outer(tokens(col(textCol))).as("t"))
+        .select(col(idCol), PortableHash.phash(col("t")).as("h")),
+      idCol)
+
+  /** [[simhash32ByKey]]'s aggregation half over an already-exploded
+    * (id, h) hash stream — shared with the multimodal perceptual hash,
+    * whose "tokens" are payload chunks rather than words. `h` may be null
+    * (empty inputs via explode_outer): null contributes no vote.
+    */
+  def simhash32FromHashes(hashed: org.apache.spark.sql.DataFrame, idCol: String)
       : org.apache.spark.sql.DataFrame = {
     val scores = (0 until 32).map { i =>
       sum(when(col("h").isNull, lit(0L))
@@ -143,8 +155,7 @@ object TextAnalysis {
     val hashBits = (0 until 32).map { i =>
       when(col(s"s_$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("t"))
-      .select(col(idCol), PortableHash.phash(col("t")).as("h"))
+    hashed
       .groupBy(idCol)
       .agg(scores.head, scores.tail: _*)
       .select(col(idCol), hashBits.as("simhash"))

@@ -226,4 +226,36 @@ class LlmSpec extends SparkSpec {
     assert(rows(2).getAs[String]("resize_md5") == rows(2).getAs[String]("frames_md5"),
       "empty payload: frame and resize both digest the empty string")
   }
+
+  test("multimodal phash: one changed chunk flips few bits; exact dup flips none") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                                 // exact dup -> hamming 0
+      (2L, base.replace("quick", "quack")),       // one chunk touched
+      (3L, "completely different content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val ph = graft.llm.MultiModal.phash32(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(0L) == ph(1L), "identical payloads must hash identically")
+    assert(java.lang.Long.bitCount(ph(0L) ^ ph(2L)) < 16,
+      s"near-dup payload should flip few of 32 bits, got ${java.lang.Long.bitCount(ph(0L) ^ ph(2L))}")
+  }
+
+  test("multimodal nearDupPayloads == brute-force pairs within the guaranteed radius") {
+    import spark.implicits._
+    // fixture corpus: banding must find EVERY pair with hamming <= 3
+    // (the 4-band pigeonhole guarantee), no more, no less
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = graft.llm.MultiModal.nearDupPayloads(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ph = graft.llm.MultiModal.phash32(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, pa) <- ph; (b, pb) <- ph if a < b
+      h = java.lang.Long.bitCount(pa ^ pb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == brute, s"banded ${got.size} vs brute ${brute.size}")
+  }
 }
