@@ -760,6 +760,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // KMV distinct-sketch overlap: daily-active-user sketches (k smallest
+    // element hashes — the deterministic, mergeable, oracle-replayable
+    // sketch HLL's registers can't be) and pairwise distinct / Jaccard-
+    // overlap estimates between day cohorts from the merged k-sets (the
+    // audience-overlap dashboard). The estimator runs on ≤2k rows per
+    // pair; only the sketch build touches the data. Grouping is by day,
+    // not event_type, because day cohorts genuinely partially overlap.
+    "sketch_kmv_overlap" -> ((s, d) => {
+      val dp = events(s, d)
+        .select(IntMath.floorDiv(col("ts"), NanosPerDay).as("g"),
+          col("user_id").as("id"))
+        .distinct()
+      val sk = graft.ops.Kmv.sketchByGroup(dp, "g", "id", k = KmvK, seed = KmvSeed)
+      graft.ops.Kmv.overlapEstimates(sk, "g", "id", k = KmvK)
+        .orderBy("group_a", "group_b")
+    }),
+
     // Bloom-filter pre-filtered semi join: the dim side (high-value signup
     // users) is sketched into ONE bounded bloom, the fact side is filtered
     // by might_contain BEFORE its shuffle, and an exact semi join removes
@@ -778,6 +795,10 @@ object SparkEntry {
 
   /** Exact nanoseconds per day for retention-day bucketing. */
   private val NanosPerDay = 86400L * 1000000000L
+
+  /** KMV sketch size + seed for `sketch_kmv_overlap` (shared with oracle). */
+  private val KmvK = 64
+  private val KmvSeed = "kmv-v1"
 
   /** Attribution-window span for `join_range` — shared with the streaming
     * twin so batch and streaming attribution can never drift apart.
@@ -1794,6 +1815,11 @@ object SparkEntry {
           |             WHERE event_type = 'signup' AND value > 300)
           |SELECT e.event_id, e.user_id, e.event_type
           |FROM events e JOIN dim USING (user_id) ORDER BY event_id""".stripMargin,
+
+      "sketch_kmv_overlap" ->
+        (graft.ops.Kmv.sqlOverlap(
+          "SELECT DISTINCT epoch_us(ts) // 86400000000 AS g, user_id AS id FROM events",
+          KmvK, KmvSeed) + "\nORDER BY 1, 2"),
 
       "agg_grouping_sets" ->
         """SELECT r_name, o_orderpriority, count(*) AS n_orders

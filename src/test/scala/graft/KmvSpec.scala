@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Kmv
+
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("small groups: sketch is exact and estimates degrade to truth") {
+    // two groups of 10 ids sharing exactly 4 -> jaccard 4/16 = 0.25
+    val dp = ((0L until 10L).map(("a", _)) ++ (6L until 22L).map(("b", _)))
+      .toDF("g", "id").distinct()
+    val sk = Kmv.sketchByGroup(dp, "g", "id", k = 64, seed = "t")
+    val out = Kmv.overlapEstimates(sk, "g", "id", k = 64).collect().head
+    assert(out.getAs[Long]("k_eff") == 10L)
+    assert(out.getAs[Long]("na_est") == 10L && out.getAs[Long]("nb_est") == 16L,
+      "below-k groups report exact sizes")
+    // brute-force the estimator's own definition: union k_eff-set = the 10
+    // smallest hashes of A ∪ B; rho = how many of those are in A ∩ B
+    val h = (0L until 22L).map(i => i -> graft.expr.PortableHash.phashLocal(s"t:$i")).toMap
+    val unionK = (0L until 22L).sortBy(h).take(10)
+    val expectedRho = unionK.count(i => i >= 6L && i < 10L).toLong
+    assert(out.getAs[Long]("rho") == expectedRho, s"rho vs brute $expectedRho")
+    assert(out.getAs[Long]("jaccard_est_ppm") == expectedRho * 1000000L / 10L)
+  }
+
+  test("estimate regime: 50%-overlap sets land near jaccard 1/3 and true sizes") {
+    // A = [0, 5000), B = [2500, 7500): |A∩B| = 2500, |A∪B| = 7500
+    val dp = ((0L until 5000L).map(("a", _)) ++ (2500L until 7500L).map(("b", _)))
+      .toDF("g", "id")
+    val sk = Kmv.sketchByGroup(dp, "g", "id", k = 256, seed = "t2")
+    val out = Kmv.overlapEstimates(sk, "g", "id", k = 256).collect().head
+    val jac = out.getAs[Long]("jaccard_est_ppm") / 1e6
+    assert(math.abs(jac - 1.0 / 3) < 0.08, s"jaccard est $jac vs 0.333")
+    val na = out.getAs[Long]("na_est")
+    val nb = out.getAs[Long]("nb_est")
+    assert(math.abs(na - 5000) < 1000 && math.abs(nb - 5000) < 1000,
+      s"distinct ests $na/$nb vs 5000 (k=256 => ~6% rel error expected)")
+  }
+
+  test("sketch prefilter loses nothing: k smallest hashes survive intact") {
+    val dp = (0L until 3000L).map(("g1", _)).toDF("g", "id")
+    val sk = Kmv.sketchByGroup(dp, "g", "id", k = 32, seed = "t3")
+      .orderBy("rnk").collect().map(r => (r.getAs[Long]("hv"), r.getAs[Int]("rnk")))
+    val brute = (0L until 3000L)
+      .map(i => graft.expr.PortableHash.phashLocal(s"t3:$i")).sorted.take(32)
+    assert(sk.map(_._1).toSeq == brute, "sketch == brute-force k smallest hashes")
+    assert(sk.map(_._2).toSeq == (1 to 32), "ranks dense 1..k")
+  }
+}
