@@ -185,4 +185,47 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"text-side scans must prune to (doc_id, text):\n$plan")
   }
+
+  test("boilerplate_flag: one corpus scan; shingle instances read the checkpoint") {
+    val df = SparkEntry.queries("boilerplate_flag")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 1,
+      s"df-count and per-doc joins must share the checkpointed instances, got $scans scans:\n$plan")
+    // the explode must ride the stored token-hash attribute, never re-inline
+    // the tokenize subtree into the shingle lambda (the BASELINE.md hazard)
+    assert(!plan.toLowerCase.contains("regexp_replace"),
+      s"tokenize must run once inside the checkpoint, not in the final plan:\n$plan")
+  }
+
+  test("events_funnel / events_retention: zero fact-table scans in the final plan (checkpoint barrier)") {
+    for (key <- Seq("events_funnel", "events_retention")) {
+      val plan = SparkEntry.queries(key)(spark, d).queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 0,
+        s"$key: stage chain must consume the materialized narrow frame, got $scans scans:\n$plan")
+    }
+  }
+
+  test("sketch_kmv_overlap: estimator joins never rescan the fact table") {
+    val plan = SparkEntry.queries("sketch_kmv_overlap")(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"pair estimation must run over the checkpointed sketch rows only, got $scans scans:\n$plan")
+  }
+
+  test("join_bloom: pre-filter sits under the semi join; dim side broadcasts") {
+    // sf0.01: at sf0.001 the high-value dim set is empty and the plan
+    // rightly collapses to an empty LocalTableScan (also covered here)
+    val dEmpty = SparkEntry.queries("join_bloom")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(dEmpty.contains("LocalTableScan <empty>"),
+      s"empty dim must short-circuit, not scan:\n$dEmpty")
+    val df = SparkEntry.queries("join_bloom")(spark, "/root/testdata/sf0.01")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom pre-filter missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"tiny dim side should broadcast in the exact semi join:\n$plan")
+  }
 }
