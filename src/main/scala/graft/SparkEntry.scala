@@ -1418,8 +1418,19 @@ object SparkEntry {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("pair"))
-        .limit(20))
+        .limit(20)),
+
+    // BPE tokenizer TRAINING: the first k greedy merge rounds over the
+    // Zipf-small vocabulary — one corpus-wide word count, then k rounds
+    // of weighted pair-argmax + merge on the vocab frame, every round
+    // replayed CTE-for-CTE by the oracle. The merge table IS the
+    // tokenizer artifact a production BPE trainer ships.
+    "bpe_merges" -> ((s, d) =>
+      graft.llm.Bpe.merges(docs(s, d), k = BpeMergeRounds))
   )
+
+  /** Merge rounds for `bpe_merges` (shared with its oracle). */
+  private val BpeMergeRounds = 5
 
   /** Boilerplate-flag parameters, shared by the query and its oracle:
     * 5-gram shingles, boilerplate = in ≥2 docs, drop docs ≥30% exposed.
@@ -2201,7 +2212,9 @@ object SparkEntry {
       },
 
       "multimodal_neardup" ->
-        (MultiModal.sqlNearDupPayloads(PhashMaxHamming) + "\nORDER BY 1, 2")
+        (MultiModal.sqlNearDupPayloads(PhashMaxHamming) + "\nORDER BY 1, 2"),
+
+      "bpe_merges" -> graft.llm.Bpe.sqlMerges(BpeMergeRounds)
     )
   }
 

@@ -1,0 +1,104 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING: the first `k` greedy merge
+  * rounds, distributed, with a DuckDB mirror that replays every round
+  * CTE-for-CTE.
+  *
+  * BPE training operates on the VOCABULARY (unique word, corpus
+  * frequency), not on occurrences — by Zipf the vocab is orders of
+  * magnitude smaller than the corpus, so after the one corpus-wide
+  * word-count aggregation every round runs on a small frame. Each round:
+  * count adjacent symbol pairs weighted by word frequency, pick the most
+  * frequent pair (total order: freq desc, pair asc), merge it everywhere,
+  * repeat. The merge table (rank, pair, freq) IS the tokenizer artifact.
+  *
+  * Words are carried as SPACE-JOINED symbol strings, and a merge is
+  * `replace(' ' || w || ' ', ' a b ', ' ab ')` — left-to-right
+  * non-overlapping replacement, which is exactly BPE's greedy-left merge
+  * order, and a semantic both engines share (no array fold needed, no
+  * interpreted lambdas on the hot path).
+  *
+  * Scale: one explode + hash-agg over the corpus (the same shape as
+  * vocab_topk), then k rounds over the vocab frame; each round's pair
+  * argmax is a 1-row TakeOrderedAndProject broadcast back by crossJoin —
+  * the established totals pattern. The vocab frame is checkpointed per
+  * round to keep the plan linear in k, not exponential.
+  */
+object Bpe {
+
+  /** Corpus vocabulary with symbol-split words: (w, freq) where w is the
+    * word's symbols joined by single spaces (initially its characters).
+    */
+  def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      // 'abc' -> 'a b c': insert a space after every char, trim the tail
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("w"), col("freq"))
+
+  /** The top-1 adjacent symbol pair of a vocab frame, as a 1-row frame
+    * (pair, pair_freq). Total order: freq desc, pair asc.
+    */
+  private def topPair(v: DataFrame): DataFrame =
+    v.select(col("freq"),
+        explode(TextAnalysis.shingles(split(col("w"), " "), 2)).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("pair_freq"))
+      .orderBy(col("pair_freq").desc, col("pair"))
+      .limit(1)
+
+  /** Train `k` merges over the documents corpus. Returns the merge table
+    * (rank 1..k, pair, pair_freq) — deterministic on any topology.
+    */
+  def merges(docs: DataFrame, k: Int): DataFrame = {
+    var v = vocab(docs).localCheckpoint()
+    var out: DataFrame = null
+    for (r <- 1 to k) {
+      val tp = topPair(v)
+        .withColumn("m", regexp_replace(col("pair"), " ", ""))
+        .localCheckpoint() // one argmax job per round, read twice below
+      val row = tp.select(lit(r).as("rank"), col("pair"), col("pair_freq"))
+      out = if (out == null) row else out.union(row)
+      v = v.crossJoin(broadcast(tp.select("pair", "m")))
+        .select(trim(expr(
+          "replace(' ' || w || ' ', ' ' || pair || ' ', ' ' || m || ' ')")).as("w"),
+          col("freq"))
+        .localCheckpoint()
+    }
+    out.orderBy("rank")
+  }
+
+  /** DuckDB mirror of [[merges]]: the same k rounds as a generated CTE
+    * chain (v0 → p1 → v1 → … → pk), UNION ALL of the per-round argmax
+    * rows. `TextAnalysis.sqlTokens`/`sqlShingles` keep tokenization and
+    * pair extraction identical to the engine.
+    */
+  def sqlMerges(k: Int): String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH v0 AS (
+         |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+         |         count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1)""".stripMargin)
+    for (r <- 1 to k) {
+      val prev = s"v${r - 1}"
+      val pairs = TextAnalysis.sqlShingles(s"string_split(w, ' ')", 2)
+      sb.append(
+        s""",
+           |p$r AS (
+           |  SELECT pair, sum(freq)::BIGINT AS pair_freq
+           |  FROM (SELECT freq, unnest($pairs) AS pair FROM $prev)
+           |  GROUP BY 1 ORDER BY pair_freq DESC, pair LIMIT 1),
+           |v$r AS (
+           |  SELECT trim(replace(' ' || w || ' ', ' ' || p$r.pair || ' ',
+           |           ' ' || replace(p$r.pair, ' ', '') || ' ')) AS w, freq
+           |  FROM $prev, p$r)""".stripMargin)
+    }
+    sb.append("\n" + (1 to k)
+      .map(r => s"SELECT $r AS rank, pair, pair_freq FROM p$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
+    sb.toString
+  }
+}

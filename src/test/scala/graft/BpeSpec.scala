@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merges: hand-traced 3-round training on a tiny corpus") {
+    // vocab: 'aaab'×2, 'ab'×1
+    // r1 pairs: (a a)=4, (a b)=3          -> merge 'a a'  => 'aa a b', 'a b'
+    // r2 pairs: (aa a)=2, (a b)=3         -> merge 'a b'  => 'aa ab', 'ab'
+    // r3 pairs: (aa ab)=2                 -> merge 'aa ab'
+    val docs = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    val out = Bpe.merges(docs, k = 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)), out.toString)
+  }
+
+  test("merges: pair frequency is non-increasing across rounds (greedy argmax)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val freqs = Bpe.merges(docs, k = 5)
+      .orderBy("rank").select("pair_freq").as[Long].collect()
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, freqs.mkString(","))
+  }
+
+  test("vocab: symbol segmentation is lossless (spaces removed == word)") {
+    val docs = Seq((0L, "hello world hello")).toDF("doc_id", "text")
+    val v = Bpe.vocab(docs)
+      .select(regexp_replace(col("w"), " ", "").as("word"), col("freq"))
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("hello" -> 2L, "world" -> 1L), v.toString)
+  }
+}
