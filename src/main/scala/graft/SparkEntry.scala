@@ -1426,10 +1426,19 @@ object SparkEntry {
     // replayed CTE-for-CTE by the oracle. The merge table IS the
     // tokenizer artifact a production BPE trainer ships.
     "bpe_merges" -> ((s, d) =>
-      graft.llm.Bpe.merges(docs(s, d), k = BpeMergeRounds))
+      graft.llm.Bpe.merges(docs(s, d), k = BpeMergeRounds)),
+
+    // Apply the trained tokenizer: the segmentation lives in a vocab-sized
+    // lookup table (word -> symbol count under k merges), so tokenizing
+    // the corpus is ONE equi-join on word — no merge replay per document,
+    // no driver-side merge list. The train->apply pair completes the
+    // tokenizer loop the way mix_rates -> mix_apply completes mixing.
+    "bpe_apply" -> ((s, d) =>
+      graft.llm.Bpe.applyTokenizer(docs(s, d), k = BpeMergeRounds)
+        .orderBy("doc_id"))
   )
 
-  /** Merge rounds for `bpe_merges` (shared with its oracle). */
+  /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
 
   /** Boilerplate-flag parameters, shared by the query and its oracle:
@@ -2214,7 +2223,9 @@ object SparkEntry {
       "multimodal_neardup" ->
         (MultiModal.sqlNearDupPayloads(PhashMaxHamming) + "\nORDER BY 1, 2"),
 
-      "bpe_merges" -> graft.llm.Bpe.sqlMerges(BpeMergeRounds)
+      "bpe_merges" -> graft.llm.Bpe.sqlMerges(BpeMergeRounds),
+
+      "bpe_apply" -> graft.llm.Bpe.sqlApply(BpeMergeRounds)
     )
   }
 

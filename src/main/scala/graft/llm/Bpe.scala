@@ -48,10 +48,8 @@ object Bpe {
       .orderBy(col("pair_freq").desc, col("pair"))
       .limit(1)
 
-  /** Train `k` merges over the documents corpus. Returns the merge table
-    * (rank 1..k, pair, pair_freq) — deterministic on any topology.
-    */
-  def merges(docs: DataFrame, k: Int): DataFrame = {
+  /** The k training rounds: (merge table, final segmented vocab). */
+  private def train(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     var v = vocab(docs).localCheckpoint()
     var out: DataFrame = null
     for (r <- 1 to k) {
@@ -66,15 +64,43 @@ object Bpe {
           col("freq"))
         .localCheckpoint()
     }
-    out.orderBy("rank")
+    (out, v)
   }
 
-  /** DuckDB mirror of [[merges]]: the same k rounds as a generated CTE
-    * chain (v0 → p1 → v1 → … → pk), UNION ALL of the per-round argmax
-    * rows. `TextAnalysis.sqlTokens`/`sqlShingles` keep tokenization and
-    * pair extraction identical to the engine.
+  /** Train `k` merges over the documents corpus. Returns the merge table
+    * (rank 1..k, pair, pair_freq) — deterministic on any topology.
     */
-  def sqlMerges(k: Int): String = {
+  def merges(docs: DataFrame, k: Int): DataFrame =
+    train(docs, k)._1.orderBy("rank")
+
+  /** The trained tokenizer as a lookup table: (word, n_sym) — each corpus
+    * word with its symbol count under the k-merge segmentation. Applying
+    * the tokenizer is then a plain equi-join on word: no merge replay per
+    * document, no driver-side merge list.
+    */
+  def trainedVocab(docs: DataFrame, k: Int): DataFrame =
+    train(docs, k)._2.select(
+      regexp_replace(col("w"), " ", "").as("word"),
+      size(split(col("w"), " ")).cast("long").as("n_sym"))
+
+  /** Tokenize the corpus with the trained table: per document, word count
+    * and BPE token count. The segmentation table is corpus-vocab-sized
+    * (Zipf-small) and joins the exploded word stream on its natural key.
+    */
+  def applyTokenizer(docs: DataFrame, k: Int): DataFrame = {
+    val seg = trainedVocab(docs, k)
+    docs.select(col("doc_id"), explode_outer(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(seg, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum("n_sym"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** The k training rounds as a DuckDB CTE chain body
+    * (v0 → p1 → v1 → … → pk → vk). `TextAnalysis.sqlTokens`/`sqlShingles`
+    * keep tokenization and pair extraction identical to the engine.
+    */
+  private def sqlTrainCtes(k: Int): String = {
     val toks = TextAnalysis.sqlTokens("text")
     val sb = new StringBuilder
     sb.append(
@@ -96,9 +122,28 @@ object Bpe {
            |           ' ' || replace(p$r.pair, ' ', '') || ' ')) AS w, freq
            |  FROM $prev, p$r)""".stripMargin)
     }
-    sb.append("\n" + (1 to k)
-      .map(r => s"SELECT $r AS rank, pair, pair_freq FROM p$r")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY rank"))
     sb.toString
+  }
+
+  /** DuckDB mirror of [[merges]]: UNION ALL of the per-round argmax rows. */
+  def sqlMerges(k: Int): String =
+    sqlTrainCtes(k) + "\n" + (1 to k)
+      .map(r => s"SELECT $r AS rank, pair, pair_freq FROM p$r")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** DuckDB mirror of [[applyTokenizer]]. */
+  def sqlApply(k: Int): String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    sqlTrainCtes(k) +
+      s""",
+         |seg AS (SELECT replace(w, ' ', '') AS word,
+         |          len(string_split(w, ' '))::BIGINT AS n_sym FROM v$k),
+         |dw AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+         |SELECT d.doc_id, count(dw.word)::BIGINT AS n_words,
+         |  coalesce(sum(seg.n_sym), 0)::BIGINT AS n_bpe_tokens
+         |FROM documents d
+         |  LEFT JOIN dw ON dw.doc_id = d.doc_id
+         |  LEFT JOIN seg ON seg.word = dw.word
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

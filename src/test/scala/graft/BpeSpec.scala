@@ -24,6 +24,18 @@ class BpeSpec extends SparkSpec {
     assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, freqs.mkString(","))
   }
 
+  test("applyTokenizer: token counts track the merge depth") {
+    val docs = Seq((0L, "aaab aaab ab"), (1L, "")).toDF("doc_id", "text")
+    // k=2: 'aaab' -> 'aa ab' (2 symbols), 'ab' -> 'ab' (1) => 2+2+1 = 5
+    val k2 = Bpe.applyTokenizer(docs, k = 2).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(k2 == Seq((0L, 3L, 5L), (1L, 0L, 0L)), k2.toString)
+    // k=3: the 'aa ab' merge collapses 'aaab' to one symbol => 1+1+1 = 3
+    val k3 = Bpe.applyTokenizer(docs, k = 3).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(k3 == Seq((0L, 3L, 3L), (1L, 0L, 0L)), k3.toString)
+  }
+
   test("vocab: symbol segmentation is lossless (spaces removed == word)") {
     val docs = Seq((0L, "hello world hello")).toDF("doc_id", "text")
     val v = Bpe.vocab(docs)
