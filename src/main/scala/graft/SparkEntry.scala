@@ -777,6 +777,28 @@ object SparkEntry {
         .orderBy("group_a", "group_b")
     }),
 
+    // Robust (median/MAD) outliers — the z-score twin for heavy-tailed
+    // data where mean/variance are themselves dragged by the outliers.
+    // Exact interpolated percentiles (the established percentile ↔
+    // quantile_cont pairing), 1.4826·MAD normalization; the narrow frame
+    // is checkpointed so the med pass, the MAD pass and the flag pass
+    // share one scan.
+    "events_anomaly_robust" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .localCheckpoint()
+      val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+      val stats = e.join(broadcast(med), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"), max("med").as("med"))
+      val score = (col("value") - col("med")) /
+        greatest(col("mad") * lit(1.4826), lit(1e-9))
+      e.join(broadcast(stats), Seq("event_type"))
+        .filter(abs(score) > 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(score, 6).as("rscore_r"))
+        .orderBy("event_id")
+    }),
+
     // Bloom-filter pre-filtered semi join: the dim side (high-value signup
     // users) is sketched into ONE bounded bloom, the fact side is filtered
     // by might_contain BEFORE its shuffle, and an exact semi join removes
@@ -1840,6 +1862,20 @@ object SparkEntry {
         (graft.ops.Kmv.sqlOverlap(
           "SELECT DISTINCT epoch_us(ts) // 86400000000 AS g, user_id AS id FROM events",
           KmvK, KmvSeed) + "\nORDER BY 1, 2"),
+
+      "events_anomaly_robust" ->
+        """WITH e AS (SELECT event_id, event_type, value FROM events),
+          |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+          |      FROM e GROUP BY 1),
+          |s AS (SELECT e.event_type,
+          |        quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+          |        max(m.med) AS med
+          |      FROM e JOIN m USING (event_type) GROUP BY 1),
+          |z AS (SELECT e.event_id, e.event_type, e.value,
+          |        (e.value - s.med) / greatest(s.mad * 1.4826, 1e-9) AS sc
+          |      FROM e JOIN s USING (event_type))
+          |SELECT event_id, event_type, value, round(sc, 6) AS rscore_r
+          |FROM z WHERE abs(sc) > 3.5 ORDER BY event_id""".stripMargin,
 
       "agg_grouping_sets" ->
         """SELECT r_name, o_orderpriority, count(*) AS n_orders

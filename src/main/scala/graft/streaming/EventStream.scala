@@ -221,6 +221,59 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ---- online anomaly detection ----------------------------------------
+
+  case class EvV(ts: java.sql.Timestamp, event_id: Long, event_type: String,
+                 value: Double)
+  /** Per-type running moments (Welford): count, mean, M2. */
+  case class MomentState(n: Long, mean: Double, m2: Double)
+  case class Anomaly(event_id: Long, event_type: String, value: Double, z: Double)
+
+  /** Minimum observations before the online detector starts flagging —
+    * below this the variance estimate is noise.
+    */
+  val AnomalyWarmup = 30L
+
+  /** Online anomaly detection: per event_type, maintain running mean and
+    * variance (Welford's algorithm — numerically stable one-pass moments)
+    * and flag each event whose |z| vs the stats of all PREVIOUSLY
+    * processed events exceeds `threshold`. Prefix semantics, not the
+    * batch key's global stats: an online detector can only know the past,
+    * so early outliers sharpen later thresholds rather than being judged
+    * by data that arrives after them. Within a batch, events are
+    * processed in (ts, event_id) order, making replays deterministic.
+    * State is three numbers per event_type — bounded by the type
+    * cardinality, no timeout needed.
+    */
+  def anomalies(events: Dataset[EvV], threshold: Double = 3.0,
+                warmup: Long = AnomalyWarmup)
+               (implicit spark: SparkSession): Dataset[Anomaly] = {
+    import spark.implicits._
+
+    def update(tpe: String, batch: Iterator[EvV],
+               state: GroupState[MomentState]): Iterator[Anomaly] = {
+      var st = state.getOption.getOrElse(MomentState(0L, 0.0, 0.0))
+      val out = Vector.newBuilder[Anomaly]
+      for (e <- batch.toSeq.sortBy(x => (x.ts.getTime, x.event_id))) {
+        if (st.n >= warmup) {
+          val sd = math.sqrt(st.m2 / st.n)
+          if (sd > 0 && math.abs(e.value - st.mean) / sd > threshold)
+            out += Anomaly(e.event_id, tpe, e.value, (e.value - st.mean) / sd)
+        }
+        val n1 = st.n + 1
+        val d = e.value - st.mean
+        val mean1 = st.mean + d / n1
+        st = MomentState(n1, mean1, st.m2 + d * (e.value - mean1))
+      }
+      state.update(st)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Batch twin of [[stateIntervals]] (identical intervals): lag-flag +
     * running run counter + group, over (user_id, event_type, ts_us,
     * event_id) columns. Oracle-checkable; backs the `state_intervals` key.

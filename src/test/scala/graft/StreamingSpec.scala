@@ -287,6 +287,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("online anomalies: planted spike flagged after warm-up, calm data never flagged") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import EventStream.EvV
+    val in = MemoryStream[EvV]
+    val q = EventStream.anomalies(in.toDS(), threshold = 3.0, warmup = 30L)
+      .writeStream.format("memory").queryName("anomalies_online")
+      .outputMode("append").start()
+    try {
+      val base = ts("2024-01-01 00:00:00").getTime
+      // batch 1: 40 calm events (alternating 10/12) — includes warm-up
+      val calm = (1L to 40L).map(i =>
+        EvV(new Timestamp(base + i * 60000L), i, "view",
+          if (i % 2 == 0) 10.0 else 12.0))
+      in.addData(calm: _*); q.processAllAvailable()
+      // batch 2: one wild spike plus more calm rows
+      in.addData(
+        EvV(new Timestamp(base + 41 * 60000L), 41L, "view", 500.0),
+        EvV(new Timestamp(base + 42 * 60000L), 42L, "view", 11.0))
+      q.processAllAvailable()
+      val got = spark.table("anomalies_online")
+        .select("event_id", "z")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.map(_._1).toSet == Set(41L),
+        s"exactly the spike flagged, got ${got.toSeq}")
+      assert(got.head._2 > 3.0, s"spike z ${got.head._2}")
+      // the spike inflates the running stats, but 11.0 stays unflagged
+    } finally q.stop()
+  }
+
   test("property: streaming state intervals == batch twin under random arrival permutations") {
     // Contract: for ANY arrival order within the watermark, the emitted
     // intervals equal stateIntervalsBatch minus each user's LAST interval
