@@ -777,6 +777,24 @@ object SparkEntry {
         .orderBy("group_a", "group_b")
     }),
 
+    // Per-group percent rank WITHOUT Window.partitionBy(group): one heavy
+    // group (half the corpus can be one event_type) would funnel through a
+    // single task. ops.GlobalRank.withGroupedRowNumber range-buckets each
+    // group (boundaries + per-bucket counts are groups×buckets metadata),
+    // so the rank is distributed across (group, bucket) partitions. The
+    // oracle states the same result as a plain grouped window — simple to
+    // state, unscalable to run, which is exactly the point.
+    "events_value_rank" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("event_type"), col("value"))
+      graft.ops.GlobalRank
+        .withGroupedRowNumber(e, "event_type", "value", Seq("event_id"),
+          buckets = 32, out = "rnk", outN = "n_g")
+        .select(col("event_id"), col("event_type"), col("rnk"),
+          when(col("n_g") === 1, 0L)
+            .otherwise(expr("(rnk - 1) * 1000000 div (n_g - 1)")).as("prank_ppm"))
+        .orderBy("event_id")
+    }),
+
     // Robust (median/MAD) outliers — the z-score twin for heavy-tailed
     // data where mean/variance are themselves dragged by the outliers.
     // Exact interpolated percentiles (the established percentile ↔
@@ -1862,6 +1880,17 @@ object SparkEntry {
         (graft.ops.Kmv.sqlOverlap(
           "SELECT DISTINCT epoch_us(ts) // 86400000000 AS g, user_id AS id FROM events",
           KmvK, KmvSeed) + "\nORDER BY 1, 2"),
+
+      "events_value_rank" ->
+        """WITH r AS (SELECT event_id, event_type,
+          |    row_number() OVER (PARTITION BY event_type
+          |                       ORDER BY value, event_id) AS rnk,
+          |    count(*) OVER (PARTITION BY event_type) AS n_g
+          |  FROM events)
+          |SELECT event_id, event_type, rnk::BIGINT AS rnk,
+          |  (CASE WHEN n_g = 1 THEN 0
+          |        ELSE ((rnk - 1) * 1000000) // (n_g - 1) END)::BIGINT AS prank_ppm
+          |FROM r ORDER BY event_id""".stripMargin,
 
       "events_anomaly_robust" ->
         """WITH e AS (SELECT event_id, event_type, value FROM events),

@@ -121,4 +121,63 @@ object GlobalRank {
         .cast("int")
     }
   }
+
+  /** GROUPED distributed row_number: exact per-group rank (1-based, by
+    * `rangeCol` asc then `tieBreak`) in `out`, plus per-group totals in
+    * `outN` — without `Window.partitionBy(group)`'s failure mode, where one
+    * HEAVY group funnels through one task.
+    *
+    * This targets the low-cardinality / heavy-groups regime (event types,
+    * languages, tenants): per-group range boundaries and per-(group,
+    * bucket) counts are then `groups × buckets` rows — loop-control
+    * metadata. (High-cardinality small groups don't need this operator: a
+    * plain grouped window is already balanced there.) Same three-pass
+    * contract as the global rank, same checkpoint rule for derived inputs.
+    */
+  def withGroupedRowNumber(
+      df0: DataFrame, groupCol: String, rangeCol: String, tieBreak: Seq[String],
+      buckets: Int, out: String, outN: String): DataFrame = {
+    val df =
+      if (isBareScan(df0.queryExecution.optimizedPlan)) df0
+      else df0.localCheckpoint()
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val boundRows = df.groupBy(groupCol)
+      .agg(expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)"))
+      .collect()
+    val boundsByGroup: Map[Any, Seq[Double]] = boundRows.map { r =>
+      r.get(0) -> (if (r.isNullAt(1)) Seq.empty[Double]
+                   else r.getSeq[Any](1).map(_.toString.toDouble).distinct.sorted)
+    }.toMap
+    // per-group monotone bucket id as ONE case chain (groups are bounded)
+    val bucket = boundsByGroup.foldLeft(lit(0)) { case (acc, (g, bounds)) =>
+      val b = bounds.foldLeft(lit(0)) { (a, bd) =>
+        a + when(col(rangeCol) > lit(bd), 1).otherwise(0)
+      }
+      when(col(groupCol) === lit(g), b).otherwise(acc)
+    }
+    val sortCols = (rangeCol +: tieBreak).map(col)
+    val local = df.withColumn("__bkt", bucket)
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(groupCol, "__bkt").orderBy(sortCols: _*)))
+    val counts = df.withColumn("__bkt", bucket)
+      .groupBy(groupCol, "__bkt").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+    val totals: Map[Any, Long] =
+      counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1))
+        .map { case (bkt, off) => (g, bkt, off) }
+    }
+    val offset = offsets.foldLeft(lit(0L)) { case (acc, (g, bkt, off)) =>
+      when(col(groupCol) === lit(g) && col("__bkt") === bkt, lit(off)).otherwise(acc)
+    }
+    val total = totals.foldLeft(lit(0L)) { case (acc, (g, n)) =>
+      when(col(groupCol) === lit(g), lit(n)).otherwise(acc)
+    }
+    local
+      .withColumn(out, col("__lrn") + offset)
+      .withColumn(outN, total)
+      .drop("__bkt", "__lrn")
+  }
 }

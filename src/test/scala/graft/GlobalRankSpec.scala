@@ -62,4 +62,38 @@ class GlobalRankSpec extends SparkSpec {
     assert(e.orderBy("id").select("q").collect().map(_.getInt(0)).toSeq ==
       Seq(1, 1, 1, 2, 2, 2, 3, 3, 4, 4), "10 rows over 4 tiles: 3/3/2/2 row-split")
   }
+
+  test("grouped row_number == grouped window on skewed groups (one group holds 90%)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy group 'big' (900 rows, many ties), small groups 'a'/'b'
+    val rows = (0 until 900).map(i => ("big", i.toLong, (i % 7).toDouble)) ++
+      (0 until 60).map(i => ("a", 1000L + i, (i % 5).toDouble)) ++
+      (0 until 3).map(i => ("b", 2000L + i, i.toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val got = GlobalRank
+      .withGroupedRowNumber(df, "g", "v", Seq("id"), buckets = 8,
+        out = "rnk", outN = "n_g")
+      .select("g", "id", "rnk", "n_g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val expect = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy("g")))
+      .select("g", "id", "rnk", "n_g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"grouped distributed rank == grouped window")
+  }
+
+  test("grouped rank partitions by (group, bucket), spreading the heavy group") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => ("big", i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val plan = GlobalRank
+      .withGroupedRowNumber(df, "g", "v", Seq("id"), buckets = 8,
+        out = "rnk", outN = "n_g")
+      .queryExecution.executedPlan.toString
+      .replaceAll("#\\d+L?", "")
+    assert(plan.contains("windowspecdefinition(g, __bkt"),
+      s"window must partition by (group, bucket), not group alone:\n$plan")
+  }
 }
