@@ -777,6 +777,27 @@ object SparkEntry {
         .orderBy("group_a", "group_b")
     }),
 
+    // Path analysis: the most common initial event-type sequences (first 3
+    // events per user). Per-user window (bounded history), order-stable
+    // path via sorted-struct collect (collect_list alone is order-unstable
+    // — the repo-wide canonicalized-collect contract), then a tiny path
+    // frequency agg with the TakeOrderedAndProject top-k shape.
+    "events_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_type"),
+          IntMath.floorDiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
+
     // Per-group percent rank WITHOUT Window.partitionBy(group): one heavy
     // group (half the corpus can be one event_type) would funnel through a
     // single task. ops.GlobalRank.withGroupedRowNumber range-buckets each
@@ -1880,6 +1901,17 @@ object SparkEntry {
         (graft.ops.Kmv.sqlOverlap(
           "SELECT DISTINCT epoch_us(ts) // 86400000000 AS g, user_id AS id FROM events",
           KmvK, KmvSeed) + "\nORDER BY 1, 2"),
+
+      "events_top_paths" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+          |           FROM events),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |                ORDER BY ts_us, event_id) AS rn FROM e),
+          |p AS (SELECT user_id,
+          |        array_to_string(list(event_type ORDER BY rn), '>') AS path
+          |      FROM r WHERE rn <= 3 GROUP BY 1)
+          |SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY 1
+          |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
       "events_value_rank" ->
         """WITH r AS (SELECT event_id, event_type,
