@@ -1115,6 +1115,43 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // Curriculum bucketing: documents quality-ranked into 4 tiers with the
+    // distributed ntile (GlobalRank — no single-partition window over the
+    // corpus), per-tier doc/token mass and quality range. The artifact a
+    // curriculum-ordered training run feeds its sampler.
+    "curriculum_buckets" -> ((s, d) => {
+      val q = docs(s, d).select(col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.ops.GlobalRank
+        .withNtile(q, "quality", Seq("doc_id"), buckets = 8, tiles = 4, out = "tier")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          round(min("quality"), 6).as("min_q"), round(max("quality"), 6).as("max_q"))
+        .orderBy("tier")
+    }),
+
+    // Shard manifest: the integrity artifact next to export_shards — per
+    // shard, membership checksum (md5 over the ordered doc_id list) plus
+    // doc/token mass, so a training run can verify a shard set is exactly
+    // the one the exporter wrote. Sorted-struct collect keeps the digest
+    // order-stable on any topology.
+    "export_manifest" -> ((s, d) => {
+      val shards = 8
+      val sized = docs(s, d).select(col("doc_id"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      graft.ops.GlobalRank.withGlobalRowNumber(
+          sized.withColumn("neg_tok", -col("n_tok")),
+          "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
+        .withColumn("shard", pmod(col("rn") - 1, lit(shards.toLong)).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(struct(col("doc_id")))),
+            x => x.getField("doc_id").cast("string"))).cast("binary")).as("member_md5"))
+        .orderBy("shard")
+    }),
+
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
 
@@ -2097,6 +2134,25 @@ object SparkEntry {
            |SELECT ((rn - 1) % 8)::INTEGER AS shard, count(*) AS n_docs,
            |  sum(n_tok)::BIGINT AS n_tokens
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "curriculum_buckets" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    ${TA.sqlQualityScore(toks)} AS quality,
+           |    len($toks)::BIGINT AS n_tok FROM documents),
+           |r AS (SELECT *, ntile(4) OVER (ORDER BY quality, doc_id) AS tier FROM t)
+           |SELECT tier::INTEGER AS tier, count(*)::BIGINT AS n_docs,
+           |  sum(n_tok)::BIGINT AS n_tokens,
+           |  round(min(quality), 6) AS min_q, round(max(quality), 6) AS max_q
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "export_manifest" ->
+        s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+           |r AS (SELECT doc_id, n_tok,
+           |  row_number() OVER (ORDER BY -n_tok, doc_id) AS rn FROM t),
+           |s AS (SELECT ((rn - 1) % 8)::INTEGER AS shard, doc_id, n_tok FROM r)
+           |SELECT shard, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           |  md5(array_to_string(list(doc_id::VARCHAR ORDER BY doc_id), ',')) AS member_md5
+           |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "ngram_counts" ->
         s"""WITH t AS (SELECT $toks AS toks FROM documents),
