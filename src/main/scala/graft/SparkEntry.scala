@@ -1103,8 +1103,10 @@ object SparkEntry {
     // window); output is the per-shard balance report.
     "export_shards" -> ((s, d) => {
       val shards = 8
+      // checkpointed for the same tokenize-per-pass reason as curriculum
       val sized = docs(s, d).select(col("doc_id"),
         size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint()
       val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
         sized.withColumn("neg_tok", -col("n_tok")),
         "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
@@ -1120,9 +1122,14 @@ object SparkEntry {
     // corpus), per-tier doc/token mass and quality range. The artifact a
     // curriculum-ordered training run feeds its sampler.
     "curriculum_buckets" -> ((s, d) => {
+      // checkpointed: GlobalRank's bare-scan heuristic would re-read the
+      // scan per pass, but this projection carries the tokenize subtree —
+      // materialize the narrow (id, quality, n_tok) frame once instead of
+      // tokenizing the corpus three times
       val q = docs(s, d).select(col("doc_id"),
         TA.qualityScore(col("text")).as("quality"),
         size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint()
       graft.ops.GlobalRank
         .withNtile(q, "quality", Seq("doc_id"), buckets = 8, tiles = 4, out = "tier")
         .groupBy("tier")
@@ -1138,8 +1145,10 @@ object SparkEntry {
     // order-stable on any topology.
     "export_manifest" -> ((s, d) => {
       val shards = 8
+      // checkpointed for the same tokenize-per-pass reason as curriculum
       val sized = docs(s, d).select(col("doc_id"),
         size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint()
       graft.ops.GlobalRank.withGlobalRowNumber(
           sized.withColumn("neg_tok", -col("n_tok")),
           "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
