@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.llm.CorpusPipeline
+
+/** End-to-end bench of the COMPOSED training-data pipeline
+  * (`llm.CorpusPipeline`: hygiene → near-dup dedup → mixing → packing,
+  * through materialization barriers) — the LLM-side sibling of
+  * `BenchPipeline`. Emits `BENCH_corpus.json`: per-stage wall times plus
+  * the corpus-shrinkage report rows.
+  *
+  * `runMain graft.BenchCorpus [sfDir] [workDir] [outFile]`
+  */
+object BenchCorpus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_bench_corpus"
+    val outFile = if (args.length > 2) args(2) else "BENCH_corpus.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftConf.ensure(spark)
+
+    val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val cfg = CorpusPipeline.Config(
+      onStage = (name, sec) => stages.synchronized { stages(name) = sec })
+
+    val t0 = System.nanoTime()
+    val res = CorpusPipeline.run(spark, Tables.documents(spark, sfDir),
+      MapPipeline.PathBarrier(workDir), cfg)
+    val report = res.report.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = (System.nanoTime() - t0) / 1e9
+
+    val stageJson = stages.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
+    val reportJson = report.map { case (_, n, d, t) =>
+      s""""$n":{"n_docs":$d,"n_tokens":$t}""" }.mkString(",")
+    val json =
+      f"""{"metric":"corpus_pipeline","value":$total%.3f,"unit":"sec","sf":"$sfDir","stages":{$stageJson},"report":{$reportJson}}"""
+    println(json)
+    Files.writeString(Paths.get(outFile), json + "\n")
+    spark.stop()
+  }
+}

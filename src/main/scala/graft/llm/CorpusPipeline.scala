@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.MapPipeline.Barrier
+import graft.expr.PortableHash
+
+/** The COMPOSED training-data pipeline — the LLM-side sibling of
+  * [[graft.MapPipeline]]: every stage exists as an oracle-checked query
+  * key; this wires them into the production shape with materialization
+  * barriers between stages (each stage's output is read, never
+  * recomputed, by its consumers — the same CTAS-barrier semantics the
+  * reference pipeline uses, `MapBuilder.java:130-133`).
+  *
+  *   raw documents
+  *     → hygiene: PII redaction + quality/repetition gates + exact dedup
+  *       keeper (`Scrub.cleanCorpus`)                        [barrier]
+  *     → near-dup dedup: MinHash/LSH candidates, exact-jaccard verify,
+  *       star-CC clusters, keep each cluster's root            [barrier]
+  *     → mixing: per-language integer-ppm keep rates to the uniform token
+  *       target, deterministic hash gate                       [barrier]
+  *     → packing: fixed token windows (`Pack.sequences`), hash-striped
+  *       into training shards                                  [barrier]
+  *
+  * Every decision is deterministic (portable hashes, exact-integer
+  * rates), so the pipeline is replayable on any topology; the per-stage
+  * doc/token report is the corpus-shrinkage audit a data owner signs off.
+  */
+object CorpusPipeline {
+
+  case class Config(
+      minQuality: Double = 0.4,
+      maxTop2: Double = 0.6,
+      shingleSize: Int = 3,
+      numPerms: Int = 16,
+      numBands: Int = 4,
+      dupJaccard: Double = 0.5,
+      mixSeed: String = "mix-v1",
+      seqLen: Int = 256,
+      packBuckets: Int = 8,
+      shards: Int = 8,
+      onStage: (String, Double) => Unit = (_, _) => ())
+
+  case class Result(clean: DataFrame, deduped: DataFrame, mixed: DataFrame,
+                    shardSeqs: DataFrame, report: DataFrame)
+
+  private def timed[T](cfg: Config, name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    cfg.onStage(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  /** docs must carry (doc_id, text, lang, source, n_chars) — the
+    * documents-table shape.
+    */
+  def run(spark: SparkSession, docs: DataFrame, barrier: Barrier,
+          cfg: Config = Config()): Result = {
+
+    // ---- stage 1: hygiene --------------------------------------------
+    val clean = timed(cfg, "hygiene") {
+      val verdicts = Scrub.cleanCorpus(docs, cfg.minQuality, cfg.maxTop2)
+      barrier.materialize(spark,
+        docs.join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id")),
+        "corpus_clean")
+    }
+
+    // ---- stage 2: near-dup dedup -------------------------------------
+    val deduped = timed(cfg, "neardup") {
+      val pairs = Dedup
+        .verifiedJaccard(clean, cfg.shingleSize, cfg.numPerms, cfg.numBands)
+        .filter(round(col("jaccard"), 6) >= cfg.dupJaccard)
+        .select(col("a"), col("b"))
+      // star-CC roots survive; every other cluster member is dropped, so
+      // no surviving pair can carry a verified edge (edges imply a shared
+      // cluster, and a cluster keeps exactly one root)
+      val losers = Dedup.clusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id"))
+      barrier.materialize(spark,
+        clean.join(losers, Seq("doc_id"), "left_anti"), "corpus_dedup")
+    }
+
+    // ---- stage 3: language mixing ------------------------------------
+    val mixed = timed(cfg, "mixing") {
+      val t = deduped.select(col("doc_id"), col("lang"), col("text"),
+        col("source"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens")).localCheckpoint()
+      val tot = agg.agg(sum("n_tokens").as("tot"), count(lit(1)).as("n_langs"))
+      val rates = agg.crossJoin(broadcast(tot)).select(col("lang"),
+        least(lit(1000000L),
+          expr("(CAST(tot div n_langs AS DECIMAL(38,0)) * 1000000) div n_tokens"))
+          .as("rate_ppm"))
+      val gate = pmod(PortableHash.phash(
+        concat(lit(cfg.mixSeed + ":"), col("doc_id").cast("string"))), lit(1000000L))
+      barrier.materialize(spark,
+        t.join(broadcast(rates), Seq("lang"))
+          .filter(gate < col("rate_ppm"))
+          .select("doc_id", "text", "lang", "source", "n_chars"),
+        "corpus_mixed")
+    }
+
+    // ---- stage 4: packing + sharding ---------------------------------
+    val shardSeqs = timed(cfg, "packing") {
+      val seqs = Pack.sequences(mixed, cfg.seqLen, cfg.packBuckets)
+        .withColumn("shard", pmod(PortableHash.phash(concat_ws(":",
+          lit("shard"), col("bucket"), col("seq"))), lit(cfg.shards.toLong))
+          .cast("int"))
+      barrier.materialize(spark, seqs, "corpus_shards")
+    }
+
+    // ---- shrinkage report (each stage is a materialized barrier, so
+    // these aggregates are cheap re-reads, never stage recomputes) ------
+    def docStat(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .select(lit(stage).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val packed = shardSeqs
+      .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
+      .select(lit(4).as("stage_idx"), lit("packed_seq_slices").as("stage"),
+        col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val report = Seq(
+      docStat(0, "input", docs), docStat(1, "clean", clean),
+      docStat(2, "deduped", deduped), docStat(3, "mixed", mixed))
+      .reduce(_ union _)
+      .union(packed)
+      .orderBy("stage_idx")
+
+    Result(clean, deduped, mixed, shardSeqs, report)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{CorpusPipeline, Dedup}
+
+class CorpusPipelineSpec extends SparkSpec {
+
+  private def runOnce() = {
+    val dir = java.nio.file.Files.createTempDirectory("corpus_pl").toString
+    CorpusPipeline.run(spark, Tables.documents(spark, "/root/testdata/sf0.001"),
+      MapPipeline.PathBarrier(dir))
+  }
+
+  test("composed corpus pipeline: shrinkage is monotone and token mass survives packing") {
+    val res = runOnce()
+    val rep = res.report.collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val docsAt = Seq("input", "clean", "deduped", "mixed").map(s => rep(s)._1)
+    assert(docsAt.zip(docsAt.tail).forall { case (a, b) => a >= b },
+      s"doc counts must shrink monotonically: $docsAt")
+    assert(rep("mixed")._2 == rep("packed_seq_slices")._2,
+      s"packing must preserve token mass: ${rep("mixed")._2} vs ${rep("packed_seq_slices")._2}")
+    assert(rep("deduped")._1 > 0, "pipeline must not empty the corpus")
+  }
+
+  test("no verified near-dup pair survives the dedup stage") {
+    val res = runOnce()
+    val surviving = Dedup.verifiedJaccard(res.deduped, 3, 16, 4)
+      .filter(round(col("jaccard"), 6) >= 0.5)
+      .count()
+    assert(surviving == 0L,
+      s"$surviving verified near-dup pairs survived cluster-root dedup")
+  }
+
+  test("pipeline is deterministic: two runs produce identical shard assignments") {
+    val a = runOnce().shardSeqs
+      .select("shard", "bucket", "seq", "doc_id", "tok_start", "tok_len")
+      .collect().map(_.toSeq).toSet
+    val b = runOnce().shardSeqs
+      .select("shard", "bucket", "seq", "doc_id", "tok_start", "tok_len")
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "hash-gated decisions must replay identically")
+    val shards = a.map(_.head.asInstanceOf[Int])
+    assert(shards.forall(s => s >= 0 && s < 8), s"shard ids in range: $shards")
+  }
+}
