@@ -851,6 +851,25 @@ object SparkEntry {
       graft.ops.BloomJoin.semiJoin(e, dim, "user_id", estItems = 10000L)
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
+    }),
+
+    // Iterative damped PageRank over the symmetrized customer–supplier
+    // purchase graph: who-buys-from-whom as an influence measure. Exact
+    // fixed-point integer arithmetic (picoranks) so the oracle replays the
+    // identical 5 supersteps; lineage cut per iteration — see
+    // graft.ops.PageRank for the 100 TB design notes.
+    "graph_pagerank" -> ((s, d) => {
+      val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .localCheckpoint() // consumed twice by the symmetric union
+      val edges = pairs.select(concat(lit("c"), col("c")).as("src"),
+          concat(lit("s"), col("sp")).as("dst"))
+        .unionAll(pairs.select(concat(lit("s"), col("sp")).as("src"),
+          concat(lit("c"), col("c")).as("dst")))
+      graft.ops.PageRank.run(edges, 5).orderBy("node")
     })
   )
 
@@ -1942,6 +1961,16 @@ object SparkEntry {
           |             WHERE event_type = 'signup' AND value > 300)
           |SELECT e.event_id, e.user_id, e.event_type
           |FROM events e JOIN dim USING (user_id) ORDER BY event_id""".stripMargin,
+
+      "graph_pagerank" -> graft.ops.PageRank.sqlRun(
+        """SELECT 'c' || c AS src, 's' || sp AS dst FROM
+          |  (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+          |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+          |UNION ALL
+          |SELECT 's' || sp, 'c' || c FROM
+          |  (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+          |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin,
+        iters = 5),
 
       "sketch_kmv_overlap" ->
         (graft.ops.Kmv.sqlOverlap(
