@@ -870,6 +870,29 @@ object SparkEntry {
         .unionAll(pairs.select(concat(lit("s"), col("sp")).as("src"),
           concat(lit("c"), col("c")).as("dst")))
       graft.ops.PageRank.run(edges, 5).orderBy("node")
+    }),
+
+    // MERGE INTO (dimension upsert): a stale customer snapshot (every 3rd
+    // key missing, simulating a dim behind the fact feed) merged with
+    // per-customer order aggregates — matched rows roll the balance
+    // forward, unmatched updates insert, untouched dim rows pass through,
+    // each tagged with its MERGE action. Exact DECIMAL money math.
+    "merge_upsert" -> ((s, d) => {
+      val dim = Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          decimal2(col("c_acctbal")).as("bal"))
+      val upd = orders(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(sum(decimal2(col("o_totalprice"))).as("spend"),
+          count(lit(1)).as("n_orders"))
+      graft.ops.Merge.outerMerge(dim, upd, "c_custkey")
+        .select(col("c_custkey"), col("action"),
+          coalesce(col("c_mktsegment"), lit("NEW")).as("segment"),
+          when(col("action") === "updated", col("bal") + col("spend"))
+            .when(col("action") === "inserted", col("spend"))
+            .otherwise(col("bal")).cast("double").as("bal_d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey")
     })
   )
 
@@ -1971,6 +1994,28 @@ object SparkEntry {
           |  (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
           |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin,
         iters = 5),
+
+      "merge_upsert" ->
+        """WITH dim AS (SELECT c_custkey, c_mktsegment,
+          |               c_acctbal::DECIMAL(12,2) AS bal
+          |             FROM customer WHERE c_custkey % 3 <> 0),
+          |upd AS (SELECT o_custkey AS u_custkey,
+          |          sum(o_totalprice::DECIMAL(12,2)) AS spend,
+          |          count(*)::BIGINT AS n_orders
+          |        FROM orders GROUP BY 1)
+          |SELECT COALESCE(d.c_custkey, u.u_custkey) AS c_custkey,
+          |  CASE WHEN d.c_custkey IS NOT NULL AND u.u_custkey IS NOT NULL
+          |         THEN 'updated'
+          |       WHEN d.c_custkey IS NULL THEN 'inserted'
+          |       ELSE 'unchanged' END AS action,
+          |  COALESCE(d.c_mktsegment, 'NEW') AS segment,
+          |  (CASE WHEN d.c_custkey IS NOT NULL AND u.u_custkey IS NOT NULL
+          |          THEN d.bal + u.spend
+          |        WHEN d.c_custkey IS NULL THEN u.spend
+          |        ELSE d.bal END)::DOUBLE AS bal_d,
+          |  COALESCE(u.n_orders, 0)::BIGINT AS n_orders
+          |FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.u_custkey
+          |ORDER BY c_custkey""".stripMargin,
 
       "sketch_kmv_overlap" ->
         (graft.ops.Kmv.sqlOverlap(
