@@ -893,11 +893,44 @@ object SparkEntry {
             .otherwise(col("bal")).cast("double").as("bal_d"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy("c_custkey")
+    }),
+
+    // Interval×interval OVERLAP join (banded, dedup-free): per-user click
+    // activity runs vs ±30 min incident windows around every error event —
+    // "whose activity did each incident touch". Both interval sets explode
+    // into 1 h buckets, the join is a LONG equi-join, and each overlapping
+    // pair is claimed exactly once by the bucket holding the overlap start
+    // (graft.ops.IntervalJoin — no BroadcastNestedLoopJoin, no DISTINCT).
+    "join_interval_overlap" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        IntMath.floorDiv(col("ts"), 1000L).as("ts_us"), col("event_id"))
+        .localCheckpoint() // consumed by both the runs and incidents sides
+      val runs = graft.streaming.EventStream.stateIntervalsBatch(e)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("from_us").as("a_lo"),
+          (col("to_us") + 1L).as("a_hi"))
+      val incidents = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          (col("ts_us") - IncidentHalfUs).as("b_lo"),
+          (col("ts_us") + IncidentHalfUs).as("b_hi"))
+      graft.ops.IntervalJoin.overlapJoin(
+          runs, "a_lo", "a_hi", incidents, "b_lo", "b_hi", OverlapBucketUs)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_runs"),
+          countDistinct("user_id").as("n_users"),
+          sum("overlap_len").as("overlap_us"))
+        .orderBy("incident_id")
     })
   )
 
   /** Exact nanoseconds per day for retention-day bucketing. */
   private val NanosPerDay = 86400L * 1000000000L
+
+  /** Incident half-window (±30 min) and bucket width (1 h) for
+    * `join_interval_overlap` — shared with the oracle SQL.
+    */
+  private val IncidentHalfUs = 1800L * 1000000L
+  private val OverlapBucketUs = 3600L * 1000000L
 
   /** KMV sketch size + seed for `sketch_kmv_overlap` (shared with oracle). */
   private val KmvK = 64
@@ -2016,6 +2049,27 @@ object SparkEntry {
           |  COALESCE(u.n_orders, 0)::BIGINT AS n_orders
           |FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.u_custkey
           |ORDER BY c_custkey""".stripMargin,
+
+      "join_interval_overlap" ->
+        s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           |           FROM events),
+           |f AS (SELECT *, CASE WHEN lag(event_type) OVER
+           |        (PARTITION BY user_id ORDER BY ts_us, event_id)
+           |        IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM e),
+           |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |        ROWS UNBOUNDED PRECEDING) AS run_id FROM f),
+           |runs AS (SELECT user_id, min(ts_us) AS a_lo, max(ts_us) + 1 AS a_hi
+           |         FROM r WHERE event_type = 'click'
+           |         GROUP BY user_id, run_id),
+           |inc AS (SELECT event_id AS incident_id,
+           |          ts_us - $IncidentHalfUs AS b_lo,
+           |          ts_us + $IncidentHalfUs AS b_hi
+           |        FROM e WHERE event_type = 'error')
+           |SELECT incident_id, count(*)::BIGINT AS n_runs,
+           |  count(DISTINCT user_id)::BIGINT AS n_users,
+           |  sum(least(a_hi, b_hi) - greatest(a_lo, b_lo))::BIGINT AS overlap_us
+           |FROM runs JOIN inc ON a_lo < b_hi AND b_lo < a_hi
+           |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
 
       "sketch_kmv_overlap" ->
         (graft.ops.Kmv.sqlOverlap(
