@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.ColumnBridge
@@ -52,10 +53,27 @@ object BloomJoin {
     */
   def semiJoin(big: DataFrame, dim: DataFrame, key: String,
                estItems: Long = 1000000L): DataFrame = {
-    val bf = bloomOf(dim, key, estItems).head().getAs[Array[Byte]]("bf")
-    // empty dim -> BloomFilterAggregate yields null; the exact result is empty
-    val pre = if (bf == null) big.filter(lit(false))
-              else big.filter(mightContain(bf, col(key)))
-    pre.join(dim.select(col(key)).distinct(), Seq(key), "left_semi")
+    // xxhash64 hashes the RAW bytes of its input type: an INT dim key and a
+    // BIGINT big key holding the same value hash differently, so the bloom
+    // would emit false negatives — silently dropping matching rows before
+    // the exact join can recover them. Reconcile to one common type (the
+    // same widening the join's own coercion applies) before hashing; if no
+    // lossless common type exists, skip the bloom and keep exactness.
+    val bt = big.schema(key).dataType
+    val dt = dim.schema(key).dataType
+    val common =
+      if (bt == dt) Some(bt)
+      else TypeCoercion.findTightestCommonType(bt, dt)
+    common match {
+      case Some(t) =>
+        val dimKeys = dim.select(col(key).cast(t).as(key))
+        val bf = bloomOf(dimKeys, key, estItems).head().getAs[Array[Byte]]("bf")
+        // empty dim -> BloomFilterAggregate yields null; the exact result is empty
+        val pre = if (bf == null) big.filter(lit(false))
+                  else big.filter(mightContain(bf, col(key).cast(t)))
+        pre.join(dimKeys.distinct(), Seq(key), "left_semi")
+      case None =>
+        big.join(dim.select(col(key)).distinct(), Seq(key), "left_semi")
+    }
   }
 }

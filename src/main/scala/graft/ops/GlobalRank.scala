@@ -134,28 +134,51 @@ object GlobalRank {
     * plain grouped window is already balanced there.) Same three-pass
     * contract as the global rank, same checkpoint rule for derived inputs.
     */
+  /** Above this many distinct groups the per-group case-chains (groups ×
+    * buckets literals) stop being "loop-control metadata" and become a
+    * janino-hostile megamorphic expression — and by the operator's own
+    * regime doc, many-group inputs are small-group inputs, where a plain
+    * grouped window is the right plan anyway. The fallback enforces that.
+    */
+  val MaxCaseGroups: Int = 64
+
   def withGroupedRowNumber(
       df0: DataFrame, groupCol: String, rangeCol: String, tieBreak: Seq[String],
       buckets: Int, out: String, outN: String): DataFrame = {
     val df =
       if (isBareScan(df0.queryExecution.optimizedPlan)) df0
       else df0.localCheckpoint()
+    val sortCols = (rangeCol +: tieBreak).map(col)
     val probs = (1 until buckets).map(_.toDouble / buckets)
     val boundRows = df.groupBy(groupCol)
       .agg(expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)"))
       .collect()
+    if (boundRows.length > MaxCaseGroups) {
+      // High-cardinality regime: groups are many, hence (pigeonhole) small —
+      // Window.partitionBy(group) is already balanced and avoids building a
+      // groups×buckets literal chain that would blow up codegen.
+      val local = df
+        .withColumn(out, row_number().over(
+          Window.partitionBy(groupCol).orderBy(sortCols: _*)).cast("long"))
+        .withColumn(outN, count(lit(1)).over(Window.partitionBy(groupCol)))
+      return local
+    }
     val boundsByGroup: Map[Any, Seq[Double]] = boundRows.map { r =>
       r.get(0) -> (if (r.isNullAt(1)) Seq.empty[Double]
                    else r.getSeq[Any](1).map(_.toString.toDouble).distinct.sorted)
     }.toMap
+    // Null-safe group matcher: `col === lit(null)` yields null, so a NULL
+    // group would silently fall through every case-chain to the defaults
+    // (bucket 0 / offset 0 / total 0 → negative percent ranks downstream).
+    def isGroup(g: Any): Column =
+      if (g == null) col(groupCol).isNull else col(groupCol) === lit(g)
     // per-group monotone bucket id as ONE case chain (groups are bounded)
     val bucket = boundsByGroup.foldLeft(lit(0)) { case (acc, (g, bounds)) =>
       val b = bounds.foldLeft(lit(0)) { (a, bd) =>
         a + when(col(rangeCol) > lit(bd), 1).otherwise(0)
       }
-      when(col(groupCol) === lit(g), b).otherwise(acc)
+      when(isGroup(g), b).otherwise(acc)
     }
-    val sortCols = (rangeCol +: tieBreak).map(col)
     val local = df.withColumn("__bkt", bucket)
       .withColumn("__lrn", row_number().over(
         Window.partitionBy(groupCol, "__bkt").orderBy(sortCols: _*)))
@@ -170,10 +193,10 @@ object GlobalRank {
         .map { case (bkt, off) => (g, bkt, off) }
     }
     val offset = offsets.foldLeft(lit(0L)) { case (acc, (g, bkt, off)) =>
-      when(col(groupCol) === lit(g) && col("__bkt") === bkt, lit(off)).otherwise(acc)
+      when(isGroup(g) && col("__bkt") === bkt, lit(off)).otherwise(acc)
     }
     val total = totals.foldLeft(lit(0L)) { case (acc, (g, n)) =>
-      when(col(groupCol) === lit(g), lit(n)).otherwise(acc)
+      when(isGroup(g), lit(n)).otherwise(acc)
     }
     local
       .withColumn(out, col("__lrn") + offset)

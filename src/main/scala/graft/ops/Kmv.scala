@@ -37,9 +37,13 @@ object Kmv {
   private[graft] def elemHash(seed: String, id: Column): Column =
     PortableHash.phash(concat_ws(":", lit(seed), id.cast("string")))
 
-  /** Per-group KMV sketch rows (group, id, hv, rnk ≤ k), rnk in hash
+  /** Per-group KMV sketch rows (group, id, hv, rnk ≤ k, n_g), rnk in hash
     * order. Groups smaller than k keep every row (the sketch is exact
-    * there). Input should already be distinct per (group, id).
+    * there). `n_g` is the group's exact distinct count — carried so
+    * downstream estimators can tell "sketch kept the whole group"
+    * (rnk-max == n_g, exact) from "the Chernoff prefilter truncated a
+    * large group below k" (rare, but silently catastrophic if read as
+    * exact). Input should already be distinct per (group, id).
     */
   def sketchByGroup(distinctPairs: DataFrame, groupCol: String, idCol: String,
                     k: Int, seed: String): DataFrame = {
@@ -53,7 +57,7 @@ object Kmv {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(groupCol).orderBy(col("hv"), col(idCol))))
       .filter(col("rnk") <= k)
-      .select(col(groupCol), col(idCol), col("hv"), col("rnk"))
+      .select(col(groupCol), col(idCol), col("hv"), col("rnk"), col("n_g"))
   }
 
   /** Pairwise overlap estimates between every two group sketches:
@@ -67,15 +71,18 @@ object Kmv {
   def overlapEstimates(sketch: DataFrame, groupCol: String, idCol: String,
                        k: Int): DataFrame = {
     val s = sketch.localCheckpoint() // three consumers below
-    // per-group size floor: the k-th hash (or the max rank if < k)
+    // per-group size floor: the k-th hash (or the max rank if < k), plus
+    // the exact group count so exactness can be TESTED (k_g == n_g), not
+    // inferred from k_g < k — the prefilter can truncate a large group
+    // below k with small probability, and that must fall to the estimator.
     val gstats = s.groupBy(groupCol).agg(
-      max("rnk").as("k_g"), max("hv").as("h_k"))
+      max("rnk").as("k_g"), max("hv").as("h_k"), max("n_g").as("n_g"))
     val pairs = gstats.as("ga").join(gstats.as("gb"),
         col(s"ga.$groupCol") < col(s"gb.$groupCol"))
       .select(col(s"ga.$groupCol").as("group_a"), col(s"gb.$groupCol").as("group_b"),
         least(col("ga.k_g"), col("gb.k_g")).as("k_eff"),
-        col("ga.k_g").as("ka"), col("ga.h_k").as("ha"),
-        col("gb.k_g").as("kb"), col("gb.h_k").as("hb"))
+        col("ga.k_g").as("ka"), col("ga.h_k").as("ha"), col("ga.n_g").as("na_g"),
+        col("gb.k_g").as("kb"), col("gb.h_k").as("hb"), col("gb.n_g").as("nb_g"))
     // union stream per pair: sketch rows of either side, deduped by id
     // (A-rows tagged with B membership, plus B-rows absent from A)
     val aSide = s.select(col(groupCol).as("group_a"), col(idCol), col("hv"))
@@ -104,10 +111,10 @@ object Kmv {
       .select(col("group_a"), col("group_b"), col("k_eff").cast("long").as("k_eff"),
         col("rho"),
         expr("rho * 1000000 div k_eff").as("jaccard_est_ppm"),
-        when(col("ka") < k, col("ka"))
-          .otherwise(expr(s"(${k - 1}L * $HashSpace) div ha")).as("na_est"),
-        when(col("kb") < k, col("kb"))
-          .otherwise(expr(s"(${k - 1}L * $HashSpace) div hb")).as("nb_est"))
+        when(col("ka") === col("na_g"), col("ka").cast("long"))
+          .otherwise(expr(s"(ka - 1) * $HashSpace div ha")).as("na_est"),
+        when(col("kb") === col("nb_g"), col("kb").cast("long"))
+          .otherwise(expr(s"(kb - 1) * $HashSpace div hb")).as("nb_est"))
   }
 
   /** DuckDB mirror of sketch + overlap over a `(groupE, idE)` relation
@@ -118,14 +125,16 @@ object Kmv {
     s"""WITH dp AS ($distinctRel),
        |hx AS (SELECT g, id, $h AS hv FROM dp),
        |c AS (SELECT g, count(*) AS n_g FROM hx GROUP BY 1),
-       |sv AS (SELECT hx.* FROM hx JOIN c USING (g)
+       |sv AS (SELECT hx.*, c.n_g FROM hx JOIN c USING (g)
        |  WHERE hv < least($HashSpace, (${Margin * k * HashSpace} + n_g - 1) // n_g)),
-       |sk AS (SELECT * FROM (SELECT g, id, hv, row_number() OVER (
+       |sk AS (SELECT * FROM (SELECT g, id, hv, n_g, row_number() OVER (
        |    PARTITION BY g ORDER BY hv, id) AS rnk FROM sv) WHERE rnk <= $k),
-       |gs AS (SELECT g, max(rnk) AS k_g, max(hv) AS h_k FROM sk GROUP BY 1),
+       |gs AS (SELECT g, max(rnk) AS k_g, max(hv) AS h_k, max(n_g) AS n_g
+       |       FROM sk GROUP BY 1),
        |pr AS (SELECT ga.g AS group_a, gb.g AS group_b,
        |         least(ga.k_g, gb.k_g) AS k_eff,
-       |         ga.k_g AS ka, ga.h_k AS ha, gb.k_g AS kb, gb.h_k AS hb
+       |         ga.k_g AS ka, ga.h_k AS ha, ga.n_g AS na_g,
+       |         gb.k_g AS kb, gb.h_k AS hb, gb.n_g AS nb_g
        |       FROM gs ga JOIN gs gb ON ga.g < gb.g),
        |mem AS (
        |  SELECT pr.group_a, pr.group_b, pr.k_eff, a.id, a.hv,
@@ -144,10 +153,10 @@ object Kmv {
        |       FROM rk WHERE urnk <= k_eff GROUP BY 1, 2, 3)
        |SELECT pr.group_a, pr.group_b, pr.k_eff::BIGINT AS k_eff, rho.rho,
        |  (rho.rho * 1000000 // pr.k_eff)::BIGINT AS jaccard_est_ppm,
-       |  (CASE WHEN pr.ka < $k THEN pr.ka
-       |        ELSE (${k - 1} * $HashSpace) // pr.ha END)::BIGINT AS na_est,
-       |  (CASE WHEN pr.kb < $k THEN pr.kb
-       |        ELSE (${k - 1} * $HashSpace) // pr.hb END)::BIGINT AS nb_est
+       |  (CASE WHEN pr.ka = pr.na_g THEN pr.ka
+       |        ELSE ((pr.ka - 1) * $HashSpace) // pr.ha END)::BIGINT AS na_est,
+       |  (CASE WHEN pr.kb = pr.nb_g THEN pr.kb
+       |        ELSE ((pr.kb - 1) * $HashSpace) // pr.hb END)::BIGINT AS nb_est
        |FROM pr JOIN rho USING (group_a, group_b, k_eff)""".stripMargin
   }
 }

@@ -65,10 +65,14 @@ object PageRank {
       val contribs = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst"),
           call_function("div", col("rank"), col("deg")).as("contrib"))
+      // The cast must sit INSIDE the aggregate: sum over LongType inputs
+      // accumulates in LongType and would wrap (non-ANSI) on a hub whose
+      // in-flow exceeds Long range — while the DuckDB twin sums in HUGEINT.
+      // Summing DECIMAL(38,0) terms keeps both engines exact.
       ranks = contribs.groupBy("dst").agg(
         (lit(BaseRank) +
           call_function("div",
-            lit(DampNum) * sum(col("contrib")).cast(DecimalType(38, 0)),
+            lit(DampNum) * sum(col("contrib").cast(DecimalType(38, 0))),
             lit(100L)).cast(LongType)).as("rank"))
         .select(col("dst").as("node"), col("rank"))
         .localCheckpoint()

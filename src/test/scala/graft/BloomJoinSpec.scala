@@ -33,6 +33,20 @@ class BloomJoinSpec extends SparkSpec {
     assert(lost == 0L)
   }
 
+  test("mixed key types: INT dim vs BIGINT big loses no matching rows") {
+    // xxhash64 hashes raw bytes per input type — without the common-type
+    // cast an IntegerType dim key and LongType big key holding the same
+    // value hash differently and the bloom false-negatives matches away.
+    val dimInt = Seq(3, 7, 42, 1000).toDF("k").select(col("k").cast("int").as("k"))
+    val expected = big.join(dimInt.select(col("k").cast("long").as("k")).distinct(),
+        Seq("k"), "left_semi")
+      .as[(Long, Long)].collect().toSet
+    val got = BloomJoin.semiJoin(big, dimInt, "k", estItems = 100L)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty,
+      s"mixed-type semi join dropped rows: got ${got.size}, want ${expected.size}")
+  }
+
   test("plan guard: might_contain filters the big side BEFORE the semi join") {
     // a real file source: over a LocalRelation, Catalyst folds the bloom
     // filter into the scan at plan time and the guard has nothing to see

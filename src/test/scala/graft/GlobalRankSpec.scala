@@ -96,4 +96,38 @@ class GlobalRankSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(g, __bkt"),
       s"window must partition by (group, bucket), not group alone:\n$plan")
   }
+
+  test("grouped rank: NULL group rows get real ranks, not case-chain defaults") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i => (Option("a"), 100L + i, (i % 5).toDouble)) ++
+      (0 until 7).map(i => (Option.empty[String], 200L + i, i.toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val got = GlobalRank
+      .withGroupedRowNumber(df, "g", "v", Seq("id"), buckets = 4,
+        out = "rnk", outN = "n_g")
+    val nulls = got.filter(col("g").isNull)
+      .select("id", "rnk", "n_g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(nulls.map(_._3).forall(_ == 7L),
+      s"NULL group total must be 7, not the 0 default: ${nulls.toSeq}")
+    assert(nulls.map(_._2).toSeq == (1L to 7L),
+      s"NULL group ranks must be 1..7: ${nulls.toSeq}")
+  }
+
+  test("grouped rank falls back to a plain grouped window above MaxCaseGroups") {
+    import spark.implicits._
+    val df = (0 until 2000)
+      .map(i => (s"g${i % 200}", i.toLong, (i % 13).toDouble)).toDF("g", "id", "v")
+    val ranked = GlobalRank.withGroupedRowNumber(
+      df, "g", "v", Seq("id"), buckets = 8, out = "rnk", outN = "n_g")
+    val plan = ranked.queryExecution.executedPlan.toString.replaceAll("#\\d+L?", "")
+    assert(!plan.contains("__bkt"),
+      s"200 groups > MaxCaseGroups must use the plain grouped window, no bucket chain:\n$plan")
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val expect = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy("g")))
+    assert(ranked.exceptAll(expect).isEmpty && expect.exceptAll(ranked).isEmpty,
+      "fallback path must be value-identical to the grouped window")
+  }
 }

@@ -47,4 +47,21 @@ class KmvSpec extends SparkSpec {
     assert(sk.map(_._1).toSeq == brute, "sketch == brute-force k smallest hashes")
     assert(sk.map(_._2).toSeq == (1 to 32), "ranks dense 1..k")
   }
+
+  test("prefilter-truncated sketch falls to the estimator, never fake-exact") {
+    // Hand-build the pathological shape ADVICE flagged: group 'a' is LARGE
+    // (n_g = 1000) but the Chernoff prefilter (by bad luck) kept only 5 of
+    // its hashes — k_g < k must NOT be read as "exact distinct = 5".
+    val k = 64
+    val aRows = (1 to 5).map(i => ("a", i.toLong, i * 100000000L, i, 1000L))
+    val bRows = (1 to 3).map(i => ("b", 100L + i, i * 200000000L, i, 3L))
+    val sk = (aRows ++ bRows).toDF("g", "id", "hv", "rnk", "n_g")
+    val out = Kmv.overlapEstimates(sk, "g", "id", k).collect().head
+    // group b: k_g == n_g == 3 -> exact
+    assert(out.getAs[Long]("nb_est") == 3L, "whole-group sketch stays exact")
+    // group a: k_g = 5 < n_g = 1000 -> (k_g-1)*2^32 div h_k, not 5
+    val expected = 4L * (1L << 32) / 500000000L
+    assert(out.getAs[Long]("na_est") == expected,
+      s"truncated sketch must estimate ($expected), got ${out.getAs[Long]("na_est")}")
+  }
 }
