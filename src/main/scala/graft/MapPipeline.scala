@@ -120,9 +120,12 @@ object MapPipeline {
     implicit val s: SparkSession = spark
     val pointsPath = s"${cfg.workDir}/points"
     timed(cfg)("points_sink") {
+      // both codecs in one encode scan, mirroring the tile sink: `value` =
+      // the oracle-checkable layout, `pb` = the protobuf wire bytes the
+      // reference bulk-loads (`PointMapBuilder.java:84-92`)
       Sinks.writeSorted(
-        Sinks.encodePoints(PointMap.pointFeatures(pointInput, cfg.saltModulo))
-          .toDF("key", "value"),
+        Sinks.encodePointsWithPb(PointMap.pointFeatures(pointInput, cfg.saltModulo))
+          .toDF("key", "value", "pb"),
         cfg.saltModulo, pointsPath)
     }
 

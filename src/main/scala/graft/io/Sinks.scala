@@ -191,15 +191,40 @@ object Sinks {
   def encodePoints(points: DataFrame)(implicit spark: SparkSession): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
     points.select(col("key"), col("features")).map { r =>
-      val key = r.getString(0)
+      (r.getString(0), encodePointValue(r.getSeq[Row](1)))
+    }
+  }
+
+  /** The custom-codec body shared by [[encodePoints]] and
+    * [[encodePointsWithPb]] — one implementation, no drift.
+    */
+  private def encodePointValue(feats: Seq[Row]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + feats.length * 28)
+    bb.putInt(feats.length)
+    feats.foreach { f =>
+      bb.putDouble(f.getDouble(0)); bb.putDouble(f.getDouble(1))
+      bb.putInt(f.getInt(2)); bb.putLong(f.getLong(3))
+    }
+    bb.array()
+  }
+
+  /** One pass, both codecs: (key, custom value, protobuf wire bytes) — the
+    * point-path mirror of [[encodeTilesWithMvt]]. `pb` is the
+    * `PointFeatures` message the reference ships to HBase
+    * (`ProtobufTiles.java:31-51`, via [[PointPb]]), with borYear unpacked to
+    * the enum + year fields exactly as `EncodeBorYearUDF.bor/year` does.
+    */
+  def encodePointsWithPb(points: DataFrame)
+      (implicit spark: SparkSession): Dataset[(String, Array[Byte], Array[Byte])] = {
+    import spark.implicits._
+    points.select(col("key"), col("features")).map { r =>
       val feats = r.getSeq[Row](1)
-      val bb = ByteBuffer.allocate(4 + feats.length * 28)
-      bb.putInt(feats.length)
-      feats.foreach { f =>
-        bb.putDouble(f.getDouble(0)); bb.putDouble(f.getDouble(1))
-        bb.putInt(f.getInt(2)); bb.putLong(f.getLong(3))
-      }
-      (key, bb.array())
+      val pb = PointPb.encode(feats.map { f =>
+        val borYear = f.getInt(2)
+        PointPb.Feature(f.getDouble(0), f.getDouble(1),
+          bor = borYear % 100, year = borYear / 100, count = f.getLong(3))
+      })
+      (r.getString(0), encodePointValue(feats), pb)
     }
   }
 }

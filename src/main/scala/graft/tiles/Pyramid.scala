@@ -30,6 +30,15 @@ import graft.expr.{BorYear, Salt}
   */
 object Pyramid {
 
+  /** Deepest zoom the reference's int-typed tile schema supports
+    * (`TileXYUDF.java:65-69`). Above this the cascade transparently switches
+    * to the exact-BIGINT pixel + address path (`Projections.globalPixelLong`,
+    * `TileAddressing.addressesLong`) — same wrap/buffer semantics, proven
+    * equal at shared zooms by `TileAddressSpec`, so a z17+ build is the same
+    * pipeline with wider tile coordinates, not a separate code path.
+    */
+  val IntZoomCap: Int = 16
+
   /** Explode map views and pre-aggregate: one row per
     * (mapKey, lat, lng, borYear) with its occurrence count.
     * Reference: `TileMapBuilder.java:86-104` (and `MapBuilder.java:182-197`
@@ -63,7 +72,8 @@ object Pyramid {
     input
       .select(
         col("mapKey"),
-        proj.globalPixel(col("lat"), col("lng"), zoom, tileSize).as("xy"),
+        (if (zoom <= IntZoomCap) proj.globalPixel(col("lat"), col("lng"), zoom, tileSize)
+         else proj.globalPixelLong(col("lat"), col("lng"), zoom, tileSize)).as("xy"),
         col("borYear"), col("occCount"))
       .groupBy("mapKey", "xy", "borYear")
       .agg(sum("occCount").as("occCount"))
@@ -83,13 +93,19 @@ object Pyramid {
   def tiles(t2: DataFrame, addressing: TileAddressing, zoom: Int, saltModulo: Int): DataFrame =
     t2.select(
         col("mapKey"),
-        explode(addressing.addresses(zoom, col("xy.x"), col("xy.y"))).as("tile"),
+        explode(
+          if (zoom <= IntZoomCap) addressing.addresses(zoom, col("xy.x"), col("xy.y"))
+          else addressing.addressesLong(zoom, col("xy.x"), col("xy.y"))).as("tile"),
         col("features"))
       .select(
         Salt.tileKey(col("mapKey"), lit(zoom), col("tile.tileX"), col("tile.tileY"), saltModulo)
           .as("key"),
+        // local pixel coords live in [-buffer, tileSize+buffer) at EVERY
+        // zoom — only tile ids outgrow Int past z16 — so the blob codecs
+        // keep one int-typed pixel schema across both address paths
         struct(
-          col("tile.pixelX").as("x"), col("tile.pixelY").as("y"),
+          col("tile.pixelX").cast("int").as("x"),
+          col("tile.pixelY").cast("int").as("y"),
           col("features")).as("pixel"))
       .groupBy("key")
       .agg(array_sort(collect_list(col("pixel"))).as("tile"))

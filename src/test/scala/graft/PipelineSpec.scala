@@ -48,6 +48,11 @@ class PipelineSpec extends SparkSpec {
       val feats = Sinks.decodePoints(r.getAs[Array[Byte]](1))
       assert(key.matches("\\d:.*"), s"salted key format: $key")
       assert(feats.nonEmpty)
+      // the wire-codec twin rides along and agrees feature-for-feature
+      val pb = graft.io.PointPb.decode(r.getAs[Array[Byte]]("pb"))
+      assert(pb == feats.map { case (lat, lng, borYear, count) =>
+        graft.io.PointPb.Feature(lat, lng, borYear % 100, borYear / 100, count)
+      }, s"pb twin mismatch for $key")
     }
     // per-partition sortedness of the sink (HFile contract)
     import spark.implicits._
@@ -157,5 +162,59 @@ class PipelineSpec extends SparkSpec {
     assert(z0.count() > 0, "tiles produced through catalog barriers")
 
     spark.sql("DROP DATABASE graft_test CASCADE")
+  }
+
+  test("deep zoom: BIGINT pixel cascade equals the int path at z8, builds at z17") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val occ = events.filter(OA.qualityFilter)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        OA.lat.as("lat"), OA.lng.as("lng"),
+        col("event_type").as("basisOfRecord"), OA.yearCol.as("year"))
+    val input = Pyramid.prepareInput(occ, OA.mapKeysArray, BorYear.EventTypeCodes)
+      .localCheckpoint()
+    val proj = Projections.fromEpsg("EPSG:3857")
+
+    // replay the >IntZoomCap cascade at a SHARED zoom: long pixel source into
+    // the same t2/t3 stages must reproduce the int path byte-for-byte
+    // (addressesImpl already computes in BIGINT internally, so this isolates
+    // globalPixelLong vs globalPixel)
+    val intTiles = Pyramid.build(input, proj, 8, 512, 64, 10)
+    val t1L = input
+      .select(col("mapKey"),
+        proj.globalPixelLong(col("lat"), col("lng"), 8, 512).as("xy"),
+        col("borYear"), col("occCount"))
+      .groupBy("mapKey", "xy", "borYear").agg(sum("occCount").as("occCount"))
+      .select(col("mapKey"), col("xy"),
+        struct(col("borYear"), col("occCount")).as("borYearCount"))
+    val longTiles = Pyramid.tiles(Pyramid.pixelFeatures(t1L),
+      graft.tiles.TileAddressing(proj, 512, 64), 8, 10)
+    val intMap = intTiles.collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    val longMap = longTiles.collect().map(r => r.getString(0) -> r.getSeq[Any](1)).toMap
+    assert(intMap == longMap, "long-pixel cascade must equal the int path at z8")
+
+    // above the cap the SAME build() call switches representation: tile ids
+    // are exact at z17 (grid 2^17 per axis) and counts are conserved
+    val z17 = Pyramid.build(input, proj, 17, 512, 64, 10)
+    val rows = z17.collect()
+    assert(rows.nonEmpty, "z17 pyramid builds through the LongType path")
+    val n = 1L << 17
+    val tileIds = rows.map { r =>
+      val parts = r.getString(0).split(":")
+      (parts(parts.length - 2).toLong, parts(parts.length - 1).toLong)
+    }
+    assert(tileIds.forall { case (x, y) => x >= 0 && x < n && y >= 0 && y < n },
+      "z17 tile ids inside the 2^17 grid")
+    // primary-pixel count conservation (buffered duplicates excluded)
+    import org.apache.spark.sql.Row
+    val z17Total = rows.map { r =>
+      r.getSeq[Row](1)
+        .filter(p => p.getInt(0) >= 0 && p.getInt(0) < 512 &&
+                     p.getInt(1) >= 0 && p.getInt(1) < 512)
+        .flatMap(_.getSeq[Row](2)).map(_.getLong(1)).sum
+    }.sum
+    val plottable = input
+      .filter(proj.isPlottable(col("lat"), col("lng")))
+      .agg(sum("occCount")).collect().head.getLong(0)
+    assert(z17Total == plottable, s"z17 conserves plottable counts ($z17Total vs $plottable)")
   }
 }

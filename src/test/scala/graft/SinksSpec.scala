@@ -111,6 +111,71 @@ class SinksSpec extends SparkSpec {
       Seq(graft.io.Mvt.PointFeature(1, 2, Seq("2024" -> 2L))))
   }
 
+  test("PointPb golden bytes: a known feature encodes to the hand-computed wire format") {
+    import graft.io.PointPb
+    // Feature{lat=10.5, lng=-20.25, bor=3, year=2024, count=5}; every byte
+    // derived by hand from the proto3 wire spec:
+    //   top:   0A 19                           features (field 1, len 25)
+    //   feat:  09 <10.5 as le64>               latitude (field 1, fixed64)
+    //          11 <-20.25 as le64>             longitude (field 2, fixed64)
+    //          18 03                           basisOfRecord = 3
+    //          20 E8 0F                        year = 2024 (varint)
+    //          28 05                           count = 5
+    val expected = Array(
+      0x0A, 0x19,
+      0x09, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x25, 0x40,
+      0x11, 0x00, 0x00, 0x00, 0x00, 0x00, 0x40, 0x34, 0xC0,
+      0x18, 0x03, 0x20, 0xE8, 0x0F, 0x28, 0x05).map(_.toByte)
+    val got = PointPb.encode(Seq(PointPb.Feature(10.5, -20.25, 3, 2024, 5L)))
+    assert(got.toSeq == expected.toSeq,
+      s"got ${got.map("%02X".format(_)).mkString(" ")}")
+  }
+
+  test("PointPb proto3 default elision: zero-valued fields are omitted, decode restores them") {
+    import graft.io.PointPb
+    // bor=0 ("signup"), year absent (0), lat 0.0 — a proto3 serializer
+    // writes none of these; only lng and count appear on the wire
+    val f = PointPb.Feature(0.0, 30.0, 0, 0, 2L)
+    val bytes = PointPb.encode(Seq(f))
+    // top(2) + lng(9) + count(2)
+    assert(bytes.length == 2 + 9 + 2, s"len ${bytes.length}")
+    assert(PointPb.decode(bytes) == Seq(f))
+  }
+
+  test("property: PointPb codec round-trips arbitrary feature lists") {
+    import graft.io.PointPb
+    import org.scalacheck.Gen
+    val feature = for {
+      lat <- Gen.oneOf(Gen.chooseNum(-90.0, 90.0), Gen.const(0.0))
+      lng <- Gen.oneOf(Gen.chooseNum(-180.0, 180.0), Gen.const(0.0))
+      bor <- Gen.choose(0, 8)
+      year <- Gen.oneOf(Gen.const(0), Gen.choose(1500, 2026))
+      count <- Gen.oneOf(Gen.choose(0L, 1000L), Gen.choose(0L, Long.MaxValue))
+    } yield PointPb.Feature(lat, lng, bor, year, count)
+    val blob = Gen.listOfN(12, feature)
+    for (seed <- 0 until 50) {
+      val feats = blob(Gen.Parameters.default, org.scalacheck.rng.Seed(4200L + seed))
+        .getOrElse(sys.error("generator exhausted"))
+      assert(PointPb.decode(PointPb.encode(feats)) == feats, s"seed $seed round-trip")
+    }
+  }
+
+  test("encodePointsWithPb: both codecs from one scan, borYear unpacked per EncodeBorYearUDF") {
+    implicit val s = spark
+    // borYear 202403 = (year 2024, bor 3); 4 = (no year, bor 4)
+    val points = Seq(
+      ("3:view", Seq((10.5, -20.25, 202403, 5L), (0.0, 30.0, 4, 2L)))
+    ).toDF("key", "features")
+    val out = Sinks.encodePointsWithPb(points).collect()
+    assert(out.length == 1)
+    val (key, value, pb) = out.head
+    assert(key == "3:view")
+    assert(Sinks.decodePoints(value) == Seq((10.5, -20.25, 202403, 5L), (0.0, 30.0, 4, 2L)))
+    assert(graft.io.PointPb.decode(pb) == Seq(
+      graft.io.PointPb.Feature(10.5, -20.25, 3, 2024, 5L),
+      graft.io.PointPb.Feature(0.0, 30.0, 4, 0, 2L)))
+  }
+
   test("tile/point blob codecs are inverses") {
     val tile = Seq((1, 2, Seq((202400, 5L), (202401, 1L))), (-3, 515, Seq((7, 1L))))
     val bb = java.nio.ByteBuffer.allocate(4 + tile.map(p => 12 + p._3.length * 12).sum)
