@@ -49,16 +49,18 @@ object GlobalRank {
     * single-partition window. `buckets` should scale with the cluster
     * (≥ shuffle partitions).
     *
-    * Non-bare-scan inputs are materialized once (`localCheckpoint`; a
-    * production cluster would use reliable `checkpoint`) so the three
-    * passes read stored blocks instead of recomputing the derived subtree.
+    * Non-bare-scan inputs are materialized once through `cp` (default
+    * executor-local blocks; inject [[Checkpointer.Reliable]] on clusters
+    * that must survive executor loss) so the three passes read stored
+    * blocks instead of recomputing the derived subtree.
     */
   def withGlobalRowNumberAndCount(
       df0: DataFrame, rangeCol: String, tieBreak: Seq[String],
-      buckets: Int, out: String): (DataFrame, Long) = {
+      buckets: Int, out: String,
+      cp: Checkpointer = Checkpointer.Local): (DataFrame, Long) = {
     val df =
       if (isBareScan(df0.queryExecution.optimizedPlan)) df0
-      else df0.localCheckpoint()
+      else cp.cut(df0)
     val probs = (1 until buckets).map(_.toDouble / buckets)
     val bRow = df.agg(
       expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
@@ -144,10 +146,11 @@ object GlobalRank {
 
   def withGroupedRowNumber(
       df0: DataFrame, groupCol: String, rangeCol: String, tieBreak: Seq[String],
-      buckets: Int, out: String, outN: String): DataFrame = {
+      buckets: Int, out: String, outN: String,
+      cp: Checkpointer = Checkpointer.Local): DataFrame = {
     val df =
       if (isBareScan(df0.queryExecution.optimizedPlan)) df0
-      else df0.localCheckpoint()
+      else cp.cut(df0)
     val sortCols = (rangeCol +: tieBreak).map(col)
     val probs = (1 until buckets).map(_.toDouble / buckets)
     val boundRows = df.groupBy(groupCol)
