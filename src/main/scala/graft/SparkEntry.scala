@@ -1093,12 +1093,12 @@ object SparkEntry {
     // TRAINED IVF codebook: 3 Lloyd rounds of exact-integer k-means (k=8)
     // from deterministic phash seeds — bit-replayed by the DuckDB oracle.
     "quantizer_kmeans" -> ((s, d) =>
-      Quantizer.centroidsDF(s, Quantizer.train(emb(s, d))).orderBy("cid", "idx")),
+      Quantizer.centroidsDF(s, Quantizer.trainSampled(emb(s, d))).orderBy("cid", "idx")),
 
     // IVF probe with the trained codebook: assignment is a narrow codegen'd
     // argmin (codebook rides the plan as literals), rerank is exact cosine.
     "similarity_ivf_trained" -> ((s, d) =>
-      Quantizer.ivfTopK(emb(s, d), Quantizer.train(emb(s, d)),
+      Quantizer.ivfTopK(emb(s, d), Quantizer.trainSampled(emb(s, d)),
           col("vec_id") % 20 === 0, k = 3)
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
@@ -1106,7 +1106,7 @@ object SparkEntry {
     // Multi-probe IVF: queries probe their 2 nearest trained cells —
     // boundary-recall recovery at nprobe× candidate cost.
     "similarity_ivf_probes" -> ((s, d) =>
-      Quantizer.ivfTopKProbes(emb(s, d), Quantizer.train(emb(s, d)),
+      Quantizer.ivfTopKProbes(emb(s, d), Quantizer.trainSampled(emb(s, d)),
           col("vec_id") % 20 === 0, k = 3, nprobe = 2)
         .select(col("q_id"), col("n_id"), col("cos_r"), col("rank").as("rnk"))
         .orderBy("q_id", "rnk", "n_id")),
@@ -1120,7 +1120,7 @@ object SparkEntry {
       val isQ = col("vec_id") % 20 === 0
       val exact = Similarity.topK(emb(s, d), isQ, k = k)
         .select(col("q_id"), col("n_id"))
-      val retrieved = Quantizer.ivfTopKProbes(emb(s, d), Quantizer.train(emb(s, d)),
+      val retrieved = Quantizer.ivfTopKProbes(emb(s, d), Quantizer.trainSampled(emb(s, d)),
           isQ, k = k, nprobe = 2)
         .select(col("q_id").as("r_q"), col("n_id").as("r_n"))
       exact.join(retrieved,
@@ -1137,15 +1137,15 @@ object SparkEntry {
     // argmin projections — a 64-float vector becomes 4 small codes, the
     // compression that makes billion-scale ANN fit in memory.
     "pq_codes" -> ((s, d) =>
-      Quantizer.pqEncode(emb(s, d), Quantizer.pqTrain(emb(s, d)))
+      Quantizer.pqEncode(emb(s, d), Quantizer.pqTrainSampled(emb(s, d)))
         .orderBy("vec_id")),
 
     // IVF-PQ retrieval: coarse trained cell routing + asymmetric-distance
     // ranking over the DECODED codes (exact-integer ADC, so the DuckDB
     // replay agrees bit-for-bit) — the classic two-level ANN read path.
     "similarity_pq" -> ((s, d) =>
-      Quantizer.pqTopK(emb(s, d), Quantizer.train(emb(s, d)),
-          Quantizer.pqTrain(emb(s, d)), pmod(col("vec_id"), lit(20)) === 0,
+      Quantizer.pqTopK(emb(s, d), Quantizer.trainSampled(emb(s, d)),
+          Quantizer.pqTrainSampled(emb(s, d)), pmod(col("vec_id"), lit(20)) === 0,
           topK = 5)
         .orderBy("q_id", "rnk", "n_id")),
 
@@ -1158,8 +1158,8 @@ object SparkEntry {
       val isQ = pmod(col("vec_id"), lit(20)) === 0
       val exact = Similarity.topK(emb(s, d), isQ, k = k)
         .select(col("q_id"), col("n_id"))
-      val retrieved = Quantizer.pqTopK(emb(s, d), Quantizer.train(emb(s, d)),
-          Quantizer.pqTrain(emb(s, d)), isQ, topK = k)
+      val retrieved = Quantizer.pqTopK(emb(s, d), Quantizer.trainSampled(emb(s, d)),
+          Quantizer.pqTrainSampled(emb(s, d)), isQ, topK = k)
         .select(col("q_id").as("r_q"), col("n_id").as("r_n"))
       exact.join(retrieved,
           col("q_id") === col("r_q") && col("n_id") === col("r_n"), "left")

@@ -43,6 +43,15 @@ object Quantizer {
   val Iters = 3
   val Dim = 64
 
+  /** Default training-sample size for the sampled-training path — the
+    * 100 TB default: Lloyd rounds scan `min(corpus, TrainSampleRows)` rows
+    * instead of the corpus. k-means quality saturates at a few hundred
+    * points per centroid; the full-corpus pass is [[assignAll]], which is
+    * narrow and shuffle-free. Full-corpus TRAINING ([[train]]) stays
+    * available but is opt-in.
+    */
+  val TrainSampleRows = 256
+
   /** Integer quantization of a float vector (train-path only — assignment
     * fuses the same `floor` into [[KMeansAssign]]'s codegen loop; this HOF
     * runs interpreted, acceptable once per training row, never in the
@@ -67,9 +76,41 @@ object Quantizer {
       .sortBy(r => (r.getLong(0), r.getLong(1))) // re-assert order driver-side
       .map(_.getSeq[Long](2).toArray)
 
+  /** Deterministic hash-ranked training sample: the `maxRows` vectors
+    * ranked first by (phash(vec_id), vec_id) — the same pseudo-random
+    * total order [[train]]'s seeds use, so the sample is reproducible on
+    * any cluster topology and the seed set is always a prefix of it.
+    * Spark executes the order-limit as a distributed top-k
+    * (TakeOrderedAndProject), never a global sort.
+    */
+  def trainingSample(emb: DataFrame, maxRows: Int = TrainSampleRows): DataFrame =
+    emb
+      .withColumn("__ph", PortableHash.phash(col("vec_id").cast("string")))
+      .orderBy(col("__ph"), col("vec_id"))
+      .limit(maxRows)
+      .drop("__ph")
+
+  /** [[train]] on the deterministic [[trainingSample]] — the default shape
+    * for the engine's entry-point keys: Lloyd rounds cost O(sample), the
+    * corpus is only touched by the narrow [[assignAll]] pass.
+    */
+  def trainSampled(emb: DataFrame, maxRows: Int = TrainSampleRows, k: Int = K,
+                   iters: Int = Iters, dim: Int = Dim): Array[Array[Long]] =
+    train(trainingSample(emb, maxRows), k, iters, dim)
+
+  /** [[pqTrain]] on the deterministic [[trainingSample]] (one shared sample
+    * for every subspace, mirroring the oracle's per-prefix replay).
+    */
+  def pqTrainSampled(emb: DataFrame, maxRows: Int = TrainSampleRows,
+                     m: Int = PqM, k: Int = PqK, iters: Int = PqIters,
+                     dim: Int = Dim): Seq[Array[Array[Long]]] =
+    pqTrain(trainingSample(emb, maxRows), m, k, iters, dim)
+
   /** Train the codebook: `iters` Lloyd rounds from the phash seeds.
-    * Returns `centroids(cid)(i)` — quantized integers. Train on a sample at
-    * scale (see object doc); the result is a plan constant thereafter.
+    * Returns `centroids(cid)(i)` — quantized integers. Scans `emb` once
+    * per round: pass the full corpus only deliberately
+    * ([[trainSampled]] is the at-scale default); the result is a plan
+    * constant thereafter.
     */
   def train(emb: DataFrame, k: Int = K, iters: Int = Iters,
             dim: Int = Dim): Array[Array[Long]] = {
@@ -270,14 +311,19 @@ object Quantizer {
        |) g USING (cid)""".stripMargin
 
   /** The full training replay as a WITH-clause body: defines CTEs
-    * `${p}eq` (vec_id, embedding, ei), `${p}c0..${p}c$iters` (codebooks),
-    * `${p}a$iters+1` (final assignment of every vector with the trained
+    * `${p}eq` (vec_id, embedding, ei — the whole table), `${p}es` (the
+    * deterministic hash-ranked training sample, [[trainingSample]]'s twin),
+    * `${p}c0..${p}c$iters` (codebooks — Lloyd rounds scan ONLY the sample),
+    * `${p}a$iters+1` (final assignment of EVERY vector with the trained
     * codebook). `prefix` namespaces the CTEs so several trainings can
     * coexist in one oracle (the PQ sub-quantizers); `vecExpr` selects the
-    * trained vector — a subvector slice for PQ subspaces.
+    * trained vector — a subvector slice for PQ subspaces. `sampleRows`
+    * mirrors [[trainSampled]]'s default; pass `Int.MaxValue` to replay a
+    * full-corpus [[train]].
     */
   def sqlTrainCtes(k: Int = K, iters: Int = Iters, dim: Int = Dim,
-                   prefix: String = "", vecExpr: String = "embedding"): String = {
+                   prefix: String = "", vecExpr: String = "embedding",
+                   sampleRows: Int = TrainSampleRows): String = {
     require(k <= TieBase,
       s"argmin key encodes cid in base $TieBase: k=$k would collide across centroids")
     val p = prefix
@@ -286,14 +332,19 @@ object Quantizer {
     b ++= s"""${p}eq AS (
              |  SELECT vec_id, embedding, ${sqlQuantize(vecExpr)} AS ei FROM embeddings
              |),
+             |${p}es AS (
+             |  SELECT vec_id, embedding, ei FROM (
+             |    SELECT *, row_number() OVER (ORDER BY $ph, vec_id) AS srn FROM ${p}eq
+             |  ) WHERE srn <= $sampleRows
+             |),
              |${p}c0 AS (
              |  SELECT cid, ei FROM (
-             |    SELECT row_number() OVER (ORDER BY $ph, vec_id) - 1 AS cid, ei FROM ${p}eq
+             |    SELECT row_number() OVER (ORDER BY $ph, vec_id) - 1 AS cid, ei FROM ${p}es
              |  ) WHERE cid < $k
              |)""".stripMargin
     for (t <- 1 to iters) {
-      b ++= s",\n${p}a$t AS (\n${sqlAssign(s"${p}eq", s"${p}c${t - 1}")}\n)"
-      b ++= s",\n${p}c$t AS (\n${sqlUpdate(s"${p}a$t", s"${p}eq", s"${p}c${t - 1}", dim)}\n)"
+      b ++= s",\n${p}a$t AS (\n${sqlAssign(s"${p}es", s"${p}c${t - 1}")}\n)"
+      b ++= s",\n${p}c$t AS (\n${sqlUpdate(s"${p}a$t", s"${p}es", s"${p}c${t - 1}", dim)}\n)"
     }
     b ++= s",\n${p}a${iters + 1} AS (\n${sqlAssign(s"${p}eq", s"${p}c$iters")}\n)"
     b.toString

@@ -16,6 +16,32 @@ class QuantizerSpec extends SparkSpec {
       "repartitioning must not change a single centroid coordinate")
   }
 
+  test("sampled training: deterministic hash-ranked sample, bounded Lloyd scans") {
+    // the sample is a reproducible prefix of the phash total order —
+    // topology-independent like the seeds
+    val s1 = Quantizer.trainingSample(fixture, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Quantizer.trainingSample(fixture.repartition(7), 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.size == 10, "sample must be topology-independent")
+
+    // plan audit: the limit executes as a distributed top-k, not a global
+    // sort — the property that keeps sampled training cheap at any corpus
+    val plan = Quantizer.trainingSample(fixture, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sample must be a distributed top-k:\n$plan")
+
+    // trainSampled == train on the materialized sample (one code path)
+    val a = Quantizer.trainSampled(fixture, maxRows = 40, k = 4, iters = 2)
+    val b = Quantizer.train(Quantizer.trainingSample(fixture, 40), k = 4, iters = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+
+    // and a sample covering the whole fixture reproduces full training
+    val full = Quantizer.train(fixture, k = 4, iters = 2)
+    val capped = Quantizer.trainSampled(fixture, maxRows = Int.MaxValue, k = 4, iters = 2)
+    assert(full.map(_.toSeq).toSeq == capped.map(_.toSeq).toSeq)
+  }
+
   test("KMeansAssign == driver-side reference argmin with cid tiebreak") {
     val cents = Quantizer.train(fixture, k = 4, iters = 1)
     val got = Quantizer.assignAll(fixture, cents)
