@@ -598,21 +598,31 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
-    // The PRODUCTION shape of approximate percentiles: the GK sketch alone
-    // — ONE map-side pass over the fact table, one tiny row per group, no
-    // verification join (that re-scan is the self-check key's job, above).
-    // No oracle entry: the sketch's element choice is engine-specific, so
-    // the driver records the weaker rows-only check here, while the
-    // rank-error CONTRACT stays pinned by agg_approx_percentile and
-    // SketchSpec. This is the key the bench should read as the shipped
-    // cost of a percentile pass at scale.
-    "agg_approx_percentile_sketch" -> ((s, d) =>
+    // The PRODUCTION shape of approximate percentiles: the GK sketch in
+    // ONE pass over the fact table — one scan, one shuffle, no
+    // verification join (agg_approx_percentile's re-scan is the
+    // belt-and-braces check, above). Self-verifying contract, HLL-style:
+    // the SAME aggregate computes the exact percentiles at the rank-band
+    // edges p ± eps (eps = 2/acc covers the sketch's n/acc rank guarantee
+    // plus the ±1-element granularity for any n ≥ acc), and the key ships
+    // booleans asserting the sketch element lies inside [lo, hi] — which
+    // the oracle pins to TRUE. The sketch's element CHOICE stays
+    // engine-specific; its rank CONTRACT is now hash-checked.
+    "agg_approx_percentile_sketch" -> ((s, d) => {
+      val acc = 1000
+      val eps = 2.0 / acc
       lineitem(s, d).groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("ap"),
+        .agg(expr(s"approx_percentile(l_quantity, array(0.5, 0.9), $acc)").as("ap"),
+          expr(s"percentile(l_quantity, array(${0.5 - eps}, ${0.5 + eps}, " +
+            s"${0.9 - eps}, ${0.9 + eps}))").as("px"),
           count(lit(1)).as("n"))
         .select(col("l_returnflag"), col("n"),
-          element_at(col("ap"), 1).as("ap50"), element_at(col("ap"), 2).as("ap90"))
-        .orderBy("l_returnflag")),
+          (element_at(col("ap"), 1) >= element_at(col("px"), 1) &&
+            element_at(col("ap"), 1) <= element_at(col("px"), 2)).as("ok50"),
+          (element_at(col("ap"), 2) >= element_at(col("px"), 3) &&
+            element_at(col("ap"), 2) <= element_at(col("px"), 4)).as("ok90"))
+        .orderBy("l_returnflag")
+    }),
 
     // Exact interpolated percentiles (both engines use the same
     // linear-interpolation definition).
@@ -2130,6 +2140,12 @@ object SparkEntry {
       // engine-side bounded-rank-error check (see the query comment): the
       // oracle pins the exact group counts and TRUE verdicts
       "agg_approx_percentile" ->
+        """SELECT l_returnflag, count(*) AS n, true AS ok50, true AS ok90
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // same TRUE-verdict pinning for the one-pass sketch key: the engine
+      // checks its own rank band in the same aggregate (see query comment)
+      "agg_approx_percentile_sketch" ->
         """SELECT l_returnflag, count(*) AS n, true AS ok50, true AS ok90
           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
