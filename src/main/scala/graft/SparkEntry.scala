@@ -705,35 +705,52 @@ object SparkEntry {
     }),
 
     // Ordered conversion funnel: per user, the first signup, then the first
-    // view AFTER it, first click after that, first purchase after that —
-    // a chain of conditional min-aggregations joined on user_id (every
-    // stage frame is one row per surviving user, so each join after the
-    // first is broadcast-sized by construction). Output: users reaching
-    // each stage in order.
+    // view AFTER it, first click after that, first purchase after that.
+    // Single-pass shape (round 5; the round-4 plan was a 4-stage join
+    // chain at 17 exchanges): ONE shuffle groups each user's funnel events
+    // into a sorted array, a codegen'd `aggregate` lambda folds the
+    // 4-stage chain over it in event order (ties break by stage index, so
+    // the fold visits the stage-k setter before any ts-equal stage-k+1
+    // candidate — exactly the join chain's `ts >= t_prev` semantics), and
+    // one conditional aggregation counts survivors per stage. Per-user
+    // history is bounded (the state_intervals assumption), so the array
+    // never sees corpus-scale rows.
     "events_funnel" -> ((s, d) => {
-      // checkpointed: the stage chain consumes this narrow frame SEVEN
-      // times (4 stage filters + 3 prev-stage joins); without the barrier
-      // the executed plan re-scans the fact table for each — 10 corpus
-      // scans at 100 TB. One scan materializes 3 columns, the rest read it.
-      val e = events(s, d).select(col("user_id"), col("event_type"),
-        IntMath.floorDiv(col("ts"), 1000L).as("ts_us"))
-        .localCheckpoint()
-      def firstAfter(stage: String, prev: DataFrame, prevCol: String, out: String) =
-        e.filter(col("event_type") === stage)
-          .join(prev.select("user_id", prevCol), Seq("user_id"))
-          .filter(col("ts_us") >= col(prevCol))
-          .groupBy("user_id").agg(min("ts_us").as(out))
-      val t1 = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min("ts_us").as("t1"))
-      val t2 = firstAfter("view", t1, "t1", "t2")
-      val t3 = firstAfter("click", t2, "t2", "t3")
-      val t4 = firstAfter("purchase", t3, "t3", "t4")
-      Seq((1, "signup", t1), (2, "view", t2), (3, "click", t3), (4, "purchase", t4))
-        .map { case (i, nm, df) =>
-          df.agg(count(lit(1)).as("n_users"))
-            .select(lit(i).as("stage_idx"), lit(nm).as("stage"), col("n_users"))
+      val stages = Seq("signup", "view", "click", "purchase")
+      val stageIdx = stages.zipWithIndex
+        .foldLeft(lit(-1)) { case (acc, (nm, i)) =>
+          when(col("event_type") === nm, i).otherwise(acc)
         }
-        .reduce(_ union _)
+      val perUser = events(s, d)
+        .filter(col("event_type").isin(stages.map(x => x: Any): _*))
+        .select(col("user_id"), stageIdx.as("st"),
+          IntMath.floorDiv(col("ts"), 1000L).as("ts_us"))
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("st")))).as("evs"))
+      val nilT = lit(null).cast("bigint")
+      val folded = perUser.select(aggregate(
+        col("evs"),
+        struct(nilT.as("t1"), nilT.as("t2"), nilT.as("t3"), nilT.as("t4")),
+        (acc, x) => {
+          val ts = x.getField("ts_us"); val st = x.getField("st")
+          val t1 = coalesce(acc.getField("t1"), when(st === 0, ts))
+          val t2 = coalesce(acc.getField("t2"),
+            when(st === 1 && t1.isNotNull && ts >= t1, ts))
+          val t3 = coalesce(acc.getField("t3"),
+            when(st === 2 && t2.isNotNull && ts >= t2, ts))
+          val t4 = coalesce(acc.getField("t4"),
+            when(st === 3 && t3.isNotNull && ts >= t3, ts))
+          struct(t1.as("t1"), t2.as("t2"), t3.as("t3"), t4.as("t4"))
+        }).as("f"))
+      folded
+        .agg(count(col("f.t1")).as("c1"), count(col("f.t2")).as("c2"),
+          count(col("f.t3")).as("c3"), count(col("f.t4")).as("c4"))
+        .select(explode(array(
+          stages.zipWithIndex.map { case (nm, i) =>
+            struct(lit(i + 1).as("stage_idx"), lit(nm).as("stage"),
+              col(s"c${i + 1}").as("n_users"))
+          }: _*)).as("r"))
+        .select(col("r.stage_idx"), col("r.stage"), col("r.n_users"))
         .orderBy("stage_idx")
     }),
 

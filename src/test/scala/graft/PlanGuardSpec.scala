@@ -198,13 +198,25 @@ class PlanGuardSpec extends SparkSpec {
       s"tokenize must run once inside the checkpoint, not in the final plan:\n$plan")
   }
 
-  test("events_funnel / events_retention: zero fact-table scans in the final plan (checkpoint barrier)") {
-    for (key <- Seq("events_funnel", "events_retention")) {
-      val plan = SparkEntry.queries(key)(spark, d).queryExecution.executedPlan.toString
-      val scans = "Scan parquet".r.findAllIn(plan).length
-      assert(scans == 0,
-        s"$key: stage chain must consume the materialized narrow frame, got $scans scans:\n$plan")
-    }
+  test("events_retention: zero fact-table scans in the final plan (checkpoint barrier)") {
+    val plan = SparkEntry.queries("events_retention")(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"stage chain must consume the materialized narrow frame, got $scans scans:\n$plan")
+  }
+
+  test("events_funnel: single-pass — one fact scan, no joins, bounded exchanges") {
+    // round-5 shape: the 4-stage chain folds over one per-user sorted
+    // array (17 exchanges + checkpoint barrier before; the fold needs
+    // neither). One scan, one user shuffle, one global agg, one tiny sort.
+    val plan = SparkEntry.queries("events_funnel")(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one fact scan, got $scans:\n$plan")
+    assert(exchanges <= 6, s"single-pass funnel must stay <= 6 exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no stage joins in the fold shape:\n$plan")
   }
 
   test("sketch_kmv_overlap: estimator joins never rescan the fact table") {
