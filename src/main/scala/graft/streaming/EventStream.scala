@@ -274,6 +274,80 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  // ---- ordered conversion funnel ---------------------------------------
+
+  case class EvF(ts: java.sql.Timestamp, user_id: Long, event_type: String)
+  /** Per-user funnel state: finalized stage times (index 0..3, None =
+    * stage not reached on the finalized prefix) plus the not-yet-final
+    * (tsUs, stageIdx) events at or past the last watermark.
+    */
+  case class FunnelState(t: Seq[Option[Long]], pending: Seq[(Long, Int)])
+  case class StageHit(user_id: Long, stage_idx: Int, stage: String, ts_us: Long)
+
+  /** The funnel's stage chain in order (the `events_funnel` batch key). */
+  val FunnelStages: Seq[String] = Seq("signup", "view", "click", "purchase")
+
+  /** Streaming twin of the `events_funnel` batch key: per user, emit a
+    * [[StageHit]] when a funnel stage time becomes FINAL — t1 = first
+    * signup, t(k) = first stage-k event at/after t(k-1). Counting hits per
+    * stage over the output reproduces the batch key's funnel counts.
+    *
+    * Finality is watermark-gated: an event folds into the chain only once
+    * the watermark strictly passes its timestamp — before that, a late
+    * arrival (still inside the watermark) could precede it and claim the
+    * stage, or rewrite an earlier stage time the chain condition depends
+    * on. The fold over the ripe prefix runs in (ts, stageIdx) order —
+    * the batch fold's exact tie-break — so any arrival order inside the
+    * watermark produces the batch answer. State per user is the 4 stage
+    * times plus the open suffix (bounded by the watermark horizon); a
+    * completed funnel drops its state entirely.
+    */
+  def funnel(events: Dataset[EvF], watermark: String = "2 hours")
+            (implicit spark: SparkSession): Dataset[StageHit] = {
+    import spark.implicits._
+
+    def update(userId: Long, batch: Iterator[EvF],
+               state: GroupState[FunnelState]): Iterator[StageHit] = {
+      val incoming = batch.flatMap { e =>
+        val si = FunnelStages.indexOf(e.event_type)
+        if (si < 0) None
+        else Some((e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000L, si))
+      }.toSeq
+      val st = state.getOption.getOrElse(
+        FunnelState(Seq.fill(FunnelStages.size)(None), Nil))
+      val wmUs = state.getCurrentWatermarkMs * 1000L
+      // accepted future events satisfy ts >= watermark, so ts < watermark
+      // is final; fold those in the batch key's (ts, stage) order
+      val (ripe, open) = (st.pending ++ incoming)
+        .sortBy(identity).partition(_._1 < wmUs)
+      val t = st.t.toArray
+      val hits = scala.collection.mutable.ArrayBuffer.empty[StageHit]
+      ripe.foreach { case (tsUs, si) =>
+        if (t(si).isEmpty && (si == 0 || t(si - 1).exists(tsUs >= _))) {
+          t(si) = Some(tsUs)
+          hits += StageHit(userId, si + 1, FunnelStages(si), tsUs)
+        }
+      }
+      if (t.last.isDefined || (t.forall(_.isEmpty) && open.isEmpty)) {
+        // complete funnel (no stage can advance further) or vacuous state
+        // (no progress, nothing pending) — hold nothing
+        if (state.exists) state.remove()
+      } else {
+        state.update(FunnelState(t.toSeq, open))
+        // wake this user as the watermark advances so pending events
+        // finalize even if no further events of theirs arrive
+        if (open.nonEmpty)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+      }
+      hits.iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Batch twin of [[stateIntervals]] (identical intervals): lag-flag +
     * running run counter + group, over (user_id, event_type, ts_us,
     * event_id) columns. Oracle-checkable; backs the `state_intervals` key.

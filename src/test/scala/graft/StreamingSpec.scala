@@ -367,4 +367,57 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming funnel == batch stage chain under random arrival permutations") {
+    // EventStream.funnel contract: stage hits equal the batch key's
+    // conditional-min chain (t1 = first signup, t_k = first stage-k event
+    // at/after t_{k-1}) for ANY arrival order within the watermark.
+    import graft.streaming.EventStream.EvF
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val base = ts("2024-01-01 00:00:00").getTime
+    val types = Seq("signup", "view", "click", "purchase", "error")
+    val evGen = for {
+      user <- org.scalacheck.Gen.choose(1L, 4L)
+      min <- org.scalacheck.Gen.choose(0, 600)
+      tpe <- org.scalacheck.Gen.oneOf(types)
+    } yield EvF(new Timestamp(base + min * 60000L), user, tpe)
+    for (trial <- 0 until 4) {
+      val events = org.scalacheck.Gen.listOfN(40, evGen)
+        .apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(8800L + trial))
+        .getOrElse(sys.error("generator exhausted"))
+      val rnd = new scala.util.Random(17L * trial + 3)
+      val arrival = rnd.shuffle(events)
+      val cuts = (Seq(0, arrival.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(arrival.size)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => arrival.slice(a, b) }
+      val in = MemoryStream[EvF]
+      val name = s"funnel_prop_$trial"
+      val q = EventStream.funnel(in.toDS(), watermark = "7 days")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        in.addData(EvF(ts("2024-02-15 00:00:00"), 99L, "error")); q.processAllAvailable()
+        in.addData(EvF(ts("2024-03-15 00:00:00"), 99L, "error")); q.processAllAvailable()
+        val streamed = spark.table(name).filter(col("user_id") < 99)
+          .select("user_id", "stage_idx", "ts_us")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        // driver-side replay of the batch fold per user
+        val expected = events.groupBy(_.user_id).flatMap { case (u, evs) =>
+          val sorted = evs.map(e => (e.ts.getTime * 1000L,
+              EventStream.FunnelStages.indexOf(e.event_type)))
+            .filter(_._2 >= 0).sorted
+          val t = Array.fill[Option[Long]](4)(None)
+          sorted.foreach { case (tsUs, si) =>
+            if (t(si).isEmpty && (si == 0 || t(si - 1).exists(tsUs >= _)))
+              t(si) = Some(tsUs)
+          }
+          t.zipWithIndex.collect { case (Some(v), i) => (u, i + 1, v) }.toSeq
+        }.toSet
+        assert(streamed == expected,
+          s"trial $trial (batches ${batches.map(_.size)}): $streamed != $expected")
+        assert(expected.nonEmpty, s"trial $trial fixture reached at least one stage")
+      } finally q.stop()
+    }
+  }
 }
