@@ -1381,9 +1381,14 @@ object SparkEntry {
 
     // GPT-style sequence packing: concatenate-then-chunk into 256-token
     // windows, bucketed so no window goes single-partition; straddling docs
-    // split across consecutive sequences.
+    // split across consecutive sequences. Bucket count scales with the
+    // corpus (autoBuckets — a fixed count caps the per-bucket window at
+    // that many tasks and measured 316x at 100x data); the count pass is
+    // one cheap scan, mirrored by the oracle's scalar subquery.
     "pack_sequences" -> ((s, d) =>
-      graft.llm.Pack.sequences(docs(s, d)).orderBy("bucket", "seq", "doc_id")),
+      graft.llm.Pack.sequences(docs(s, d),
+          buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))
+        .orderBy("bucket", "seq", "doc_id")),
 
     // Incremental corpus update: the NEW batch (doc_id % 10 == 9) probes the
     // EXISTING index on exact fingerprints + LSH bands — linear in the
@@ -1401,7 +1406,9 @@ object SparkEntry {
     // Materialized packed sequences: the actual seqLen-token payloads, doc
     // slices concatenated in pack order (group payload bounded by seqLen).
     "pack_payloads" -> ((s, d) =>
-      graft.llm.Pack.payloads(docs(s, d)).orderBy("bucket", "seq")),
+      graft.llm.Pack.payloads(docs(s, d),
+          buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))
+        .orderBy("bucket", "seq")),
 
     // Corpus n-gram LM counts: top-50 bigrams by frequency. Same distributed
     // shape as vocab_topk — explode + hash agg (map-side partial counts),

@@ -31,6 +31,28 @@ object Pack {
   val SeqLen = 256
   val Buckets = 8
 
+  /** Target docs per pack bucket for the corpus-scaled bucket count. The
+    * bucket running-sum window is ONE task per bucket, so a FIXED bucket
+    * count caps packing parallelism and goes super-linear as the corpus
+    * grows (measured 316× wall at 100× data with 8 buckets, BASELINE.md
+    * round-5 study); [[autoBuckets]] keeps per-bucket rows bounded instead,
+    * the same scaling move as `Similarity.autoBitsPerBand`.
+    */
+  val DocsPerBucket = 4096L
+
+  /** Corpus-scaled bucket count: `max(Buckets, ceil(nDocs/DocsPerBucket))`
+    * — exact integer math, mirrored by [[sqlAutoBuckets]] so oracles replay
+    * the identical count at any scale.
+    */
+  def autoBuckets(nDocs: Long): Int =
+    math.max(Buckets.toLong, (nDocs + DocsPerBucket - 1) / DocsPerBucket).toInt
+
+  /** DuckDB twin of [[autoBuckets]] over the `documents` table, as a scalar
+    * subquery usable wherever a bucket-count literal goes.
+    */
+  val sqlAutoBuckets: String =
+    s"(SELECT greatest($Buckets, (count(*) + ${DocsPerBucket - 1}) // $DocsPerBucket) FROM documents)"
+
   private def bucketOf(docId: Column, buckets: Int): Column =
     pmod(PortableHash.phash(concat(lit("pack:"), docId.cast("string"))), lit(buckets))
 
@@ -63,11 +85,11 @@ object Pack {
   /** Shared oracle CTE body: `pk` = (bucket, seq, doc_id, tok_start,
     * tok_len), the [[sequences]] output.
     */
-  private def sqlPackCtes(seqLen: Int, buckets: Int): String = {
+  private def sqlPackCtes(seqLen: Int, bucketsE: String): String = {
     val ph = PortableHash.sqlPhash("('pack:' || doc_id::VARCHAR)")
     s"""t AS (
        |  SELECT doc_id, len(${TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok,
-       |         ((($ph % $buckets) + $buckets) % $buckets) AS bucket
+       |         ((($ph % $bucketsE) + $bucketsE) % $bucketsE) AS bucket
        |  FROM documents
        |),
        |o AS (
@@ -91,8 +113,8 @@ object Pack {
   }
 
   /** DuckDB mirror of [[sequences]] over the `documents` view. */
-  def sqlSequences(seqLen: Int = SeqLen, buckets: Int = Buckets): String =
-    s"""WITH ${sqlPackCtes(seqLen, buckets)}
+  def sqlSequences(seqLen: Int = SeqLen, bucketsE: String = sqlAutoBuckets): String =
+    s"""WITH ${sqlPackCtes(seqLen, bucketsE)}
        |SELECT bucket, seq, doc_id, tok_start, tok_len FROM pk
        |ORDER BY bucket, seq, doc_id""".stripMargin
 
@@ -121,8 +143,8 @@ object Pack {
   }
 
   /** DuckDB mirror of [[payloads]]. */
-  def sqlPayloads(seqLen: Int = SeqLen, buckets: Int = Buckets): String =
-    s"""WITH ${sqlPackCtes(seqLen, buckets)},
+  def sqlPayloads(seqLen: Int = SeqLen, bucketsE: String = sqlAutoBuckets): String =
+    s"""WITH ${sqlPackCtes(seqLen, bucketsE)},
        |tk AS (SELECT doc_id, ${TextAnalysis.sqlTokens("text")} AS toks FROM documents),
        |pc AS (
        |  SELECT bucket, seq, pk.doc_id, tok_len,

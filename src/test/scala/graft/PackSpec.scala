@@ -98,4 +98,16 @@ class PackSpec extends SparkSpec {
     val b = Pack.sequences(docs.repartition(13)).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("autoBuckets scales with the corpus, floors at Buckets, mirrors the SQL twin") {
+    assert(Pack.autoBuckets(0L) == Pack.Buckets)
+    assert(Pack.autoBuckets(500L) == Pack.Buckets, "fixture scales stay at the floor")
+    assert(Pack.autoBuckets(Pack.DocsPerBucket * Pack.Buckets) == Pack.Buckets)
+    assert(Pack.autoBuckets(Pack.DocsPerBucket * Pack.Buckets + 1) == Pack.Buckets + 1)
+    assert(Pack.autoBuckets(500000L) == 123, "100x replica count")
+    // ceil semantics match the SQL twin's (n + D-1) // D
+    for (n <- Seq(1L, 4095L, 4096L, 4097L, 123456L))
+      assert(Pack.autoBuckets(n) ==
+        math.max(Pack.Buckets, ((n + Pack.DocsPerBucket - 1) / Pack.DocsPerBucket)).toInt)
+  }
 }
