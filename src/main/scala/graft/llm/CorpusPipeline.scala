@@ -37,7 +37,9 @@ object CorpusPipeline {
       dupJaccard: Double = 0.5,
       mixSeed: String = "mix-v1",
       seqLen: Int = 256,
-      packBuckets: Int = 8,
+      // 0 = corpus-scaled (Pack.autoBuckets over the mixed-stage count);
+      // a positive value pins the layout explicitly
+      packBuckets: Int = 0,
       shards: Int = 8,
       onStage: (String, Double) => Unit = (_, _) => ())
 
@@ -103,7 +105,10 @@ object CorpusPipeline {
 
     // ---- stage 4: packing + sharding ---------------------------------
     val shardSeqs = timed(cfg, "packing") {
-      val seqs = Pack.sequences(mixed, cfg.seqLen, cfg.packBuckets)
+      val buckets =
+        if (cfg.packBuckets > 0) cfg.packBuckets
+        else Pack.autoBuckets(mixed.count()) // mixed is a barrier scan — cheap
+      val seqs = Pack.sequences(mixed, cfg.seqLen, buckets)
         .withColumn("shard", pmod(PortableHash.phash(concat_ws(":",
           lit("shard"), col("bucket"), col("seq"))), lit(cfg.shards.toLong))
           .cast("int"))
