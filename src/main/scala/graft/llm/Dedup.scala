@@ -150,6 +150,43 @@ object Dedup {
       docs: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame =
     bandedFromTokenHashes(tokenHashFrame(docs), shingleSize, numPerms, numBands)
 
+  /** Per-ROW banded LSH rows `(doc_id, band, bh, sh)` — value-identical to
+    * [[bandedSignatures]] (plus the doc's distinct shingle set), computed
+    * WITHOUT explode + groupBy so it is legal on a STREAMING frame (a
+    * grouped aggregate on a stream is stateful; this is a stateless
+    * projection). The whole signature folds in ONE `aggregate` pass over
+    * the hashed shingles (all `numPerms` universal-hash mins per element),
+    * so the tokenize→md5 subtree evaluates once per row, not per perm.
+    *
+    * Batch corpora should keep the explode shape (codegen'd map-side
+    * partial mins); per-row HOFs run interpreted, which is the right cost
+    * ONLY for micro-batch-sized streams — documented trade, pinned
+    * equivalent by DedupIncrementalSpec's streaming twin test.
+    */
+  def bandedRowwise(docs: DataFrame, shingleSize: Int, numPerms: Int,
+                    numBands: Int): DataFrame = {
+    val rowsPerBand = numPerms / numBands
+    val perms = permConstants(numPerms)
+    val sh = hashedShingles(tokenHashes(TextAnalysis.tokens(col("text"))), shingleSize)
+    val init = array(perms.map(_ => lit(MinhashPrime)): _*)
+    val sig = aggregate(sh, init, (acc, h) =>
+      array(perms.zipWithIndex.map { case ((a, b), k) =>
+        least(element_at(acc, k + 1), pmod(lit(a) * h + lit(b), lit(MinhashPrime)))
+      }: _*))
+    val bandCols = (0 until numBands).map { bi =>
+      struct(lit(bi).as("band"),
+        PortableHash.phash(concat_ws(",",
+          (bi * rowsPerBand until (bi + 1) * rowsPerBand)
+            .map(k => element_at(col("sig"), k + 1).cast("string")): _*)).as("bh"))
+    }
+    docs
+      // docs below the shingle width emit no bands, as the explode shape does
+      .filter(size(TextAnalysis.tokens(col("text"))) >= shingleSize)
+      .select(col("doc_id"), sig.as("sig"), array_distinct(sh).as("sh"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("t"), col("sh"))
+      .select(col("doc_id"), col("t.band").as("band"), col("t.bh").as("bh"), col("sh"))
+  }
+
   /** Distinct hashed-shingle set per doc — the exact-verification operand. */
   def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
     tokenHashFrame(docs)

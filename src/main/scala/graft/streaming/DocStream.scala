@@ -28,4 +28,39 @@ object DocStream {
       .join(Dedup.indexFingerprints(index), Seq("fp"), "left_outer")
       .filter(col("known").isNull)
       .select("doc_id", "text", "fp")
+
+  /** Streaming NEAR-dup probe — the LSH layer of
+    * [[graft.llm.Dedup.incremental]] as a stream: each incoming doc's
+    * banded signature (computed per-row, [[Dedup.bandedRowwise]] — no
+    * stateful aggregate) probes the static index's occupancy-capped band
+    * buckets, candidates verify by exact shingle-set Jaccard against the
+    * static sets, and verified hits `(doc_id, near_id, band, jac_r)` with
+    * `jac_r >= threshold` are emitted. Every join is stream-STATIC (legal
+    * in append mode, no watermark, no streaming state); a pair sharing
+    * several bands emits once per shared band (multiplicity ≤ numBands) —
+    * dedup at the consumer if single rows are needed, the aggregate-free
+    * shape is what keeps the stream stateless.
+    *
+    * 100 TB posture: the static side is [[Dedup.signatureIndex]] —
+    * materialized ONCE through its checkpoint seam, so per-micro-batch
+    * planning re-reads stored blocks, never re-tokenizes the corpus; the
+    * stream side is linear in the batch. The in-stream-duplicate concern
+    * stays with `EventStream.dedupedStream`, exactly as [[admit]] splits it.
+    */
+  def nearDupProbe(newDocs: DataFrame, index: DataFrame,
+                   shingleSize: Int = 3, numPerms: Int = 16, numBands: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val idx = Dedup.signatureIndex(index, shingleSize, numPerms, numBands)
+    val capped = Dedup.cappedBuckets(idx.banded, Dedup.MaxBandBucket)
+      .select(col("doc_id").as("near_id"), col("band"), col("bh"))
+    val probes = Dedup.bandedRowwise(newDocs, shingleSize, numPerms, numBands)
+    probes
+      .join(capped, Seq("band", "bh"))
+      .join(idx.sets.select(col("doc_id").as("near_id"), col("sh").as("r_sh")),
+        Seq("near_id"))
+      .select(col("doc_id"), col("near_id"), col("band"),
+        round(size(array_intersect(col("sh"), col("r_sh"))).cast("double") /
+          size(array_union(col("sh"), col("r_sh"))), 6).as("jac_r"))
+      .filter(col("jac_r") >= threshold)
+  }
 }

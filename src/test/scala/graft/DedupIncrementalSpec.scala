@@ -44,6 +44,64 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(out.head.getBoolean(4), "novel batch doc kept")
   }
 
+  test("bandedRowwise == bandedSignatures band-for-band (streaming-safe signature)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val explodeShape = Dedup.bandedSignatures(docs, 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val rowShape = Dedup.bandedRowwise(docs, 3, 16, 4)
+      .select("doc_id", "band", "bh")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rowShape == explodeShape && rowShape.nonEmpty,
+      "per-row fold must reproduce the explode+min-agg signature exactly")
+  }
+
+  test("streaming nearDupProbe == batch probe over the same static index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val index = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "completely different content that resembles nothing else here at all"),
+      (2L, "third corpus document with its own unique vocabulary and phrasing"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog again and again"),   // exact dup
+      (19L, "the quick brown fox jumps over the lazy dog again and AGAIN today"), // near dup
+      (29L, "entirely novel text sharing no shingles with any index document whatsoever"),
+      (39L, "ab"))                                                            // below shingle width
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.nearDupProbe(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("neardup_probe").outputMode("append").start()
+    try {
+      // two micro-batches to cross a batch boundary
+      in.addData(incoming.take(2): _*); q.processAllAvailable()
+      in.addData(incoming.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("neardup_probe")
+        .select("doc_id", "near_id", "band", "jac_r")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      // batch replica of the SAME computation: explode-shape signatures for
+      // the incoming docs against the identical capped index
+      val idx = Dedup.signatureIndex(index, 3, 16, 4)
+      val capped = Dedup.cappedBuckets(idx.banded, Dedup.MaxBandBucket)
+        .select(col("doc_id").as("near_id"), col("band"), col("bh"))
+      val batchDf = incoming.toDF("doc_id", "text")
+      val expected = Dedup.bandedSignatures(batchDf, 3, 16, 4)
+        .join(capped, Seq("band", "bh"))
+        .join(Dedup.shingleSets(batchDf, 3), Seq("doc_id"))
+        .join(idx.sets.select(col("doc_id").as("near_id"), col("sh").as("r_sh")),
+          Seq("near_id"))
+        .select(col("doc_id"), col("near_id"), col("band"),
+          round(size(array_intersect(col("sh"), col("r_sh"))).cast("double") /
+            size(array_union(col("sh"), col("r_sh"))), 6).as("jac_r"))
+        .filter(col("jac_r") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(streamed == expected, s"streamed $streamed != batch $expected")
+      val hitDocs = streamed.map(_._1)
+      assert(hitDocs.contains(9L) && hitDocs.contains(19L), "dup and near-dup both hit")
+      assert(!hitDocs.contains(29L) && !hitDocs.contains(39L), "novel and short docs emit nothing")
+    } finally q.stop()
+  }
+
   test("semantic incremental: batch vectors route to near-dup / novel against the index") {
     import graft.llm.Similarity
     val rnd = new scala.util.Random(31)
