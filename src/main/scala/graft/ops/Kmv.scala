@@ -69,8 +69,8 @@ object Kmv {
     * over ≤ 2k rows per pair — nothing rescans the data.
     */
   def overlapEstimates(sketch: DataFrame, groupCol: String, idCol: String,
-                       k: Int): DataFrame = {
-    val s = sketch.localCheckpoint() // three consumers below
+                       k: Int, cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val s = cp.cut(sketch) // three consumers below
     // per-group size floor: the k-th hash (or the max rank if < k), plus
     // the exact group count so exactness can be TESTED (k_g == n_g), not
     // inferred from k_g < k — the prefilter can truncate a large group
