@@ -1651,8 +1651,35 @@ object SparkEntry {
     // tokenizer loop the way mix_rates -> mix_apply completes mixing.
     "bpe_apply" -> ((s, d) =>
       graft.llm.Bpe.applyTokenizer(docs(s, d), k = BpeMergeRounds)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Tokenizer fertility (BPE pieces per word, integer ppm): the standard
+    // tokenizer-quality dashboard metric — rising fertility on a slice
+    // means the vocabulary under-serves it. Same cost shape as bpe_apply.
+    "bpe_fertility" -> ((s, d) =>
+      graft.llm.Bpe.fertility(docs(s, d), k = BpeMergeRounds)
+        .orderBy("doc_id")),
+
+    // Deterministic seeded corpus shuffle: every doc gets a global shuffle
+    // position 1..N by (phash(seed:doc_id), doc_id) — what a training job
+    // runs before sharding so epoch order is reproducible on any cluster.
+    // The rank is ops.GlobalRank's range-bucketed three-pass shape: never
+    // a single-partition window, phash values are uniform so the
+    // approx_percentile buckets are balanced by construction.
+    "corpus_shuffle" -> ((s, d) => {
+      val seeded = docs(s, d).select(col("doc_id"),
+        graft.expr.PortableHash.phash(
+          concat(lit(s"$ShuffleSeed:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      graft.ops.GlobalRank
+        .withGlobalRowNumberAndCount(seeded, "shuffle_key", Seq("doc_id"),
+          buckets = 32, out = "pos")._1
+        .select(col("doc_id"), col("pos"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** Seed tag for `corpus_shuffle` (shared with the oracle). */
+  private val ShuffleSeed = "shuffle-v1"
 
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
@@ -2555,7 +2582,15 @@ object SparkEntry {
 
       "bpe_merges" -> graft.llm.Bpe.sqlMerges(BpeMergeRounds),
 
-      "bpe_apply" -> graft.llm.Bpe.sqlApply(BpeMergeRounds)
+      "bpe_apply" -> graft.llm.Bpe.sqlApply(BpeMergeRounds),
+
+      "bpe_fertility" -> graft.llm.Bpe.sqlFertility(BpeMergeRounds),
+
+      "corpus_shuffle" ->
+        s"""SELECT doc_id, row_number() OVER (
+           |    ORDER BY ${graft.expr.PortableHash.sqlPhash(s"('$ShuffleSeed:' || doc_id::VARCHAR)")},
+           |             doc_id)::BIGINT AS pos
+           |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
 

@@ -96,6 +96,28 @@ object Bpe {
         coalesce(sum("n_sym"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer fertility per document: BPE pieces per word in exact
+    * integer ppm (`n_bpe_tokens * 10^6 div n_words`) — the standard
+    * tokenizer-quality metric (lower = the vocabulary compresses this doc
+    * better; rising fertility on a domain slice means the tokenizer
+    * under-serves it). Pure arithmetic over [[applyTokenizer]]'s output,
+    * so the cost shape is identical: one vocab join + one doc aggregate.
+    */
+  def fertility(docs: DataFrame, k: Int): DataFrame =
+    applyTokenizer(docs, k)
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(call_function("div", col("n_bpe_tokens") * lit(1000000L),
+            col("n_words"))).as("fertility_ppm"))
+
+  /** DuckDB mirror of [[fertility]] (nested WITH — legal in DuckDB). */
+  def sqlFertility(k: Int): String =
+    s"""WITH ap AS (${sqlApply(k)})
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |  (CASE WHEN n_words = 0 THEN 0
+       |        ELSE (n_bpe_tokens * 1000000) // n_words END)::BIGINT AS fertility_ppm
+       |FROM ap ORDER BY doc_id""".stripMargin
+
   /** The k training rounds as a DuckDB CTE chain body
     * (v0 → p1 → v1 → … → pk → vk). `TextAnalysis.sqlTokens`/`sqlShingles`
     * keep tokenization and pair extraction identical to the engine.

@@ -36,6 +36,14 @@ class BpeSpec extends SparkSpec {
     assert(k3 == Seq((0L, 3L, 3L), (1L, 0L, 0L)), k3.toString)
   }
 
+  test("fertility: exact integer ppm of pieces per word; empty docs read 0") {
+    val docs = Seq((0L, "aaab aaab ab"), (1L, "")).toDF("doc_id", "text")
+    // k=2: 3 words -> 5 pieces => 5_000_000 div 3 = 1_666_666 ppm
+    val got = Bpe.fertility(docs, k = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 5L, 1666666L), (1L, 0L, 0L, 0L)), got.toString)
+  }
+
   test("vocab: symbol segmentation is lossless (spaces removed == word)") {
     val docs = Seq((0L, "hello world hello")).toDF("doc_id", "text")
     val v = Bpe.vocab(docs)
