@@ -49,6 +49,12 @@ object GlobalRank {
     * single-partition window. `buckets` should scale with the cluster
     * (≥ shuffle partitions).
     *
+    * CONTRACT: `rangeCol` must be non-null. Null range values would fall
+    * through every `>` bucket comparison to bucket 0 AND sort NULLS FIRST
+    * in Spark but NULLS LAST in DuckDB/ANSI engines — a silent cross-engine
+    * rank divergence. Every caller ranks a derived non-null column (hash,
+    * count, price); null-ranked data should be filtered or coalesced first.
+    *
     * Non-bare-scan inputs are materialized once through `cp` (default
     * executor-local blocks; inject [[Checkpointer.Reliable]] on clusters
     * that must survive executor loss) so the three passes read stored
