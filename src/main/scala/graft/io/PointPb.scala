@@ -69,11 +69,16 @@ object PointPb {
     * (`BorYear.encode`): bor code = borYear % 100, year = borYear / 100.
     */
   def encode(features: Seq[Feature]): Array[Byte] = {
+    // proto3 default-elision for doubles tests RAW BITS, not numeric
+    // equality: -0.0 != +0.0 bitwise, so generated serializers DO write
+    // -0.0 — mirror that, or the sign bit is lost on decode
+    def nonDefault(v: Double): Boolean =
+      java.lang.Double.doubleToRawLongBits(v) != 0L
     val top = new Pb
     features.foreach { f =>
       val fpb = new Pb
-      if (f.lat != 0.0) fpb.dbl(1, f.lat)
-      if (f.lng != 0.0) fpb.dbl(2, f.lng)
+      if (nonDefault(f.lat)) fpb.dbl(1, f.lat)
+      if (nonDefault(f.lng)) fpb.dbl(2, f.lng)
       if (f.bor != 0) fpb.uint(3, f.bor.toLong)
       if (f.year != 0) fpb.uint(4, f.year.toLong)
       if (f.count != 0L) fpb.uint(5, f.count)

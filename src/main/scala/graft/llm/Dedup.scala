@@ -167,9 +167,8 @@ object Dedup {
                     numBands: Int): DataFrame = {
     val rowsPerBand = numPerms / numBands
     val perms = permConstants(numPerms)
-    val sh = hashedShingles(tokenHashes(TextAnalysis.tokens(col("text"))), shingleSize)
     val init = array(perms.map(_ => lit(MinhashPrime)): _*)
-    val sig = aggregate(sh, init, (acc, h) =>
+    val sig = aggregate(col("shg"), init, (acc, h) =>
       array(perms.zipWithIndex.map { case ((a, b), k) =>
         least(element_at(acc, k + 1), pmod(lit(a) * h + lit(b), lit(MinhashPrime)))
       }: _*))
@@ -179,11 +178,25 @@ object Dedup {
           (bi * rowsPerBand until (bi + 1) * rowsPerBand)
             .map(k => element_at(col("sig"), k + 1).cast("string")): _*)).as("bh"))
     }
+    // staging discipline (the round-2 alias-inlining lesson): each
+    // expensive subtree lands in its own projection and every alias below
+    // is MULTI-USE — `shg` feeds the fold, the distinct set AND the
+    // emptiness gate; `sig` feeds every band — CollapseProject only
+    // inlines single-use aliases, so the tokenize→md5 pass runs once per
+    // row, not once per consumer. The below-shingle-width gate is an
+    // array-filter INSIDE the explode (empty array ⇒ row dropped, exactly
+    // the explode shape's behavior): a row-level `filter` on a derived
+    // column would be predicate-pushed below its projection and
+    // re-evaluate the subtree.
     docs
-      // docs below the shingle width emit no bands, as the explode shape does
-      .filter(size(TextAnalysis.tokens(col("text"))) >= shingleSize)
-      .select(col("doc_id"), sig.as("sig"), array_distinct(sh).as("sh"))
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("t"), col("sh"))
+      .select(col("doc_id"),
+        hashedShingles(tokenHashes(TextAnalysis.tokens(col("text"))),
+          shingleSize).as("shg"))
+      .select(col("doc_id"), sig.as("sig"), array_distinct(col("shg")).as("sh"),
+        size(col("shg")).as("nsh"))
+      .select(col("doc_id"),
+        explode(filter(array(bandCols: _*), _ => col("nsh") > 0)).as("t"),
+        col("sh"))
       .select(col("doc_id"), col("t.band").as("band"), col("t.bh").as("bh"), col("sh"))
   }
 

@@ -41,6 +41,14 @@ object Checkpointer {
 
   /** Reliable checkpoint (`Dataset.checkpoint`, eager) into
     * `sparkContext.getCheckpointDir` — set it before use.
+    *
+    * Storage note for iterative callers: each cut writes a new `rdd-N`
+    * directory and Spark does not delete superseded ones by default, so a
+    * k-iteration loop holds k snapshots. Set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (GC-driven
+    * cleanup of orphaned checkpoints) and/or point the checkpoint dir at a
+    * per-job path deleted on completion — only the latest cut is ever
+    * needed for recovery.
     */
   case object Reliable extends Checkpointer {
     def cut(df: DataFrame): DataFrame = {

@@ -130,18 +130,6 @@ object GlobalRank {
     }
   }
 
-  /** GROUPED distributed row_number: exact per-group rank (1-based, by
-    * `rangeCol` asc then `tieBreak`) in `out`, plus per-group totals in
-    * `outN` — without `Window.partitionBy(group)`'s failure mode, where one
-    * HEAVY group funnels through one task.
-    *
-    * This targets the low-cardinality / heavy-groups regime (event types,
-    * languages, tenants): per-group range boundaries and per-(group,
-    * bucket) counts are then `groups × buckets` rows — loop-control
-    * metadata. (High-cardinality small groups don't need this operator: a
-    * plain grouped window is already balanced there.) Same three-pass
-    * contract as the global rank, same checkpoint rule for derived inputs.
-    */
   /** Above this many distinct groups the per-group case-chains (groups ×
     * buckets literals) stop being "loop-control metadata" and become a
     * janino-hostile megamorphic expression — and by the operator's own
@@ -150,6 +138,22 @@ object GlobalRank {
     */
   val MaxCaseGroups: Int = 64
 
+  /** GROUPED distributed row_number: exact per-group rank (1-based, by
+    * `rangeCol` asc then `tieBreak`) in `out`, plus per-group totals in
+    * `outN` — without `Window.partitionBy(group)`'s failure mode, where one
+    * HEAVY group funnels through one task.
+    *
+    * This targets the low-cardinality / heavy-groups regime (event types,
+    * languages, tenants): per-group range boundaries and per-(group,
+    * bucket) counts are then `groups × buckets` rows — loop-control
+    * metadata. Inputs with more than [[MaxCaseGroups]] distinct groups
+    * fall back to the plain grouped window (many groups are, by
+    * pigeonhole, small groups — the window is balanced there); the group
+    * count is probed with a cheap `limit`ed distinct BEFORE the per-group
+    * percentile aggregation, so a million-group input never pays a
+    * driver-side collect of a million boundary arrays. Same three-pass
+    * contract as the global rank, same checkpoint rule for derived inputs.
+    */
   def withGroupedRowNumber(
       df0: DataFrame, groupCol: String, rangeCol: String, tieBreak: Seq[String],
       buckets: Int, out: String, outN: String,
@@ -158,20 +162,23 @@ object GlobalRank {
       if (isBareScan(df0.queryExecution.optimizedPlan)) df0
       else cp.cut(df0)
     val sortCols = (rangeCol +: tieBreak).map(col)
+    // regime probe first — bounded at MaxCaseGroups+1 rows, never a full
+    // per-group aggregate, so the fallback protects the driver too
+    val manyGroups = df.select(groupCol).distinct()
+      .limit(MaxCaseGroups + 1).count() > MaxCaseGroups
+    if (manyGroups) {
+      // High-cardinality regime: groups are many, hence (pigeonhole) small —
+      // Window.partitionBy(group) is already balanced and avoids building a
+      // groups×buckets literal chain that would blow up codegen.
+      return df
+        .withColumn(out, row_number().over(
+          Window.partitionBy(groupCol).orderBy(sortCols: _*)).cast("long"))
+        .withColumn(outN, count(lit(1)).over(Window.partitionBy(groupCol)))
+    }
     val probs = (1 until buckets).map(_.toDouble / buckets)
     val boundRows = df.groupBy(groupCol)
       .agg(expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)"))
       .collect()
-    if (boundRows.length > MaxCaseGroups) {
-      // High-cardinality regime: groups are many, hence (pigeonhole) small —
-      // Window.partitionBy(group) is already balanced and avoids building a
-      // groups×buckets literal chain that would blow up codegen.
-      val local = df
-        .withColumn(out, row_number().over(
-          Window.partitionBy(groupCol).orderBy(sortCols: _*)).cast("long"))
-        .withColumn(outN, count(lit(1)).over(Window.partitionBy(groupCol)))
-      return local
-    }
     val boundsByGroup: Map[Any, Seq[Double]] = boundRows.map { r =>
       r.get(0) -> (if (r.isNullAt(1)) Seq.empty[Double]
                    else r.getSeq[Any](1).map(_.toString.toDouble).distinct.sorted)

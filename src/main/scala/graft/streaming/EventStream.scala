@@ -300,7 +300,8 @@ object EventStream {
     * the batch fold's exact tie-break — so any arrival order inside the
     * watermark produces the batch answer. State per user is the 4 stage
     * times plus the open suffix (bounded by the watermark horizon); a
-    * completed funnel drops its state entirely.
+    * completed funnel shrinks to a 4-long tombstone so later events can
+    * never restart the chain and double-count the user.
     */
   def funnel(events: Dataset[EvF], watermark: String = "2 hours")
             (implicit spark: SparkSession): Dataset[StageHit] = {
@@ -328,15 +329,20 @@ object EventStream {
           hits += StageHit(userId, si + 1, FunnelStages(si), tsUs)
         }
       }
-      if (t.last.isDefined || (t.forall(_.isEmpty) && open.isEmpty)) {
-        // complete funnel (no stage can advance further) or vacuous state
-        // (no progress, nothing pending) — hold nothing
+      if (t.forall(_.isEmpty) && open.isEmpty) {
+        // vacuous state (no progress, nothing pending) — hold nothing
         if (state.exists) state.remove()
       } else {
-        state.update(FunnelState(t.toSeq, open))
+        // a COMPLETED funnel keeps its 4-long tombstone (pending dropped —
+        // nothing can advance): removing it would let a later event
+        // restart the chain and double-count the user vs the batch key's
+        // first-chain-only fold. Tombstones are bounded by user
+        // cardinality, the same state class as `anomalies`' per-type rows.
+        val keepOpen = if (t.last.isDefined) Nil else open
+        state.update(FunnelState(t.toSeq, keepOpen))
         // wake this user as the watermark advances so pending events
         // finalize even if no further events of theirs arrive
-        if (open.nonEmpty)
+        if (keepOpen.nonEmpty)
           state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
       }
       hits.iterator

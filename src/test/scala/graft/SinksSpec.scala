@@ -140,6 +140,11 @@ class SinksSpec extends SparkSpec {
     // top(2) + lng(9) + count(2)
     assert(bytes.length == 2 + 9 + 2, s"len ${bytes.length}")
     assert(PointPb.decode(bytes) == Seq(f))
+    // proto3 elision is raw-bits: -0.0 is NOT a default and must survive
+    val neg = PointPb.Feature(-0.0, 0.0, 1, 0, 1L)
+    val decoded = PointPb.decode(PointPb.encode(Seq(neg))).head
+    assert(java.lang.Double.doubleToRawLongBits(decoded.lat) ==
+      java.lang.Double.doubleToRawLongBits(-0.0), "-0.0 sign bit preserved")
   }
 
   test("property: PointPb codec round-trips arbitrary feature lists") {

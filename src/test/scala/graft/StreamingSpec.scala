@@ -368,6 +368,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel: a completed funnel never restarts on later events") {
+    import graft.streaming.EventStream.EvF
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[EvF]
+    val q = EventStream.funnel(in.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("funnel_tombstone").outputMode("append").start()
+    try {
+      // full chain for user 1, then watermark past it finalizes all stages
+      in.addData(
+        EvF(ts("2024-01-01 10:00:00"), 1L, "signup"),
+        EvF(ts("2024-01-01 10:01:00"), 1L, "view"),
+        EvF(ts("2024-01-01 10:02:00"), 1L, "click"),
+        EvF(ts("2024-01-01 10:03:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      in.addData(EvF(ts("2024-01-02 00:00:00"), 99L, "error")); q.processAllAvailable()
+      // a SECOND full chain for user 1, well past the watermark (on time)
+      in.addData(
+        EvF(ts("2024-01-03 10:00:00"), 1L, "signup"),
+        EvF(ts("2024-01-03 10:01:00"), 1L, "view"),
+        EvF(ts("2024-01-03 10:02:00"), 1L, "click"),
+        EvF(ts("2024-01-03 10:03:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      in.addData(EvF(ts("2024-01-04 00:00:00"), 99L, "error")); q.processAllAvailable()
+      in.addData(EvF(ts("2024-01-05 00:00:00"), 99L, "error")); q.processAllAvailable()
+      val hits = spark.table("funnel_tombstone").filter(col("user_id") === 1L)
+        .select("stage_idx").collect().map(_.getInt(0)).sorted.toSeq
+      // batch semantics: the fold is first-chain-only — exactly one hit per
+      // stage, the second chain must NOT re-emit
+      assert(hits == Seq(1, 2, 3, 4), s"completed funnel re-emitted: $hits")
+    } finally q.stop()
+  }
+
   test("streaming funnel == batch stage chain under random arrival permutations") {
     // EventStream.funnel contract: stage hits equal the batch key's
     // conditional-min chain (t1 = first signup, t_k = first stage-k event
