@@ -1677,11 +1677,183 @@ object SparkEntry {
           buckets = 32, out = "pos")._1
         .select(col("doc_id"), col("pos"))
         .orderBy("doc_id")
+    }),
+
+    // RANGE-frame window (the value-based frame family every prior window
+    // key leaves untouched: window_running is ROWS, events_window_* are
+    // tumbling/sliding buckets): per user, the trailing-hour sum/count at
+    // every event — frame bounds are VALUE offsets on the ordering key, so
+    // peers with equal timestamps share one frame in both engines. Sum in
+    // exact DECIMAL (range frames make float accumulation order
+    // engine-specific), cast to double only at the edge.
+    "window_range_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        graft.expr.IntMath.floorDiv(col("ts"), 1000000000L).as("ts_sec"),
+        col("value").cast("decimal(18,6)").as("v"))
+      val w = Window.partitionBy("user_id").orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+      e.select(col("event_id"), col("user_id"), col("ts_sec"),
+          sum(col("v")).over(w).cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"))
+        .orderBy("event_id")
+    }),
+
+    // First-order Markov transition matrix over per-user event streams:
+    // the aggregate sibling of events_top_paths (which keeps whole
+    // prefixes, this keeps the memoryless model). One lag window per user
+    // (ts tie-broken by event_id so the predecessor is deterministic),
+    // then a |types|² count frame with integer-ppm row-normalized
+    // probabilities. The per-source totals ride the checkpointed count
+    // frame, not a second corpus scan.
+    "events_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_sec"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("to_type"),
+          graft.expr.IntMath.floorDiv(col("ts"), 1000000000L).as("ts_sec"))
+        .select(col("to_type"), lag(col("to_type"), 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+      val agg = tr.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // |types|² rows; consumed by both the total and the join
+      val tot = agg.groupBy("from_type").agg(sum("n").as("tot_from"))
+      agg.join(tot, "from_type")
+        .withColumn("p_ppm", expr("(n * 1000000) div tot_from"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Distributed triangle counting over the co-purchase graph (parts
+    // sharing an order). Degree-oriented wedge join — O(m^1.5) total work
+    // on ANY degree distribution, no hub blow-up; see graft.ops.Triangles
+    // for the orientation argument. Edge derivation is per-order pairing,
+    // bounded by order width (~4 items), not corpus size.
+    "graph_triangles" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+        .localCheckpoint() // consumed by degrees, orientation, and the closing probe
+      graft.ops.Triangles.perNode(canon).orderBy("node")
+    }),
+
+    // Asymmetric containment on the minhash-LSH candidate set: detects
+    // INCLUSION (doc quoted wholesale inside a larger one) that symmetric
+    // Jaccard under-scores — the dedup family exact/minhash/simhash/
+    // editdistance all miss. Integer-ppm ratios; same banded candidate
+    // generation as dedup_verified, so no new quadratic surface.
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentFrom(
+          Dedup.signatureIndex(docs(s, d), shingleSize = 3, numPerms = 16,
+            numBands = 4))
+        .orderBy("a", "b")),
+
+    // Corpus novelty: per doc, the fraction of its distinct shingles whose
+    // FIRST owner (min doc_id over the corpus) is the doc itself — the
+    // order-based complement of boilerplate_flag's frequency exposure
+    // (novelty says "who said it first", boilerplate says "how often it is
+    // said"). One shingle explode + a shingle-keyed min-agg + one join
+    // back; ppm in integer arithmetic.
+    "corpus_novelty" -> ((s, d) => {
+      val pairs = Dedup.shingleSets(docs(s, d), shingleSize = 3)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .localCheckpoint() // owner table + per-doc join read one tokenize pass
+      val owner = pairs.groupBy("g").agg(min("doc_id").as("owner"))
+      pairs.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novel_ppm", expr("(n_novel * 1000000) div n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-weighted mixing rates (α = 0.5): the multilingual-LM
+    // sampling scheme (sample language l ∝ mass_l^α) as exact integer
+    // arithmetic — weight = floor(1000·√tokens) is deterministic across
+    // engines because IEEE sqrt is correctly rounded, unlike pow/ln. The
+    // uniform-target planner (mix_rates) is α = 0; this key is the tunable
+    // middle that up-weights tail languages without flattening the head.
+    "mix_temperature" -> ((s, d) => {
+      val t = docs(s, d).select(col("lang"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt((col("n_tokens") * 1000000L).cast("double"))).cast("long"))
+        .localCheckpoint() // |langs| rows; total + join both read it
+      val tot = agg.agg(sum("w").as("sum_w"), sum("n_tokens").as("tot"))
+      agg.crossJoin(tot)
+        .select(col("lang"), col("n_tokens"), col("w"),
+          expr("(w * 1000000) div sum_w").as("share_ppm"),
+          expr("(w * tot) div sum_w").as("target_tokens"),
+          least(lit(1000000L),
+            expr("(((w * tot) div sum_w) * 1000000) div n_tokens"))
+            .as("rate_ppm"))
+        .orderBy("lang")
+    }),
+
+    // Association rules over order baskets: pair support / directional
+    // confidence / lift in exact integer ppm (lift through DECIMAL(38,0)
+    // so n_ab·N·10⁶ cannot wrap at production counts). The support floor
+    // is applied BEFORE the margin joins, so downstream work is bounded by
+    // the rule count, not the pair count; per-order pairing is bounded by
+    // basket width, the same shape graph_triangles builds its edges from.
+    "market_basket" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // pairing self-join + margins + order total
+      val tot = li.agg(countDistinct("ok").as("n_orders"))
+      val freq = li.groupBy("pk").agg(count(lit(1)).as("n_part"))
+      val pairs = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= MinPairSupport)
+      pairs
+        .join(freq.withColumnRenamed("pk", "a").withColumnRenamed("n_part", "n_a"), "a")
+        .join(freq.withColumnRenamed("pk", "b").withColumnRenamed("n_part", "n_b"), "b")
+        .crossJoin(tot)
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(n_ab * 1000000) div n_a").as("conf_ab_ppm"),
+          expr("(n_ab * 1000000) div n_b").as("conf_ba_ppm"),
+          expr("(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_ppm"))
+        .orderBy("a", "b")
+    }),
+
+    // Nearest-neighbor temporal join with tolerance (pandas merge_asof
+    // direction='nearest'): each purchase matched to the CLOSEST click of
+    // the same user within ±15 min, either direction — the attribution
+    // shape asof_signup's backward-only scan can't express. The tolerance
+    // doubles as the band width, so candidates come from an equi-join on
+    // (user, bucket); see graft.ops.NearestJoin.
+    "join_asof_nearest" -> ((s, d) => {
+      val sec = graft.expr.IntMath.floorDiv(col("ts"), 1000000000L)
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), sec.as("ts_sec"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), sec.as("click_sec"))
+      graft.ops.NearestJoin.nearest(p, "event_id", "ts_sec",
+          c, "click_id", "click_sec", "user_id", NearestTolSec,
+          rtAlias = "click_sec", ridAlias = "click_id")
+        .orderBy("event_id")
     })
   )
 
   /** Seed tag for `corpus_shuffle` (shared with the oracle). */
   private val ShuffleSeed = "shuffle-v1"
+
+  /** `market_basket` absolute pair-support floor (shared with the oracle).
+    * Production corpora would use a ppm floor like heavy_hitters; the
+    * absolute floor keeps the rule set readable at test scale.
+    */
+  private val MinPairSupport = 3L
+
+  /** `join_asof_nearest` tolerance (seconds) — also its band width. */
+  private val NearestTolSec = 900L
 
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
@@ -2592,7 +2764,110 @@ object SparkEntry {
         s"""SELECT doc_id, row_number() OVER (
            |    ORDER BY ${graft.expr.PortableHash.sqlPhash(s"('$ShuffleSeed:' || doc_id::VARCHAR)")},
            |             doc_id)::BIGINT AS pos
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "window_range_frame" ->
+        """WITH e AS (SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS ts_sec,
+          |  value::DECIMAL(18,6) AS v FROM events)
+          |SELECT event_id, user_id, ts_sec,
+          |  (sum(v) OVER w)::DOUBLE AS hour_sum,
+          |  (count(*) OVER w)::BIGINT AS hour_n
+          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+          |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
+
+      "events_transitions" ->
+        """WITH e AS (SELECT user_id, event_id, event_type AS to_type,
+          |  (epoch_us(ts) // 1000000) AS ts_sec FROM events),
+          |tr AS (SELECT to_type, lag(to_type) OVER (
+          |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS from_type FROM e),
+          |a AS (SELECT from_type, to_type, count(*) AS n FROM tr
+          |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, sum(n)::BIGINT AS tot_from FROM a GROUP BY 1)
+          |SELECT a.from_type, a.to_type, a.n, t.tot_from,
+          |  (a.n * 1000000) // t.tot_from AS p_ppm
+          |FROM a JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+
+      "graph_triangles" ->
+        (s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+            |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+            |${graft.ops.Triangles.sqlPerNode}
+            |SELECT node, tri_count FROM tpn ORDER BY node""".stripMargin),
+
+      "dedup_containment" ->
+        (s"WITH ${sqlLshBase(3, 16, 4)},\n" +
+          """cand AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_bands
+            |  FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+            |  GROUP BY 1, 2),
+            |c AS (SELECT a, b, n_bands,
+            |  len(list_intersect(l.sh, r.sh))::BIGINT AS n_common,
+            |  len(l.sh)::BIGINT AS n_a, len(r.sh)::BIGINT AS n_b
+            |  FROM cand JOIN k l ON a = l.doc_id JOIN k r ON b = r.doc_id
+            |  WHERE len(l.sh) > 0 AND len(r.sh) > 0)
+            |SELECT a, b, n_bands, n_common, n_a, n_b,
+            |  (n_common * 1000000) // n_a AS contain_a_ppm,
+            |  (n_common * 1000000) // n_b AS contain_b_ppm
+            |FROM c ORDER BY 1, 2""".stripMargin),
+
+      "corpus_novelty" -> {
+        import graft.llm.{Dedup, TextAnalysis => TA}
+        val toks = TA.sqlTokens("text")
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+           |s AS (SELECT doc_id, ${Dedup.sqlHashedShingles("th", 3)} AS sh FROM th),
+           |p AS (SELECT doc_id, unnest(list_distinct(sh)) AS g FROM s),
+           |ow AS (SELECT g, min(doc_id) AS owner FROM p GROUP BY 1)
+           |SELECT p.doc_id, count(*) AS n_shingles,
+           |  sum(CASE WHEN ow.owner = p.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           |  (sum(CASE WHEN ow.owner = p.doc_id THEN 1 ELSE 0 END) * 1000000)
+           |    // count(*) AS novel_ppm
+           |FROM p JOIN ow ON p.g = ow.g GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      "mix_temperature" ->
+        s"""WITH t AS (SELECT lang, len(${graft.llm.TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok
+           |  FROM documents),
+           |a AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1),
+           |w AS (SELECT lang, n_tokens,
+           |  floor(sqrt((n_tokens * 1000000)::DOUBLE))::BIGINT AS w FROM a),
+           |tt AS (SELECT sum(w)::BIGINT AS sum_w, sum(n_tokens)::BIGINT AS tot FROM w)
+           |SELECT lang, n_tokens, w,
+           |  (w * 1000000) // sum_w AS share_ppm,
+           |  (w * tot) // sum_w AS target_tokens,
+           |  least(1000000, (((w * tot) // sum_w) * 1000000) // n_tokens) AS rate_ppm
+           |FROM w, tt ORDER BY 1""".stripMargin,
+
+      "market_basket" ->
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           |tt AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
+           |f AS (SELECT pk, count(*)::BIGINT AS n_part FROM li GROUP BY 1),
+           |pr AS (SELECT l.pk AS a, r.pk AS b, count(*)::BIGINT AS n_ab
+           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk GROUP BY 1, 2
+           |  HAVING count(*) >= $MinPairSupport)
+           |SELECT a, b, n_ab, fa.n_part AS n_a, fb.n_part AS n_b,
+           |  (n_ab * 1000000) // fa.n_part AS conf_ab_ppm,
+           |  (n_ab * 1000000) // fb.n_part AS conf_ba_ppm,
+           |  ((n_ab::HUGEINT * n_orders * 1000000) //
+           |   (fa.n_part::HUGEINT * fb.n_part))::BIGINT AS lift_ppm
+           |FROM pr JOIN f fa ON a = fa.pk JOIN f fb ON b = fb.pk, tt
+           |ORDER BY 1, 2""".stripMargin,
+
+      "join_asof_nearest" ->
+        s"""WITH e AS (SELECT event_id, user_id, event_type,
+           |  (epoch_us(ts) // 1000000) AS sec FROM events),
+           |p AS (SELECT event_id, user_id, sec AS ts_sec FROM e WHERE event_type = 'purchase'),
+           |c AS (SELECT event_id AS click_id, user_id, sec AS click_sec FROM e
+           |  WHERE event_type = 'click'),
+           |j AS (SELECT p.event_id, c.click_id, c.click_sec,
+           |    abs(p.ts_sec - c.click_sec) AS dist
+           |  FROM p JOIN c USING (user_id)
+           |  WHERE abs(p.ts_sec - c.click_sec) <= $NearestTolSec),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+           |    ORDER BY dist, click_sec, click_id) AS rn FROM j)
+           |SELECT p.event_id, p.user_id, p.ts_sec, r.click_sec, r.click_id, r.dist
+           |FROM p LEFT JOIN r ON p.event_id = r.event_id AND r.rn = 1
+           |ORDER BY p.event_id""".stripMargin
     )
   }
 

@@ -320,6 +320,37 @@ object Dedup {
           size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
   }
 
+  /** Asymmetric containment verification of minhash-LSH candidates:
+    * C(A→B) = |S_A ∩ S_B| / |S_A|. Jaccard is blind to INCLUSION — a short
+    * doc quoted wholesale inside a long one has jac ≈ |A|/|B| ≈ 0 yet
+    * C(A→B) = 1 — and inclusion (boilerplate wrappers, quote-and-extend
+    * posts, concatenated shards) is a distinct dedup family from
+    * near-identity. Same 100 TB shape as [[verifiedJaccardFrom]]: exact
+    * set ops run only on the banded candidate set, integer ppm arithmetic
+    * (no float division) so the oracle replays it exactly. Note the
+    * candidate recall caveat: minhash bands target symmetric similarity,
+    * so containment pairs with tiny Jaccard may not surface as candidates;
+    * at production scale the band count (or a dedicated min-side sketch)
+    * is the recall knob, which is why the band parameters are explicit
+    * here rather than defaulted.
+    */
+  def containmentFrom(
+      idx: SignatureIndex, maxBucket: Int = MaxBandBucket): DataFrame = {
+    val cand = minhashCandidatesFrom(idx.banded, maxBucket)
+    cand
+      .join(idx.sets.as("l"), col("a") === col("l.doc_id"))
+      .join(idx.sets.as("r"), col("b") === col("r.doc_id"))
+      .select(col("a"), col("b"), col("n_bands"),
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("long").as("n_common"),
+        size(col("l.sh")).cast("long").as("n_a"),
+        size(col("r.sh")).cast("long").as("n_b"))
+      // a shingle-less doc (< shingleSize tokens) has no containment ratio;
+      // guard the integer division (DuckDB's // raises on zero)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("contain_a_ppm", expr("(n_common * 1000000) div n_a"))
+      .withColumn("contain_b_ppm", expr("(n_common * 1000000) div n_b"))
+  }
+
   /** Edit-distance verification of minhash-LSH candidates: the Levenshtein
     * sibling of [[verifiedJaccardFrom]], for near-dup families where token
     * overlap is blind (small character edits inside tokens, OCR noise,
