@@ -23,6 +23,23 @@ object Tables {
   /** Session conf key selecting the table source format. */
   val FormatKey = "graft.tables.format"
 
+  /** `events.ts` contract: BIGINT epoch NANOS. Snapshots have shipped it
+    * both as INT64 TIMESTAMP(NANOS) (read as BIGINT nanos via the legacy
+    * flag in [[GraftConf]]) and as TIMESTAMP(MICROS) (read as a timestamp
+    * type) — normalize here, once, so every query and oracle downstream
+    * keeps the nanos-long contract regardless of the snapshot's physical
+    * type. Naive timestamps are interpreted in the session zone (pinned
+    * UTC by [[GraftConf]]), matching DuckDB's `epoch_us` on the same file.
+    */
+  private def tsToNanos(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftConf.ensure(spark)
     val fmt = spark.conf.get(FormatKey, "parquet")
@@ -38,7 +55,8 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    tsToNanos(table(spark, sfDir, "events"))
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -514,9 +514,15 @@ object Dedup {
       .select(col("bid"), col("iid"),
         round(size(array_intersect(col("ls.sh"), col("rs.sh"))).cast("double") /
           size(array_union(col("ls.sh"), col("rs.sh"))), 6).as("jac_r"))
-    val best = ver.groupBy("bid").agg(max("jac_r").as("bj"))
-    val pick = ver.join(best, Seq("bid")).filter(col("jac_r") === col("bj"))
-      .groupBy("bid").agg(min("iid").as("near_id"), max("jac_r").as("best_jac_r"))
+    // argmax in ONE map-side-combinable aggregation: max over
+    // struct(jac_r, -iid) orders by jaccard first, then by NEGATED index
+    // id — so ties fall to the smallest iid — replacing the former
+    // groupBy-max + join-back + re-groupBy cascade (3 shuffles of the
+    // verified-pair frame) with a single hash aggregate.
+    val pick = ver.groupBy("bid")
+      .agg(max(struct(col("jac_r"), (-col("iid")).as("neg_iid"))).as("bst"))
+      .select(col("bid"), (-col("bst.neg_iid")).as("near_id"),
+        col("bst.jac_r").as("best_jac_r"))
     exact.join(pick, col("doc_id") === col("bid"), "left")
       .select(col("doc_id"), col("is_exact"),
         coalesce(col("near_id"), lit(-1L)).as("near_id"),

@@ -291,9 +291,13 @@ object Similarity {
       .select(col("bid"), col("iid"),
         round(dot(col("l.embedding"), col("r.embedding")) /
           (col("l.nrm") * col("r.nrm")), 6).as("cos_r"))
-    val best = ver.groupBy("bid").agg(max("cos_r").as("bc"))
-    val pick = ver.join(best, Seq("bid")).filter(col("cos_r") === col("bc"))
-      .groupBy("bid").agg(min("iid").as("near_id"), max("cos_r").as("best_cos_r"))
+    // single-pass argmax (same diet as Dedup.incremental): max over
+    // struct(cos_r, -iid) = best cosine, ties to the smallest index id —
+    // one hash aggregate instead of groupBy + join-back + re-groupBy.
+    val pick = ver.groupBy("bid")
+      .agg(max(struct(col("cos_r"), (-col("iid")).as("neg_iid"))).as("bst"))
+      .select(col("bid"), (-col("bst.neg_iid")).as("near_id"),
+        col("bst.cos_r").as("best_cos_r"))
     emb.filter(isBatch).select(col("vec_id"))
       .join(pick, col("vec_id") === col("bid"), "left")
       .select(col("vec_id"),

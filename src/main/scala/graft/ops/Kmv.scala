@@ -71,13 +71,20 @@ object Kmv {
   def overlapEstimates(sketch: DataFrame, groupCol: String, idCol: String,
                        k: Int, cp: Checkpointer = Checkpointer.Local): DataFrame = {
     val s = cp.cut(sketch) // three consumers below
+    // Every frame from here on is bounded by construction — ≤ k rows per
+    // group (the sketch), one row per group (gstats), G²/2 rows (pairs) —
+    // independent of the input cardinality. That is the point of
+    // sketching, so the joins below are broadcast by HINT, not by
+    // AQE-estimated luck: at 100 TB the sketch side is still k·G rows and
+    // the hints keep the plan shuffle-free where a stats misestimate
+    // would otherwise fall back to sort-merge.
     // per-group size floor: the k-th hash (or the max rank if < k), plus
     // the exact group count so exactness can be TESTED (k_g == n_g), not
     // inferred from k_g < k — the prefilter can truncate a large group
     // below k with small probability, and that must fall to the estimator.
     val gstats = s.groupBy(groupCol).agg(
       max("rnk").as("k_g"), max("hv").as("h_k"), max("n_g").as("n_g"))
-    val pairs = gstats.as("ga").join(gstats.as("gb"),
+    val pairs = gstats.as("ga").join(broadcast(gstats.as("gb")),
         col(s"ga.$groupCol") < col(s"gb.$groupCol"))
       .select(col(s"ga.$groupCol").as("group_a"), col(s"gb.$groupCol").as("group_b"),
         least(col("ga.k_g"), col("gb.k_g")).as("k_eff"),
@@ -87,18 +94,18 @@ object Kmv {
     // (A-rows tagged with B membership, plus B-rows absent from A)
     val aSide = s.select(col(groupCol).as("group_a"), col(idCol), col("hv"))
     val bSide = s.select(col(groupCol).as("group_b"), col(idCol), col("hv"))
-    val members = pairs.select("group_a", "group_b", "k_eff")
+    val members = broadcast(pairs.select("group_a", "group_b", "k_eff"))
       .join(aSide.select(col("group_a"), col(idCol), col("hv"), lit(1L).as("in_a")),
         Seq("group_a"))
-      .join(bSide.select(col("group_b"), col(idCol), lit(1L).as("in_b")),
+      .join(broadcast(bSide.select(col("group_b"), col(idCol), lit(1L).as("in_b"))),
         Seq("group_b", idCol), "left")
       .select(col("group_a"), col("group_b"), col("k_eff"), col(idCol), col("hv"),
         lit(1L).as("in_a"), coalesce(col("in_b"), lit(0L)).as("in_b"))
       .union(
-        pairs.select("group_a", "group_b", "k_eff")
+        broadcast(pairs.select("group_a", "group_b", "k_eff"))
           .join(bSide.select(col("group_b"), col(idCol), col("hv"), lit(1L).as("in_b")),
             Seq("group_b"))
-          .join(aSide.select(col("group_a"), col(idCol), lit(1L).as("in_a")),
+          .join(broadcast(aSide.select(col("group_a"), col(idCol), lit(1L).as("in_a"))),
             Seq("group_a", idCol), "left_anti")
           .select(col("group_a"), col("group_b"), col("k_eff"), col(idCol), col("hv"),
             lit(0L).as("in_a"), lit(1L).as("in_b")))
@@ -107,7 +114,7 @@ object Kmv {
     val rho = ranked.filter(col("urnk") <= col("k_eff"))
       .groupBy("group_a", "group_b", "k_eff")
       .agg(sum(col("in_a") * col("in_b")).as("rho"))
-    pairs.join(rho, Seq("group_a", "group_b", "k_eff"))
+    pairs.join(broadcast(rho), Seq("group_a", "group_b", "k_eff"))
       .select(col("group_a"), col("group_b"), col("k_eff").cast("long").as("k_eff"),
         col("rho"),
         expr("rho * 1000000 div k_eff").as("jaccard_est_ppm"),
