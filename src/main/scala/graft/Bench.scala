@@ -25,7 +25,12 @@ object Bench {
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"unknown SPARK_GRAFT_QUERIES keys: ${unknown.mkString(", ")}")
     }
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    // Default 2: the per-key number shipped in BENCH_*.json is a min-of-2
+    // warm measurement. Round-5's regression triage was confounded by the
+    // container's documented ±15-23% single-run noise (BASELINE.md); one
+    // extra warm rep per key converts most of that into signal at the cost
+    // of one extra bench pass. Set SPARK_GRAFT_REPS=1 for quick dev loops.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -12,6 +12,12 @@ object GraftConf {
     // read as a timestamp ([PARQUET_TYPE_ILLEGAL]); read as BIGINT nanos and
     // convert explicitly (timestamp_micros(IntMath.floorDiv(ts, 1000))).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) snapshots: read as
+    // TimestampType directly at the SCAN (session zone is pinned UTC below,
+    // so the instant is identical to the NTZ reading) instead of inferring
+    // TimestampNTZType and paying a per-row NTZ→TZ cast in every consumer —
+    // Tables.tsToNanos then reduces to unix_micros (a bit reinterpretation).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark
   }

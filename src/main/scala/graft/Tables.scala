@@ -31,14 +31,28 @@ object Tables {
     * type. Naive timestamps are interpreted in the session zone (pinned
     * UTC by [[GraftConf]]), matching DuckDB's `epoch_us` on the same file.
     */
-  private def tsToNanos(df: DataFrame): DataFrame =
+  private def tsToNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        org.apache.spark.sql.functions.unix_micros(
-          org.apache.spark.sql.functions.col("ts")
-            .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      // INT64 TIMESTAMP(NANOS) under nanosAsLong: already epoch nanos. A
+      // plain un-annotated INT64 lands here too — nanos IS its contract
+      // (TESTDATA.md); an unannotated-micros snapshot must be re-annotated
+      // upstream, it is indistinguishable from nanos by schema alone.
+      case LongType => df
+      // TIMESTAMP(MICROS): with inferTimestampNTZ disabled the scan already
+      // yields TimestampType, so this is a reinterpretation + multiply, not
+      // a zone cast. The NTZ arm survives for externally-created sessions
+      // that scanned before GraftConf pinned the reader.
+      case TimestampType => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      // Anything else (string, double, int32 …) is a corrupt snapshot —
+      // fail fast instead of force-casting into a silently wrong scale.
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other - expected INT64 nanos or TIMESTAMP")
     }
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     GraftConf.ensure(spark)

@@ -200,9 +200,19 @@ object Dedup {
       .select(col("doc_id"), col("t.band").as("band"), col("t.bh").as("bh"), col("sh"))
   }
 
-  /** Distinct hashed-shingle set per doc — the exact-verification operand. */
-  def shingleSets(docs: DataFrame, shingleSize: Int): DataFrame =
-    tokenHashFrame(docs)
+  /** Distinct hashed-shingle set per doc — the exact-verification operand.
+    *
+    * The token-hash frame is CUT before the shingle projection, INSIDE the
+    * helper: `th` is a single-use alias here, so without the cut
+    * CollapseProject inlines the tokenize→md5 subtree into every
+    * `element_at` of the shingle lambda (~3 full re-tokenizations per
+    * shingle — the round-5 `corpus_novelty` 107 s pathology, and the same
+    * footgun that fired in rounds 2 and 3). Staging in the helper makes the
+    * single-use-consumer case safe by construction; PlanGuardSpec pins it.
+    */
+  def shingleSets(docs: DataFrame, shingleSize: Int,
+      cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame =
+    cp.cut(tokenHashFrame(docs))
       .select(col("doc_id"),
         array_distinct(hashedShingles(col("th"), shingleSize)).as("sh"))
 
@@ -518,8 +528,12 @@ object Dedup {
     // struct(jac_r, -iid) orders by jaccard first, then by NEGATED index
     // id — so ties fall to the smallest iid — replacing the former
     // groupBy-max + join-back + re-groupBy cascade (3 shuffles of the
-    // verified-pair frame) with a single hash aggregate.
-    val pick = ver.groupBy("bid")
+    // verified-pair frame) with a single hash aggregate. NULL jaccards
+    // (both shingle sets empty → 0/0 under non-ANSI division) are dropped
+    // BEFORE the aggregate: the struct argmax would otherwise emit a real
+    // near_id paired with the coalesced -1.0 sentinel — an inconsistent
+    // sentinel pair the old groupBy-max + join path never produced.
+    val pick = ver.filter(col("jac_r").isNotNull).groupBy("bid")
       .agg(max(struct(col("jac_r"), (-col("iid")).as("neg_iid"))).as("bst"))
       .select(col("bid"), (-col("bst.neg_iid")).as("near_id"),
         col("bst.jac_r").as("best_jac_r"))

@@ -218,7 +218,8 @@ object Scrub {
     * broadcast set; every non-benchmark document is scored by the fraction
     * of its shingle occurrences that collide.
     */
-  def contamination(docs: DataFrame, isBench: Column, shingleSize: Int): DataFrame = {
+  def contamination(docs: DataFrame, isBench: Column, shingleSize: Int,
+      cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
     // Project the token hashes into their own column BEFORE shingling:
     // hashedShingles references its input n times per element, and an
     // inlined tokenHashes tree would re-run the md5 pass per reference
@@ -229,7 +230,14 @@ object Scrub {
         Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
       .select(col("doc_id"), col("is_bench"),
         Dedup.hashedShingles(col("th"), shingleSize).as("sh"))
-    val bench = sh.filter(col("is_bench"))
+    // The BENCH slice is cut before its explode: `explode` plants an
+    // implicit `size(sh) > 0` filter that predicate-pushdown drops BELOW
+    // the projection, re-evaluating the whole tokenize→md5 subtree in the
+    // Filter and again in the Generate. The benchmark set is small by
+    // definition, so the cut is cheap; the TRAIN side stays a one-pass
+    // projection (explode_outer plants no filter) — no corpus-sized
+    // materialization.
+    val bench = cp.cut(sh.filter(col("is_bench")))
       .select(explode(col("sh")).as("bh")).distinct()
     val train = sh.filter(!col("is_bench"))
       .select(col("doc_id"), explode_outer(col("sh")).as("h"))

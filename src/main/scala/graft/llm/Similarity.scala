@@ -294,7 +294,11 @@ object Similarity {
     // single-pass argmax (same diet as Dedup.incremental): max over
     // struct(cos_r, -iid) = best cosine, ties to the smallest index id —
     // one hash aggregate instead of groupBy + join-back + re-groupBy.
-    val pick = ver.groupBy("bid")
+    // NULL cosines (zero-norm embedding → division by zero) are dropped
+    // BEFORE the aggregate so the sentinel pair stays consistent: without
+    // the filter the struct argmax emits a real near_id next to the
+    // coalesced -2.0 sentinel.
+    val pick = ver.filter(col("cos_r").isNotNull).groupBy("bid")
       .agg(max(struct(col("cos_r"), (-col("iid")).as("neg_iid"))).as("bst"))
       .select(col("bid"), (-col("bst.neg_iid")).as("near_id"),
         col("bst.cos_r").as("best_cos_r"))

@@ -71,13 +71,15 @@ object Kmv {
   def overlapEstimates(sketch: DataFrame, groupCol: String, idCol: String,
                        k: Int, cp: Checkpointer = Checkpointer.Local): DataFrame = {
     val s = cp.cut(sketch) // three consumers below
-    // Every frame from here on is bounded by construction — ≤ k rows per
-    // group (the sketch), one row per group (gstats), G²/2 rows (pairs) —
-    // independent of the input cardinality. That is the point of
-    // sketching, so the joins below are broadcast by HINT, not by
-    // AQE-estimated luck: at 100 TB the sketch side is still k·G rows and
-    // the hints keep the plan shuffle-free where a stats misestimate
-    // would otherwise fall back to sort-merge.
+    // Every frame from here on is bounded by the SKETCH geometry, not the
+    // input cardinality — but bounded-independent-of-input is NOT the same
+    // as broadcast-small: gstats is O(G) rows (hint it), while pairs is
+    // O(G²/2) and the sketch sides are k·G rows — at large group counts a
+    // pinned broadcast there hard-fails on the 8 GB broadcast cap or OOMs
+    // the driver, where the unhinted plan degrades gracefully to a shuffle
+    // join. So only the O(G) frames carry hints; the G²- and k·G-sized
+    // sides are left to AQE, which still broadcasts them at runtime
+    // whenever their measured size permits.
     // per-group size floor: the k-th hash (or the max rank if < k), plus
     // the exact group count so exactness can be TESTED (k_g == n_g), not
     // inferred from k_g < k — the prefilter can truncate a large group
@@ -94,18 +96,18 @@ object Kmv {
     // (A-rows tagged with B membership, plus B-rows absent from A)
     val aSide = s.select(col(groupCol).as("group_a"), col(idCol), col("hv"))
     val bSide = s.select(col(groupCol).as("group_b"), col(idCol), col("hv"))
-    val members = broadcast(pairs.select("group_a", "group_b", "k_eff"))
+    val members = pairs.select("group_a", "group_b", "k_eff")
       .join(aSide.select(col("group_a"), col(idCol), col("hv"), lit(1L).as("in_a")),
         Seq("group_a"))
-      .join(broadcast(bSide.select(col("group_b"), col(idCol), lit(1L).as("in_b"))),
+      .join(bSide.select(col("group_b"), col(idCol), lit(1L).as("in_b")),
         Seq("group_b", idCol), "left")
       .select(col("group_a"), col("group_b"), col("k_eff"), col(idCol), col("hv"),
         lit(1L).as("in_a"), coalesce(col("in_b"), lit(0L)).as("in_b"))
       .union(
-        broadcast(pairs.select("group_a", "group_b", "k_eff"))
+        pairs.select("group_a", "group_b", "k_eff")
           .join(bSide.select(col("group_b"), col(idCol), col("hv"), lit(1L).as("in_b")),
             Seq("group_b"))
-          .join(broadcast(aSide.select(col("group_a"), col(idCol), lit(1L).as("in_a"))),
+          .join(aSide.select(col("group_a"), col(idCol), lit(1L).as("in_a")),
             Seq("group_a", idCol), "left_anti")
           .select(col("group_a"), col("group_b"), col("k_eff"), col(idCol), col("hv"),
             lit(0L).as("in_a"), lit(1L).as("in_b")))
@@ -114,7 +116,7 @@ object Kmv {
     val rho = ranked.filter(col("urnk") <= col("k_eff"))
       .groupBy("group_a", "group_b", "k_eff")
       .agg(sum(col("in_a") * col("in_b")).as("rho"))
-    pairs.join(broadcast(rho), Seq("group_a", "group_b", "k_eff"))
+    pairs.join(rho, Seq("group_a", "group_b", "k_eff"))
       .select(col("group_a"), col("group_b"), col("k_eff").cast("long").as("k_eff"),
         col("rho"),
         expr("rho * 1000000 div k_eff").as("jaccard_est_ppm"),

@@ -63,4 +63,113 @@ object DocStream {
           size(array_union(col("sh"), col("r_sh"))), 6).as("jac_r"))
       .filter(col("jac_r") >= threshold)
   }
+
+  // ---------------------------------------------- intra-batch completeness
+  //
+  // nearDupProbe is stream-STATIC by construction, so two near-duplicate
+  // documents arriving in the SAME micro-batch both probe the index and
+  // both miss — the round-5 documented gap. A streaming self-join can't
+  // close it (stream-stream joins buffer ALL past rows as state, pairing
+  // across batches forever); the Spark shape for within-batch work is
+  // foreachBatch, where the micro-batch is an ordinary DataFrame. The
+  // helpers below are that foreachBatch body: batch-scoped pair detection
+  // plus an admission closure that is EXACTLY equivalent to processing the
+  // arrivals one document at a time (batch size 1) — so admission verdicts
+  // are invariant to how arrivals happen to be batched.
+
+  /** New-vs-new verified near-dup pairs WITHIN a batch: self-join of the
+    * batch's banded signatures on (band, bh) under the same occupancy cap
+    * as the index side, verified by exact shingle Jaccard. Emits
+    * `(doc_id, near_id, band, jac_r)` with `near_id < doc_id` (the earlier
+    * document), once per shared band — the same multiplicity contract as
+    * [[nearDupProbe]]. Batch-scoped: caller passes a BATCH frame (e.g.
+    * inside foreachBatch); the banded frame is cut once and feeds both
+    * join sides.
+    */
+  def intraBatchPairs(batch: DataFrame, shingleSize: Int = 3,
+                      numPerms: Int = 16, numBands: Int = 4,
+                      threshold: Double = 0.5,
+                      cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
+    val banded = cp.cut(
+      Dedup.bandedRowwise(batch, shingleSize, numPerms, numBands))
+    val capped = Dedup.cappedBuckets(banded, Dedup.MaxBandBucket)
+    capped.as("l").join(capped.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("r.doc_id").as("doc_id"), col("l.doc_id").as("near_id"),
+        col("l.band").as("band"),
+        round(size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh"))), 6).as("jac_r"))
+      .filter(col("jac_r") >= threshold)
+  }
+
+  /** Batch admission with intra-batch completeness — the foreachBatch body.
+    *
+    * Semantics: identical to feeding the batch's documents one at a time
+    * (doc_id order) through [[admit]] + [[nearDupProbe]] with the index
+    * updated after each admission. A document is REJECTED iff it is an
+    * exact or near duplicate of (a) the static index, or (b) an
+    * earlier-ADMITTED document of the same batch. "Earlier-admitted"
+    * matters: if A is rejected (it duplicated the index) and B only
+    * duplicates A, B is still admitted — the corpus keeps exactly one
+    * representative, which is what sequential processing does.
+    *
+    * That greedy closure is inherently sequential (lexicographically-first
+    * independent set), so it runs as a frontier loop: each round admits the
+    * undecided documents whose earlier in-batch duplicates are all already
+    * rejected, then rejects their later duplicates. Rounds = the longest
+    * intra-batch dependency CHAIN (A≈B≈C with A≉C), ≥1 doc resolves per
+    * round, and every round is a distributed join over the (tiny,
+    * bucket-capped) pair frame — micro-batch-bounded by construction, the
+    * same loop discipline as [[graft.ops.PageRank]]. Returns the admitted
+    * `(doc_id, text, fp)` rows.
+    */
+  def admitBatch(batch: DataFrame, index: DataFrame,
+                 shingleSize: Int = 3, numPerms: Int = 16, numBands: Int = 4,
+                 threshold: Double = 0.5,
+                 cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
+    val fp = cp.cut(batch.withColumn("fp", Dedup.fingerprint(col("text"))))
+    // (a) duplicates of the static index: exact fingerprint ∪ verified near
+    val exactHit = fp.join(Dedup.indexFingerprints(index), Seq("fp"), "left")
+      .filter(col("known").isNotNull).select("doc_id")
+    val nearHit = nearDupProbe(fp.select("doc_id", "text"), index,
+      shingleSize, numPerms, numBands, threshold).select("doc_id")
+    val indexRejected = exactHit.union(nearHit).distinct()
+    // (b) intra-batch duplicate pairs (near ∪ exact — exact covers docs
+    // below the shingle width that LSH can't see), as (lo=near_id, hi)
+    val nearPairs = intraBatchPairs(fp.select("doc_id", "text"),
+      shingleSize, numPerms, numBands, threshold, cp)
+      .select(col("near_id").as("lo"), col("doc_id").as("hi"))
+    val exactPairs = fp.select(col("fp"), col("doc_id").as("lo")).as("l")
+      .join(fp.select(col("fp"), col("doc_id").as("hi")).as("r"), Seq("fp"))
+      .filter(col("lo") < col("hi")).select("lo", "hi")
+    val pairs = cp.cut(nearPairs.union(exactPairs).distinct())
+    // Frontier loop over status ∈ {A(dmitted), R(ejected), U(ndecided)}.
+    var status = cp.cut(fp.select(col("doc_id"))
+      .join(indexRejected.withColumn("ir", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), when(col("ir"), lit("R")).otherwise(lit("U")).as("st")))
+    var undecided = status.filter(col("st") === "U").count()
+    while (undecided > 0) {
+      val next = status.as("s")
+        .join(pairs.join(status.select(col("doc_id").as("lo"), col("st").as("lo_st")),
+            Seq("lo")).select(col("hi").as("doc_id"), col("lo_st")),
+          Seq("doc_id"), "left")
+        .groupBy(col("doc_id"), col("st"))
+        .agg(max(when(col("lo_st") === "A", 1).otherwise(0)).as("any_a"),
+          max(when(col("lo_st") === "U", 1).otherwise(0)).as("any_u"))
+        .select(col("doc_id"),
+          when(col("st") =!= "U", col("st"))
+            .when(col("any_a") === 1, lit("R"))
+            .when(col("any_u") === 0, lit("A"))
+            .otherwise(lit("U")).as("st"))
+      status = cp.cut(next)
+      val left = status.filter(col("st") === "U").count()
+      // ≥1 doc resolves per round (the minimum undecided doc always does);
+      // guard against a logic regression turning this into a spin
+      require(left < undecided, s"admitBatch frontier stalled at $left undecided")
+      undecided = left
+    }
+    fp.join(status.filter(col("st") === "A").select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "text", "fp")
+  }
 }

@@ -227,6 +227,67 @@ class PlanGuardSpec extends SparkSpec {
       s"pair estimation must run over the checkpointed sketch rows only, got $scans scans:\n$plan")
   }
 
+  test("corpus_novelty: shingle explode rides the cut token-hash frame — no md5/scan in the final plan") {
+    // Round-5 lesson: this key derived shingles through shingleSets with a
+    // SINGLE-USE th alias; CollapseProject inlined the tokenize→md5 subtree
+    // into every element_at of the shingle lambda (~3 re-tokenizations per
+    // shingle, 107 s at sf0.1 — 34% of the whole bench). shingleSets now
+    // cuts the token-hash frame internally; the final plan must read
+    // materialized blocks only.
+    val df = SparkEntry.queries("corpus_novelty")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("md5"),
+      s"md5 subtree recomputed downstream of the shingle-set cut:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"corpus_novelty re-scans the corpus instead of the cut frames:\n$plan")
+  }
+
+  test("shingleSets: staged internally — a single-use consumer cannot re-inline the tokenize subtree") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Dedup
+    // The exact round-5 footgun shape: one downstream projection consuming
+    // `sh` once. With the cut inside the helper, the optimized plan of the
+    // consumer must contain zero md5 (the tokenize→md5 pass already ran
+    // into executor-local blocks) — if md5 reappears, CollapseProject got
+    // hold of the alias again and the per-element re-tokenization is back.
+    val sets = Dedup.shingleSets(Tables.documents(spark, d), shingleSize = 3)
+    val singleUse = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+    val plan = singleUse.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("md5"),
+      s"shingleSets leaked the md5 subtree to a single-use consumer:\n$plan")
+  }
+
+  test("shingle-family sweep: no executed plan recomputes the tokenize→md5 pass") {
+    // Keys routed through a materialized token-hash / signature frame
+    // (signatureIndex, bandedSignatures checkpoint, or the shingleSets
+    // internal cut) must show ZERO md5 in their executed plan — any md5
+    // means a key re-rooted itself at the raw corpus, the footgun that
+    // fired in rounds 2, 3 and 5.
+    val cutKeys = Seq("dedup_minhash", "dedup_verified", "dedup_ngram_jaccard",
+      "dedup_containment", "dedup_editdistance", "corpus_novelty",
+      "boilerplate_flag")
+    for (key <- cutKeys) {
+      val plan = SparkEntry.queries(key)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("md5"),
+        s"$key recomputes the tokenize→md5 subtree:\n$plan")
+    }
+    // Keys that legitimately tokenize inline (single corpus pass probing a
+    // broadcast set — no index to reuse) must keep the pass STAGED: the
+    // multi-use `th` alias holds it in its own projection. The pathological
+    // collapse shows up as the tokenize subtree inlined INTO the shingle
+    // lambda's element_at calls — assert that shape never appears.
+    for (key <- Seq("decontaminate")) {
+      val plan = SparkEntry.queries(key)(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("element_at(transform("),
+        s"$key inlines the tokenize subtree into per-element access:\n$plan")
+      val md5s = "md5".r.findAllIn(plan.toLowerCase).length
+      assert(md5s <= 2, // one corpus pass + one benchmark-set pass
+        s"$key: expected <= 2 md5 passes (corpus + benchmark), got $md5s:\n$plan")
+    }
+  }
+
   test("join_bloom: pre-filter sits under the semi join; dim side broadcasts") {
     // sf0.01: at sf0.001 the high-value dim set is empty and the plan
     // rightly collapses to an empty LocalTableScan (also covered here)

@@ -221,6 +221,81 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitBatch: intra-batch duplicates resolve exactly like one-at-a-time processing") {
+    import graft.streaming.DocStream
+    // Chain A≈B≈C with A≉C (B = A's tokens ++ C's tokens, so jac(A,B) =
+    // jac(B,C) = 10/22 ≈ 0.45 over 3-shingles, jac(A,C) = 0). Sequential
+    // semantics: A admitted; B rejected (dups ADMITTED A); C ADMITTED —
+    // its only duplicate B was rejected, and the corpus keeps one
+    // representative per content. 16 one-row bands make the LSH catch
+    // deterministic at jac 0.45.
+    val aToks = (1 to 12).map(i => s"alpha$i")
+    val cToks = (1 to 12).map(i => s"gamma$i")
+    val arrivals = Seq(
+      10L -> aToks.mkString(" "),
+      11L -> (aToks ++ cToks).mkString(" "),
+      12L -> cToks.mkString(" "),
+      20L -> "ab", 21L -> "ab", // exact intra pair below the shingle width
+      30L -> "seed corpus document with plenty of unrelated content here")
+    val index = Seq(
+      (0L, "seed corpus document with plenty of unrelated content here"))
+      .toDF("doc_id", "text")
+    // guard against a vacuous pass: the LSH must actually surface the
+    // chain pairs at this geometry
+    val pairs = DocStream.intraBatchPairs(arrivals.toDF("doc_id", "text"),
+        shingleSize = 3, numPerms = 16, numBands = 16, threshold = 0.35)
+      .select("doc_id", "near_id").distinct()
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(pairs.contains((10L, 11L)) && pairs.contains((11L, 12L)),
+      s"LSH must surface both chain pairs, got $pairs")
+    assert(!pairs.contains((10L, 12L)), s"A and C share nothing: $pairs")
+    def admittedOf(batches: Seq[Seq[(Long, String)]]): Set[Long] = {
+      var idx = index
+      var admitted = Set.empty[Long]
+      for (b <- batches) {
+        val got = DocStream.admitBatch(b.toDF("doc_id", "text"), idx,
+            shingleSize = 3, numPerms = 16, numBands = 16, threshold = 0.35)
+          .select("doc_id", "text").collect()
+        admitted ++= got.map(_.getLong(0))
+        idx = idx.unionByName(spark.createDataFrame(
+          spark.sparkContext.parallelize(got.toSeq), idx.schema))
+      }
+      admitted
+    }
+    val oneAtATime = admittedOf(arrivals.map(Seq(_)))
+    assert(oneAtATime == Set(10L, 12L, 20L),
+      s"sequential reference: chain keeps A and C, first 'ab', no index dup: $oneAtATime")
+    // admission is invariant to how arrivals are batched
+    assert(admittedOf(Seq(arrivals)) == oneAtATime, "one batch == sequential")
+    assert(admittedOf(Seq(arrivals.take(2), arrivals.drop(2))) == oneAtATime,
+      "split mid-chain == sequential")
+  }
+
+  test("foreachBatch admission stream: same-micro-batch near-dups are caught (the round-5 gap)") {
+    import graft.streaming.DocStream
+    implicit val sql = spark.sqlContext
+    val index = Seq((0L, "existing corpus text unrelated to the arrivals"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog again and again",
+      11L -> "the quick brown fox jumps over the lazy dog again and AGAIN today",
+      12L -> "entirely novel text sharing no shingles with anything else here")
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val in = MemoryStream[(Long, String)]
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, _) => admitted ++= DocStream.admitBatch(b.toDF(), index)
+        .select("doc_id").collect().map(_.getLong(0))
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(fn)
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*) // ONE micro-batch: 10 and 11 are near-dups
+      q.processAllAvailable()
+      assert(admitted.toSet == Set(10L, 12L),
+        s"intra-batch near-dup 11 must be rejected against admitted 10: $admitted")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases attribute to containing signup windows across batches") {
     implicit val sql = spark.sqlContext
     val signups = MemoryStream[(Timestamp, Long, String, Double)]
