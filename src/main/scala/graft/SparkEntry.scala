@@ -1840,6 +1840,98 @@ object SparkEntry {
           c, "click_id", "click_sec", "user_id", NearestTolSec,
           rtAlias = "click_sec", ridAlias = "click_id")
         .orderBy("event_id")
+    }),
+
+    // Source-balanced deterministic training order: seeded rank WITHIN each
+    // source (GlobalRank's grouped 3-pass shape — a plain per-source window
+    // would funnel a whole source through one task), then round-robin
+    // interleave across sources by global-ranking on (rnk_src, source) —
+    // no training shard ever sees a long single-source run, which is the
+    // ordering property corpus_shuffle's uniform shuffle cannot promise.
+    "export_interleave" -> ((s, d) => {
+      val seeded = docs(s, d).select(col("doc_id"), col("source"),
+        graft.expr.PortableHash.phash(
+          concat(lit(s"$InterleaveSeed:"), col("doc_id").cast("string"))).as("hk"))
+      val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
+          seeded, "source", "hk", Seq("doc_id"), buckets = 32,
+          out = "rnk_src", outN = "__n")
+        .drop("__n", "hk")
+      graft.ops.GlobalRank.withGlobalRowNumberAndCount(
+          ranked, "rnk_src", Seq("source", "doc_id"), buckets = 32, out = "pos")._1
+        .select(col("doc_id"), col("source"), col("rnk_src"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
+    // Dedup-tuning sweep: pair and removal counts at each candidate
+    // threshold, all from ONE verified-candidate pass (the LSH chain runs
+    // once; the sweep is a 5-row theta-join over the checkpointed pairs).
+    // n_docs_removed counts the LARGER doc of each surviving pair — the
+    // keep-smallest one-level removal set, not the transitive closure
+    // (dedup_clusters owns that); the sweep is the knob-choosing report a
+    // pipeline runs BEFORE committing to a threshold.
+    "dedup_threshold_sweep" -> ((s, d) => {
+      import s.implicits._
+      val ver = Dedup.verifiedJaccardFrom(
+          Dedup.signatureIndex(docs(s, d), shingleSize = 3, numPerms = 16,
+            numBands = 4))
+        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jac_r"))
+        .localCheckpoint() // one LSH+verify pass feeds all thresholds
+      SweepThresholds.toDF("thr")
+        .join(ver, col("jac_r") >= col("thr"), "left")
+        .groupBy("thr")
+        .agg(count(col("a")).as("n_pairs"),
+          countDistinct(col("b")).as("n_docs_removed"))
+        .orderBy("thr")
+    }),
+
+    // Multi-touch attribution: every click within the 24h window before a
+    // same-user purchase shares that purchase's value — linear credit in
+    // exact integer cents (cents div n_touch), plus the last-touch count.
+    // Candidates come from the keyed banded range join (user, time-bucket)
+    // — never clicks × purchases; the per-purchase windows partition by
+    // p_id (purchase-sized groups, balanced at any scale).
+    "events_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), IntMath.floorDiv(col("ts"), 1000L).as("t_us"),
+        col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("t_us").as("c_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          (col("t_us") - AttribWindowUs).as("lo_us"), col("t_us").as("hi_us"),
+          (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      val touches = graft.ops.RangeJoin.pointInRangeKeyed(
+          clicks, "c_us", purch, "lo_us", "hi_us", AttribWindowUs,
+          keys = Seq("user_id"))
+        .localCheckpoint() // the purchase windows + click rollup share it
+      val byP = Window.partitionBy("p_id")
+      touches
+        .withColumn("n_touch", count(lit(1)).over(byP))
+        .withColumn("is_last", row_number().over(
+          byP.orderBy(col("c_us").desc, col("click_id").desc)) === 1)
+        .groupBy("click_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(expr("cents div n_touch")).as("attributed_cents"),
+          sum(when(col("is_last"), 1L).otherwise(0L)).as("n_last_touch"))
+        .orderBy("click_id")
+    }),
+
+    // KMV union estimates between day cohorts — the merge half of the
+    // sketch family (sketch_kmv_overlap estimates intersection/Jaccard;
+    // this estimates |A ∪ B| from the merged k-set, the mergeability HLL
+    // shares but cannot intersect on). Same sketch build, same ≤2k-row
+    // per-pair estimator; shared pairStream/CTE machinery keeps the two
+    // keys' streams identical by construction.
+    "sketch_kmv_union" -> ((s, d) => {
+      val dp = events(s, d)
+        .select(IntMath.floorDiv(col("ts"), NanosPerDay).as("g"),
+          col("user_id").as("id"))
+        .distinct()
+      val sk = graft.ops.Kmv.sketchByGroup(dp, "g", "id", k = KmvK, seed = KmvSeed)
+      graft.ops.Kmv.unionEstimates(sk, "g", "id", k = KmvK)
+        .orderBy("group_a", "group_b")
     })
   )
 
@@ -1854,6 +1946,17 @@ object SparkEntry {
 
   /** `join_asof_nearest` tolerance (seconds) — also its band width. */
   private val NearestTolSec = 900L
+
+  /** `export_interleave` within-source shuffle seed (shared with oracle). */
+  private val InterleaveSeed = "interleave-v1"
+
+  /** `events_attribution` lookback (µs): clicks within 24 h before a
+    * same-user purchase share its credit. Also the range-join band width.
+    */
+  private val AttribWindowUs = 86400000000L
+
+  /** `dedup_threshold_sweep` thresholds (shared with the oracle). */
+  private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
@@ -2407,7 +2510,40 @@ object SparkEntry {
              |             ${ZOrder.sqlQuantize16("lat", -90, 90)} AS qy
              |      FROM occ)
              |GROUP BY 1 ORDER BY 1""".stripMargin
-      }
+      },
+
+      "export_interleave" ->
+        s"""WITH r AS (SELECT doc_id, source,
+           |  row_number() OVER (PARTITION BY source ORDER BY
+           |    ${graft.expr.PortableHash.sqlPhash(s"('$InterleaveSeed:' || doc_id::VARCHAR)")},
+           |    doc_id) AS rnk_src
+           |  FROM documents)
+           |SELECT doc_id, source, rnk_src::BIGINT AS rnk_src,
+           |  row_number() OVER (ORDER BY rnk_src, source, doc_id)::BIGINT AS pos
+           |FROM r ORDER BY doc_id""".stripMargin,
+
+      "events_attribution" ->
+        s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+           |           FROM events WHERE event_type = 'click'),
+           |p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+           |        (value::DECIMAL(12,2) * 100)::BIGINT AS cents
+           |      FROM events WHERE event_type = 'purchase'),
+           |t AS (SELECT c.click_id, p.p_id, p.cents, c.c_us
+           |      FROM c JOIN p ON c.user_id = p.user_id
+           |        AND c.c_us >= p.p_us - $AttribWindowUs AND c.c_us < p.p_us),
+           |m AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n_touch,
+           |        (row_number() OVER (PARTITION BY p_id
+           |           ORDER BY c_us DESC, click_id DESC) = 1) AS is_last
+           |      FROM t)
+           |SELECT click_id, count(*)::BIGINT AS n_purchases,
+           |  sum(cents // n_touch)::BIGINT AS attributed_cents,
+           |  sum(CASE WHEN is_last THEN 1 ELSE 0 END)::BIGINT AS n_last_touch
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "sketch_kmv_union" ->
+        (graft.ops.Kmv.sqlUnion(
+          "SELECT DISTINCT epoch_us(ts) // 86400000000 AS g, user_id AS id FROM events",
+          KmvK, KmvSeed) + "\nORDER BY 1, 2")
     ) ++ llmOracles
   }
 
@@ -2441,6 +2577,14 @@ object SparkEntry {
       "dedup_verified" ->
         (s"WITH ${sqlVerifiedCte(3, 16, 4)}\n" +
           "SELECT a, b, n_bands, jac_r, (jac_r >= 0.5) AS is_dup FROM v ORDER BY 1, 2"),
+
+      "dedup_threshold_sweep" ->
+        (s"WITH ${sqlVerifiedCte(3, 16, 4)},\n" +
+          s"""thr AS (SELECT unnest([${SweepThresholds.mkString(", ")}]) AS thr)
+             |SELECT thr.thr, count(v.a)::BIGINT AS n_pairs,
+             |  count(DISTINCT v.b)::BIGINT AS n_docs_removed
+             |FROM thr LEFT JOIN v ON v.jac_r >= thr.thr
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "embedding_neardup" ->
         (s"WITH ${sqlNearDupCte(0.4)}\n" +

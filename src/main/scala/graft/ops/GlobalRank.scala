@@ -130,11 +130,14 @@ object GlobalRank {
     }
   }
 
-  /** Above this many distinct groups the per-group case-chains (groups ×
-    * buckets literals) stop being "loop-control metadata" and become a
-    * janino-hostile megamorphic expression — and by the operator's own
-    * regime doc, many-group inputs are small-group inputs, where a plain
-    * grouped window is the right plan anyway. The fallback enforces that.
+  /** Above this many distinct groups the 3-pass bucketed machinery stops
+    * paying for itself: by the operator's own regime doc, many-group
+    * inputs are (pigeonhole) small-group inputs, where a plain grouped
+    * window is already balanced and costs one pass. The fallback enforces
+    * that. (The per-group metadata itself is join-broadcast, not a literal
+    * case-chain, so this bound is about pass count — codegen no longer
+    * caps it; the old chain form hit janino's 64 KB method limit at ~20
+    * groups.)
     */
   val MaxCaseGroups: Int = 64
 
@@ -176,47 +179,40 @@ object GlobalRank {
         .withColumn(outN, count(lit(1)).over(Window.partitionBy(groupCol)))
     }
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val boundRows = df.groupBy(groupCol)
-      .agg(expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)"))
-      .collect()
-    val boundsByGroup: Map[Any, Seq[Double]] = boundRows.map { r =>
-      r.get(0) -> (if (r.isNullAt(1)) Seq.empty[Double]
-                   else r.getSeq[Any](1).map(_.toString.toDouble).distinct.sorted)
-    }.toMap
-    // Null-safe group matcher: `col === lit(null)` yields null, so a NULL
-    // group would silently fall through every case-chain to the defaults
-    // (bucket 0 / offset 0 / total 0 → negative percent ranks downstream).
-    def isGroup(g: Any): Column =
-      if (g == null) col(groupCol).isNull else col(groupCol) === lit(g)
-    // per-group monotone bucket id as ONE case chain (groups are bounded)
-    val bucket = boundsByGroup.foldLeft(lit(0)) { case (acc, (g, bounds)) =>
-      val b = bounds.foldLeft(lit(0)) { (a, bd) =>
-        a + when(col(rangeCol) > lit(bd), 1).otherwise(0)
-      }
-      when(isGroup(g), b).otherwise(acc)
-    }
-    val local = df.withColumn("__bkt", bucket)
+    // Per-group metadata stays in FRAMES broadcast back to the rows — never
+    // collected into literal case-chains: a groups × buckets `when`-chain
+    // compiles into ONE janino method, and the 64 KB method limit trips at
+    // ~20 groups × 31 bounds ("Code grows beyond 64 KB", found by
+    // export_interleave at sf0.1 — far below the MaxCaseGroups=64 the old
+    // chain assumed safe). The join form is also what a 1000-executor plan
+    // wants anyway: broadcast a groups-row table, no megamorphic codegen.
+    // All group joins are NULL-SAFE (<=>): a NULL group must rank within
+    // its own partition, not vanish through an equality join.
+    val bf = df.groupBy(col(groupCol).as("__g"))
+      .agg(expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")
+        .as("__bounds"))
+    // monotone bucket id = #bounds strictly below the key — an array fold
+    // over ≤ buckets elements, group-count-independent; duplicate bounds
+    // collapse bucket ids exactly as the old distinct'd chain did
+    val bucketed = df
+      .join(broadcast(bf), col(groupCol) <=> col("__g"), "left")
+      .withColumn("__bkt", coalesce(
+        size(filter(col("__bounds"), b => col(rangeCol) > b)), lit(0)))
+      .drop("__g", "__bounds")
+    val counts = bucketed.groupBy(col(groupCol).as("__g2"), col("__bkt").as("__b2"))
+      .agg(count(lit(1)).as("__c"))
+    // offsets/totals: windows over the groups × buckets metadata frame
+    val wCum = Window.partitionBy("__g2").orderBy("__b2")
+    val offs = counts.select(col("__g2"), col("__b2"),
+      (sum("__c").over(wCum) - col("__c")).as("__off"),
+      sum("__c").over(Window.partitionBy("__g2")).as("__tot"))
+    bucketed
       .withColumn("__lrn", row_number().over(
         Window.partitionBy(groupCol, "__bkt").orderBy(sortCols: _*)))
-    val counts = df.withColumn("__bkt", bucket)
-      .groupBy(groupCol, "__bkt").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
-    val totals: Map[Any, Long] =
-      counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
-    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
-      val sorted = rows.sortBy(_._2)
-      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _).dropRight(1))
-        .map { case (bkt, off) => (g, bkt, off) }
-    }
-    val offset = offsets.foldLeft(lit(0L)) { case (acc, (g, bkt, off)) =>
-      when(isGroup(g) && col("__bkt") === bkt, lit(off)).otherwise(acc)
-    }
-    val total = totals.foldLeft(lit(0L)) { case (acc, (g, n)) =>
-      when(isGroup(g), lit(n)).otherwise(acc)
-    }
-    local
-      .withColumn(out, col("__lrn") + offset)
-      .withColumn(outN, total)
-      .drop("__bkt", "__lrn")
+      .join(broadcast(offs),
+        col(groupCol) <=> col("__g2") && col("__bkt") === col("__b2"))
+      .withColumn(out, col("__lrn") + col("__off"))
+      .withColumn(outN, col("__tot"))
+      .drop("__g2", "__b2", "__off", "__tot", "__bkt", "__lrn")
   }
 }

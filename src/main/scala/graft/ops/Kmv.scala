@@ -68,8 +68,15 @@ object Kmv {
     * the SAME element hash), so the whole estimator is joins + windows
     * over ≤ 2k rows per pair — nothing rescans the data.
     */
-  def overlapEstimates(sketch: DataFrame, groupCol: String, idCol: String,
-                       k: Int, cp: Checkpointer = Checkpointer.Local): DataFrame = {
+  /** Shared pair machinery: per-pair stats (`pairs`) and the hash-ranked
+    * union member stream (`ranked`) — the common prefix of
+    * [[overlapEstimates]] and [[unionEstimates]], factored so the two
+    * estimators can never diverge on stream construction.
+    */
+  private final case class PairStream(pairs: DataFrame, ranked: DataFrame)
+
+  private def pairStream(sketch: DataFrame, groupCol: String, idCol: String,
+                         cp: Checkpointer): PairStream = {
     val s = cp.cut(sketch) // three consumers below
     // Every frame from here on is bounded by the SKETCH geometry, not the
     // input cardinality — but bounded-independent-of-input is NOT the same
@@ -113,6 +120,12 @@ object Kmv {
             lit(0L).as("in_a"), lit(1L).as("in_b")))
     val ranked = members.withColumn("urnk", row_number().over(
       Window.partitionBy("group_a", "group_b").orderBy(col("hv"), col(idCol))))
+    PairStream(pairs, ranked)
+  }
+
+  def overlapEstimates(sketch: DataFrame, groupCol: String, idCol: String,
+                       k: Int, cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val PairStream(pairs, ranked) = pairStream(sketch, groupCol, idCol, cp)
     val rho = ranked.filter(col("urnk") <= col("k_eff"))
       .groupBy("group_a", "group_b", "k_eff")
       .agg(sum(col("in_a") * col("in_b")).as("rho"))
@@ -126,12 +139,51 @@ object Kmv {
           .otherwise(expr(s"(kb - 1) * $HashSpace div hb")).as("nb_est"))
   }
 
-  /** DuckDB mirror of sketch + overlap over a `(groupE, idE)` relation
-    * given as a FROM-able subquery producing DISTINCT (g, id) rows.
+  /** Pairwise UNION estimates from the same merged k-sets: the KMV-merge
+    * estimator (the k smallest hashes of A ∪ B are themselves a KMV sketch
+    * of the union — the mergeability property HLL registers share but
+    * cannot intersect on). Emits `(group_a, group_b, k_eff, n_union_est,
+    * n_inter_est)` with `n_inter_est = ρ/k_u · n̂(A∪B)` — the
+    * inclusion-free intersection estimate of Beyer et al. §4. When both
+    * sketches are provably whole groups AND the merged stream fits in
+    * k_eff, the union count is exact (the member stream IS A ∪ B); the
+    * same graceful degradation as [[overlapEstimates]].
     */
-  def sqlOverlap(distinctRel: String, k: Int, seed: String): String = {
+  def unionEstimates(sketch: DataFrame, groupCol: String, idCol: String,
+                     k: Int, cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val PairStream(pairs, ranked) = pairStream(sketch, groupCol, idCol, cp)
+    val m = ranked.groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("m_all"),
+        max(when(col("urnk") <= col("k_eff"), col("urnk"))).as("k_u"),
+        max(when(col("urnk") <= col("k_eff"), col("hv"))).as("h_u"),
+        sum(when(col("urnk") <= col("k_eff"), col("in_a") * col("in_b"))
+          .otherwise(lit(0L))).as("rho"),
+        sum(col("in_a") * col("in_b")).as("rho_all"))
+    // Both sketches provably whole groups ⇒ the member stream IS A ∪ B
+    // (regardless of k_eff — the cap only matters for truncated sketches),
+    // so union AND intersection are exact counts. Otherwise the KMV-merge
+    // estimator over the k_eff smallest union hashes.
+    pairs.join(m, Seq("group_a", "group_b"))
+      .withColumn("exact",
+        col("ka") === col("na_g") && col("kb") === col("nb_g"))
+      .select(col("group_a"), col("group_b"), col("k_eff").cast("long").as("k_eff"),
+        col("k_u").cast("long").as("k_u"), col("rho"), col("rho_all"), col("exact"),
+        when(col("exact"), col("m_all"))
+          .otherwise(expr(s"(k_u - 1) * $HashSpace div h_u"))
+          .cast("long").as("n_union_est"))
+      .withColumn("n_inter_est",
+        when(col("exact"), col("rho_all"))
+          .otherwise(expr("(rho * n_union_est) div k_u")))
+      .drop("rho", "rho_all", "exact")
+  }
+
+  /** Shared DuckDB CTE chain `dp..rk` (sketch build → pair stats → ranked
+    * union member stream) — the SQL twin of [[pairStream]], shared by
+    * [[sqlOverlap]] and [[sqlUnion]] so the mirrors can't drift either.
+    */
+  private def sqlSketchCtes(distinctRel: String, k: Int, seed: String): String = {
     val h = PortableHash.sqlPhash(s"('$seed' || ':' || id::VARCHAR)")
-    s"""WITH dp AS ($distinctRel),
+    s"""dp AS ($distinctRel),
        |hx AS (SELECT g, id, $h AS hv FROM dp),
        |c AS (SELECT g, count(*) AS n_g FROM hx GROUP BY 1),
        |sv AS (SELECT hx.*, c.n_g FROM hx JOIN c USING (g)
@@ -156,7 +208,14 @@ object Kmv {
        |  WHERE NOT EXISTS (SELECT 1 FROM sk a
        |                    WHERE a.g = pr.group_a AND a.id = b.id)),
        |rk AS (SELECT *, row_number() OVER (
-       |    PARTITION BY group_a, group_b ORDER BY hv, id) AS urnk FROM mem),
+       |    PARTITION BY group_a, group_b ORDER BY hv, id) AS urnk FROM mem)""".stripMargin
+  }
+
+  /** DuckDB mirror of sketch + overlap over a `(groupE, idE)` relation
+    * given as a FROM-able subquery producing DISTINCT (g, id) rows.
+    */
+  def sqlOverlap(distinctRel: String, k: Int, seed: String): String =
+    s"""WITH ${sqlSketchCtes(distinctRel, k, seed)},
        |rho AS (SELECT group_a, group_b, k_eff,
        |         sum(in_a * in_b)::BIGINT AS rho
        |       FROM rk WHERE urnk <= k_eff GROUP BY 1, 2, 3)
@@ -167,5 +226,24 @@ object Kmv {
        |  (CASE WHEN pr.kb = pr.nb_g THEN pr.kb
        |        ELSE ((pr.kb - 1) * $HashSpace) // pr.hb END)::BIGINT AS nb_est
        |FROM pr JOIN rho USING (group_a, group_b, k_eff)""".stripMargin
-  }
+
+  /** DuckDB mirror of [[unionEstimates]]. */
+  def sqlUnion(distinctRel: String, k: Int, seed: String): String =
+    s"""WITH ${sqlSketchCtes(distinctRel, k, seed)},
+       |m AS (SELECT group_a, group_b, count(*) AS m_all,
+       |        max(CASE WHEN urnk <= k_eff THEN urnk END) AS k_u,
+       |        max(CASE WHEN urnk <= k_eff THEN hv END) AS h_u,
+       |        sum(CASE WHEN urnk <= k_eff THEN in_a * in_b ELSE 0 END)::BIGINT AS rho,
+       |        sum(in_a * in_b)::BIGINT AS rho_all
+       |      FROM rk GROUP BY 1, 2),
+       |ue AS (SELECT pr.group_a, pr.group_b, pr.k_eff::BIGINT AS k_eff,
+       |        m.k_u::BIGINT AS k_u, m.rho, m.rho_all,
+       |        (pr.ka = pr.na_g AND pr.kb = pr.nb_g) AS exact,
+       |        (CASE WHEN pr.ka = pr.na_g AND pr.kb = pr.nb_g THEN m.m_all
+       |              ELSE ((m.k_u - 1) * $HashSpace) // m.h_u END)::BIGINT AS n_union_est
+       |      FROM pr JOIN m USING (group_a, group_b))
+       |SELECT group_a, group_b, k_eff, k_u, n_union_est,
+       |  (CASE WHEN exact THEN rho_all
+       |        ELSE (rho * n_union_est) // k_u END)::BIGINT AS n_inter_est
+       |FROM ue""".stripMargin
 }

@@ -33,7 +33,17 @@ object RangeJoin {
     */
   def pointInRange(points: DataFrame, ptCol: String,
                    ranges: DataFrame, loCol: String, hiCol: String,
-                   bucketWidth: Long): DataFrame = {
+                   bucketWidth: Long): DataFrame =
+    pointInRangeKeyed(points, ptCol, ranges, loCol, hiCol, bucketWidth, Nil)
+
+  /** [[pointInRange]] with equality key columns (present on BOTH inputs,
+    * e.g. user_id): the equi-join key becomes `keys :+ bucket`, so bucket
+    * collisions across different key values never meet — the per-entity
+    * attribution/windowing shape. Keys are emitted once (join-using).
+    */
+  def pointInRangeKeyed(points: DataFrame, ptCol: String,
+                        ranges: DataFrame, loCol: String, hiCol: String,
+                        bucketWidth: Long, keys: Seq[String]): DataFrame = {
     // Empty/inverted ranges (hi <= lo) are dropped BEFORE the explode:
     // they can never match the half-open predicate, and Spark's
     // sequence(start, stop) auto-reverses for start > stop — a single
@@ -47,8 +57,13 @@ object RangeJoin {
       explode(sequence(IntMath.floorDiv(col(loCol), bucketWidth),
         IntMath.floorDiv(col(hiCol) - 1, bucketWidth))))
     val p = points.withColumn("__bkt", IntMath.floorDiv(col(ptCol), bucketWidth))
-    p.join(r, p("__bkt") === r("__bkt") &&
-        col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
-      .drop("__bkt")
+    if (keys.isEmpty)
+      p.join(r, p("__bkt") === r("__bkt") &&
+          col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+        .drop("__bkt")
+    else
+      p.join(r, keys :+ "__bkt")
+        .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+        .drop("__bkt")
   }
 }

@@ -78,4 +78,19 @@ class EventAnalyticsSpec extends SparkSpec {
     val out = run("events_anomaly", ev(calm ++ wild: _*))
     assert(out.length == 1 && out.head.getLong(0) == 900L && out.head.getDouble(3) > 3.0)
   }
+
+  test("events_attribution: linear credit splits exactly, last touch unique, no cross-user bleed") {
+    val h = 3600L * 1000000000L // ns per hour
+    val out = run("events_attribution", ev(
+      (1L, 1L, "click", 10 * h, 1.0),
+      (2L, 1L, "click", 20 * h, 1.0),
+      (3L, 1L, "purchase", 24 * h, 10.00), // window [0h,24h): clicks 1,2
+      (4L, 1L, "purchase", 30 * h, 7.77),  // window [6h,30h): clicks 1,2
+      (5L, 2L, "click", 1 * h, 1.0),       // other user, outside any window
+      (6L, 2L, "purchase", 30 * h, 5.0)))  // [6h,30h): no same-user clicks
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 1000 div 2 = 500 and 777 div 2 = 388 per click; click 2 (latest) is
+    // the last touch of BOTH purchases; user 2's click never attributes
+    assert(out.toSeq == Seq((1L, 2L, 888L, 0L), (2L, 2L, 888L, 2L)), s"got ${out.toSeq}")
+  }
 }

@@ -130,4 +130,26 @@ class GlobalRankSpec extends SparkSpec {
     assert(ranked.exceptAll(expect).isEmpty && expect.exceptAll(ranked).isEmpty,
       "fallback path must be value-identical to the grouped window")
   }
+
+  test("export_interleave: positions are a permutation and no source ever runs long") {
+    val out = SparkEntry.queries("export_interleave")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val n = out.length
+    assert(n > 0)
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n).toSeq,
+      "pos must be an exact 1..N permutation")
+    // Round-robin property: between a source's rank-r and rank-(r+1) docs
+    // sit at most one doc of each OTHER source (rank-r docs of later
+    // sources + rank-(r+1) docs of earlier ones) — so consecutive
+    // positions of one source can differ by at most the source count.
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    val nSrc = bySource.size.toLong
+    assert(nSrc > 1, "fixture must have several sources for the property to bite")
+    for ((src, rows) <- bySource) {
+      val ps = rows.map(_.getAs[Long]("pos")).sorted
+      val maxGap = ps.zip(ps.tail).map { case (a, b) => b - a }
+        .foldLeft(0L)(math.max)
+      assert(maxGap <= nSrc, s"source $src runs: max gap $maxGap > $nSrc sources")
+    }
+  }
 }

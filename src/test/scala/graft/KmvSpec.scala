@@ -48,6 +48,28 @@ class KmvSpec extends SparkSpec {
     assert(sk.map(_._2).toSeq == (1 to 32), "ranks dense 1..k")
   }
 
+  test("union estimates: exact on whole-group sketches, near-truth in the estimate regime") {
+    // exact regime: both sketches whole groups ⇒ the member stream IS
+    // A ∪ B, so union (22) and intersection (4) are exact counts — k_eff
+    // never truncates a complete stream
+    val dp = ((0L until 10L).map(("a", _)) ++ (6L until 22L).map(("b", _)))
+      .toDF("g", "id").distinct()
+    val sk = Kmv.sketchByGroup(dp, "g", "id", k = 64, seed = "t")
+    val out = Kmv.unionEstimates(sk, "g", "id", k = 64).collect().head
+    assert(out.getAs[Long]("n_union_est") == 22L, "whole-group union is exact")
+    assert(out.getAs[Long]("n_inter_est") == 4L, "whole-group intersection is exact")
+    // estimate regime: |A ∪ B| = 7500, |A ∩ B| = 2500 with k = 256 -> ~10%
+    val dp3 = ((0L until 5000L).map(("a", _)) ++ (2500L until 7500L).map(("b", _)))
+      .toDF("g", "id")
+    val sk3 = Kmv.sketchByGroup(dp3, "g", "id", k = 256, seed = "t2")
+    val out3 = Kmv.unionEstimates(sk3, "g", "id", k = 256).collect().head
+    assert(out3.getAs[Long]("k_u") == 256L, "truncated sketches rank to k_eff")
+    val u = out3.getAs[Long]("n_union_est")
+    val i3 = out3.getAs[Long]("n_inter_est")
+    assert(math.abs(u - 7500) < 800, s"union est $u vs 7500")
+    assert(math.abs(i3 - 2500) < 800, s"intersection est $i3 vs 2500")
+  }
+
   test("prefilter-truncated sketch falls to the estimator, never fake-exact") {
     // Hand-build the pathological shape ADVICE flagged: group 'a' is LARGE
     // (n_g = 1000) but the Chernoff prefilter (by bad luck) kept only 5 of

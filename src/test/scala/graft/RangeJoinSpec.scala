@@ -63,6 +63,29 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L), (5L, 20L)), s"got $got")
   }
 
+  test("keyed variant: bucket collisions across key values never meet") {
+    val rnd = new scala.util.Random(13)
+    val points = Seq.tabulate(400)(i =>
+      (i.toLong, i % 7L, rnd.nextLong(50000L))).toDF("pid", "k", "t")
+    val ranges = Seq.tabulate(50) { i =>
+      val lo = rnd.nextLong(48000L)
+      (i.toLong, i % 7L, lo, lo + 1 + rnd.nextLong(5000L))
+    }.toDF("rid", "k", "lo", "hi")
+    val keyed = RangeJoin.pointInRangeKeyed(points, "t", ranges, "lo", "hi",
+        1000L, keys = Seq("k"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    val naive = points.as("p").join(ranges.as("r"),
+        col("p.k") === col("r.k") && col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(keyed == naive, s"keyed=${keyed.size} naive=${naive.size}")
+    assert(naive.nonEmpty, "fixture must actually produce matches")
+    // same-bucket different-key pairs must NOT appear
+    val unkeyed = RangeJoin.pointInRange(points.drop("k"), "t",
+        ranges.drop("k"), "lo", "hi", 1000L)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(unkeyed.size > keyed.size, "dropping the key must widen the match set")
+  }
+
   test("IntMath.floorDiv agrees with Math.floorDiv across the long range") {
     val vals = Seq(Long.MinValue + 1, -(1L << 60) - 7, -1000001L, -1L, 0L, 1L,
       999999L, (1L << 53) + 1, (1L << 60) + 3, Long.MaxValue)
