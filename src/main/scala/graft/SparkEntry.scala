@@ -1918,6 +1918,38 @@ object SparkEntry {
         .orderBy("click_id")
     }),
 
+    // Embedding-space outlier detection (training-data cleaning): cosine
+    // of every vector to its LABEL centroid; low/negative cosine marks the
+    // mislabeled/corrupt suspects a pipeline drops or reroutes. Centroids
+    // are exact quantized-integer means (float averaging is shuffle-order-
+    // dependent — the same determinism trade Quantizer documents), so the
+    // oracle replays them bit-for-bit; the per-vector cosine is then
+    // integer dots through IEEE doubles — per-row deterministic. One
+    // quantize pass feeds both the centroid agg and the per-vector dots;
+    // the |labels|×dim centroid table broadcasts.
+    "embedding_outlier" -> ((s, d) => {
+      val q = emb(s, d).select(col("vec_id"), col("label"),
+          posexplode(graft.llm.Quantizer.quantize(col("embedding"))))
+        .toDF("vec_id", "label", "idx", "qv")
+        .localCheckpoint()
+      val cent = q.groupBy("label", "idx")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        // floor division via the pmod identity (Spark `div` truncates;
+        // DuckDB `//` floors — pmod makes both exact-floor)
+        .select(col("label"), col("idx"), expr("(s - pmod(s, n)) div n").as("c"))
+      q.join(broadcast(cent), Seq("label", "idx"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("qv") * col("c")).as("dt"),
+          sum(col("qv") * col("qv")).as("n2v"),
+          sum(col("c") * col("c")).as("n2c"))
+        .select(col("vec_id"), col("label"),
+          when(col("n2v") === 0 || col("n2c") === 0, lit(-2.0))
+            .otherwise(round(col("dt") / (sqrt(col("n2v")) * sqrt(col("n2c"))), 6))
+            .as("cos_centroid_r"))
+        .withColumn("is_outlier", col("cos_centroid_r") < OutlierTau)
+        .orderBy("vec_id")
+    }),
+
     // KMV union estimates between day cohorts — the merge half of the
     // sketch family (sketch_kmv_overlap estimates intersection/Jaccard;
     // this estimates |A ∪ B| from the merged k-set, the mergeability HLL
@@ -1957,6 +1989,12 @@ object SparkEntry {
 
   /** `dedup_threshold_sweep` thresholds (shared with the oracle). */
   private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** `embedding_outlier` cutoff: cosine-to-own-label-centroid below this is
+    * flagged (0.0 = anti-correlated with the label's mean direction; the
+    * sf0.01 fixture medians ~0.15 against own-label centroids).
+    */
+  private val OutlierTau = 0.0
 
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
@@ -2589,6 +2627,27 @@ object SparkEntry {
       "embedding_neardup" ->
         (s"WITH ${sqlNearDupCte(0.4)}\n" +
           "SELECT a, b, cos_r FROM ndp ORDER BY 1, 2"),
+
+      "embedding_outlier" ->
+        s"""WITH q AS (SELECT vec_id, label, r.range::INTEGER AS idx,
+           |             ei[r.range + 1] AS qv
+           |           FROM (SELECT vec_id, label,
+           |                   ${graft.llm.Quantizer.sqlQuantize("embedding")} AS ei
+           |                 FROM embeddings) CROSS JOIN range(${Similarity.Dim}) r),
+           |cent AS (SELECT label, idx, ((s - (((s % n) + n) % n)) / n)::BIGINT AS c
+           |         FROM (SELECT label, idx, sum(qv)::BIGINT AS s,
+           |                 count(*)::BIGINT AS n FROM q GROUP BY 1, 2)),
+           |d AS (SELECT q.vec_id, q.label, sum(q.qv * cent.c)::BIGINT AS dt,
+           |        sum(q.qv * q.qv)::BIGINT AS n2v, sum(cent.c * cent.c)::BIGINT AS n2c
+           |      FROM q JOIN cent USING (label, idx) GROUP BY 1, 2),
+           |o AS (SELECT vec_id, label,
+           |        CASE WHEN n2v = 0 OR n2c = 0 THEN -2.0
+           |             ELSE round(dt::DOUBLE / (sqrt(n2v::DOUBLE) * sqrt(n2c::DOUBLE)), 6)
+           |        END AS cos_centroid_r
+           |      FROM d)
+           |SELECT vec_id, label, cos_centroid_r,
+           |  (cos_centroid_r < $OutlierTau) AS is_outlier
+           |FROM o ORDER BY vec_id""".stripMargin,
 
       // Reference CC over the near-dup edge set (recursive reachability is
       // the oracle-side stand-in for the engine's alternating-star rounds).

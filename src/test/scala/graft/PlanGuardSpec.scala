@@ -288,6 +288,17 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("embedding_outlier: one quantize pass; centroid table broadcasts") {
+    val df = SparkEntry.queries("embedding_outlier")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"both consumers must read the checkpointed quantize pass, not re-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |labels|×dim centroid table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a shuffle join against the tiny centroid table is the wrong shape:\n$plan")
+  }
+
   test("join_bloom: pre-filter sits under the semi join; dim side broadcasts") {
     // sf0.01: at sf0.001 the high-value dim set is empty and the plan
     // rightly collapses to an empty LocalTableScan (also covered here)
