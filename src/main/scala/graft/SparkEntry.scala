@@ -685,6 +685,42 @@ object SparkEntry {
         .orderBy("z_prefix")
     }),
 
+    // Hilbert-curve layout key: the locality-superior sibling of
+    // zorder_layout (no diagonal jumps — contiguous index ranges make
+    // tighter per-file bounding boxes for data skipping). Same 16-bit
+    // quantized grid, same per-prefix min/max report; the 16 bit-descent
+    // levels are STAGED projections (see graft.ops.Hilbert — inlining the
+    // recursion grows the expression tree 6x per level), all fused by
+    // whole-stage codegen into one narrow pass.
+    "hilbert_layout" -> ((s, d) => {
+      import graft.ops.{Hilbert, ZOrder}
+      val q = occ(s, d).select(
+        ZOrder.quantize16(col("lng"), -180, 180).as("qx"),
+        ZOrder.quantize16(col("lat"), -90, 90).as("qy"))
+      Hilbert.withIndex(q, "qx", "qy", order = 16, out = "h")
+        .groupBy(shiftright(col("h"), 20).as("h_prefix"))
+        .agg(count(lit(1)).as("n"),
+          min("qx").as("min_qx"), max("qx").as("max_qx"),
+          min("qy").as("min_qy"), max("qy").as("max_qy"))
+        .orderBy("h_prefix")
+    }),
+
+    // Deterministic MODE aggregate (most frequent value, smallest wins
+    // ties) — the aggregate SQL engines bolt on as a builtin but Spark
+    // expresses as two map-side-combinable hash aggregates + a struct
+    // argmax: no window over the data, no sort, scale-safe on any key
+    // cardinality.
+    "agg_mode" -> ((s, d) => {
+      val c = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("n"))
+      c.groupBy("l_returnflag")
+        .agg(max(struct(col("n"), (-col("qty")).as("nq"))).as("b"))
+        .select(col("l_returnflag"), (-col("b.nq")).as("mode_qty"),
+          col("b.n").as("n_mode"))
+        .orderBy("l_returnflag")
+    }),
+
     // Cohort retention matrix: users bucketed by first-active day, distinct
     // activity counted per (cohort, day-offset) cell. Two hash aggs + one
     // equi-join on user_id; the (user, day) frame is already distinct so
@@ -2549,6 +2585,29 @@ object SparkEntry {
              |      FROM occ)
              |GROUP BY 1 ORDER BY 1""".stripMargin
       },
+
+      "hilbert_layout" -> {
+        import graft.ops.{Hilbert, ZOrder}
+        sqlOcc +
+          s""", q AS (SELECT ${ZOrder.sqlQuantize16("lng", -180, 180)} AS qx,
+             |             ${ZOrder.sqlQuantize16("lat", -90, 90)} AS qy
+             |      FROM occ)""".stripMargin +
+          Hilbert.sqlIndexCtes("q", Seq("qx", "qy"), "qx", "qy", order = 16) +
+          s"""
+             |SELECT (hd >> 20) AS h_prefix, count(*) AS n,
+             |  min(qx) AS min_qx, max(qx) AS max_qx,
+             |  min(qy) AS min_qy, max(qy) AS max_qy
+             |FROM h16 GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      "agg_mode" ->
+        """WITH c AS (SELECT l_returnflag, l_quantity::BIGINT AS qty,
+          |             count(*) AS n
+          |           FROM lineitem GROUP BY 1, 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+          |        ORDER BY n DESC, qty) AS rn FROM c)
+          |SELECT l_returnflag, qty AS mode_qty, n::BIGINT AS n_mode
+          |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
 
       "export_interleave" ->
         s"""WITH r AS (SELECT doc_id, source,
