@@ -483,6 +483,26 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "rn")
         .orderBy("o_orderkey")),
 
+    // Exact global percent_rank + cume_dist — the peer-aware window ranks
+    // (ties share a value, unlike row_number) from the same distributed
+    // bucketed rank: rank = min row_number among value peers, cume_dist's
+    // numerator = max. The peer aggregate groups by the VALUE (|distinct
+    // prices| rows), never a partition-less window.
+    "window_cume_dist" -> ((s, d) => {
+      val (ranked, n) = graft.ops.GlobalRank.withGlobalRowNumberAndCount(
+        orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        rangeCol = "o_totalprice", tieBreak = Seq("o_orderkey"),
+        buckets = 32, out = "rn")
+      val peers = ranked.groupBy("o_totalprice")
+        .agg(min("rn").as("mn"), max("rn").as("mx"))
+      ranked.join(peers, Seq("o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          round((col("mn") - 1).cast("double") / lit((n - 1).toDouble), 6)
+            .as("pct_rank_r"),
+          round(col("mx").cast("double") / lit(n.toDouble), 6).as("cume_dist_r"))
+        .orderBy("o_orderkey")
+    }),
+
     // Theta join: lineitems matched to parts by quantity within ±2 of the
     // part's size — an inequality-predicate join (engine addition, §2.5).
     "join_theta" -> ((s, d) => {
@@ -2345,6 +2365,12 @@ object SparkEntry {
           |    ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
           |  FROM orders)
           |ORDER BY o_orderkey""".stripMargin,
+
+      "window_cume_dist" ->
+        """SELECT o_orderkey, o_totalprice,
+          |  round(percent_rank() OVER (ORDER BY o_totalprice), 6) AS pct_rank_r,
+          |  round(cume_dist() OVER (ORDER BY o_totalprice), 6) AS cume_dist_r
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
       "agg_pivot" ->
         """SELECT date_part('year', ts)::INTEGER AS yr,
