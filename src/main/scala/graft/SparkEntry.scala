@@ -1898,6 +1898,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Overlapping token-window chunking — the context-window prep op
+    // (RAG indexing, long-doc embedding): chunk i covers tokens
+    // [i·stride, i·stride + win); the last window truncates naturally.
+    // One tokenize pass (toks is a multi-use alias: the chunk-count
+    // expression AND the exploded slices read it — the staging
+    // discipline), then a narrow explode; chunk ids are deterministic so
+    // a re-run (or another engine) reproduces the chunk table exactly.
+    "doc_chunk" -> ((s, d) => {
+      val win = ChunkWinTok; val stride = ChunkStrideTok
+      val t = docs(s, d).select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("n_chunks",
+          when(col("n_tok") <= win, lit(1L))
+            .otherwise(expr(s"((n_tok - $win + $stride - 1) div $stride) + 1")))
+      t.select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"), lit(win)).as("ct"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ct")).cast("long").as("n_tok_chunk"),
+          md5(array_join(col("ct"), " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Source-balanced deterministic training order: seeded rank WITHIN each
     // source (GlobalRank's grouped 3-pass shape — a plain per-source window
     // would funnel a whole source through one task), then round-robin
@@ -2051,6 +2075,10 @@ object SparkEntry {
     * sf0.01 fixture medians ~0.15 against own-label centroids).
     */
   private val OutlierTau = 0.0
+
+  /** `doc_chunk` window/stride in tokens (8-token overlap). */
+  private val ChunkWinTok = 32
+  private val ChunkStrideTok = 24
 
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
@@ -2700,6 +2728,21 @@ object SparkEntry {
       "dedup_verified" ->
         (s"WITH ${sqlVerifiedCte(3, 16, 4)}\n" +
           "SELECT a, b, n_bands, jac_r, (jac_r >= 0.5) AS is_dup FROM v ORDER BY 1, 2"),
+
+      "doc_chunk" ->
+        s"""WITH t AS (SELECT doc_id, ${TA.sqlTokens("text")} AS toks FROM documents),
+           |n AS (SELECT doc_id, toks,
+           |        CASE WHEN len(toks) <= $ChunkWinTok THEN 1
+           |             ELSE ((len(toks) - $ChunkWinTok + ${ChunkStrideTok - 1}) // $ChunkStrideTok) + 1
+           |        END AS n_chunks FROM t),
+           |c AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM n),
+           |s AS (SELECT doc_id, chunk_id,
+           |        toks[chunk_id * $ChunkStrideTok + 1 : chunk_id * $ChunkStrideTok + $ChunkWinTok] AS ct
+           |      FROM c)
+           |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+           |  len(ct)::BIGINT AS n_tok_chunk,
+           |  md5(array_to_string(ct, ' ')) AS chunk_md5
+           |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
       "dedup_threshold_sweep" ->
         (s"WITH ${sqlVerifiedCte(3, 16, 4)},\n" +
