@@ -1005,8 +1005,26 @@ object SparkEntry {
           countDistinct("user_id").as("n_users"),
           sum("overlap_len").as("overlap_us"))
         .orderBy("incident_id")
-    })
+    }),
+
+    // One-pass column profiling (the ANALYZE/data-quality report an ingest
+    // runs before trusting a snapshot): per column, row/null/distinct
+    // counts + min/max, all from a single scan (multi-DISTINCT via Expand)
+    // unpivoted by stack — never a per-column re-scan, never a collect.
+    "stats_profile" -> ((s, d) =>
+      graft.ops.Profile.profile(lineitem(s, d), ProfileCols)
+        .orderBy("col_name"))
   )
+
+  /** `stats_profile` column contract: BIGINT/INTEGER/VARCHAR only — their
+    * min/max strings render identically across engines (doubles and
+    * timestamps don't).
+    */
+  private val ProfileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus")
+
+  /** `vocab_coverage` head sizes (shared with the oracle). */
+  private val CoverageKs = Seq(10L, 100L, 1000L)
 
   /** Exact nanoseconds per day for retention-day bucketing. */
   private val NanosPerDay = 86400L * 1000000000L
@@ -2044,6 +2062,93 @@ object SparkEntry {
       val sk = graft.ops.Kmv.sketchByGroup(dp, "g", "id", k = KmvK, seed = KmvSeed)
       graft.ops.Kmv.unionEstimates(sk, "g", "id", k = KmvK)
         .orderBy("group_a", "group_b")
+    }),
+
+    // Span-level exact duplication: every w-token window fingerprint shared
+    // by ≥2 documents, with doc frequency / occurrence count / keep
+    // candidate — the posting list a span-dedup pass consumes (whole-doc
+    // Jaccard misses shared paragraphs inside otherwise-distinct docs).
+    // One explode + one count-only hash aggregate; boilerplate mega-windows
+    // cost a counter, never a fat group.
+    "substring_dedup" -> ((s, d) =>
+      graft.llm.Substring.postings(docs(s, d), SubstrWinTok).orderBy("wh")),
+
+    // Per-document duplicated-span exposure (ppm of windows that also occur
+    // in another doc) — the ranking signal for span-level cleaning; a doc
+    // that is 90% shared boilerplate scores ~900000 even when no whole-doc
+    // pair fires. Shares the window pass via one localCheckpoint.
+    "doc_dup_frac" -> ((s, d) =>
+      graft.llm.Substring.dupFrac(docs(s, d), SubstrWinTok).orderBy("doc_id")),
+
+    // Pairwise total-variation distance between source token distributions
+    // (ppm) — the mixing diagnostic read before choosing mix_rates. TV, not
+    // KL/JS: rational in the empirical probabilities, so exact decimal
+    // arithmetic replaces the float-log that would hash-diverge across
+    // engines; operationally it bounds the max probability gap per token.
+    "corpus_divergence" -> ((s, d) =>
+      graft.llm.Divergence.pairwiseTV(docs(s, d)).orderBy("s1", "s2")),
+
+    // Smoothed multinomial source attribution (exact-integer naive-Bayes
+    // stand-in): train per-source token ppm on the corpus, score every doc
+    // against every source, argmax with deterministic ties. Off-diagonal
+    // rows are the audit output: docs whose token mix belongs elsewhere.
+    "source_classifier" -> ((s, d) =>
+      graft.llm.Divergence.sourceClassifier(docs(s, d)).orderBy("doc_id")),
+
+    // No-split whole-doc packing (T5-style, truncation at the bin tail) —
+    // the cheap/lossy alternative to pack_sequences' concat-then-chunk;
+    // kept_tok < n_tok marks tail truncation, kept_tok = 0 full loss.
+    "pack_nosplit" -> ((s, d) =>
+      graft.llm.Pack.nosplit(docs(s, d),
+          buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))
+        .orderBy("bucket", "bin", "doc_id")),
+
+    // Packing-efficiency report over pack_nosplit: per-bin fill and
+    // truncation ppm — the numbers that decide no-split vs split packing.
+    "pack_fill" -> ((s, d) =>
+      graft.llm.Pack.fillStats(docs(s, d),
+          buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))
+        .orderBy("bucket", "bin")),
+
+    // Tokenizer/corpus head-mass: per source, the ppm of token mass covered
+    // by the top-k tokens (k ∈ 10/100/1000) — the Zipf-head diagnostic that
+    // sizes vocabularies and spots templated sources (head ≈ 1e6 = generated
+    // text). Grouped rank runs on GlobalRank's distributed 3-pass shape, so
+    // no source funnels its vocab through one task.
+    "vocab_coverage" -> ((s, d) => {
+      import s.implicits._
+      val cnt = docs(s, d)
+        .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("negc", -col("c"))
+      val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
+          cnt, "source", "negc", Seq("tok"), buckets = 32,
+          out = "rnk", outN = "__nv")
+        .localCheckpoint() // feeds per-source totals AND the k-band join
+      val tot = ranked.groupBy("source")
+        .agg(sum("c").as("n_tok"), max("__nv").as("n_vocab"))
+      ranked.join(broadcast(CoverageKs.toDF("k")), col("rnk") <= col("k"))
+        .groupBy("source", "k").agg(sum("c").as("mass"))
+        .join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("k"), col("n_vocab"), col("n_tok"),
+          expr("(mass * 1000000) div n_tok").as("mass_ppm"))
+        .orderBy("source", "k")
+    }),
+
+    // Importance sampling by quality: deterministic Bernoulli(quality) via
+    // the seeded hash gate (same reproducible-slice contract as
+    // sample_stratified, with a per-doc continuous rate instead of a
+    // per-stratum table) — the standard quality-weighted corpus thinning.
+    "sample_importance" -> ((s, d) => {
+      val qPpm = expr(s"CAST(round(q * $SamplePpmScale, 0) AS BIGINT)")
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          TA.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"), col("lang"), qPpm.as("w_ppm"))
+        .filter(pmod(graft.expr.PortableHash.phash(
+            concat(lit(s"$ImportanceSeed:"), col("doc_id").cast("string"))),
+          lit(SamplePpmScale)) < col("w_ppm"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2079,6 +2184,16 @@ object SparkEntry {
   /** `doc_chunk` window/stride in tokens (8-token overlap). */
   private val ChunkWinTok = 32
   private val ChunkStrideTok = 24
+
+  /** `substring_dedup`/`doc_dup_frac` window length in tokens — the minimum
+    * span length that counts as duplication (shared spans ≥ this length
+    * surface as runs of shared windows at stride 1).
+    */
+  private val SubstrWinTok = 16
+
+  /** `sample_importance` seed + ppm scale (shared with the oracle). */
+  private val ImportanceSeed = "importance-v1"
+  private val SamplePpmScale = 1000000L
 
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
@@ -3198,7 +3313,45 @@ object SparkEntry {
            |    ORDER BY dist, click_sec, click_id) AS rn FROM j)
            |SELECT p.event_id, p.user_id, p.ts_sec, r.click_sec, r.click_id, r.dist
            |FROM p LEFT JOIN r ON p.event_id = r.event_id AND r.rn = 1
-           |ORDER BY p.event_id""".stripMargin
+           |ORDER BY p.event_id""".stripMargin,
+
+      "pack_nosplit" -> graft.llm.Pack.sqlNosplit(),
+
+      "pack_fill" -> graft.llm.Pack.sqlFillStats(),
+
+      "vocab_coverage" ->
+        s"""WITH i AS (SELECT source, unnest($toks) AS tok FROM documents),
+           |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM i GROUP BY 1, 2),
+           |r AS (SELECT source, tok, c, row_number() OVER (PARTITION BY source
+           |        ORDER BY c DESC, tok) AS rn FROM c),
+           |tot AS (SELECT source, sum(c)::BIGINT AS n_tok,
+           |        count(*)::BIGINT AS n_vocab FROM c GROUP BY 1),
+           |ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k)
+           |SELECT r.source, ks.k::BIGINT AS k, tot.n_vocab, tot.n_tok,
+           |  ((sum(r.c) * 1000000) // tot.n_tok)::BIGINT AS mass_ppm
+           |FROM r JOIN ks ON r.rn <= ks.k
+           |  JOIN tot ON r.source = tot.source
+           |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+
+      "stats_profile" ->
+        graft.ops.Profile.sqlProfile("lineitem", ProfileCols),
+
+      "substring_dedup" -> graft.llm.Substring.sqlPostings(SubstrWinTok),
+
+      "doc_dup_frac" -> graft.llm.Substring.sqlDupFrac(SubstrWinTok),
+
+      "corpus_divergence" -> graft.llm.Divergence.sqlPairwiseTV,
+
+      "source_classifier" -> graft.llm.Divergence.sqlSourceClassifier,
+
+      "sample_importance" ->
+        s"""WITH q AS (SELECT doc_id, lang,
+           |  CAST(round(${TA.sqlQualityScore(toks)} * $SamplePpmScale)
+           |    AS BIGINT) AS w_ppm FROM documents)
+           |SELECT doc_id, lang, w_ppm FROM q
+           |WHERE (${graft.expr.PortableHash.sqlPhash(
+                s"'$ImportanceSeed:' || doc_id::VARCHAR")} % $SamplePpmScale) < w_ppm
+           |ORDER BY doc_id""".stripMargin
     )
   }
 

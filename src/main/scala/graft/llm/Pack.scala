@@ -142,6 +142,105 @@ object Pack {
           " ").as("text"))
   }
 
+  /** Whole-document greedy packing with truncation — the no-split
+    * alternative to [[sequences]] (T5-style packing: a document is never
+    * split across sequences; a bin that overflows `seqLen` truncates its
+    * tail). Each doc lands in the bin where its bucket-concatenation start
+    * offset falls (`start_off div seqLen` — the distributed-window
+    * equivalent of next-fit), then position and kept-token count are exact
+    * within-bin running sums: `kept_tok = clamp(seqLen - pos_in_bin, 0,
+    * n_tok)`. Emits (bucket, bin, doc_id, n_tok, pos_in_bin, kept_tok) —
+    * kept_tok = 0 marks a fully-truncated doc, kept_tok < n_tok a tail
+    * truncation; [[fillStats]] aggregates the waste report.
+    *
+    * Scale shape: the bucket running sum is the same autoBuckets-scaled
+    * window as [[sequences]]; the within-bin pass partitions by
+    * (bucket, bin) — strictly finer, so never the bottleneck.
+    */
+  def nosplit(docs: DataFrame, seqLen: Int = SeqLen,
+              buckets: Int = Buckets): DataFrame = {
+    require(seqLen > 0 && (seqLen & (seqLen - 1)) == 0, "seqLen must be a power of two")
+    val base = docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", bucketOf(col("doc_id"), buckets))
+    val wB = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = base
+      .withColumn("start_off", sum("n_tok").over(wB) - col("n_tok"))
+      .withColumn("bin", call_function("div", col("start_off"), lit(seqLen.toLong)))
+    val wBin = Window.partitionBy("bucket", "bin").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("pos_in_bin", sum("n_tok").over(wBin) - col("n_tok"))
+      .select(col("bucket"), col("bin"), col("doc_id"), col("n_tok"), col("pos_in_bin"),
+        greatest(lit(0L), least(lit(seqLen.toLong) - col("pos_in_bin"), col("n_tok")))
+          .as("kept_tok"))
+  }
+
+  /** Per-bin fill/waste report over [[nosplit]]: doc count, offered and
+    * kept token counts, fill and truncation in ppm of `seqLen` — the
+    * packing-efficiency numbers that decide between no-split (cheap, lossy)
+    * and concat-then-chunk (lossless, split-cost) for a corpus.
+    */
+  def fillStats(docs: DataFrame, seqLen: Int = SeqLen,
+                buckets: Int = Buckets): DataFrame =
+    nosplit(docs, seqLen, buckets)
+      .groupBy("bucket", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok_offered"),
+        sum("kept_tok").as("tok_kept"))
+      .select(col("bucket"), col("bin"), col("n_docs"), col("tok_offered"),
+        col("tok_kept"),
+        expr(s"(tok_kept * 1000000) div $seqLen").as("fill_ppm"),
+        expr(s"((tok_offered - tok_kept) * 1000000) div $seqLen").as("trunc_ppm"))
+
+  /** Shared oracle CTE body for the no-split packing: `ns` = (bucket, bin,
+    * doc_id, n_tok, pos_in_bin, kept_tok), the [[nosplit]] output.
+    */
+  private def sqlNosplitCtes(seqLen: Int, bucketsE: String): String = {
+    val ph = PortableHash.sqlPhash("('pack:' || doc_id::VARCHAR)")
+    s"""t AS (
+       |  SELECT doc_id, len(${TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok,
+       |         ((($ph % $bucketsE) + $bucketsE) % $bucketsE) AS bucket
+       |  FROM documents
+       |),
+       |o AS (
+       |  SELECT doc_id, n_tok, bucket,
+       |         (sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)::BIGINT
+       |           AS start_off
+       |  FROM t WHERE n_tok > 0
+       |),
+       |b AS (SELECT *, start_off // $seqLen AS bin FROM o),
+       |ns AS (
+       |  SELECT bucket::BIGINT AS bucket, bin::BIGINT AS bin, doc_id, n_tok,
+       |         (sum(n_tok) OVER (PARTITION BY bucket, bin ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)::BIGINT
+       |           AS pos_in_bin,
+       |         greatest(0, least($seqLen - (sum(n_tok) OVER (PARTITION BY bucket, bin
+       |            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            - n_tok), n_tok))::BIGINT AS kept_tok
+       |  FROM b
+       |)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[nosplit]]. */
+  def sqlNosplit(seqLen: Int = SeqLen, bucketsE: String = sqlAutoBuckets): String =
+    s"""WITH ${sqlNosplitCtes(seqLen, bucketsE)}
+       |SELECT bucket, bin, doc_id, n_tok, pos_in_bin, kept_tok FROM ns
+       |ORDER BY bucket, bin, doc_id""".stripMargin
+
+  /** DuckDB mirror of [[fillStats]]. */
+  def sqlFillStats(seqLen: Int = SeqLen, bucketsE: String = sqlAutoBuckets): String =
+    s"""WITH ${sqlNosplitCtes(seqLen, bucketsE)}
+       |SELECT bucket, bin, count(*)::BIGINT AS n_docs,
+       |  sum(n_tok)::BIGINT AS tok_offered, sum(kept_tok)::BIGINT AS tok_kept,
+       |  (sum(kept_tok) * 1000000 // $seqLen)::BIGINT AS fill_ppm,
+       |  ((sum(n_tok) - sum(kept_tok)) * 1000000 // $seqLen)::BIGINT AS trunc_ppm
+       |FROM ns GROUP BY 1, 2
+       |ORDER BY bucket, bin""".stripMargin
+
   /** DuckDB mirror of [[payloads]]. */
   def sqlPayloads(seqLen: Int = SeqLen, bucketsE: String = sqlAutoBuckets): String =
     s"""WITH ${sqlPackCtes(seqLen, bucketsE)},

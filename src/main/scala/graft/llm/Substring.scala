@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level duplication over rolling token windows — the
+  * span-granular complement to document-level dedup ([[Dedup]]): a pair of
+  * documents can be near-identical at the span level (shared boilerplate
+  * paragraphs, quoted passages, licence blocks) while their whole-document
+  * Jaccard stays below any reasonable threshold. Training-data hygiene
+  * work removes or down-weights such spans directly (the "deduplicating
+  * training data" result: verbatim spans memorize), which needs span
+  * postings, not doc pairs.
+  *
+  * Design: every length-`w` token window gets a fingerprint
+  * (md5 of the space-joined window — the [[TextAnalysis]] token stream and
+  * the `doc_chunk` hashing convention), and duplication is a plain hash
+  * aggregation over window fingerprints. No suffix array: a distributed
+  * suffix array over 100 TB is its own project, and the fixed-`w` window
+  * posting list finds every duplicated span of length ≥ `w` (a longer
+  * shared span is a run of shared windows at stride 1) with one explode +
+  * one aggregate — both map-side-partial, skew-free (fingerprint keys),
+  * and linear in corpus tokens.
+  *
+  * Scale notes (100 TB): the window stream is tokens×1 rows (stride 1) —
+  * the same blow-up the shingle-LSH chain already pays; the aggregate
+  * carries counts only (no collect_list of doc ids), so a pathological
+  * boilerplate window (millions of occurrences) costs one counter, not a
+  * fat group. The tokenize pass is staged exactly once per query (the
+  * alias-inlining discipline: `toks` is a multi-use stored column).
+  *
+  * Reference scope: the reference pipeline has no text operators (its
+  * corpus analog is occurrence records, `MapBuilder.java:134-174`); this
+  * extends the engine for the LLM-pipeline north star.
+  */
+object Substring {
+
+  private val Ppm = 1000000L
+
+  /** (doc_id, pos, wh) rolling-window fingerprint stream: one row per
+    * length-`w` token window at stride 1; docs shorter than `w` tokens
+    * emit nothing. `toks` is multi-use (window count AND every slice), so
+    * the tokenize subtree evaluates once per row — the staging discipline
+    * CollapseProject respects (single-use aliases inline;
+    * BASELINE.md's round-2 lesson, pinned by PlanGuardSpec).
+    */
+  def windowFrame(docs: DataFrame, w: Int): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .filter(col("n_tok") >= w)
+    t.select(col("doc_id"),
+        explode(sequence(lit(0L), (col("n_tok") - w).cast("long"))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("toks"), (col("pos") + 1).cast("int"), lit(w)), " ")
+          .cast("binary")).as("wh"))
+  }
+
+  /** Duplicated-window postings: every window fingerprint appearing in at
+    * least two DISTINCT documents, with its document frequency, total
+    * occurrence count, and the smallest carrying doc (the keep candidate).
+    * Within-doc repetition alone (n_docs = 1, n_occ > 1) is `doc_repetition`'s
+    * signal, not cross-doc duplication — excluded here by definition.
+    */
+  def postings(docs: DataFrame, w: Int): DataFrame =
+    windowFrame(docs, w)
+      .groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Per-document duplicated-span exposure: the fraction (ppm) of a doc's
+    * windows whose fingerprint also appears in ANOTHER document — the
+    * ranking signal for span-level cleaning (a doc that is 90% shared
+    * boilerplate scores ~900000 even when no single whole-doc pair fires).
+    * Docs with fewer than `w` tokens carry zero windows and score 0 (no
+    * evidence). One window pass feeds both the duplicated-fingerprint set
+    * and the per-doc join (checkpointed — the signatureIndex contract).
+    */
+  def dupFrac(docs: DataFrame, w: Int): DataFrame = {
+    val wins = windowFrame(docs, w).localCheckpoint()
+    val dup = wins.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"), lit(1L).as("isd"))
+    val perDoc = wins.join(dup, Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("isd"), lit(0L))).as("n_dup"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm",
+        when(col("n_win") === 0, 0L)
+          .otherwise(expr(s"(n_dup * $Ppm) div n_win")))
+  }
+
+  /** DuckDB mirror of [[windowFrame]] as a CTE body (named `wins`). */
+  def sqlWindowCte(w: Int): String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= $w),
+       |p AS (SELECT doc_id, toks, unnest(range(len(toks) - $w + 1)) AS pos FROM f),
+       |wins AS (SELECT doc_id, pos::BIGINT AS pos,
+       |  md5(array_to_string(toks[pos + 1 : pos + $w], ' ')) AS wh FROM p)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[postings]]. */
+  def sqlPostings(w: Int): String =
+    s"""WITH ${sqlWindowCte(w)}
+       |SELECT wh, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       |  count(*)::BIGINT AS n_occ, min(doc_id) AS min_doc
+       |FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY 1""".stripMargin
+
+  /** DuckDB mirror of [[dupFrac]]. */
+  def sqlDupFrac(w: Int): String =
+    s"""WITH ${sqlWindowCte(w)},
+       |dup AS (SELECT wh FROM (SELECT wh, count(DISTINCT doc_id) AS nd
+       |        FROM wins GROUP BY 1) WHERE nd >= 2),
+       |pd AS (SELECT wins.doc_id, count(*)::BIGINT AS n_win,
+       |         sum(CASE WHEN dup.wh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup
+       |       FROM wins LEFT JOIN dup ON wins.wh = dup.wh GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_win, 0)::BIGINT AS n_win,
+       |  coalesce(pd.n_dup, 0)::BIGINT AS n_dup,
+       |  (CASE WHEN coalesce(pd.n_win, 0) = 0 THEN 0
+       |        ELSE (pd.n_dup * $Ppm) // pd.n_win END)::BIGINT AS dup_ppm
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+}

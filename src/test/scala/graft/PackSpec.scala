@@ -92,6 +92,54 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("nosplit: whole docs only; overflow truncates at the bin tail") {
+    // counts 3, 3, 4 with seqLen 4, one bucket:
+    // doc 10 starts at 0 -> bin 0, pos 0, kept 3
+    // doc 11 starts at 3 -> bin 0, pos 3, kept 1 (tail truncated)
+    // doc 12 starts at 6 -> bin 1, pos 0, kept 4
+    val docs = Seq(
+      (10L, "a b c"), (11L, "d e f"), (12L, "g h i j")
+    ).toDF("doc_id", "text")
+    val out = Pack.nosplit(docs, seqLen = 4, buckets = 1)
+      .orderBy("bin", "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 10L, 3L, 0L, 3L),
+      (0L, 11L, 3L, 3L, 1L),
+      (1L, 12L, 4L, 0L, 4L)))
+  }
+
+  test("nosplit: kept_tok never exceeds bin capacity and never splits a doc across bins") {
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to (i % 7 + 1).toInt).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val out = Pack.nosplit(docs, seqLen = 8, buckets = 4).collect()
+    // each doc appears exactly once (the defining no-split property)
+    assert(out.map(_.getLong(2)).distinct.length == out.length)
+    // per-bin kept mass fits capacity
+    out.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(5)).sum <= 8)
+    }
+    // kept tokens are a prefix: kept <= n_tok, and pos+kept <= seqLen
+    out.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(3) && r.getLong(4) + r.getLong(5) <= 8)
+    }
+  }
+
+  test("fillStats: fill + trunc account for every offered token") {
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 5 + 2).toInt).map(j => s"x${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val fills = Pack.fillStats(docs, seqLen = 8, buckets = 2).collect()
+    val offered = fills.map(_.getLong(3)).sum
+    val kept = fills.map(_.getLong(4)).sum
+    val expected = (1L to 40L).map(i => i % 5 + 2).sum
+    assert(offered == expected, "every token is offered to exactly one bin")
+    assert(kept <= offered)
+    fills.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / 8L)
+      assert(r.getLong(6) == (r.getLong(3) - r.getLong(4)) * 1000000L / 8L)
+    }
+  }
+
   test("bucketing is deterministic and partition-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Pack.sequences(docs).collect().map(_.toSeq).toSet

@@ -1,0 +1,64 @@
+package graft
+
+import graft.llm.Substring
+
+/** Span-level (rolling-window) duplication: postings and per-doc exposure. */
+class SubstringSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def words(range: Range, p: String = "w") = range.map(i => s"$p$i").mkString(" ")
+
+  test("windowFrame: n_tok - w + 1 windows at stride 1; short docs emit none") {
+    val df = docsDf(Seq((1L, words(1 to 10)), (2L, words(1 to 3))))
+    val wins = Substring.windowFrame(df, w = 4).collect()
+    assert(wins.count(_.getLong(0) == 1L) == 7) // 10 - 4 + 1
+    assert(!wins.exists(_.getLong(0) == 2L), "3-token doc has no 4-windows")
+    val pos = wins.filter(_.getLong(0) == 1L).map(_.getLong(1)).sorted
+    assert(pos.sameElements(0L to 6L))
+  }
+
+  test("postings: only cross-doc windows survive; counts and keep-doc exact") {
+    // docs 1 and 2 share tokens s1..s5 (two shared 4-windows);
+    // doc 3 repeats a window INTERNALLY only — must not appear.
+    val shared = words(1 to 5, "s")
+    val df = docsDf(Seq(
+      (1L, shared + " " + words(1 to 4, "a")),
+      (2L, words(1 to 4, "b") + " " + shared),
+      (3L, words(1 to 4, "r") + " " + words(1 to 4, "r"))))
+    val posts = Substring.postings(df, w = 4).collect()
+    assert(posts.forall(_.getLong(1) >= 2), "n_docs >= 2 by definition")
+    // shared s-run of 5 tokens -> exactly 2 shared 4-windows
+    assert(posts.length == 2, s"expected 2 shared windows, got ${posts.length}")
+    posts.foreach { r =>
+      assert(r.getLong(1) == 2 && r.getLong(2) == 2 && r.getLong(3) == 1L)
+    }
+  }
+
+  test("dupFrac: exposure is shared-window ppm; short docs score 0 and stay") {
+    val shared = words(1 to 8, "s") // 5 shared 4-windows
+    val df = docsDf(Seq(
+      (1L, shared),                          // all 5 windows shared -> 1e6
+      (2L, shared + " " + words(1 to 4, "u")), // 5 of 9 windows shared
+      (3L, "tiny doc")))                     // no windows -> 0, kept
+    val rows = Substring.dupFrac(df, w = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((5L, 5L, 1000000L)))
+    assert(rows(2L)._1 == 9L && rows(2L)._2 == 5L &&
+      rows(2L)._3 == 5L * 1000000L / 9L)
+    assert(rows(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("a shared span of length L >= w surfaces as exactly L - w + 1 postings") {
+    val span = words(1 to 12, "x")
+    val df = docsDf(Seq(
+      (1L, words(1 to 6, "p") + " " + span),
+      (2L, span + " " + words(1 to 6, "q"))))
+    val posts = Substring.postings(df, w = 5).collect()
+    assert(posts.length == 12 - 5 + 1,
+      "run-of-windows property: longer shared spans decompose into window runs")
+  }
+}
