@@ -2080,6 +2080,24 @@ object SparkEntry {
     "doc_dup_frac" -> ((s, d) =>
       graft.llm.Substring.dupFrac(docs(s, d), SubstrWinTok).orderBy("doc_id")),
 
+    // Merged duplicated-span intervals per doc (gaps-and-islands over the
+    // duplicated window positions) — the operand of surgical span removal.
+    // Per-doc windows only: cross-doc pair spans would go quadratic on
+    // boilerplate windows; the per-doc island view is linear and answers
+    // "which tokens of THIS doc are duplicated elsewhere".
+    "doc_dup_spans" -> ((s, d) =>
+      graft.llm.Substring.dupSpans(docs(s, d), SubstrWinTok)
+        .orderBy("doc_id", "span_start")),
+
+    // Incremental span admission: the NEW batch's windows probe the
+    // EXISTING corpus postings — linear in the batch; rejects a "new" doc
+    // assembled from already-ingested text even when no whole-doc
+    // fingerprint or LSH pair fires.
+    "substring_incremental" -> ((s, d) =>
+      graft.llm.Substring.incremental(docs(s, d),
+          pmod(col("doc_id"), lit(10)) === 9, SubstrWinTok)
+        .orderBy("doc_id")),
+
     // Pairwise total-variation distance between source token distributions
     // (ppm) — the mixing diagnostic read before choosing mix_rates. TV, not
     // KL/JS: rational in the empirical probabilities, so exact decimal
@@ -3339,6 +3357,11 @@ object SparkEntry {
       "substring_dedup" -> graft.llm.Substring.sqlPostings(SubstrWinTok),
 
       "doc_dup_frac" -> graft.llm.Substring.sqlDupFrac(SubstrWinTok),
+
+      "doc_dup_spans" -> graft.llm.Substring.sqlDupSpans(SubstrWinTok),
+
+      "substring_incremental" ->
+        graft.llm.Substring.sqlIncremental("doc_id % 10 = 9", SubstrWinTok),
 
       "corpus_divergence" -> graft.llm.Divergence.sqlPairwiseTV,
 

@@ -98,6 +98,65 @@ object Substring {
           .otherwise(expr(s"(n_dup * $Ppm) div n_win")))
   }
 
+  /** Merged duplicated-span intervals per document: consecutive duplicated
+    * windows coalesce into maximal token spans `[span_start, span_end]`
+    * (inclusive token indices, 0-based) — the operand of surgical span
+    * REMOVAL, where [[dupFrac]] only ranks docs. Classic gaps-and-islands:
+    * island id = pos − row_number over the doc's duplicated positions; the
+    * window partitions by doc_id (a doc's own window count — bounded),
+    * never by corpus. Cross-doc pair spans are deliberately NOT
+    * materialized: a boilerplate window shared by k docs induces k²
+    * pairs — quadratic at corpus scale — while the per-doc island view
+    * stays linear and answers the cleaning question ("which tokens of THIS
+    * doc are duplicated elsewhere").
+    */
+  def dupSpans(docs: DataFrame, w: Int): DataFrame = {
+    val wins = windowFrame(docs, w).localCheckpoint()
+    val dup = wins.select("doc_id", "wh").distinct()
+      .groupBy("wh").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"), lit(1).as("isd"))
+    val dupPos = wins.join(dup, Seq("wh")).select("doc_id", "pos")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(win))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(w.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_win"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tok"), col("n_win"))
+  }
+
+  /** Incremental span probing: the NEW batch's windows against the EXISTING
+    * corpus postings — linear in the batch (the [[Dedup.incremental]]
+    * admission pattern at span granularity). Per new doc: window count,
+    * windows already present in the old corpus, and the hit fraction (ppm)
+    * — the admission score that rejects a "new" doc assembled from
+    * already-ingested text even when no whole-doc fingerprint matches.
+    * One window pass over each side; the old side reduces to DISTINCT
+    * fingerprints (Zipf-bounded) before the join.
+    */
+  def incremental(docs: DataFrame, isNew: org.apache.spark.sql.Column, w: Int): DataFrame = {
+    val oldSet = windowFrame(docs.filter(!isNew), w)
+      .select("wh").distinct()
+      .select(col("wh"), lit(1L).as("hit"))
+    val perDoc = windowFrame(docs.filter(isNew), w)
+      .join(oldSet, Seq("wh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.filter(isNew).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_win"), lit(0L)).as("n_win"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_ppm",
+        when(col("n_win") === 0, 0L)
+          .otherwise(expr(s"(n_hit * $Ppm) div n_win")))
+  }
+
   /** DuckDB mirror of [[windowFrame]] as a CTE body (named `wins`). */
   def sqlWindowCte(w: Int): String = {
     val toks = TextAnalysis.sqlTokens("text")
@@ -115,6 +174,46 @@ object Substring {
        |  count(*)::BIGINT AS n_occ, min(doc_id) AS min_doc
        |FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY 1""".stripMargin
+
+  /** DuckDB mirror of [[dupSpans]]. */
+  def sqlDupSpans(w: Int): String =
+    s"""WITH ${sqlWindowCte(w)},
+       |dup AS (SELECT wh FROM (SELECT wh, count(DISTINCT doc_id) AS nd
+       |        FROM wins GROUP BY 1) WHERE nd >= 2),
+       |dp AS (SELECT wins.doc_id, wins.pos FROM wins JOIN dup ON wins.wh = dup.wh),
+       |g AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |      FROM dp)
+       |SELECT doc_id, min(pos)::BIGINT AS span_start,
+       |  (max(pos) + ${w - 1})::BIGINT AS span_end,
+       |  (max(pos) + $w - min(pos))::BIGINT AS span_tok,
+       |  count(*)::BIGINT AS n_win
+       |FROM g GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** DuckDB mirror of [[incremental]] with `isNewE` a SQL predicate over
+    * `documents` columns.
+    */
+  def sqlIncremental(isNewE: String, w: Int): String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks, ($isNewE) AS isn FROM documents),
+       |f AS (SELECT doc_id, toks, isn FROM t WHERE len(toks) >= $w),
+       |p AS (SELECT doc_id, toks, isn, unnest(range(len(toks) - $w + 1)) AS pos FROM f),
+       |wins AS (SELECT doc_id, isn,
+       |  md5(array_to_string(toks[pos + 1 : pos + $w], ' ')) AS wh FROM p),
+       |olds AS (SELECT DISTINCT wh FROM wins WHERE NOT isn),
+       |pd AS (SELECT wins.doc_id, count(*)::BIGINT AS n_win,
+       |         sum(CASE WHEN olds.wh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+       |       FROM wins LEFT JOIN olds ON wins.wh = olds.wh
+       |       WHERE wins.isn GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_win, 0)::BIGINT AS n_win,
+       |  coalesce(pd.n_hit, 0)::BIGINT AS n_hit,
+       |  (CASE WHEN coalesce(pd.n_win, 0) = 0 THEN 0
+       |        ELSE (pd.n_hit * $Ppm) // pd.n_win END)::BIGINT AS hit_ppm
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |WHERE (${isNewE.replace("doc_id", "d.doc_id")})
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[dupFrac]]. */
   def sqlDupFrac(w: Int): String =

@@ -52,6 +52,45 @@ class SubstringSpec extends SparkSpec {
     assert(rows(3L) == ((0L, 0L, 0L)))
   }
 
+  test("dupSpans: adjacent duplicated windows merge into one maximal span") {
+    val span = words(1 to 12, "x") // shared 12-token run
+    val df = docsDf(Seq(
+      (1L, words(1 to 6, "p") + " " + span),
+      (2L, span + " " + words(1 to 6, "q"))))
+    val spans = Substring.dupSpans(df, w = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: windows at pos 6..13 -> one island covering tokens [6, 17]
+    // doc 2: windows at pos 0..7  -> one island covering tokens [0, 11]
+    assert(spans.toSet == Set(
+      (1L, 6L, 17L, 12L, 8L),
+      (2L, 0L, 11L, 12L, 8L)))
+  }
+
+  test("dupSpans: disjoint duplicated regions stay separate islands") {
+    val s1 = words(1 to 5, "a") // 2 windows at w=4
+    val s2 = words(1 to 5, "b")
+    val gap = words(1 to 6, "g")
+    val df = docsDf(Seq(
+      (1L, s1 + " " + gap + " " + s2),
+      (2L, s1 + " " + words(1 to 6, "h") + " " + s2)))
+    val spans = Substring.dupSpans(df, w = 4).collect()
+    assert(spans.count(_.getLong(0) == 1L) == 2, "two islands for doc 1")
+  }
+
+  test("incremental: new doc built from old text scores 1e6; novel text 0") {
+    val oldText = words(1 to 20, "o")
+    val df = docsDf(Seq(
+      (1L, oldText),                       // old (id % 10 != 9)
+      (9L, words(1 to 8, "o")),            // new: a substring of old text
+      (19L, words(1 to 8, "n"))))          // new: novel
+    import org.apache.spark.sql.functions._
+    val out = Substring.incremental(df, pmod(col("doc_id"), lit(10)) === 9, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(9L, 19L), "only the new batch is scored")
+    assert(out(9L) == ((5L, 5L, 1000000L)), "every window of doc 9 exists in the corpus")
+    assert(out(19L) == ((5L, 0L, 0L)))
+  }
+
   test("a shared span of length L >= w surfaces as exactly L - w + 1 postings") {
     val span = words(1 to 12, "x")
     val df = docsDf(Seq(
