@@ -172,6 +172,22 @@ object SparkEntry {
         .orderBy("map_key")
     }),
 
+    // Key-size histogram over the structurally-skewed map_key fan-out (the
+    // ALL view holds every record) — the ≤64-row report read BEFORE
+    // choosing a salt factor. Bucket = floor(log2 n) via exact bit
+    // arithmetic (length(bin(n))-1): a float log2 flips bucket boundaries
+    // at exact powers of two across engines.
+    "skew_histogram" -> ((s, d) =>
+      graft.ops.Skew.sizeHistogram(exploded(s, d), "map_key")
+        .orderBy("bucket")),
+
+    // Per-heavy-key salt plan: keys above SaltPlanMult× the mean group size
+    // with the exact-integer salt factor that spreads them to mean-sized
+    // reducer shares — the config agg_skew_salted/join_skew_salted consume.
+    "skew_salt_plan" -> ((s, d) =>
+      graft.ops.Skew.saltPlan(exploded(s, d), "map_key", SaltPlanMult)
+        .orderBy("map_key")),
+
     // ---- A2: the core pre-aggregation (TileMapBuilder.java:86-104)
     "agg_count_by_coord" -> ((s, d) =>
       preAgg(s, d)
@@ -1034,6 +1050,11 @@ object SparkEntry {
     */
   private val IncidentHalfUs = 1800L * 1000000L
   private val OverlapBucketUs = 3600L * 1000000L
+
+  /** `skew_salt_plan` heavy-key threshold: keys above this multiple of the
+    * mean group size get a salt factor (shared with the oracle).
+    */
+  private val SaltPlanMult = 4L
 
   /** KMV sketch size + seed for `sketch_kmv_overlap` (shared with oracle). */
   private val KmvK = 64
@@ -2302,6 +2323,12 @@ object SparkEntry {
           |FROM ex JOIN (SELECT map_key, count(*)::BIGINT AS n_coords
           |              FROM pre GROUP BY 1) stats USING (map_key)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "skew_histogram" ->
+        (sqlOcc + graft.ops.Skew.sqlSizeHistogram("ex", "map_key")),
+
+      "skew_salt_plan" ->
+        (sqlOcc + graft.ops.Skew.sqlSaltPlan("ex", "map_key", SaltPlanMult)),
 
       // sum(user_id)::BIGINT: DuckDB's sum(BIGINT) yields HUGEINT, which
       // pandas materializes as float64 and breaks the driver's dtype-
