@@ -763,6 +763,48 @@ object SparkEntry {
     // the cell count is a plain count — no count-distinct shuffle. Day ids
     // are exact integer floor-division on the raw nano timestamps (the
     // repo-wide IntMath.floorDiv contract; double math drifts past 2^53).
+    // Exact DAU/WAU: one distinct (day, user) pass; WAU materializes each
+    // activity row into its 7 covered report-days (a bounded ×7 fan-out)
+    // and re-distincts — never a per-day re-scan and never a sliding
+    // distinct-state window. Only days with actual activity are reported
+    // (inner join), so sparse calendars don't emit empty rows.
+    "events_active_users" -> ((s, d) => {
+      val au = events(s, d)
+        .select(IntMath.floorDiv(col("ts"), NanosPerDay).as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint() // feeds the DAU agg and the WAU fan-out
+      val dau = au.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = au
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"), col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day")).orderBy("day")
+    }),
+
+    // Week-over-week churn transitions: full outer join of the distinct
+    // (week, user) frame against itself shifted one week. n_active =
+    // n_retained + n_churned by construction; the max week's churn is
+    // right-censored (no next week observed) — reported as-is, the
+    // standard caveat of any churn table's last row.
+    "events_churn" -> ((s, d) => {
+      val uw = events(s, d)
+        .select(IntMath.floorDiv(col("ts"), NanosPerWeek).as("wk"), col("user_id"))
+        .distinct()
+        .localCheckpoint() // both join sides
+      val cur = uw.select(col("wk"), col("user_id"), lit(1L).as("in_cur"))
+      val nxt = uw.select((col("wk") - 1).as("wk"), col("user_id"), lit(1L).as("in_next"))
+      cur.join(nxt, Seq("wk", "user_id"), "full_outer")
+        .groupBy("wk")
+        .agg(sum(coalesce(col("in_cur"), lit(0L))).as("n_active"),
+          sum(when(col("in_cur").isNotNull && col("in_next").isNotNull, 1L)
+            .otherwise(0L)).as("n_retained"),
+          sum(when(col("in_cur").isNotNull && col("in_next").isNull, 1L)
+            .otherwise(0L)).as("n_churned"),
+          sum(when(col("in_cur").isNull && col("in_next").isNotNull, 1L)
+            .otherwise(0L)).as("n_new_next"))
+        .orderBy("wk")
+    }),
+
     "events_retention" -> ((s, d) => {
       // checkpointed: the distinct (user, day) frame feeds BOTH the cohort
       // agg and the cell join; without the barrier each side re-scans the
@@ -1044,6 +1086,9 @@ object SparkEntry {
 
   /** Exact nanoseconds per day for retention-day bucketing. */
   private val NanosPerDay = 86400L * 1000000000L
+
+  /** Exact nanoseconds per week for churn-week bucketing. */
+  private val NanosPerWeek = 7L * 86400L * 1000000000L
 
   /** Incident half-window (±30 min) and bucket width (1 h) for
     * `join_interval_overlap` — shared with the oracle SQL.
@@ -2067,6 +2112,34 @@ object SparkEntry {
             .as("cos_centroid_r"))
         .withColumn("is_outlier", col("cos_centroid_r") < OutlierTau)
         .orderBy("vec_id")
+    }),
+
+    // Exact quantized Gram + covariance numerators over the embedding
+    // corpus — the one-pass distributed linear algebra that feeds PCA /
+    // whitening offline: X^T X as a (dim x dim)-bounded hash aggregate
+    // (upper triangle only), map-side partial, nothing collected. Sums run
+    // in DECIMAL(38,0): at 1e9+ vectors the qi*qj sum passes 2^63.
+    // cov_num = n*S_xy - S_x*S_y is the exact covariance numerator
+    // (divide by n^2 off-line); integer end-to-end so any engine replays
+    // it bit-for-bit.
+    "embedding_gram" -> ((s, d) => {
+      val q = emb(s, d)
+        .select(col("vec_id"), Quantizer.quantize(col("embedding")).as("q"))
+      val e1 = q.select(col("vec_id"), col("q"),
+        posexplode(col("q")).as(Seq("i", "qi")))
+      val e2 = e1.select(col("vec_id"), col("i"), col("qi"),
+          posexplode(col("q")).as(Seq("j", "qj")))
+        .filter(col("i") <= col("j"))
+      e2.groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(qi AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(qj AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(qi AS DECIMAL(38,0)) * qj")).as("sxy"))
+        .select(col("i"), col("j"), col("n"),
+          expr("CAST(sxy AS BIGINT)").as("gram"),
+          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS BIGINT)")
+            .as("cov_num"))
+        .orderBy("i", "j")
     }),
 
     // KMV union estimates between day cohorts — the merge half of the
@@ -3359,6 +3432,48 @@ object SparkEntry {
            |SELECT p.event_id, p.user_id, p.ts_sec, r.click_sec, r.click_id, r.dist
            |FROM p LEFT JOIN r ON p.event_id = r.event_id AND r.rn = 1
            |ORDER BY p.event_id""".stripMargin,
+
+      "embedding_gram" ->
+        s"""WITH q AS (SELECT vec_id,
+           |  ${graft.llm.Quantizer.sqlQuantize("embedding")} AS q FROM embeddings),
+           |p AS (SELECT r1.range::INTEGER AS i, r2.range::INTEGER AS j,
+           |        q[r1.range + 1] AS qi, q[r2.range + 1] AS qj
+           |      FROM q CROSS JOIN range(${Similarity.Dim}) r1
+           |        CROSS JOIN range(${Similarity.Dim}) r2
+           |      WHERE r1.range <= r2.range)
+           |SELECT i::BIGINT AS i, j::BIGINT AS j, count(*)::BIGINT AS n,
+           |  sum(qi::DECIMAL(38,0) * qj)::BIGINT AS gram,
+           |  (count(*)::DECIMAL(38,0) * sum(qi::DECIMAL(38,0) * qj)
+           |    - sum(qi::DECIMAL(38,0)) * sum(qj::DECIMAL(38,0)))::BIGINT AS cov_num
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "events_active_users" ->
+        """WITH au AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+          |            FROM events),
+          |dau AS (SELECT day, count(*)::BIGINT AS dau FROM au GROUP BY 1),
+          |wx AS (SELECT DISTINCT au.day + r.range AS day, user_id
+          |       FROM au, range(7) r),
+          |wau AS (SELECT day, count(*)::BIGINT AS wau FROM wx GROUP BY 1)
+          |SELECT dau.day::BIGINT AS day, dau.dau, wau.wau
+          |FROM dau JOIN wau USING (day) ORDER BY 1""".stripMargin,
+
+      "events_churn" ->
+        """WITH uw AS (SELECT DISTINCT epoch_us(ts) // 604800000000 AS wk, user_id
+          |            FROM events),
+          |cur AS (SELECT wk, user_id, 1 AS in_cur FROM uw),
+          |nxt AS (SELECT wk - 1 AS wk, user_id, 1 AS in_next FROM uw),
+          |j AS (SELECT coalesce(cur.wk, nxt.wk) AS wk, cur.in_cur, nxt.in_next
+          |      FROM cur FULL OUTER JOIN nxt
+          |        ON cur.wk = nxt.wk AND cur.user_id = nxt.user_id)
+          |SELECT wk::BIGINT AS wk,
+          |  sum(coalesce(in_cur, 0))::BIGINT AS n_active,
+          |  sum(CASE WHEN in_cur IS NOT NULL AND in_next IS NOT NULL
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+          |  sum(CASE WHEN in_cur IS NOT NULL AND in_next IS NULL
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_churned,
+          |  sum(CASE WHEN in_cur IS NULL AND in_next IS NOT NULL
+          |      THEN 1 ELSE 0 END)::BIGINT AS n_new_next
+          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "pack_nosplit" -> graft.llm.Pack.sqlNosplit(),
 

@@ -93,4 +93,46 @@ class EventAnalyticsSpec extends SparkSpec {
     // the last touch of BOTH purchases; user 2's click never attributes
     assert(out.toSeq == Seq((1L, 2L, 888L, 0L), (2L, 2L, 888L, 2L)), s"got ${out.toSeq}")
   }
+
+  test("events_active_users: WAU covers the 7-day lookback; only active days report") {
+    val day = 86400L * 1000000000L
+    val out = run("events_active_users", ev(
+      (1L, 1L, "view", 0L, 1.0),
+      (2L, 2L, "view", 1L, 1.0),          // day 0: users {1,2}
+      (3L, 1L, "view", 3 * day, 1.0)))    // day 3: user {1}
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // WAU(0) = users in days [-6,0] = 2; WAU(3) = users in [-3,3] = 2;
+    // days 1,2 have no activity -> no rows
+    assert(out.toSeq == Seq((0L, 2L, 2L), (3L, 1L, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("events_churn: retained/churned/new partition the actives; last week right-censored") {
+    val wk = 7L * 86400L * 1000000000L
+    val out = run("events_churn", ev(
+      (1L, 1L, "view", 0L, 1.0),          // u1 wk0
+      (2L, 1L, "view", wk, 1.0),          // u1 wk1 (retained)
+      (3L, 2L, "view", 1L, 1.0),          // u2 wk0 only (churns after wk0)
+      (4L, 3L, "view", wk + 1L, 1.0)))    // u3 wk1 only (new in wk1)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (-1L, 0L, 0L, 0L, 2L),  // transition row INTO wk0: both users are new
+      (0L, 2L, 1L, 1L, 1L),   // u1 retained, u2 churned, u3 arrives next
+      (1L, 2L, 0L, 2L, 0L)),  // right-censored: no wk2 observed
+      s"got ${out.toSeq}")
+  }
+
+  test("embedding_gram: hand-computed gram and covariance numerators") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    Seq((1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("embedding_gram")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // quantized rows: (10000, 20000), (30000, 40000)
+    assert(out((0L, 0L)) == ((2L, 1000000000L, 400000000L)))
+    assert(out((0L, 1L)) == ((2L, 1400000000L, 400000000L)))
+    assert(out((1L, 1L)) == ((2L, 2000000000L, 400000000L)))
+    assert(out.size == 3, "upper triangle only")
+  }
 }
