@@ -308,6 +308,43 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Zone-map build + prune report: per pseudo-file (orderkey bucket),
+    // row count and min/max ship-day, plus whether a date predicate could
+    // SKIP the file entirely — the min/max-statistics file-skipping that
+    // decides how much of 100 TB a scan touches (the same contract parquet
+    // row-group stats / Iceberg manifests serve). One aggregate; the zone
+    // map is bucket-count rows, never data-sized.
+    "zonemap_prune" -> ((s, d) =>
+      lineitem(s, d)
+        .select(expr(s"l_orderkey div $ZoneBucketOrders").as("bucket"),
+          expr("unix_micros(l_shipdate) div 86400000000").as("day"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), min("day").as("min_day"),
+          max("day").as("max_day"))
+        .withColumn("skipped", col("max_day") < PruneCutoffDay)
+        .orderBy("bucket")),
+
+    // Incremental pyramid refresh: the NEW event batch's pixel deltas
+    // merged onto the existing pre-aggregation — only TOUCHED cells emitted
+    // (the tiles a refresh re-renders), linear in the batch, never a
+    // full-corpus re-aggregation. The left join direction is the point:
+    // delta drives, the old table only answers point lookups.
+    "pyramid_incremental" -> ((s, d) => {
+      def preOf(f: Column) =
+        Pyramid.prepareInput(occ(s, d).filter(f), OA.mapKeysArray)
+          .withColumnRenamed("mapKey", "map_key")
+          .withColumnRenamed("borYear", "bor_year")
+      val old = preOf(pmod(col("event_id"), lit(10)) =!= 9)
+        .withColumnRenamed("occCount", "occ_old")
+      val delta = preOf(pmod(col("event_id"), lit(10)) === 9)
+        .withColumnRenamed("occCount", "occ_delta")
+      delta.join(old, Seq("map_key", "lat", "lng", "bor_year"), "left")
+        .select(col("map_key"), col("lat"), col("lng"), col("bor_year"),
+          coalesce(col("occ_old"), lit(0L)).as("occ_old"), col("occ_delta"),
+          (coalesce(col("occ_old"), lit(0L)) + col("occ_delta")).as("occ_new"))
+        .orderBy("map_key", "lat", "lng", "bor_year")
+    }),
+
     // ---------------------------------------------------- relational surface
     // (engine additions per SURVEY §2.5/§2.6/§7 — TPC-H-shaped)
 
@@ -1100,6 +1137,13 @@ object SparkEntry {
     * mean group size get a salt factor (shared with the oracle).
     */
   private val SaltPlanMult = 4L
+
+  /** `zonemap_prune` pseudo-file width (orders per bucket) and the scan
+    * predicate's cutoff day (1999-01-01 as epoch days) — shared with the
+    * oracle.
+    */
+  private val ZoneBucketOrders = 1000L
+  private val PruneCutoffDay = 10592L
 
   /** KMV sketch size + seed for `sketch_kmv_overlap` (shared with oracle). */
   private val KmvK = 64
@@ -2396,6 +2440,35 @@ object SparkEntry {
           |FROM ex JOIN (SELECT map_key, count(*)::BIGINT AS n_coords
           |              FROM pre GROUP BY 1) stats USING (map_key)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "zonemap_prune" ->
+        s"""SELECT (l_orderkey // $ZoneBucketOrders) AS bucket,
+           |  count(*)::BIGINT AS n_rows,
+           |  min(epoch_us(l_shipdate) // 86400000000)::BIGINT AS min_day,
+           |  max(epoch_us(l_shipdate) // 86400000000)::BIGINT AS max_day,
+           |  (max(epoch_us(l_shipdate) // 86400000000) < $PruneCutoffDay) AS skipped
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "pyramid_incremental" -> (sqlOcc.stripSuffix("\n") +
+        s""",
+           |po AS (
+           |  SELECT map_key, lat, lng, bor_year, count(*)::BIGINT AS occ_old
+           |  FROM (SELECT ${BorYear.sqlEncode("event_type", "yr")} AS bor_year,
+           |               lat, lng, unnest(mks) AS map_key FROM occ
+           |        WHERE event_id % 10 != 9)
+           |  GROUP BY 1, 2, 3, 4),
+           |pd AS (
+           |  SELECT map_key, lat, lng, bor_year, count(*)::BIGINT AS occ_delta
+           |  FROM (SELECT ${BorYear.sqlEncode("event_type", "yr")} AS bor_year,
+           |               lat, lng, unnest(mks) AS map_key FROM occ
+           |        WHERE event_id % 10 = 9)
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT pd.map_key, pd.lat, pd.lng, pd.bor_year,
+           |  coalesce(po.occ_old, 0)::BIGINT AS occ_old,
+           |  pd.occ_delta,
+           |  (coalesce(po.occ_old, 0) + pd.occ_delta)::BIGINT AS occ_new
+           |FROM pd LEFT JOIN po USING (map_key, lat, lng, bor_year)
+           |ORDER BY 1, 2, 3, 4""".stripMargin),
 
       "skew_histogram" ->
         (sqlOcc + graft.ops.Skew.sqlSizeHistogram("ex", "map_key")),
