@@ -1121,6 +1121,9 @@ object SparkEntry {
   /** `vocab_coverage` head sizes (shared with the oracle). */
   private val CoverageKs = Seq(10L, 100L, 1000L)
 
+  /** `quality_report` percentiles (shared with the oracle). */
+  private val QualityPs = Seq(25L, 50L, 75L)
+
   /** Exact nanoseconds per day for retention-day bucketing. */
   private val NanosPerDay = 86400L * 1000000000L
 
@@ -2289,6 +2292,31 @@ object SparkEntry {
         .select(col("source"), col("k"), col("n_vocab"), col("n_tok"),
           expr("(mass * 1000000) div n_tok").as("mass_ppm"))
         .orderBy("source", "k")
+    }),
+
+    // Exact per-source quality percentiles (p25/50/75 of the ppm quality
+    // score, nearest-lower-rank definition: value at rank
+    // floor((n-1)*p/100)+1) — the per-slice quality audit a mixing run
+    // reads next to mix_rates. Grouped rank runs on GlobalRank's 3-pass
+    // distributed shape, so no source funnels through one task; the
+    // percentile targets are a |sources|x3 broadcast join, never a sort.
+    "quality_report" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+          TA.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"), col("source"),
+          expr(s"CAST(round(q * $SamplePpmScale, 0) AS BIGINT)").as("q_ppm"))
+      val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
+          base, "source", "q_ppm", Seq("doc_id"), buckets = 32,
+          out = "rnk", outN = "n")
+        .localCheckpoint() // feeds the target table AND the value lookup
+      val targets = ranked.select("source", "n").distinct()
+        .crossJoin(broadcast(QualityPs.toDF("p")))
+        .select(col("source"), col("p"),
+          (expr("((n - 1) * p) div 100") + 1).as("rnk"))
+      ranked.join(broadcast(targets), Seq("source", "rnk"))
+        .select(col("source"), col("p"), col("n"), col("q_ppm").as("q_ppm_at_p"))
+        .orderBy("source", "p")
     }),
 
     // Importance sampling by quality: deterministic Bernoulli(quality) via
@@ -3581,6 +3609,19 @@ object SparkEntry {
       "corpus_divergence" -> graft.llm.Divergence.sqlPairwiseTV,
 
       "source_classifier" -> graft.llm.Divergence.sqlSourceClassifier,
+
+      "quality_report" ->
+        s"""WITH b AS (SELECT doc_id, source,
+           |  CAST(round(${TA.sqlQualityScore(toks)} * $SamplePpmScale)
+           |    AS BIGINT) AS q_ppm FROM documents),
+           |r AS (SELECT source, q_ppm,
+           |        row_number() OVER (PARTITION BY source
+           |          ORDER BY q_ppm, doc_id) AS rnk,
+           |        count(*) OVER (PARTITION BY source)::BIGINT AS n FROM b),
+           |ps AS (SELECT unnest([${QualityPs.mkString(", ")}]) AS p)
+           |SELECT r.source, ps.p::BIGINT AS p, r.n, r.q_ppm AS q_ppm_at_p
+           |FROM r JOIN ps ON r.rnk = ((r.n - 1) * ps.p) // 100 + 1
+           |ORDER BY 1, 2""".stripMargin,
 
       "sample_importance" ->
         s"""WITH q AS (SELECT doc_id, lang,
