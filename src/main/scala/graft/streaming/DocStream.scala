@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.llm.Dedup
+import graft.llm.{Dedup, Substring}
 
 /** Streaming corpus admission: new documents arrive as a stream and are
   * admitted only if their content fingerprint is unknown to the STATIC
@@ -62,6 +62,27 @@ object DocStream {
         round(size(array_intersect(col("sh"), col("r_sh"))).cast("double") /
           size(array_union(col("sh"), col("r_sh"))), 6).as("jac_r"))
       .filter(col("jac_r") >= threshold)
+  }
+
+  /** Streaming span-level probe — [[graft.llm.Substring.incremental]]'s
+    * join half as a stream: each incoming doc's rolling w-token window
+    * fingerprints (explode is a stateless generator — legal in append
+    * mode) probe the static corpus's DISTINCT window set, emitting one
+    * `(doc_id, pos, wh)` row per window already present in the corpus.
+    * Per-doc hit_ppm scoring needs a grouped aggregate — stateful on a
+    * stream — so scoring stays batch-side (foreachBatch over this frame,
+    * or [[graft.llm.Substring.incremental]] on the micro-batch), the same
+    * split [[nearDupProbe]] makes for Jaccard verification.
+    *
+    * 100 TB posture: the static window set is Zipf-bounded and built once
+    * through the checkpoint seam; the stream side is linear in the batch.
+    */
+  def spanProbe(newDocs: DataFrame, index: DataFrame, w: Int,
+                cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
+    val oldSet = cp.cut(Substring.windowFrame(index, w).select("wh").distinct())
+    Substring.windowFrame(newDocs, w)
+      .join(oldSet, Seq("wh"))
+      .select(col("doc_id"), col("pos"), col("wh"))
   }
 
   // ---------------------------------------------- intra-batch completeness

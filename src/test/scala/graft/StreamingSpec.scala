@@ -528,4 +528,33 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming spanProbe matches the batch window-hit join on the same arrivals") {
+    implicit val sql = spark.sqlContext
+    def w(range: Range, p: String) = range.map(i => s"$p$i").mkString(" ")
+    val index = Seq((1L, w(1 to 20, "o")), (2L, w(1 to 12, "x")))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (9L, w(3 to 10, "o")),   // substring of indexed doc 1 -> all hit
+      (19L, w(1 to 8, "n")),   // novel -> no hits
+      (29L, w(9 to 12, "x")))  // exactly one window of doc 2
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.spanProbe(
+        in.toDF().toDF("doc_id", "text"), index, w = 4)
+      .writeStream.format("memory").queryName("spanprobe")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.take(1): _*); q.processAllAvailable()
+      in.addData(arrivals.drop(1): _*); q.processAllAvailable()
+      val streamed = spark.table("spanprobe")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.llm.Substring.windowFrame(arrivals.toDF("doc_id", "text"), 4)
+        .join(graft.llm.Substring.windowFrame(index, 4).select("wh").distinct(), Seq("wh"))
+        .select(col("doc_id"), col("pos"), col("wh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch, s"$streamed != $batch")
+      assert(streamed.count(_._1 == 9L) == 5 && streamed.count(_._1 == 19L) == 0 &&
+        streamed.count(_._1 == 29L) == 1)
+    } finally q.stop()
+  }
 }
