@@ -1130,6 +1130,32 @@ object SparkEntry {
   /** Exact nanoseconds per week for churn-week bucketing. */
   private val NanosPerWeek = 7L * 86400L * 1000000000L
 
+  /** Exact nanoseconds per hour for hour-of-day bucketing
+    * (`events_seasonal`).
+    */
+  private val NanosPerHour = 3600L * 1000000000L
+
+  /** `k_anonymity` re-identification risk threshold (groups smaller than
+    * this are flagged) — shared with the oracle.
+    */
+  private val KAnonRiskK = 5L
+
+  /** `compaction_plan` simulated-listing shape: docs per file and the
+    * target compacted bin size in (char-mass) bytes — shared with the
+    * oracle.
+    */
+  private val CompactDocsPerFile = 8L
+  private val CompactTargetBytes = 8192L
+
+  /** `dedup_recall` audit-sample modulus and ground-truth Jaccard
+    * threshold (ppm) — shared with the oracle.
+    */
+  private val RecallSampleMod = 5L
+  private val RecallJacPpm = 500000L
+
+  /** `knn_mutual` neighbor-list depth — shared with the oracle. */
+  private val KnnMutualK = 3
+
   /** Incident half-window (±30 min) and bucket width (1 h) for
     * `join_interval_overlap` — shared with the oracle SQL.
     */
@@ -2333,6 +2359,163 @@ object SparkEntry {
             concat(lit(s"$ImportanceSeed:"), col("doc_id").cast("string"))),
           lit(SamplePpmScale)) < col("w_ppm"))
         .orderBy("doc_id")
+    }),
+
+    // k-anonymity audit over a quasi-identifier tuple (nation, market
+    // segment, coarse balance bin): group-size histogram + the re-id risk
+    // flag (k below threshold). The per-group frame never leaves the
+    // executors — the report is the k-histogram, which is bounded by the
+    // largest group size, not the group count; both aggregates are
+    // map-side combinable hash aggs. The release-readiness gate a
+    // training-data pipeline runs before shipping any user-derived table.
+    "k_anonymity" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bin")
+        .agg(count(lit(1)).as("k_size"))
+      g.groupBy("k_size")
+        .agg(count(lit(1)).as("n_groups"))
+        .select(col("k_size"), col("n_groups"),
+          (col("k_size") * col("n_groups")).as("n_users"),
+          when(col("k_size") < KAnonRiskK, 1).otherwise(0).as("at_risk"))
+        .orderBy("k_size")
+    }),
+
+    // Type-2 slowly-changing-dimension build: collapse each user's
+    // ts-ordered event_type stream into change runs with half-open
+    // validity intervals [valid_from, valid_to) — valid_to = -1 marks the
+    // current version. Classic islands shape: per-user windows only
+    // (bounded history per key, no global funnel), runs grouped on the
+    // running change count, successor lookup via lead over the runs frame
+    // (1 row per version, far smaller than the event stream).
+    "scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val runsOf = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .withColumn("chg",
+          when(col("prev").isNull.or(col("prev") =!= col("event_type")), 1L)
+            .otherwise(0L))
+        .withColumn("ver", sum("chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "ver")
+        .agg(min("event_type").as("event_type"), // constant within a run
+          min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+      val wRun = Window.partitionBy("user_id").orderBy("ver")
+      runsOf
+        .withColumn("valid_to",
+          coalesce(lead("valid_from", 1).over(wRun), lit(-1L)))
+        .select("user_id", "ver", "event_type", "valid_from", "valid_to",
+          "n_events")
+        .orderBy("user_id", "ver")
+    }),
+
+    // Seasonal-naive baseline + last-day residuals: per (event_type,
+    // hour-of-day) mean hourly count over all training days (every day
+    // before the last), compared against the last day's actuals. Exact
+    // integer contract: baseline is ppm (count*1e6 div train-day count) so
+    // the residual is replayable bit-for-bit. The hourly rollup is one
+    // map-side-combinable agg; the max-day / day-count stats are 1-row
+    // broadcast cross joins (the repo's scalar-stats pattern), and the
+    // baseline/actual frames are (types x 24)-bounded.
+    "events_seasonal" -> ((s, d) => {
+      val hourly = events(s, d)
+        .select(col("event_type"),
+          IntMath.floorDiv(col("ts"), NanosPerDay).as("day"),
+          pmod(IntMath.floorDiv(col("ts"), NanosPerHour), lit(24L)).as("hod"))
+        .groupBy("event_type", "day", "hod").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds max-day, train-day count, baseline, actual
+      val maxd = hourly.agg(max("day").as("maxd"))
+      val nTrain = hourly.select("day").distinct()
+        .crossJoin(broadcast(maxd))
+        .filter(col("day") < col("maxd"))
+        .agg(count(lit(1)).as("n_train_days"))
+      val base = hourly.crossJoin(broadcast(maxd))
+        .filter(col("day") < col("maxd"))
+        .groupBy("event_type", "hod").agg(sum("c").as("base_cnt"))
+      val actual = hourly.crossJoin(broadcast(maxd))
+        .filter(col("day") === col("maxd"))
+        .groupBy("event_type", "hod").agg(sum("c").as("actual_cnt"))
+      base.join(actual, Seq("event_type", "hod"), "full_outer")
+        .crossJoin(broadcast(nTrain))
+        .select(col("event_type"), col("hod"),
+          coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+          col("n_train_days"),
+          expr("(coalesce(base_cnt, 0) * 1000000) div n_train_days")
+            .as("baseline_ppm"),
+          coalesce(col("actual_cnt"), lit(0L)).as("actual_cnt"))
+        .withColumn("resid_ppm",
+          col("actual_cnt") * 1000000L - col("baseline_ppm"))
+        .orderBy("event_type", "hod")
+    }),
+
+    // Small-file compaction planning: simulate a file listing (doc groups
+    // as files, char mass as bytes), assign each file to a compaction bin
+    // by its cumulative START offset div the target bin size — the
+    // deterministic sequential bin-pack every table-maintenance service
+    // runs over manifest listings. The cumulative offset runs on the NEW
+    // distributed prefix sum (GlobalRank.withGlobalPrefixSum — bucketed,
+    // never a single-partition window): at 100 TB a listing is ~10^6
+    // files, and the only driver crossing is the per-bucket sum table.
+    "compaction_plan" -> ((s, d) => {
+      val files = docs(s, d)
+        .select(IntMath.floorDiv(col("doc_id"), CompactDocsPerFile).as("file_id"),
+          col("n_chars"))
+        .groupBy("file_id")
+        .agg(sum("n_chars").as("size_bytes"), count(lit(1)).as("n_docs"))
+      val cum = graft.ops.GlobalRank.withGlobalPrefixSum(
+        files, "file_id", Seq.empty, "size_bytes", buckets = 16, out = "cum")
+      cum
+        .withColumn("bin",
+          IntMath.floorDiv(col("cum") - col("size_bytes"), CompactTargetBytes))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("size_bytes").as("total_bytes"),
+          min("file_id").as("first_file"), max("file_id").as("last_file"),
+          md5(concat_ws(",", transform(
+            sort_array(collect_list(struct(col("file_id")))),
+            x => x.getField("file_id").cast("string"))).cast("binary"))
+            .as("member_md5"))
+        .orderBy("bin")
+    }),
+
+    // Dominant principal component of the embedding cloud: exact-integer
+    // power iteration on the mean Gram matrix (llm.Pca — corpus read
+    // twice: Gram agg + projection pass; the iteration itself is dim-row
+    // metadata). Output is each vector's 1-D coordinate along the top
+    // direction — the ordering a curriculum/visualization slice consumes.
+    "embedding_pc1" -> ((s, d) =>
+      graft.llm.Pca.projections(s, emb(s, d)).orderBy("vec_id")),
+
+    // LSH recall/precision audit on a bounded sample: exact all-pairs
+    // Jaccard ground truth (quadratic in the SAMPLE only — the audit's
+    // documented contract, same as the ANN recall trio's brute side) vs
+    // the banded candidate set. The go/no-go measurement before a corpus
+    // trusts dedup_minhash's band geometry.
+    "dedup_recall" -> ((s, d) =>
+      Dedup.recallAudit(
+        docs(s, d).filter(col("doc_id") % RecallSampleMod === 0),
+        shingleSize = 3, numPerms = 16, numBands = 4,
+        thrPpm = RecallJacPpm)),
+
+    // Mutual-kNN graph over the LSH-bucketed neighbor lists: keep the
+    // edge (a, b) only when each endpoint ranks the other in its top-k —
+    // the standard density-robust graph for clustering/agreement checks.
+    // Same scale shape as similarity_lsh (capped cells, per-query top-k);
+    // the mutuality filter is a self-join of the k·N edge list on the
+    // reversed key, never a new similarity pass.
+    "knn_mutual" -> ((s, d) => {
+      val top = Similarity.lshTopK(emb(s, d), lit(true), k = KnnMutualK,
+          bitsPerBand = lshBitsFor(s, d))
+        .select(col("q_id"), col("n_id"), col("rank"))
+        .localCheckpoint() // both sides of the mutuality self-join
+      top.as("f").join(top.as("g"),
+          col("f.q_id") === col("g.n_id") && col("f.n_id") === col("g.q_id") &&
+            col("f.q_id") < col("f.n_id"))
+        .select(col("f.q_id").as("a"), col("f.n_id").as("b"),
+          col("f.rank").cast("long").as("rank_ab"),
+          col("g.rank").cast("long").as("rank_ba"))
+        .orderBy("a", "b")
     })
   )
 
@@ -3630,7 +3813,131 @@ object SparkEntry {
            |SELECT doc_id, lang, w_ppm FROM q
            |WHERE (${graft.expr.PortableHash.sqlPhash(
                 s"'$ImportanceSeed:' || doc_id::VARCHAR")} % $SamplePpmScale) < w_ppm
-           |ORDER BY doc_id""".stripMargin
+           |ORDER BY doc_id""".stripMargin,
+
+      "k_anonymity" ->
+        s"""WITH q AS (SELECT c_nationkey, c_mktsegment,
+           |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bin FROM customer),
+           |g AS (SELECT c_nationkey, c_mktsegment, bal_bin,
+           |  count(*)::BIGINT AS k_size FROM q GROUP BY 1, 2, 3)
+           |SELECT k_size, count(*)::BIGINT AS n_groups,
+           |  (k_size * count(*))::BIGINT AS n_users,
+           |  CASE WHEN k_size < $KAnonRiskK THEN 1 ELSE 0 END AS at_risk
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "scd2_history" ->
+        """WITH e AS (SELECT user_id, event_id, event_type,
+          |  epoch_us(ts) * 1000 AS ts_ns FROM events),
+          |l AS (SELECT *, lag(event_type) OVER
+          |  (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM e),
+          |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+          |  THEN 1 ELSE 0 END AS chg FROM l),
+          |v AS (SELECT *, (sum(chg) OVER (PARTITION BY user_id
+          |  ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS ver
+          |  FROM c),
+          |r AS (SELECT user_id, ver, min(event_type) AS event_type,
+          |  min(ts_ns) AS valid_from, count(*)::BIGINT AS n_events
+          |  FROM v GROUP BY 1, 2)
+          |SELECT user_id, ver, event_type, valid_from,
+          |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver),
+          |    -1) AS valid_to, n_events
+          |FROM r ORDER BY user_id, ver""".stripMargin,
+
+      "events_seasonal" ->
+        """WITH e AS (SELECT event_type,
+          |  epoch_us(ts) // 86400000000 AS day,
+          |  (epoch_us(ts) // 3600000000) % 24 AS hod FROM events),
+          |h AS (SELECT event_type, day, hod, count(*)::BIGINT AS c
+          |  FROM e GROUP BY 1, 2, 3),
+          |m AS (SELECT max(day) AS maxd FROM h),
+          |nd AS (SELECT count(DISTINCT day)::BIGINT AS n_train_days
+          |  FROM h, m WHERE day < maxd),
+          |b AS (SELECT event_type, hod, sum(c)::BIGINT AS base_cnt
+          |  FROM h, m WHERE day < maxd GROUP BY 1, 2),
+          |a AS (SELECT event_type, hod, sum(c)::BIGINT AS actual_cnt
+          |  FROM h, m WHERE day = maxd GROUP BY 1, 2)
+          |SELECT coalesce(b.event_type, a.event_type) AS event_type,
+          |  coalesce(b.hod, a.hod) AS hod,
+          |  coalesce(b.base_cnt, 0) AS base_cnt, nd.n_train_days,
+          |  (coalesce(b.base_cnt, 0) * 1000000) // nd.n_train_days
+          |    AS baseline_ppm,
+          |  coalesce(a.actual_cnt, 0) AS actual_cnt,
+          |  coalesce(a.actual_cnt, 0) * 1000000 -
+          |    (coalesce(b.base_cnt, 0) * 1000000) // nd.n_train_days
+          |    AS resid_ppm
+          |FROM b FULL JOIN a ON b.event_type = a.event_type AND b.hod = a.hod,
+          |  nd
+          |ORDER BY 1, 2""".stripMargin,
+
+      "compaction_plan" ->
+        s"""WITH f AS (SELECT doc_id // $CompactDocsPerFile AS file_id,
+           |  sum(n_chars)::BIGINT AS size_bytes, count(*)::BIGINT AS n_docs
+           |  FROM documents GROUP BY 1),
+           |c AS (SELECT file_id, size_bytes,
+           |  (sum(size_bytes) OVER (ORDER BY file_id
+           |    ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM f),
+           |a AS (SELECT *, (cum - size_bytes) // $CompactTargetBytes AS bin
+           |  FROM c)
+           |SELECT bin, count(*)::BIGINT AS n_files,
+           |  sum(size_bytes)::BIGINT AS total_bytes,
+           |  min(file_id) AS first_file, max(file_id) AS last_file,
+           |  md5(array_to_string(list(file_id::VARCHAR ORDER BY file_id), ','))
+           |    AS member_md5
+           |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "embedding_pc1" -> graft.llm.Pca.sqlProjections,
+
+      "dedup_recall" ->
+        (s"WITH ${sqlLshBase(3, 16, 4, pred = s"doc_id % $RecallSampleMod = 0")},\n" +
+          s"""kk AS (SELECT doc_id, sh FROM k WHERE len(sh) > 0),
+             |ex AS (SELECT l.doc_id AS a, r.doc_id AS b,
+             |    len(list_intersect(l.sh, r.sh))::BIGINT AS n_common,
+             |    len(l.sh)::BIGINT AS n_a, len(r.sh)::BIGINT AS n_b
+             |  FROM kk l JOIN kk r ON l.doc_id < r.doc_id),
+             |tp AS (SELECT a, b FROM ex
+             |  WHERE n_common * 1000000 // (n_a + n_b - n_common) >= $RecallJacPpm),
+             |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             |  FROM bb l JOIN bb r ON l.band = r.band AND l.bh = r.bh
+             |    AND l.doc_id < r.doc_id),
+             |hit AS (SELECT a, b FROM tp
+             |  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.a = tp.a AND c.b = tp.b))
+             |SELECT
+             |  (SELECT count(*) FROM documents
+             |     WHERE doc_id % $RecallSampleMod = 0)::BIGINT AS n_docs,
+             |  (SELECT count(*) FROM tp)::BIGINT AS n_true,
+             |  (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+             |  (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+             |  ((SELECT count(*) FROM hit) * 1000000 //
+             |    greatest((SELECT count(*) FROM tp), 1))::BIGINT AS recall_ppm,
+             |  ((SELECT count(*) FROM hit) * 1000000 //
+             |    greatest((SELECT count(*) FROM cand), 1))::BIGINT AS precision_ppm""".stripMargin),
+
+      "knn_mutual" -> {
+        import graft.llm.Similarity
+        val cells = Similarity.sqlBandCells(
+          "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+        val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+        s"""WITH n AS (SELECT vec_id, embedding,
+           |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+           |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+           |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+           |cc AS (SELECT vec_id, band, cell FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+           |  WHERE occ <= ${Similarity.MaxCellBucket}),
+           |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+           |  FROM cc q JOIN cc e ON q.band = e.band AND q.cell = e.cell
+           |    AND q.vec_id <> e.vec_id),
+           |p AS (SELECT q_id, n_id, $cos AS cos_r
+           |  FROM cand JOIN n l ON q_id = l.vec_id JOIN n r ON n_id = r.vec_id),
+           |r AS (SELECT q_id, n_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
+           |  FROM p),
+           |t AS (SELECT q_id, n_id, rnk FROM r WHERE rnk <= $KnnMutualK)
+           |SELECT f.q_id AS a, f.n_id AS b, f.rnk AS rank_ab, g.rnk AS rank_ba
+           |FROM t f JOIN t g ON f.q_id = g.n_id AND f.n_id = g.q_id
+           |  AND f.q_id < f.n_id
+           |ORDER BY 1, 2""".stripMargin
+      }
     )
   }
 
@@ -3778,11 +4085,12 @@ object SparkEntry {
   /** Shared LSH CTE base (`t/th/s/nz/sg/bd/bb/k`): banded signatures + the
     * distinct shingle sets, over ALL documents.
     */
-  private def sqlLshBase(shingleSize: Int, numPerms: Int, numBands: Int): String = {
+  private def sqlLshBase(shingleSize: Int, numPerms: Int, numBands: Int,
+                         pred: String = "TRUE"): String = {
     import graft.llm.{Dedup, TextAnalysis => TA}
     val toks = TA.sqlTokens("text")
     val rpb = numPerms / numBands
-    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents WHERE $pred),
        |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
        |s AS (SELECT doc_id, ${Dedup.sqlHashedShingles("th", shingleSize)} AS sh FROM th),
        |nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),

@@ -561,4 +561,44 @@ object Dedup {
         (size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
           size(array_union(col("l.sh"), col("r.sh")))).as("jaccard"))
   }
+
+  /** Recall/precision audit of the banded-LSH candidate generator against
+    * ground-truth Jaccard — the measurement that justifies (or re-sizes)
+    * the band geometry before a production dedup run trusts it.
+    *
+    * `docs` MUST be a bounded audit sample: the ground truth is the exact
+    * all-pairs Jaccard, quadratic in the sample BY DESIGN (that is the
+    * only way to observe the candidates LSH missed). Same contract as the
+    * ANN recall trio's brute-force side: sample-only exact path, never the
+    * corpus. Everything is integer-ppm so the oracle replays it exactly.
+    *
+    * One row out: sample size, true pairs (jac ≥ thrPpm), LSH candidate
+    * pairs, hits (true ∩ candidate), recall and precision in ppm.
+    */
+  def recallAudit(docs: DataFrame, shingleSize: Int, numPerms: Int,
+                  numBands: Int, thrPpm: Long): DataFrame = {
+    val idx = signatureIndex(docs, shingleSize, numPerms, numBands)
+    val sets = idx.sets.filter(size(col("sh")) > 0).localCheckpoint()
+    val exact = sets.as("l")
+      .join(sets.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        size(array_intersect(col("l.sh"), col("r.sh"))).cast("long").as("n_common"),
+        size(col("l.sh")).cast("long").as("n_a"),
+        size(col("r.sh")).cast("long").as("n_b"))
+      .withColumn("jac_ppm",
+        expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+    val truePairs = exact.filter(col("jac_ppm") >= thrPpm)
+      .select("a", "b").localCheckpoint() // counted AND joined
+    val cand = minhashCandidatesFrom(idx.banded)
+      .select("a", "b").localCheckpoint() // counted AND joined
+    val hits = truePairs.join(cand, Seq("a", "b"), "left_semi")
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val nt = truePairs.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val nh = hits.agg(count(lit(1)).as("n_hit"))
+    nd.crossJoin(nt).crossJoin(nc).crossJoin(nh)
+      .select(col("n_docs"), col("n_true"), col("n_cand"), col("n_hit"),
+        expr("n_hit * 1000000 div greatest(n_true, 1)").as("recall_ppm"),
+        expr("n_hit * 1000000 div greatest(n_cand, 1)").as("precision_ppm"))
+  }
 }

@@ -117,6 +117,51 @@ object GlobalRank {
     ranked.withColumn(out, tile).drop("__rn")
   }
 
+  /** df + exact global INCLUSIVE running sum of `valueCol` (a non-null
+    * integral column — the sum stays in exact LongType arithmetic) over the
+    * total order (`rangeCol` asc, then `tieBreak` asc) in column `out` —
+    * `sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` without the
+    * single-partition window. Same three-pass bucket machinery and
+    * checkpoint rule as [[withGlobalRowNumberAndCount]]; the only driver
+    * crossing is the per-bucket SUM table (`buckets` rows), folded into a
+    * literal offset chain exactly like the rank offsets.
+    *
+    * This is the primitive behind cumulative layout work (file compaction
+    * binning, byte-offset assignment, quota fill) where the value being
+    * accumulated is a size, not a row count.
+    */
+  def withGlobalPrefixSum(
+      df0: DataFrame, rangeCol: String, tieBreak: Seq[String],
+      valueCol: String, buckets: Int, out: String,
+      cp: Checkpointer = Checkpointer.Local): DataFrame = {
+    val df =
+      if (isBareScan(df0.queryExecution.optimizedPlan)) df0
+      else cp.cut(df0)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bRow = df.agg(
+      expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
+    val bounds: Seq[Double] =
+      if (bRow.isNullAt(0)) Seq.empty
+      else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
+    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(rangeCol) > lit(b), 1).otherwise(0)
+    }
+    val sortCols = (rangeCol +: tieBreak).map(col)
+    val local = df.withColumn("__bkt", bucket)
+      .withColumn("__lcs", sum(col(valueCol).cast("long")).over(
+        Window.partitionBy("__bkt").orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sums = df.withColumn("__bkt", bucket)
+      .groupBy("__bkt").agg(sum(col(valueCol).cast("long")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sums.map(_._1).zip(
+      sums.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offset = offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
+      when(col("__bkt") === bkt, lit(off)).otherwise(acc)
+    }
+    local.withColumn(out, col("__lcs") + offset).drop("__bkt", "__lcs")
+  }
+
   /** SQL-standard ntile from a 1-based global rank and total count. */
   def ntileFromRank(rn: Column, n: Long, tiles: Int): Column = {
     val q = n / tiles

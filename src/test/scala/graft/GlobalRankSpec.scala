@@ -152,4 +152,31 @@ class GlobalRankSpec extends SparkSpec {
       assert(maxGap <= nSrc, s"source $src runs: max gap $maxGap > $nSrc sources")
     }
   }
+
+  test("global prefix sum == single-partition window cumsum on skewed, tied data") {
+    // heavy ties on the range key: half the rows share one key, so one
+    // bucket absorbs them — the offset table must still stitch exactly
+    val df = (Seq.fill(400)(7L) ++ (1L to 400L))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v, (i % 13 + 1).toLong) }
+      .toDF("id", "k", "sz")
+      .repartition(7)
+    val got = GlobalRank.withGlobalPrefixSum(
+      df, "k", Seq("id"), "sz", buckets = 8, out = "cum")
+    val want = df.withColumn("cum",
+      sum("sz").over(Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "distributed prefix sum == window cumsum, bitwise")
+  }
+
+  test("prefix sum on a derived (non-bare-scan) input stays correct") {
+    val base = (1 to 900).map(i => (i.toLong % 31, i.toLong)).toDF("g", "x")
+    val derived = base.groupBy("g").agg(sum("x").as("sz"))
+    val got = GlobalRank.withGlobalPrefixSum(
+      derived, "g", Seq.empty, "sz", buckets = 4, out = "cum")
+    val want = derived.withColumn("cum",
+      sum("sz").over(Window.orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }

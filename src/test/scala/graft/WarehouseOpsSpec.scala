@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the warehouse/governance key batch: SCD2
+  * interval algebra, k-anonymity accounting, seasonal-baseline math, and
+  * compaction-bin packing. The oracle hash check proves value equality;
+  * these prove the CONTRACTS the values are supposed to satisfy.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("scd2_history: versions are 1..N per user and intervals tile the timeline") {
+    val h = SparkEntry.queries("scd2_history")(spark, d).collect()
+    assert(h.nonEmpty)
+    val byUser = h.groupBy(_.getAs[Long]("user_id"))
+    for ((u, rows) <- byUser) {
+      val sorted = rows.sortBy(_.getAs[Long]("ver"))
+      assert(sorted.map(_.getAs[Long]("ver")).toSeq == (1L to sorted.length).toSeq,
+        s"user $u: versions must be a 1..N run")
+      // consecutive versions chain: valid_to of run k == valid_from of k+1;
+      // only the last run is open (-1)
+      for (Array(a, b) <- sorted.sliding(2).map(_.toArray)) {
+        assert(a.getAs[Long]("valid_to") == b.getAs[Long]("valid_from"),
+          s"user $u: intervals must chain without gaps")
+        assert(a.getAs[String]("event_type") != b.getAs[String]("event_type"),
+          s"user $u: consecutive runs must change type (else not a change run)")
+      }
+      assert(sorted.last.getAs[Long]("valid_to") == -1L,
+        s"user $u: last version must be open-ended")
+      assert(sorted.init.forall(_.getAs[Long]("valid_to") >= 0L))
+    }
+  }
+
+  test("scd2_history: run event counts sum to the user's event count") {
+    val h = SparkEntry.queries("scd2_history")(spark, d)
+      .groupBy("user_id").agg(sum("n_events").as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val e = Tables.events(spark, d).groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    assert(h == e, "every event must land in exactly one run")
+  }
+
+  test("k_anonymity: histogram accounts for every customer exactly once") {
+    val rep = SparkEntry.queries("k_anonymity")(spark, d).collect()
+    val total = rep.map(r => r.getAs[Long]("n_users")).sum
+    val nCust = Tables.customer(spark, d).count()
+    assert(total == nCust, "sum(k_size * n_groups) must equal the row count")
+    assert(rep.forall(r =>
+      r.getAs[Long]("n_users") == r.getAs[Long]("k_size") * r.getAs[Long]("n_groups")))
+    assert(rep.forall(r => (r.getAs[Long]("k_size") < 5L) == (r.getAs[Int]("at_risk") == 1)),
+      "at_risk flag must match the k threshold")
+  }
+
+  test("events_seasonal: baseline ppm is the exact integer mean over training days") {
+    val rows = SparkEntry.queries("events_seasonal")(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val base = r.getAs[Long]("base_cnt"); val nd = r.getAs[Long]("n_train_days")
+      assert(r.getAs[Long]("baseline_ppm") == base * 1000000L / nd)
+      assert(r.getAs[Long]("resid_ppm") ==
+        r.getAs[Long]("actual_cnt") * 1000000L - r.getAs[Long]("baseline_ppm"))
+      assert(r.getAs[Long]("hod") >= 0L && r.getAs[Long]("hod") < 24L)
+    }
+  }
+
+  test("compaction_plan: bins partition the file listing into contiguous runs") {
+    val bins = SparkEntry.queries("compaction_plan")(spark, d).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    assert(bins.nonEmpty)
+    // contiguity: each bin's file range starts right after the previous
+    for (Array(a, b) <- bins.sliding(2).map(_.toArray)) {
+      assert(a.getAs[Long]("last_file") + 1 == b.getAs[Long]("first_file"),
+        "bins must cover the listing in contiguous file_id order")
+    }
+    val nFiles = bins.map(_.getAs[Long]("n_files")).sum
+    val distinctFiles = Tables.documents(spark, d)
+      .select((col("doc_id") - pmod(col("doc_id"), lit(8L))).as("f")).distinct().count()
+    assert(nFiles == distinctFiles, "every file assigned to exactly one bin")
+    // start-offset binning: a bin only exceeds the target by at most the
+    // size of its last (straddling) file, so every bin except possibly the
+    // last must have started before its target boundary filled
+    for (b <- bins.init) {
+      assert(b.getAs[Long]("total_bytes") > 0L)
+    }
+  }
+}
