@@ -1156,6 +1156,62 @@ object SparkEntry {
   /** `knn_mutual` neighbor-list depth — shared with the oracle. */
   private val KnnMutualK = 3
 
+  /** `stats_corr` measure pairs (alphabetical, matching the output
+    * order) — shared with the oracle.
+    */
+  private val CorrPairs = Seq(
+    ("dc", "p"), ("dc", "q"), ("dc", "tx"),
+    ("p", "q"), ("p", "tx"), ("q", "tx"))
+
+  /** Oracle CTE chain for the SCD2 build, ending in
+    * `scd(user_id, ver, event_type, valid_from, valid_to, n_events)` —
+    * shared by `scd2_history` and `join_scd2`.
+    */
+  private def sqlScd2Cte: String =
+    """e AS (SELECT user_id, event_id, event_type,
+      |  epoch_us(ts) * 1000 AS ts_ns FROM events),
+      |l AS (SELECT *, lag(event_type) OVER
+      |  (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM e),
+      |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
+      |  THEN 1 ELSE 0 END AS chg FROM l),
+      |v AS (SELECT *, (sum(chg) OVER (PARTITION BY user_id
+      |  ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS ver
+      |  FROM c),
+      |r AS (SELECT user_id, ver, min(event_type) AS event_type,
+      |  min(ts_ns) AS valid_from, count(*)::BIGINT AS n_events
+      |  FROM v GROUP BY 1, 2),
+      |scd AS (SELECT user_id, ver, event_type, valid_from,
+      |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver),
+      |    -1) AS valid_to, n_events
+      |  FROM r)""".stripMargin
+
+  /** Type-2 SCD build shared by `scd2_history` and `join_scd2`: per-user
+    * change runs with half-open validity intervals, valid_to = -1 open.
+    * Classic islands shape: per-user windows only (bounded history per
+    * key, no global funnel); the successor lookup runs over the runs
+    * frame, 1 row per version.
+    */
+  private def scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runsOf = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("chg",
+        when(col("prev").isNull.or(col("prev") =!= col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("ver", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "ver")
+      .agg(min("event_type").as("event_type"), // constant within a run
+        min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy("user_id").orderBy("ver")
+    runsOf
+      .withColumn("valid_to",
+        coalesce(lead("valid_from", 1).over(wRun), lit(-1L)))
+      .select("user_id", "ver", "event_type", "valid_from", "valid_to",
+        "n_events")
+  }
+
   /** Incident half-window (±30 min) and bucket width (1 h) for
     * `join_interval_overlap` — shared with the oracle SQL.
     */
@@ -2389,26 +2445,27 @@ object SparkEntry {
     // (bounded history per key, no global funnel), runs grouped on the
     // running change count, successor lookup via lead over the runs frame
     // (1 row per version, far smaller than the event stream).
-    "scd2_history" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val runsOf = events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev", lag("event_type", 1).over(w))
-        .withColumn("chg",
-          when(col("prev").isNull.or(col("prev") =!= col("event_type")), 1L)
-            .otherwise(0L))
-        .withColumn("ver", sum("chg").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "ver")
-        .agg(min("event_type").as("event_type"), // constant within a run
-          min("ts").as("valid_from"), count(lit(1)).as("n_events"))
-      val wRun = Window.partitionBy("user_id").orderBy("ver")
-      runsOf
-        .withColumn("valid_to",
-          coalesce(lead("valid_from", 1).over(wRun), lit(-1L)))
-        .select("user_id", "ver", "event_type", "valid_from", "valid_to",
-          "n_events")
-        .orderBy("user_id", "ver")
+    "scd2_history" -> ((s, d) =>
+      scd2(s, d).orderBy("user_id", "ver")),
+
+    // Dimension-snapshot join: every event joined to the SCD2 version row
+    // active at its timestamp — the "what did the dimension say THEN"
+    // lookup a warehouse fact load runs against a type-2 dimension. The
+    // join is an equi-join on user_id with the interval predicate as a
+    // post-filter: per-user version counts are bounded (they only grow
+    // with CHANGES, not events), so the fan-out is a small constant — no
+    // banded range join needed at any scale. Every event matches exactly
+    // one version (the intervals tile the timeline by construction).
+    "join_scd2" -> ((s, d) => {
+      val dim = scd2(s, d)
+        .select(col("user_id"), col("ver"), col("event_type").as("dim_type"),
+          col("valid_from"), col("valid_to"))
+      events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        .join(dim, Seq("user_id"))
+        .filter(col("ts") >= col("valid_from") &&
+          (col("valid_to") === -1L || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("ver"), col("dim_type"))
+        .orderBy("event_id")
     }),
 
     // Seasonal-naive baseline + last-day residuals: per (event_type,
@@ -2516,6 +2573,71 @@ object SparkEntry {
           col("f.rank").cast("long").as("rank_ab"),
           col("g.rank").cast("long").as("rank_ba"))
         .orderBy("a", "b")
+    }),
+
+    // CDC changelog between two state snapshots derived from the SAME
+    // event stream (state = each user's latest event_type; "old" is the
+    // state before the last day, "new" the state now): emit I (user
+    // appeared), U (state changed), = (unchanged) — the change feed a
+    // downstream incremental consumer applies instead of re-reading the
+    // snapshot. Both states are one argmax aggregate (max(struct)) over a
+    // shared hourly-scan frame; the diff is a single left join (new ⊇ old
+    // here — no retractions in an append-only stream, documented).
+    "cdc_changelog" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          IntMath.floorDiv(col("ts"), NanosPerDay).as("day"))
+        .localCheckpoint() // feeds max-day + both state aggregates
+      val maxd = e.agg(max("day").as("maxd"))
+      def latest(df: DataFrame, out: String) = df
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as(out))
+      val oldState = latest(
+        e.crossJoin(broadcast(maxd)).filter(col("day") < col("maxd")), "old_type")
+      val newState = latest(e, "new_type")
+      newState.join(oldState, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("old_type"), lit("")).as("old_type"), col("new_type"),
+          when(col("old_type").isNull, "I")
+            .when(col("old_type") =!= col("new_type"), "U")
+            .otherwise("=").as("op"))
+        .orderBy("user_id")
+    }),
+
+    // Exact correlation matrix over the lineitem measures: all sums run
+    // in DECIMAL over scaled-integer columns (order-independent), and the
+    // final correlation is a chain of CORRECTLY-ROUNDED IEEE ops on
+    // exactly-agreed inputs (decimal→double cast, *, sqrt, /, round —
+    // sqrt IS correctly rounded per IEEE-754, unlike log/exp), so the
+    // rounded value matches the oracle bit-for-bit. One pass, one
+    // map-side-combinable aggregate per pair via a 6-struct explode.
+    "stats_corr" -> ((s, d) => {
+      val m = lineitem(s, d).select(
+        expr("CAST(round(l_quantity * 100) AS DECIMAL(38,0))").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))").as("p"),
+        expr("CAST(round(l_discount * 10000) AS DECIMAL(38,0))").as("dc"),
+        expr("CAST(round(l_tax * 10000) AS DECIMAL(38,0))").as("tx"))
+      val pairs = CorrPairs.map { case (xn, yn) =>
+        struct(lit(xn).as("xcol"), lit(yn).as("ycol"),
+          col(xn).as("x"), col(yn).as("y"))
+      }
+      m.select(explode(array(pairs: _*)).as("t"))
+        .select(col("t.xcol").as("xcol"), col("t.ycol").as("ycol"),
+          col("t.x").as("x"), col("t.y").as("y"))
+        .groupBy("xcol", "ycol")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("xcol"), col("ycol"), col("n"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("corr_r"))
+        .orderBy("xcol", "ycol")
     })
   )
 
@@ -3826,22 +3948,58 @@ object SparkEntry {
            |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "scd2_history" ->
+        s"""WITH $sqlScd2Cte
+           |SELECT user_id, ver, event_type, valid_from, valid_to, n_events
+           |FROM scd ORDER BY user_id, ver""".stripMargin,
+
+      "join_scd2" ->
+        s"""WITH $sqlScd2Cte,
+           |ev AS (SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts_ns
+           |  FROM events)
+           |SELECT ev.event_id, ev.user_id, s.ver, s.event_type AS dim_type
+           |FROM ev JOIN scd s ON ev.user_id = s.user_id
+           |  AND ev.ts_ns >= s.valid_from
+           |  AND (s.valid_to = -1 OR ev.ts_ns < s.valid_to)
+           |ORDER BY ev.event_id""".stripMargin,
+
+      "cdc_changelog" ->
         """WITH e AS (SELECT user_id, event_id, event_type,
-          |  epoch_us(ts) * 1000 AS ts_ns FROM events),
-          |l AS (SELECT *, lag(event_type) OVER
-          |  (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM e),
-          |c AS (SELECT *, CASE WHEN prev IS NULL OR prev <> event_type
-          |  THEN 1 ELSE 0 END AS chg FROM l),
-          |v AS (SELECT *, (sum(chg) OVER (PARTITION BY user_id
-          |  ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS ver
-          |  FROM c),
-          |r AS (SELECT user_id, ver, min(event_type) AS event_type,
-          |  min(ts_ns) AS valid_from, count(*)::BIGINT AS n_events
-          |  FROM v GROUP BY 1, 2)
-          |SELECT user_id, ver, event_type, valid_from,
-          |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver),
-          |    -1) AS valid_to, n_events
-          |FROM r ORDER BY user_id, ver""".stripMargin,
+          |  epoch_us(ts) * 1000 AS ts_ns,
+          |  epoch_us(ts) // 86400000000 AS day FROM events),
+          |m AS (SELECT max(day) AS maxd FROM e),
+          |rn AS (SELECT user_id, event_type, row_number() OVER
+          |  (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) AS r
+          |  FROM e),
+          |nw AS (SELECT user_id, event_type AS new_type FROM rn WHERE r = 1),
+          |rno AS (SELECT user_id, event_type, row_number() OVER
+          |  (PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) AS r
+          |  FROM e, m WHERE day < maxd),
+          |ol AS (SELECT user_id, event_type AS old_type FROM rno WHERE r = 1)
+          |SELECT nw.user_id, coalesce(ol.old_type, '') AS old_type,
+          |  nw.new_type,
+          |  CASE WHEN ol.old_type IS NULL THEN 'I'
+          |       WHEN ol.old_type <> nw.new_type THEN 'U'
+          |       ELSE '=' END AS op
+          |FROM nw LEFT JOIN ol USING (user_id) ORDER BY nw.user_id""".stripMargin,
+
+      "stats_corr" ->
+        s"""WITH m AS (SELECT
+           |  CAST(round(l_quantity * 100) AS HUGEINT) AS q,
+           |  CAST(round(l_extendedprice * 100) AS HUGEINT) AS p,
+           |  CAST(round(l_discount * 10000) AS HUGEINT) AS dc,
+           |  CAST(round(l_tax * 10000) AS HUGEINT) AS tx FROM lineitem),
+           |u AS (${CorrPairs.map { case (x, y) =>
+                s"SELECT '$x' AS xcol, '$y' AS ycol, $x AS x, $y AS y FROM m"
+              }.mkString("\n  UNION ALL ")}),
+           |a AS (SELECT xcol, ycol, count(*)::HUGEINT AS n,
+           |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+           |  sum(x * x) AS sxx, sum(y * y) AS syy
+           |  FROM u GROUP BY 1, 2)
+           |SELECT xcol, ycol, n::BIGINT AS n,
+           |  round((n * sxy - sx * sy)::DOUBLE /
+           |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
+           |    6) AS corr_r
+           |FROM a ORDER BY 1, 2""".stripMargin,
 
       "events_seasonal" ->
         """WITH e AS (SELECT event_type,

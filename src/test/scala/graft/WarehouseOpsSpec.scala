@@ -85,4 +85,52 @@ class WarehouseOpsSpec extends SparkSpec {
       assert(b.getAs[Long]("total_bytes") > 0L)
     }
   }
+
+  test("join_scd2: every event matches exactly one version — its own run") {
+    val j = SparkEntry.queries("join_scd2")(spark, d)
+    val nEvents = Tables.events(spark, d).count()
+    assert(j.count() == nEvents, "interval tiling ⇒ exactly one version per event")
+    // the version active at an event's ts is the run CONTAINING the event,
+    // so the dimension type must equal the event's own type
+    val mismatch = j.join(
+        Tables.events(spark, d).select(col("event_id"), col("event_type")),
+        Seq("event_id"))
+      .filter(col("dim_type") =!= col("event_type")).count()
+    assert(mismatch == 0L)
+  }
+
+  test("cdc_changelog: one row per user; I exactly for users born on the last day") {
+    val c = SparkEntry.queries("cdc_changelog")(spark, d).collect()
+    val users = Tables.events(spark, d).select("user_id").distinct().count()
+    assert(c.length.toLong == users)
+    val e = Tables.events(spark, d)
+    val maxd = e.select(floor(col("ts") / lit(86400L * 1000000000L)).as("day"))
+      .agg(max("day")).head().getLong(0)
+    val oldUsers = e.filter(floor(col("ts") / lit(86400L * 1000000000L)) < maxd)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    for (r <- c) {
+      val isNew = !oldUsers(r.getAs[Long]("user_id"))
+      assert((r.getAs[String]("op") == "I") == isNew)
+      if (isNew) assert(r.getAs[String]("old_type") == "")
+      else assert((r.getAs[String]("op") == "=") ==
+        (r.getAs[String]("old_type") == r.getAs[String]("new_type")))
+    }
+  }
+
+  test("stats_corr: matches Spark's built-in corr on the unscaled doubles") {
+    val got = SparkEntry.queries("stats_corr")(spark, d).collect()
+      .map(r => (r.getAs[String]("xcol"), r.getAs[String]("ycol")) ->
+        r.getAs[Double]("corr_r")).toMap
+    assert(got.size == 6)
+    assert(got.values.forall(v => v >= -1.0 && v <= 1.0))
+    val li = Tables.lineitem(spark, d)
+    val names = Map("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "dc" -> "l_discount", "tx" -> "l_tax")
+    for (((x, y), v) <- got) {
+      val ref = li.agg(corr(col(names(x)), col(names(y)))).head().getDouble(0)
+      // built-in corr runs unscaled float sums; the exact-integer path
+      // differs only by quantization (1e-4 of the value range)
+      assert(math.abs(v - ref) < 1e-3, s"($x,$y): $v vs builtin $ref")
+    }
+  }
 }
