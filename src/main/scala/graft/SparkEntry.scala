@@ -1147,14 +1147,30 @@ object SparkEntry {
   private val CompactDocsPerFile = 8L
   private val CompactTargetBytes = 8192L
 
-  /** `dedup_recall` audit-sample modulus and ground-truth Jaccard
-    * threshold (ppm) — shared with the oracle.
+  /** `dedup_recall` audit-sample geometry and ground-truth Jaccard
+    * threshold (ppm). The sample is corpus-size-INDEPENDENT: the audit's
+    * ground truth is exact all-pairs Jaccard, so a modulus proportional
+    * to nothing (a fixed `% 5`) would grow the quadratic side 100× per
+    * 10× corpus — [[recallModFor]] scales the modulus so ~[[RecallSampleTarget]]
+    * docs are admitted at ANY corpus size (the same corpus-independent
+    * trick as [[lshBitsFor]] and `Quantizer.trainSampled`). The oracle
+    * pins the sf0.01 value (n=500 → mod 5), like the LSH band constants.
     */
   private val RecallSampleMod = 5L
+  private val RecallSampleTarget = 100L
   private val RecallJacPpm = 500000L
+
+  private val docCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def recallModFor(s: SparkSession, d: String): Long = {
+    val n = docCounts.getOrElseUpdate(d, docs(s, d).count())
+    math.max(RecallSampleMod, n / RecallSampleTarget)
+  }
 
   /** `knn_mutual` neighbor-list depth — shared with the oracle. */
   private val KnnMutualK = 3
+
+  /** `dq_report` event-type contract enum — shared with the oracle. */
+  private val EventTypeEnum = Seq("click", "error", "purchase", "signup", "view")
 
   /** `stats_corr` measure pairs (alphabetical, matching the output
     * order) — shared with the oracle.
@@ -2551,7 +2567,7 @@ object SparkEntry {
     // trusts dedup_minhash's band geometry.
     "dedup_recall" -> ((s, d) =>
       Dedup.recallAudit(
-        docs(s, d).filter(col("doc_id") % RecallSampleMod === 0),
+        docs(s, d).filter(col("doc_id") % recallModFor(s, d) === 0),
         shingleSize = 3, numPerms = 16, numBands = 4,
         thrPpm = RecallJacPpm)),
 
@@ -2638,6 +2654,112 @@ object SparkEntry {
                 (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
             6).as("corr_r"))
         .orderBy("xcol", "ycol")
+    }),
+
+    // Suppression-gated release: per coarse QID cell, publish exact stats
+    // only when the cell clears the k threshold; suppressed cells ship -1
+    // sentinels (never their true size — publishing the size IS the
+    // leak). The release gate a pipeline applies after the k_anonymity
+    // audit says which cells are safe. One hash agg + a narrow gate
+    // projection; balance kept in exact cents.
+    "k_anonymity_release" -> ((s, d) => {
+      val g = Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("k_size"),
+          sum(expr("CAST(round(c_acctbal * 100) AS DECIMAL(38,0))")).as("bal"))
+      g.select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("k_size") >= KAnonRiskK, 1).otherwise(0).as("released"),
+          when(col("k_size") >= KAnonRiskK, col("k_size")).otherwise(-1L).as("n_out"),
+          when(col("k_size") >= KAnonRiskK, col("bal").cast("long"))
+            .otherwise(-1L).as("bal_cents"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
+    // Winsorized per-type value stats: clamp to the exact rank-based
+    // [p05, p95] (nearest-lower-rank, the quality_report definition) and
+    // aggregate in exact cents — the robust mean that heavy one-off
+    // purchases can't drag. Grouped rank runs on GlobalRank's 3-pass
+    // distributed shape; the clamp bounds are a |types|×2 broadcast.
+    "agg_winsorized" -> ((s, d) => {
+      val e = events(s, d).select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
+          e, "event_type", "v", Seq("event_id"), buckets = 32,
+          out = "rnk", outN = "n_g")
+        .localCheckpoint() // feeds the bound lookup AND the clamp pass
+      // renamed key: targets derives from `ranked`, so a same-name join
+      // condition would resolve to the self-referential trivial predicate
+      val targets = ranked.select("event_type", "n_g").distinct()
+        .select(col("event_type").as("et"), col("n_g"),
+          (expr("((n_g - 1) * 5) div 100") + 1).as("rnk_lo"),
+          (expr("((n_g - 1) * 95) div 100") + 1).as("rnk_hi"))
+      val lo = ranked.join(broadcast(targets),
+          col("event_type") === col("et") && col("rnk") === col("rnk_lo"))
+        .select(col("event_type"), col("v").as("lo"))
+      val hi = ranked.join(broadcast(targets),
+          col("event_type") === col("et") && col("rnk") === col("rnk_hi"))
+        .select(col("event_type"), col("v").as("hi"))
+      ranked.join(broadcast(lo), Seq("event_type"))
+        .join(broadcast(hi), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("lo").as("lo_cents"),
+          min("hi").as("hi_cents"),
+          sum(greatest(col("lo"), least(col("hi"), col("v")))).as("wsum_cents"))
+        .withColumn("wmean_milli", expr("(wsum_cents * 1000) div n"))
+        .orderBy("event_type")
+    }),
+
+    // Data-contract validation report: referential integrity (orphan
+    // facts), domain ranges, enum membership, emptiness — each check one
+    // tiny aggregate over a pruned scan, unioned into the (check,
+    // violations) frame a load gate asserts on. Anti-joins are the
+    // scale-safe orphan shape (broadcast or shuffled by the optimizer,
+    // never a collected id set).
+    "dq_report" -> ((s, d) => {
+      val s1 = lineitem(s, d).select(col("l_orderkey"))
+        .join(orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_orphan_order").as("check_name"), col("n_violations"))
+      val s2 = orders(s, d).select(col("o_custkey"))
+        .join(Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("order_orphan_customer").as("check_name"), col("n_violations"))
+      val s3 = lineitem(s, d)
+        .filter(col("l_discount") < 0.0 || col("l_discount") > 1.0 ||
+          col("l_tax") < 0.0 || col("l_quantity") <= 0.0)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_domain").as("check_name"), col("n_violations"))
+      val s4 = events(s, d)
+        .filter(!col("event_type").isin(EventTypeEnum: _*))
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("event_type_enum").as("check_name"), col("n_violations"))
+      val s5 = docs(s, d)
+        .filter(col("n_chars") <= 0 || col("text") === "")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("doc_empty").as("check_name"), col("n_violations"))
+      s1.unionAll(s2).unionAll(s3).unionAll(s4).unionAll(s5)
+        .orderBy("check_name")
+    }),
+
+    // Degree distribution of the co-purchase graph: the pre-flight
+    // diagnostic that sizes triangle/wedge work (wedge count is Σdeg²)
+    // before graph_triangles commits to it. Same canonical edge build,
+    // then two tiny aggs — no wedge join.
+    "graph_degree_dist" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+      canon.select(col("a").as("node"))
+        .unionAll(canon.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
     })
   )
 
@@ -4000,6 +4122,74 @@ object SparkEntry {
            |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
            |    6) AS corr_r
            |FROM a ORDER BY 1, 2""".stripMargin,
+
+      "k_anonymity_release" ->
+        s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
+           |  count(*)::BIGINT AS k_size,
+           |  sum(CAST(round(c_acctbal * 100) AS DECIMAL(38,0))) AS bal
+           |  FROM customer GROUP BY 1, 2)
+           |SELECT c_nationkey, c_mktsegment,
+           |  CASE WHEN k_size >= $KAnonRiskK THEN 1 ELSE 0 END AS released,
+           |  CASE WHEN k_size >= $KAnonRiskK THEN k_size ELSE -1 END AS n_out,
+           |  CASE WHEN k_size >= $KAnonRiskK THEN bal::BIGINT ELSE -1 END
+           |    AS bal_cents
+           |FROM g ORDER BY 1, 2""".stripMargin,
+
+      "agg_winsorized" ->
+        """WITH e AS (SELECT event_id, event_type,
+          |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+          |r AS (SELECT event_type, v,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY v, event_id)
+          |    AS rnk,
+          |  count(*) OVER (PARTITION BY event_type)::BIGINT AS n_g FROM e),
+          |t AS (SELECT DISTINCT event_type, n_g,
+          |  ((n_g - 1) * 5) // 100 + 1 AS rnk_lo,
+          |  ((n_g - 1) * 95) // 100 + 1 AS rnk_hi FROM r),
+          |lo AS (SELECT r.event_type, r.v AS lo FROM r
+          |  JOIN t ON r.event_type = t.event_type AND r.rnk = t.rnk_lo),
+          |hi AS (SELECT r.event_type, r.v AS hi FROM r
+          |  JOIN t ON r.event_type = t.event_type AND r.rnk = t.rnk_hi)
+          |SELECT r.event_type, count(*)::BIGINT AS n,
+          |  min(lo.lo) AS lo_cents, min(hi.hi) AS hi_cents,
+          |  sum(greatest(lo.lo, least(hi.hi, r.v)))::BIGINT AS wsum_cents,
+          |  (sum(greatest(lo.lo, least(hi.hi, r.v)))::BIGINT * 1000) //
+          |    count(*)::BIGINT AS wmean_milli
+          |FROM r JOIN lo ON r.event_type = lo.event_type
+          |  JOIN hi ON r.event_type = hi.event_type
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "dq_report" ->
+        s"""SELECT * FROM (
+           |SELECT 'lineitem_orphan_order' AS check_name, (SELECT count(*)
+           |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |    WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n_violations
+           |UNION ALL
+           |SELECT 'order_orphan_customer', (SELECT count(*)
+           |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c
+           |    WHERE c.c_custkey = o.o_custkey))::BIGINT
+           |UNION ALL
+           |SELECT 'lineitem_domain', (SELECT count(*)
+           |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+           |    OR l_tax < 0 OR l_quantity <= 0)::BIGINT
+           |UNION ALL
+           |SELECT 'event_type_enum', (SELECT count(*)
+           |  FROM events WHERE event_type NOT IN
+           |    (${EventTypeEnum.map(t => s"'$t'").mkString(", ")}))::BIGINT
+           |UNION ALL
+           |SELECT 'doc_empty', (SELECT count(*)
+           |  FROM documents WHERE n_chars <= 0 OR text = '')::BIGINT
+           |) ORDER BY check_name""".stripMargin,
+
+      "graph_degree_dist" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem),
+          |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+          |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+          |dg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+          |  SELECT a AS node FROM ce UNION ALL SELECT b AS node FROM ce)
+          |  GROUP BY 1)
+          |SELECT deg, count(*)::BIGINT AS n_nodes FROM dg
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "events_seasonal" ->
         """WITH e AS (SELECT event_type,
