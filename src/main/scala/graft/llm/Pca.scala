@@ -67,25 +67,36 @@ object Pca {
   }
 
   /** The dominant component after [[Iters]] rounds: (idx, v) with v in
-    * [[VScale]] units. All frames here are dim- or dim²-sized metadata;
-    * `gram` is consumed once per round, so it is localCheckpointed.
+    * [[VScale]] units.
+    *
+    * The iteration runs DRIVER-SIDE on the collected Gram: dim² rows is
+    * bounded loop-control metadata, corpus-size-independent — the same
+    * driver-crossing class as k-means codebooks and GlobalRank bucket
+    * offsets, never row data. (A frame-per-round formulation was tried
+    * first: `u` is consumed twice per round, so the uncut lineage doubled
+    * per round — ~380 exchanges in the executed plan at Iters=6 — and
+    * cutting each round cost 12 scheduler roundtrips per build. Six
+    * rounds of 64-element exact long arithmetic do not need a cluster.)
     */
   def pc1(spark: SparkSession, emb: DataFrame): DataFrame = {
-    val gram = meanGram(emb).localCheckpoint()
     val dim = Quantizer.Dim
-    var v: DataFrame = spark.range(dim).select(col("id").as("idx"),
-      lit(VScale).as("v"))
-    for (_ <- 1 to Iters) {
-      val u = gram.join(broadcast(v), gram("j") === v("idx"))
-        .groupBy(col("i").as("idx"))
-        .agg(sum(col("gm") * col("v")).as("u"))
-      val md = u.agg((IntMath.floorDiv(max(abs(col("u"))), VScale) + 1L).as("md"))
-      v = u.crossJoin(broadcast(md))
-        .select(col("idx"),
-          (signum(col("u")).cast("long") *
-            call_function("div", abs(col("u")), col("md"))).as("v"))
+    val g = Array.ofDim[Long](dim, dim)
+    meanGram(emb).collect().foreach { r =>
+      g(r.getAs[Long]("i").toInt)(r.getAs[Long]("j").toInt) = r.getAs[Long]("gm")
     }
-    v
+    var v = Array.fill(dim)(VScale)
+    for (_ <- 1 to Iters) {
+      // exact mirror of the oracle CTE chain: BIGINT matvec, max-abs
+      // scale-down, sign-split floor division (all values |u| ≤ ~6.4e15,
+      // see the magnitude audit above — no overflow)
+      val u = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val md = u.map(math.abs).max / VScale + 1L
+      v = u.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / md))
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+      .toDF("idx", "v")
   }
 
   /** Per-vector projection onto [[pc1]]: (vec_id, proj) in exact
