@@ -1194,38 +1194,51 @@ object SparkEntry {
       |  ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS ver
       |  FROM c),
       |r AS (SELECT user_id, ver, min(event_type) AS event_type,
-      |  min(ts_ns) AS valid_from, count(*)::BIGINT AS n_events
+      |  min({'t': ts_ns, 'i': event_id}) AS vf,
+      |  count(*)::BIGINT AS n_events
       |  FROM v GROUP BY 1, 2),
-      |scd AS (SELECT user_id, ver, event_type, valid_from,
+      |r2 AS (SELECT user_id, ver, event_type,
+      |  vf['t'] AS valid_from, vf['i'] AS valid_from_id, n_events FROM r),
+      |scd AS (SELECT user_id, ver, event_type, valid_from, valid_from_id,
       |  coalesce(lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver),
-      |    -1) AS valid_to, n_events
-      |  FROM r)""".stripMargin
+      |    -1) AS valid_to,
+      |  coalesce(lead(valid_from_id) OVER (PARTITION BY user_id ORDER BY ver),
+      |    -1) AS valid_to_id, n_events
+      |  FROM r2)""".stripMargin
 
   /** Type-2 SCD build shared by `scd2_history` and `join_scd2`: per-user
     * change runs with half-open validity intervals, valid_to = -1 open.
     * Classic islands shape: per-user windows only (bounded history per
     * key, no global funnel); the successor lookup runs over the runs
     * frame, 1 row per version.
+    *
+    * Intervals carry the run-start EVENT ID too: the run order is the
+    * composite (ts, event_id), so when a type change happens between two
+    * events sharing one timestamp the ts-only interval would be empty and
+    * the earlier event would fall through to the successor run.
+    * `join_scd2` therefore compares composite ordinates, keeping the
+    * "every event joins its own run" contract under ties.
     */
   private def scd2(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val runsOf = events(s, d)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev", lag("event_type", 1).over(w))
-      .withColumn("chg",
-        when(col("prev").isNull.or(col("prev") =!= col("event_type")), 1L)
-          .otherwise(0L))
-      .withColumn("ver", sum("chg").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runsOf = graft.ops.Islands.withRunId(
+        events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        "user_id", Seq("ts", "event_id"), "event_type", out = "ver")
       .groupBy("user_id", "ver")
       .agg(min("event_type").as("event_type"), // constant within a run
-        min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+        min(struct(col("ts"), col("event_id"))).as("vf"), // run start ordinate
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("ver"), col("event_type"),
+        col("vf.ts").as("valid_from"), col("vf.event_id").as("valid_from_id"),
+        col("n_events"))
     val wRun = Window.partitionBy("user_id").orderBy("ver")
     runsOf
       .withColumn("valid_to",
         coalesce(lead("valid_from", 1).over(wRun), lit(-1L)))
-      .select("user_id", "ver", "event_type", "valid_from", "valid_to",
-        "n_events")
+      .withColumn("valid_to_id",
+        coalesce(lead("valid_from_id", 1).over(wRun), lit(-1L)))
+      .select("user_id", "ver", "event_type", "valid_from", "valid_from_id",
+        "valid_to", "valid_to_id", "n_events")
   }
 
   /** Incident half-window (±30 min) and bucket width (1 h) for
@@ -2462,7 +2475,10 @@ object SparkEntry {
     // running change count, successor lookup via lead over the runs frame
     // (1 row per version, far smaller than the event stream).
     "scd2_history" -> ((s, d) =>
-      scd2(s, d).orderBy("user_id", "ver")),
+      scd2(s, d)
+        .select("user_id", "ver", "event_type", "valid_from", "valid_to",
+          "n_events")
+        .orderBy("user_id", "ver")),
 
     // Dimension-snapshot join: every event joined to the SCD2 version row
     // active at its timestamp — the "what did the dimension say THEN"
@@ -2475,11 +2491,19 @@ object SparkEntry {
     "join_scd2" -> ((s, d) => {
       val dim = scd2(s, d)
         .select(col("user_id"), col("ver"), col("event_type").as("dim_type"),
-          col("valid_from"), col("valid_to"))
+          col("valid_from"), col("valid_from_id"),
+          col("valid_to"), col("valid_to_id"))
+      // composite (ts, event_id) ordinates: ts-only intervals are empty
+      // when a type change happens inside one timestamp, and the earlier
+      // event would mis-join the successor run (see scd2's Scaladoc)
       events(s, d).select(col("event_id"), col("user_id"), col("ts"))
         .join(dim, Seq("user_id"))
-        .filter(col("ts") >= col("valid_from") &&
-          (col("valid_to") === -1L || col("ts") < col("valid_to")))
+        .filter(
+          struct(col("ts"), col("event_id")) >=
+            struct(col("valid_from"), col("valid_from_id")) &&
+          (col("valid_to") === -1L ||
+            struct(col("ts"), col("event_id")) <
+              struct(col("valid_to"), col("valid_to_id"))))
         .select(col("event_id"), col("user_id"), col("ver"), col("dim_type"))
         .orderBy("event_id")
     }),
@@ -2515,7 +2539,10 @@ object SparkEntry {
         .select(col("event_type"), col("hod"),
           coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
           col("n_train_days"),
-          expr("(coalesce(base_cnt, 0) * 1000000) div n_train_days")
+          // greatest(..., 1): single-day input gives n_train_days = 0 and
+          // base_cnt = 0 — both engines then agree on baseline 0 instead
+          // of diverging (Spark div-by-zero nulls, DuckDB errors)
+          expr("(coalesce(base_cnt, 0) * 1000000) div greatest(n_train_days, 1)")
             .as("baseline_ppm"),
           coalesce(col("actual_cnt"), lit(0L)).as("actual_cnt"))
         .withColumn("resid_ppm",
@@ -2600,18 +2627,27 @@ object SparkEntry {
     // shared hourly-scan frame; the diff is a single left join (new ⊇ old
     // here — no retractions in an append-only stream, documented).
     "cdc_changelog" -> ((s, d) => {
-      val e = events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-          IntMath.floorDiv(col("ts"), NanosPerDay).as("day"))
+      // REDUCE before the cut: per-(user, day) argmax first — users×days
+      // rows, not the corpus (checkpointing the bare-scan projection
+      // itself would materialize the whole events table for what one
+      // aggregate covers; the GlobalRank bare-scan rule). Day-level
+      // argmax of per-day argmaxes == global argmax, so both states
+      // derive from this one reduced frame.
+      val daily = events(s, d)
+        .select(col("user_id"), IntMath.floorDiv(col("ts"), NanosPerDay).as("day"),
+          col("ts"), col("event_id"), col("event_type"))
+        .groupBy("user_id", "day")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
         .localCheckpoint() // feeds max-day + both state aggregates
-      val maxd = e.agg(max("day").as("maxd"))
+      val maxd = daily.agg(max("day").as("maxd"))
       def latest(df: DataFrame, out: String) = df
         .groupBy("user_id")
-        .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
-        .select(col("user_id"), col("m.event_type").as(out))
+        .agg(max(col("m")).as("mm"))
+        .select(col("user_id"), col("mm.event_type").as(out))
       val oldState = latest(
-        e.crossJoin(broadcast(maxd)).filter(col("day") < col("maxd")), "old_type")
-      val newState = latest(e, "new_type")
+        daily.crossJoin(broadcast(maxd)).filter(col("day") < col("maxd")),
+        "old_type")
+      val newState = latest(daily, "new_type")
       newState.join(oldState, Seq("user_id"), "left")
         .select(col("user_id"),
           coalesce(col("old_type"), lit("")).as("old_type"), col("new_type"),
@@ -2755,6 +2791,7 @@ object SparkEntry {
           col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
         .select(col("l.pk").as("src"), col("r.pk").as("dst"))
       val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+        .localCheckpoint() // both degree-union branches read the pairing join once
       canon.select(col("a").as("node"))
         .unionAll(canon.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -4080,8 +4117,9 @@ object SparkEntry {
            |  FROM events)
            |SELECT ev.event_id, ev.user_id, s.ver, s.event_type AS dim_type
            |FROM ev JOIN scd s ON ev.user_id = s.user_id
-           |  AND ev.ts_ns >= s.valid_from
-           |  AND (s.valid_to = -1 OR ev.ts_ns < s.valid_to)
+           |  AND (ev.ts_ns, ev.event_id) >= (s.valid_from, s.valid_from_id)
+           |  AND (s.valid_to = -1
+           |    OR (ev.ts_ns, ev.event_id) < (s.valid_to, s.valid_to_id))
            |ORDER BY ev.event_id""".stripMargin,
 
       "cdc_changelog" ->
@@ -4207,11 +4245,11 @@ object SparkEntry {
           |SELECT coalesce(b.event_type, a.event_type) AS event_type,
           |  coalesce(b.hod, a.hod) AS hod,
           |  coalesce(b.base_cnt, 0) AS base_cnt, nd.n_train_days,
-          |  (coalesce(b.base_cnt, 0) * 1000000) // nd.n_train_days
+          |  (coalesce(b.base_cnt, 0) * 1000000) // greatest(nd.n_train_days, 1)
           |    AS baseline_ppm,
           |  coalesce(a.actual_cnt, 0) AS actual_cnt,
           |  coalesce(a.actual_cnt, 0) * 1000000 -
-          |    (coalesce(b.base_cnt, 0) * 1000000) // nd.n_train_days
+          |    (coalesce(b.base_cnt, 0) * 1000000) // greatest(nd.n_train_days, 1)
           |    AS resid_ppm
           |FROM b FULL JOIN a ON b.event_type = a.event_type AND b.hod = a.hod,
           |  nd

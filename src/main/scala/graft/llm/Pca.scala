@@ -2,7 +2,6 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.expr.IntMath
 
 /** Dominant principal direction of the embedding cloud by power iteration
   * on the (uncentered) mean Gram matrix — the dimensionality-reduction

@@ -60,23 +60,47 @@ object GlobalRank {
     * that must survive executor loss) so the three passes read stored
     * blocks instead of recomputing the derived subtree.
     */
+  /** Shared bucket machinery for the global rank and prefix sum: cut
+    * derived inputs ([[isBareScan]] rule), collect the approximate range
+    * boundaries once, and return (prepared df, monotone deterministic
+    * bucket-id expression — ties share a bucket by construction).
+    */
+  private def bucketed(df0: DataFrame, rangeCol: String, buckets: Int,
+                       cp: Checkpointer): (DataFrame, Column) = {
+    val df =
+      if (isBareScan(df0.queryExecution.optimizedPlan)) df0
+      else cp.cut(df0)
+    val bounds: Seq[Double] =
+      if (buckets <= 1) Seq.empty // approx_percentile rejects an empty prob array
+      else {
+        val probs = (1 until buckets).map(_.toDouble / buckets)
+        val bRow = df.agg(
+          expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
+        if (bRow.isNullAt(0)) Seq.empty
+        else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
+      }
+    (df, bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(rangeCol) > lit(b), 1).otherwise(0)
+    })
+  }
+
+  /** Fold per-bucket totals into the literal `__bkt`-keyed offset chain
+    * (each bucket's offset = sum of totals strictly below it).
+    */
+  private def offsetExpr(perBucket: Array[(Int, Long)]): Column = {
+    val sorted = perBucket.sortBy(_._1)
+    val offsets = sorted.map(_._1).zip(
+      sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
+      when(col("__bkt") === bkt, lit(off)).otherwise(acc)
+    }
+  }
+
   def withGlobalRowNumberAndCount(
       df0: DataFrame, rangeCol: String, tieBreak: Seq[String],
       buckets: Int, out: String,
       cp: Checkpointer = Checkpointer.Local): (DataFrame, Long) = {
-    val df =
-      if (isBareScan(df0.queryExecution.optimizedPlan)) df0
-      else cp.cut(df0)
-    val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bRow = df.agg(
-      expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
-    val bounds: Seq[Double] =
-      if (bRow.isNullAt(0)) Seq.empty
-      else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
-    // monotone deterministic bucket id: ties share a bucket by construction
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(rangeCol) > lit(b), 1).otherwise(0)
-    }
+    val (df, bucket) = bucketed(df0, rangeCol, buckets, cp)
     val sortCols = (rangeCol +: tieBreak).map(col)
     val local = df.withColumn("__bkt", bucket)
       .withColumn("__lrn", row_number().over(
@@ -89,14 +113,10 @@ object GlobalRank {
     // this pass entirely.
     val counts = df.withColumn("__bkt", bucket)
       .groupBy("__bkt").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
     val n = counts.map(_._2).sum
-    val offsets = counts.map(_._1).zip(
-      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    val offset = offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
-      when(col("__bkt") === bkt, lit(off)).otherwise(acc)
-    }
-    (local.withColumn(out, col("__lrn") + offset).drop("__bkt", "__lrn"), n)
+    (local.withColumn(out, col("__lrn") + offsetExpr(counts))
+      .drop("__bkt", "__lrn"), n)
   }
 
   def withGlobalRowNumber(
@@ -134,32 +154,19 @@ object GlobalRank {
       df0: DataFrame, rangeCol: String, tieBreak: Seq[String],
       valueCol: String, buckets: Int, out: String,
       cp: Checkpointer = Checkpointer.Local): DataFrame = {
-    val df =
-      if (isBareScan(df0.queryExecution.optimizedPlan)) df0
-      else cp.cut(df0)
-    val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bRow = df.agg(
-      expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
-    val bounds: Seq[Double] =
-      if (bRow.isNullAt(0)) Seq.empty
-      else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
-    val bucket = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(rangeCol) > lit(b), 1).otherwise(0)
-    }
+    val (df, bucket) = bucketed(df0, rangeCol, buckets, cp)
     val sortCols = (rangeCol +: tieBreak).map(col)
     val local = df.withColumn("__bkt", bucket)
       .withColumn("__lcs", sum(col(valueCol).cast("long")).over(
         Window.partitionBy("__bkt").orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // same second-pass shape as the rank's bucket counts, summing the
+    // value instead of counting rows
     val sums = df.withColumn("__bkt", bucket)
       .groupBy("__bkt").agg(sum(col(valueCol).cast("long")).as("__s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = sums.map(_._1).zip(
-      sums.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    val offset = offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
-      when(col("__bkt") === bkt, lit(off)).otherwise(acc)
-    }
-    local.withColumn(out, col("__lcs") + offset).drop("__bkt", "__lcs")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    local.withColumn(out, col("__lcs") + offsetExpr(sums))
+      .drop("__bkt", "__lcs")
   }
 
   /** SQL-standard ntile from a 1-based global rank and total count. */

@@ -359,13 +359,8 @@ object EventStream {
     * event_id) columns. Oracle-checkable; backs the `state_intervals` key.
     */
   def stateIntervalsBatch(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val prev = lag("event_type", 1).over(w)
-    events
-      .withColumn("chg",
-        when(prev.isNull || col("event_type") =!= prev, 1L).otherwise(0L))
-      .withColumn("run_id", sum("chg").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    graft.ops.Islands.withRunId(events, "user_id",
+        Seq("ts_us", "event_id"), "event_type", out = "run_id")
       .groupBy("user_id", "run_id", "event_type")
       .agg(min("ts_us").as("from_us"), max("ts_us").as("to_us"),
         count(lit(1)).as("n_events"))

@@ -99,6 +99,27 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(mismatch == 0L)
   }
 
+  test("join_scd2: tied timestamps across a type change still join their own run") {
+    // ts-only intervals would be EMPTY for the first run here, dropping
+    // event 1 into its successor's version — the composite (ts, event_id)
+    // ordinate keeps the contract (regression for the tie-collision edge)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tie").toString
+    Seq(
+      (1L, 1000L, 7L, "click"),  // run 1: one event at ts=1000
+      (2L, 1000L, 7L, "view"),   // run 2 starts at the SAME ts
+      (3L, 2000L, 7L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.parquet(s"$dir/events.parquet")
+    val j = SparkEntry.queries("join_scd2")(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("ver"), r.getAs[String]("dim_type"))).toMap
+    assert(j(1L) == (1L, "click"), s"tied-ts event must join its own run: $j")
+    assert(j(2L) == (2L, "view") && j(3L) == (2L, "view"))
+    assert(j.size == 3)
+  }
+
   test("cdc_changelog: one row per user; I exactly for users born on the last day") {
     val c = SparkEntry.queries("cdc_changelog")(spark, d).collect()
     val users = Tables.events(spark, d).select("user_id").distinct().count()
