@@ -29,11 +29,19 @@ class ProfileSpec extends SparkSpec {
       v.getString(5) == "10" && v.getString(6) == "30")
   }
 
-  test("profile: single scan feeds every column's metrics") {
+  test("profile: one PRUNED scan per column, never the Expand multi-distinct") {
+    // the one-scan/N-count_distinct plan copies EVERY row |cols|+1 times
+    // with all columns aboard (Expand) — measured 10× slower than pruned
+    // per-column scans at sf0.1; this pins the union-of-pruned-scans shape
     val d = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("stats_profile")(spark, d)
       .queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected 1 lineitem scan, found $scans:\n$plan")
+    assert(!plan.contains("Expand"),
+      s"profile must not take the Expand multi-distinct path:\n$plan")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty)
+    assert(reads.forall(r => !r.contains(",")),
+      s"every profile scan must read exactly one column, got: $reads")
   }
 }
