@@ -1172,6 +1172,18 @@ object SparkEntry {
   /** `dq_report` event-type contract enum — shared with the oracle. */
   private val EventTypeEnum = Seq("click", "error", "purchase", "signup", "view")
 
+  /** `l_diversity` minimum distinct-sensitive-values threshold — shared
+    * with the oracle.
+    */
+  private val LDiversityL = 2L
+
+  /** `graph_kcore` core order and peel-round budget — shared with the
+    * oracle (the budget is part of the key's contract; `converged`
+    * proves it sufficed).
+    */
+  private val KCoreK = 8
+  private val KCoreRounds = 6
+
   /** `stats_corr` measure pairs (alphabetical, matching the output
     * order) — shared with the oracle.
     */
@@ -2797,6 +2809,45 @@ object SparkEntry {
         .groupBy("node").agg(count(lit(1)).as("deg"))
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg")
+    }),
+
+    // l-diversity audit: k-anonymity's complement — a cell can be large
+    // (k-safe) yet expose everyone's sensitive value if that value is
+    // CONSTANT within the cell. Per QID cell, count distinct sensitive
+    // values; report the diversity histogram + the at-risk flag (l below
+    // threshold). Same two-hash-agg scale shape as k_anonymity.
+    "l_diversity" -> ((s, d) => {
+      val cells = Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"),
+          col("c_mktsegment"))
+        .groupBy("c_nationkey", "bal_bin")
+        .agg(countDistinct(col("c_mktsegment")).as("l_distinct"),
+          count(lit(1)).as("cell_n"))
+      cells.groupBy("l_distinct")
+        .agg(count(lit(1)).as("n_cells"), sum("cell_n").as("n_users"))
+        .select(col("l_distinct"), col("n_cells"), col("n_users"),
+          when(col("l_distinct") < LDiversityL, 1).otherwise(0).as("at_risk"))
+        .orderBy("l_distinct")
+    }),
+
+    // k-core of the co-purchase graph: fixed-round iterative peeling
+    // (ops.KCore — degree agg + semi-join filter per round, lineage cut
+    // per round, one count per round as loop control). The round budget
+    // is part of the contract — the `converged` flag proves the budget
+    // reached the true fixpoint rather than assuming it, and the oracle
+    // replays the identical rounds as chained CTEs.
+    "graph_kcore" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+        .localCheckpoint() // consumed by every peel round
+      graft.ops.KCore.core(canon, k = KCoreK, rounds = KCoreRounds)
+        .orderBy("node")
     })
   )
 
@@ -4228,6 +4279,26 @@ object SparkEntry {
           |  GROUP BY 1)
           |SELECT deg, count(*)::BIGINT AS n_nodes FROM dg
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "l_diversity" ->
+        s"""WITH q AS (SELECT c_nationkey,
+           |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bin,
+           |  c_mktsegment FROM customer),
+           |g AS (SELECT c_nationkey, bal_bin,
+           |  count(DISTINCT c_mktsegment)::BIGINT AS l_distinct,
+           |  count(*)::BIGINT AS cell_n FROM q GROUP BY 1, 2)
+           |SELECT l_distinct, count(*)::BIGINT AS n_cells,
+           |  sum(cell_n)::BIGINT AS n_users,
+           |  CASE WHEN l_distinct < $LDiversityL THEN 1 ELSE 0 END AS at_risk
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "graph_kcore" ->
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+           |  l_partkey AS pk FROM lineitem),
+           |ce AS MATERIALIZED (SELECT DISTINCT l.pk AS a, r.pk AS b
+           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+           |${graft.ops.KCore.sqlCore(KCoreK, KCoreRounds)}
+           |SELECT node, deg, converged FROM core ORDER BY node""".stripMargin,
 
       "events_seasonal" ->
         """WITH e AS (SELECT event_type,
