@@ -1184,6 +1184,30 @@ object SparkEntry {
   private val KCoreK = 8
   private val KCoreRounds = 6
 
+  /** `corpus_split`/`split_leak_audit` seed and ppm boundaries
+    * (train < [[SplitTrainPpm]] ≤ val < [[SplitValPpm]] ≤ test) —
+    * shared with the oracle.
+    */
+  private val SplitSeed = "split-v1"
+  private val SplitTrainPpm = 900000L
+  private val SplitValPpm = 950000L
+
+  /** Deterministic split assignment from the doc id alone. */
+  private def splitOf(docId: Column): Column = {
+    val g = pmod(graft.expr.PortableHash.phash(
+      concat(lit(s"$SplitSeed:"), docId.cast("string"))), lit(SamplePpmScale))
+    when(g < SplitTrainPpm, "train").when(g < SplitValPpm, "val")
+      .otherwise("test")
+  }
+
+  /** Oracle twin of [[splitOf]] over a doc_id expression. */
+  private def sqlSplitOf(e: String): String =
+    s"""CASE WHEN ${graft.expr.PortableHash.sqlPhash(s"'$SplitSeed:' || $e::VARCHAR")}
+       | % $SamplePpmScale < $SplitTrainPpm THEN 'train'
+       | WHEN ${graft.expr.PortableHash.sqlPhash(s"'$SplitSeed:' || $e::VARCHAR")}
+       | % $SamplePpmScale < $SplitValPpm THEN 'val'
+       | ELSE 'test' END""".stripMargin.replace("\n", "")
+
   /** `stats_corr` measure pairs (alphabetical, matching the output
     * order) — shared with the oracle.
     */
@@ -2848,6 +2872,36 @@ object SparkEntry {
         .localCheckpoint() // consumed by every peel round
       graft.ops.KCore.core(canon, k = KCoreK, rounds = KCoreRounds)
         .orderBy("node")
+    }),
+
+    // Deterministic train/val/test assignment: the seeded hash gate
+    // (sample_stratified's reproducible-slice contract) split at
+    // 90/5/5 ppm boundaries, reported as per-split doc/token mass —
+    // the split manifest a training run pins before anything else.
+    // Stateless per-row gate: any worker, any partitioning, any rerun
+    // lands every doc in the same split.
+    "corpus_split" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), size(TA.tokens(col("text"))).cast("long").as("n_tok"),
+          splitOf(col("doc_id")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("split")),
+
+    // Split-leak audit: verified near-dup pairs (jac ≥ 0.5, the
+    // dedup_verified machinery) that CROSS the split boundary — the eval
+    // contamination a held-out set silently inherits when near-dups of
+    // training docs land in val/test. The split column derives from
+    // doc_id alone, so the assignment join is a pruned 1-column scan;
+    // pair volume is the near-dup count, never a new quadratic surface.
+    "split_leak_audit" -> ((s, d) => {
+      val sp = docs(s, d).select(col("doc_id"), splitOf(col("doc_id")).as("split"))
+      verifiedPairs(s, d)
+        .join(sp.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(sp.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("a"), col("b"), col("split_a"), col("split_b"), col("jac_r"))
+        .orderBy("a", "b")
     })
   )
 
@@ -4299,6 +4353,26 @@ object SparkEntry {
            |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
            |${graft.ops.KCore.sqlCore(KCoreK, KCoreRounds)}
            |SELECT node, deg, converged FROM core ORDER BY node""".stripMargin,
+
+      "corpus_split" -> {
+        val toks = graft.llm.TextAnalysis.sqlTokens("text")
+        s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tok,
+           |  ${sqlSplitOf("doc_id")} AS split FROM documents)
+           |SELECT split, count(*)::BIGINT AS n_docs,
+           |  sum(n_tok)::BIGINT AS n_tokens
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      "split_leak_audit" ->
+        (s"WITH ${sqlVerifiedCte(3, 16, 4)},\n" +
+          s"""sp AS (SELECT doc_id, ${sqlSplitOf("doc_id")} AS split
+             |  FROM documents)
+             |SELECT v.a, v.b, sa.split AS split_a, sb.split AS split_b,
+             |  v.jac_r
+             |FROM v JOIN sp sa ON v.a = sa.doc_id
+             |  JOIN sp sb ON v.b = sb.doc_id
+             |WHERE v.jac_r >= 0.5 AND sa.split <> sb.split
+             |ORDER BY 1, 2""".stripMargin),
 
       "events_seasonal" ->
         """WITH e AS (SELECT event_type,
