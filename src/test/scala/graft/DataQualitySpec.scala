@@ -60,6 +60,27 @@ class DataQualitySpec extends SparkSpec {
     assert(orphans == 1L)
   }
 
+  test("corpus_split: every doc in exactly one split; assignment is rerun-stable") {
+    val rep = SparkEntry.queries("corpus_split")(spark, d).collect()
+    assert(rep.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, d).count())
+    val again = SparkEntry.queries("corpus_split")(spark, d).collect()
+    assert(rep.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "seeded gate must be rerun-stable")
+    val train = rep.find(_.getAs[String]("split") == "train")
+    assert(train.exists(_.getAs[Long]("n_docs") > 0), "90% slice must dominate")
+  }
+
+  test("split_leak_audit: exactly the cross-split subset of the verified near-dup pairs") {
+    val leaks = SparkEntry.queries("split_leak_audit")(spark, d).collect()
+    for (r <- leaks) assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+    // audited pairs must be a subset of dedup_verified's is_dup pairs
+    val dup = SparkEntry.queries("dedup_verified")(spark, d).collect()
+      .filter(_.getAs[Boolean]("is_dup"))
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    for (r <- leaks)
+      assert(dup((r.getAs[Long]("a"), r.getAs[Long]("b"))))
+  }
+
   test("graph_degree_dist: histogram accounts for every co-purchase node once") {
     val dist = SparkEntry.queries("graph_degree_dist")(spark, d).collect()
     assert(dist.nonEmpty)
