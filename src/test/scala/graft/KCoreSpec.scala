@@ -59,6 +59,25 @@ class KCoreSpec extends SparkSpec {
     assert(full.isEmpty, "a chain has no 2-core once peeled to fixpoint")
   }
 
+  test("property: fixed-round peel == reference fixpoint on random graphs (when converged)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(20)
+      val edges = (1 to n * 3).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val df = edges.toDF("a", "b")
+      val k = 2 + rnd.nextInt(3)
+      val got = KCore.core(df, k, rounds = 30).collect()
+      assert(got.forall(_.getAs[Boolean]("converged")),
+        s"trial $trial: 30 rounds must converge on a ${n}-node graph")
+      val want = referenceCore(edges, k)
+      assert(got.map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg").toInt).toMap == want,
+        s"trial $trial (n=$n, k=$k)")
+    }
+  }
+
   test("l_diversity: histogram accounts for every customer; at_risk matches threshold") {
     val rep = SparkEntry.queries("l_diversity")(spark, d).collect()
     assert(rep.nonEmpty)

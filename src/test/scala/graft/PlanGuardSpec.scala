@@ -312,4 +312,37 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"tiny dim side should broadcast in the exact semi join:\n$plan")
   }
+
+  test("compaction_plan: prefix sum windows are bucket-partitioned, never single-partition") {
+    val plan = SparkEntry.queries("compaction_plan")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"the distributed prefix sum must not funnel the listing:\n$plan")
+  }
+
+  test("agg_winsorized: grouped rank + clamp bounds stay broadcast; no single-partition stage") {
+    val plan = SparkEntry.queries("agg_winsorized")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"winsorize must not funnel rows:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"clamp bounds should ride a broadcast:\n$plan")
+  }
+
+  test("join_scd2: dimension join is a join on user_id, never a cartesian") {
+    val plan = SparkEntry.queries("join_scd2")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must be a post-filter on the keyed join:\n$plan")
+  }
+
+  test("split_leak_audit: split assignment reads a pruned doc_id-only scan") {
+    val plan = SparkEntry.queries("split_leak_audit")(spark, d)
+      .queryExecution.executedPlan.toString
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.exists(r => r.contains("doc_id") && !r.contains("text")),
+      s"split side must not drag the text column through the join:\n$reads")
+  }
 }
