@@ -2902,7 +2902,23 @@ object SparkEntry {
         .filter(col("split_a") =!= col("split_b"))
         .select(col("a"), col("b"), col("split_a"), col("split_b"), col("jac_r"))
         .orderBy("a", "b")
-    })
+    }),
+
+    // Sparse lexical retrieval, tf-idf flavor: inverted-index top-k over
+    // per-doc top-M discriminative-term postings (llm.Sparse — rational
+    // ppm idf, decimal-exact pair sums; the WAND-style top-M +
+    // discrimination-cap gates bound the postings join at any corpus).
+    // The lexical complement of the dense similarity_* family.
+    "sparse_topk" -> ((s, d) =>
+      graft.llm.Sparse.topK(docs(s, d), col("doc_id") % 20 === 0, k = 5)
+        .orderBy("q_id", "rnk")),
+
+    // BM25 variant: same postings and join geometry, per-term weight
+    // saturated by the classic k1/b length normalization in
+    // scaled-integer arithmetic (no float log anywhere).
+    "bm25_topk" -> ((s, d) =>
+      graft.llm.Sparse.bm25TopK(docs(s, d), col("doc_id") % 20 === 0, k = 5)
+        .orderBy("q_id", "rnk"))
   )
 
   /** Seed tag for `corpus_shuffle` (shared with the oracle). */
@@ -4362,6 +4378,12 @@ object SparkEntry {
            |  sum(n_tok)::BIGINT AS n_tokens
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
       },
+
+      "sparse_topk" ->
+        graft.llm.Sparse.sqlTopK(c => s"$c % 20 = 0", k = 5),
+
+      "bm25_topk" ->
+        graft.llm.Sparse.sqlBm25TopK(c => s"$c % 20 = 0", k = 5),
 
       "split_leak_audit" ->
         (s"WITH ${sqlVerifiedCte(3, 16, 4)},\n" +
