@@ -39,6 +39,20 @@ object Sparse {
   val TopM = 8
   val DfCapPpm = 900000L
 
+  /** Impact-ordered per-TERM posting cap: after the per-doc top-M gate,
+    * keep only the [[MaxPostings]] highest-weight postings of each term
+    * (weight desc, doc_id tie). On a Zipf corpus the top-M gate already
+    * keeps lists short and this cap is inactive; on a FLAT vocabulary
+    * (few terms shared by everyone — the adversarial shape, measured as
+    * a 52× wall at the 10× replica before the cap) every term's list is
+    * the corpus and the term join goes quadratic. The cap bounds join
+    * fan-out at |terms|·P·|query postings| — the classic impact-ordered
+    * index trade: retrieval under mega-posting terms becomes top-P
+    * approximate, deterministically, and the oracle replays the same
+    * truncation.
+    */
+  val MaxPostings = 1024
+
   def postings(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
@@ -50,6 +64,7 @@ object Sparse {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("w").desc, col("t"))
+    val wTerm = Window.partitionBy("t").orderBy(col("w").desc, col("doc_id"))
     tf.join(dfq, "t").crossJoin(broadcast(n))
       .filter(col("df") * 1000000L <= col("n_docs") * DfCapPpm)
       .withColumn("idf_ppm", expr("(n_docs * 1000000) div df"))
@@ -57,6 +72,8 @@ object Sparse {
       .withColumn("w", col("tf") * col("idf_ppm"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= TopM)
+      .withColumn("trnk", row_number().over(wTerm))
+      .filter(col("trnk") <= MaxPostings)
       .select("doc_id", "t", "tf", "idf_ppm", "dl")
   }
 
@@ -132,7 +149,11 @@ object Sparse {
        |  WHERE dfx.df * 1000000 <= nx.n_docs * $DfCapPpm),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY w DESC, t) AS prnk FROM sc),
-       |pidx AS (SELECT doc_id, t, tf, idf_ppm, dl FROM rk WHERE prnk <= $TopM)""".stripMargin
+       |tm AS (SELECT *, row_number() OVER (PARTITION BY t
+       |    ORDER BY w DESC, doc_id) AS trnk
+       |  FROM rk WHERE prnk <= $TopM),
+       |pidx AS (SELECT doc_id, t, tf, idf_ppm, dl FROM tm
+       |  WHERE trnk <= $MaxPostings)""".stripMargin
   }
 
   def sqlTopK(queryPred: String => String, k: Int): String =
