@@ -2918,7 +2918,55 @@ object SparkEntry {
     // scaled-integer arithmetic (no float log anywhere).
     "bm25_topk" -> ((s, d) =>
       graft.llm.Sparse.bm25TopK(docs(s, d), col("doc_id") % 20 === 0, k = 5)
-        .orderBy("q_id", "rnk"))
+        .orderBy("q_id", "rnk")),
+
+    // Recall@k audit of the GATED sparse index (top-M + df cap + posting
+    // cap) against the ungated exact tf-idf ranking — completes the
+    // recall dashboard symmetry with the dense trio (similarity_recall*).
+    // The exact side ranks the whole corpus per query (that IS the ground
+    // truth), so the QUERY sample must be corpus-size-independent:
+    // `recallModFor` admits ~100 docs at any scale (the dedup_recall
+    // lesson — a proportional %20 sample made the exact side quadratic,
+    // measured as a 10-minute-plus stall at the 10× flat-vocab replica).
+    // Total exact cost: bounded sample × corpus = linear.
+    "sparse_recall" -> ((s, d) => {
+      val isQ = col("doc_id") % recallModFor(s, d) === 0
+      val exact = graft.llm.Sparse.exactTopK(docs(s, d), isQ, k = 5)
+        .select(col("q_id"), col("n_id"))
+      val retrieved = graft.llm.Sparse.topK(docs(s, d), isQ, k = 5)
+        .select(col("q_id").as("r_q"), col("n_id").as("r_n"))
+      exact.join(retrieved,
+          col("q_id") === col("r_q") && col("n_id") === col("r_n"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("k_exact"), count(col("r_n")).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("k_exact"), 6).as("recall_r"))
+        .orderBy("q_id")
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the dense (LSH cosine)
+    // and sparse (tf-idf postings) top-k lists — the standard
+    // dense+lexical search pattern, in exact integer arithmetic
+    // (rrf_ppm = 1e6 div (60 + rank), summed; -1 sentinels mark a hit
+    // found by only one retriever). Both inputs are the existing
+    // scale-shaped retrievers; fusion itself is a k-bounded full join.
+    "hybrid_topk" -> ((s, d) => {
+      val dense = Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0,
+          k = 5, bitsPerBand = lshBitsFor(s, d))
+        .select(col("q_id"), col("n_id"), col("rank").cast("long").as("rank_d"))
+      val sparse = graft.llm.Sparse.topK(docs(s, d), col("doc_id") % 20 === 0, k = 5)
+        .select(col("q_id"), col("n_id"), col("rnk").as("rank_s"))
+      val fused = dense.join(sparse, Seq("q_id", "n_id"), "full_outer")
+        .select(col("q_id"), col("n_id"),
+          (coalesce(expr("1000000 div (60 + rank_d)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + rank_s)"), lit(0L))).as("rrf_ppm"),
+          coalesce(col("rank_d"), lit(-1L)).as("rank_d"),
+          coalesce(col("rank_s"), lit(-1L)).as("rank_s"))
+      val w = Window.partitionBy("q_id").orderBy(col("rrf_ppm").desc, col("n_id"))
+      fused.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    })
   )
 
   /** Seed tag for `corpus_shuffle` (shared with the oracle). */
@@ -4384,6 +4432,55 @@ object SparkEntry {
 
       "bm25_topk" ->
         graft.llm.Sparse.sqlBm25TopK(c => s"$c % 20 = 0", k = 5),
+
+      "sparse_recall" ->
+        s"""WITH ${graft.llm.Sparse.sqlExactTopKCte(
+               c => s"$c % $RecallSampleMod = 0", 5, "ex_")},
+           |${graft.llm.Sparse.sqlTopKCte(
+               c => s"$c % $RecallSampleMod = 0", 5, "ap_")},
+           |j AS (SELECT e.q_id, count(*)::BIGINT AS k_exact,
+           |    count(a.n_id)::BIGINT AS n_hits
+           |  FROM ex_ e LEFT JOIN ap_ a
+           |    ON e.q_id = a.q_id AND e.n_id = a.n_id
+           |  GROUP BY 1)
+           |SELECT q_id, n_hits, round(n_hits::DOUBLE / k_exact, 6) AS recall_r
+           |FROM j ORDER BY q_id""".stripMargin,
+
+      "hybrid_topk" -> {
+        import graft.llm.Similarity
+        val cells = Similarity.sqlBandCells(
+          "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+        val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+        s"""WITH n AS (SELECT vec_id, embedding,
+           |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+           |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+           |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+           |cc AS (SELECT vec_id, band, cell FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+           |  WHERE occ <= ${Similarity.MaxCellBucket}),
+           |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+           |  FROM cc q JOIN cc e ON q.band = e.band AND q.cell = e.cell
+           |    AND q.vec_id <> e.vec_id
+           |  WHERE q.vec_id % 20 = 0),
+           |p AS (SELECT q_id, n_id, $cos AS cos_r
+           |  FROM cand JOIN n l ON q_id = l.vec_id JOIN n r ON n_id = r.vec_id),
+           |r AS (SELECT q_id, n_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
+           |  FROM p),
+           |dns AS (SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5),
+           |${graft.llm.Sparse.sqlTopKCte(c => s"$c % 20 = 0", 5, "sp_")},
+           |f AS (SELECT coalesce(d.q_id, s.q_id) AS q_id,
+           |    coalesce(d.n_id, s.n_id) AS n_id,
+           |    coalesce(1000000 // (60 + d.rnk), 0) +
+           |      coalesce(1000000 // (60 + s.rnk), 0) AS rrf_ppm,
+           |    coalesce(d.rnk, -1) AS rank_d, coalesce(s.rnk, -1) AS rank_s
+           |  FROM dns d FULL JOIN sp_ s
+           |    ON d.q_id = s.q_id AND d.n_id = s.n_id),
+           |h AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY rrf_ppm DESC, n_id) AS rnk FROM f)
+           |SELECT q_id, n_id, rrf_ppm, rank_d, rank_s, rnk FROM h
+           |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+      },
 
       "split_leak_audit" ->
         (s"WITH ${sqlVerifiedCte(3, 16, 4)},\n" +

@@ -98,6 +98,40 @@ object Sparse {
       .filter(col("rnk") <= k)
   }
 
+  /** Ungated exact tf-idf top-k — the brute-force correctness baseline
+    * for [[topK]]'s gated index (no top-M, no df cap, no posting cap):
+    * every shared term contributes. Quadratic in the flat-vocab worst
+    * case BY DESIGN — the sample-only exact path, same adjudication as
+    * `similarity_topk` for the dense family. Scores use the identical
+    * rational-idf formula so the two rankings are directly comparable.
+    */
+  def exactTopK(docs: DataFrame, isQuery: org.apache.spark.sql.Column,
+                k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val p = tf.join(dfq, "t").crossJoin(broadcast(n))
+      .withColumn("idf_ppm", expr("(n_docs * 1000000) div df"))
+      .select("doc_id", "t", "tf", "idf_ppm")
+      .localCheckpoint() // both sides of the term join
+    val q = p.filter(isQuery)
+      .select(col("doc_id").as("q_id"), col("t"), col("tf").as("tf_q"))
+    val pairs = q.join(p, Seq("t"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .groupBy(col("q_id"), col("doc_id").as("n_id"))
+      .agg(sum(expr(
+        "CAST(tf_q AS DECIMAL(38,0)) * tf * idf_ppm * idf_ppm")).as("s"))
+      .select(col("q_id"), col("n_id"),
+        expr("CAST(s div 1000000 AS BIGINT)").as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** BM25 scaled-integer parameters: k1 = 1.2 and b = 0.75, both ×1000. */
   val K1x1000 = 1200L
   val Bx1000 = 750L
@@ -156,8 +190,11 @@ object Sparse {
        |  WHERE trnk <= $MaxPostings)""".stripMargin
   }
 
-  def sqlTopK(queryPred: String => String, k: Int): String =
-    s"""WITH $sqlPostings,
+  /** [[topK]]'s oracle as a composable CTE chain ending in
+    * `out(q_id, n_id, score, rnk)`.
+    */
+  def sqlTopKCte(queryPred: String => String, k: Int, out: String): String =
+    s"""$sqlPostings,
        |qx AS (SELECT doc_id AS q_id, t, tf AS tf_q FROM pidx
        |  WHERE ${queryPred("doc_id")}),
        |px AS (SELECT q_id, p.doc_id AS n_id,
@@ -165,9 +202,37 @@ object Sparse {
        |      AS score
        |  FROM qx JOIN pidx p USING (t) WHERE q_id <> p.doc_id GROUP BY 1, 2),
        |rx AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY score DESC, n_id) AS rnk FROM px)
-       |SELECT q_id, n_id, score, rnk FROM rx WHERE rnk <= $k
+       |    ORDER BY score DESC, n_id) AS rnk FROM px),
+       |$out AS (SELECT q_id, n_id, score, rnk FROM rx WHERE rnk <= $k)""".stripMargin
+
+  def sqlTopK(queryPred: String => String, k: Int): String =
+    s"""WITH ${sqlTopKCte(queryPred, k, "topk_")}
+       |SELECT q_id, n_id, score, rnk FROM topk_
        |ORDER BY q_id, rnk""".stripMargin
+
+  /** [[exactTopK]]'s oracle as a CTE chain (distinct CTE names, so it
+    * composes with [[sqlTopKCte]] in one statement) ending in
+    * `out(q_id, n_id, score, rnk)`.
+    */
+  def sqlExactTopKCte(queryPred: String => String, k: Int, out: String): String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""etok AS (SELECT doc_id, unnest($toks) AS t FROM documents),
+       |etf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM etok GROUP BY 1, 2),
+       |edf AS (SELECT t, count(*)::BIGINT AS df FROM etf GROUP BY 1),
+       |enx AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM etf),
+       |ep AS (SELECT etf.doc_id, etf.t, etf.tf,
+       |    (enx.n_docs * 1000000) // edf.df AS idf_ppm
+       |  FROM etf JOIN edf USING (t) CROSS JOIN enx),
+       |eqx AS (SELECT doc_id AS q_id, t, tf AS tf_q FROM ep
+       |  WHERE ${queryPred("doc_id")}),
+       |epx AS (SELECT q_id, p.doc_id AS n_id,
+       |    (sum(tf_q::HUGEINT * p.tf * p.idf_ppm * p.idf_ppm) // 1000000)::BIGINT
+       |      AS score
+       |  FROM eqx JOIN ep p USING (t) WHERE q_id <> p.doc_id GROUP BY 1, 2),
+       |erx AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score DESC, n_id) AS rnk FROM epx),
+       |$out AS (SELECT q_id, n_id, score, rnk FROM erx WHERE rnk <= $k)""".stripMargin
+  }
 
   def sqlBm25TopK(queryPred: String => String, k: Int): String =
     s"""WITH $sqlPostings,

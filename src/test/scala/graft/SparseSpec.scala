@@ -68,6 +68,47 @@ class SparseSpec extends SparkSpec {
     assert(byN(2L) < byN(1L) * 5, s"k1 saturation must cap the gain: $byN")
   }
 
+  test("sparse_recall: recall in [0,1]; gated index catches most exact hits on the fixture") {
+    val rep = SparkEntry.queries("sparse_recall")(spark, d).collect()
+    assert(rep.nonEmpty)
+    for (r <- rep) {
+      val rec = r.getAs[Double]("recall_r")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hits") >= 0L)
+    }
+    // The audit REPORTS recall, it does not promise a level: on the flat
+    // synthetic vocabulary the exact ranking is dominated by the common
+    // terms the gates deliberately drop, so fixture recall is modest —
+    // exactly the signal a band-geometry/gate-tuning decision needs.
+    // The structural contract: some exact hits are retained, and the
+    // audit covers every query.
+    val mean = rep.map(_.getAs[Double]("recall_r")).sum / rep.length
+    assert(mean > 0.0, "gated index must retain SOME exact hits")
+    // recallModFor resolves to modulus 5 at this fixture size
+    val nQueries = Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(rep.length.toLong == nQueries, "one audit row per query doc")
+  }
+
+  test("hybrid_topk: RRF arithmetic exact; fused hits come from at least one retriever") {
+    val h = SparkEntry.queries("hybrid_topk")(spark, d).collect()
+    assert(h.nonEmpty)
+    for (r <- h) {
+      val (rd, rs) = (r.getAs[Long]("rank_d"), r.getAs[Long]("rank_s"))
+      assert(rd != -1L || rs != -1L, "a fused hit must exist in some list")
+      val want = (if (rd == -1L) 0L else 1000000L / (60L + rd)) +
+        (if (rs == -1L) 0L else 1000000L / (60L + rs))
+      assert(r.getAs[Long]("rrf_ppm") == want)
+      assert(r.getAs[Long]("rnk") >= 1L && r.getAs[Long]("rnk") <= 3L)
+    }
+    // a doc found by BOTH retrievers must outscore a same-rank single-list doc
+    val both = h.filter(r => r.getAs[Long]("rank_d") != -1L && r.getAs[Long]("rank_s") != -1L)
+    val single = h.filter(r => r.getAs[Long]("rank_d") == -1L ^ r.getAs[Long]("rank_s") == -1L)
+    if (both.nonEmpty && single.nonEmpty)
+      assert(both.map(_.getAs[Long]("rrf_ppm")).max >
+        single.map(_.getAs[Long]("rrf_ppm")).min)
+  }
+
   test("retrieval sanity: near-duplicate docs rank each other first") {
     // fixture plants near-dups; for queries with a verified near-dup, the
     // top sparse hit should usually be that near-dup — check at least one
