@@ -1177,6 +1177,26 @@ object SparkEntry {
     */
   private val LDiversityL = 2L
 
+  /** `t_closeness` release threshold in ppm of total-variation distance
+    * (t = 0.3): a cell whose sensitive-value distribution sits further
+    * than t from the global one is flagged. Shared with the oracle. */
+  private val TClosePpm = 300000L
+
+  /** `vocab_growth` doc_id-range bucket count (the Heaps'-curve x-axis
+    * resolution). Shared with the oracle. */
+  private val VocabGrowthBuckets = 10L
+
+  /** `pmi_topk` gates, all shared with the oracle: df floor (hapax cut),
+    * df ceiling in ppm of corpus size (ubiquity cut — terms in > 80% of
+    * docs carry no association signal), per-doc rarest-M pairing bound
+    * (the quadratic guard), absolute pair-support floor, and the
+    * reported list length. */
+  private val PmiMinDf = 2L
+  private val PmiMaxDfPpm = 800000L
+  private val PmiPerDocM = 32
+  private val PmiMinSupport = 3L
+  private val PmiTopK = 30
+
   /** `graph_kcore` core order and peel-round budget — shared with the
     * oracle (the budget is part of the key's contract; `converged`
     * proves it sufficed).
@@ -2966,6 +2986,131 @@ object SparkEntry {
       fused.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy("q_id", "rnk")
+    }),
+
+    // t-closeness over the k_anonymity quasi-identifier cells: total
+    // variation distance between each cell's sensitive-attribute
+    // (mktsegment) distribution and the global one, completing the
+    // k-anonymity / l-diversity / t-closeness release-audit trio. The
+    // absent-value terms fold algebraically —
+    //   Σ_v |cnt_v·N − g_v·n_c|  =  Σ_{v present} (|cnt·N − g_v·n_c| − g_v·n_c) + n_c·N
+    // — so no cell×value cross join ever materializes: the plan is one
+    // shuffle on the cell key (the window and the final aggregate share
+    // it), a 5-row broadcast of global value counts, and a 1-row total.
+    // DECIMAL(38,0) for the ppm ratio: n_c·N overflows BIGINT at
+    // warehouse scale.
+    "t_closeness" -> ((s, d) => {
+      val q = Tables.customer(s, d)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bin"),
+          col("c_mktsegment"))
+      val gv = q.groupBy("c_mktsegment").agg(count(lit(1)).as("g_v"))
+      val tot = q.agg(count(lit(1)).as("n_tot"))
+      val cell = q.groupBy("c_nationkey", "bal_bin", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("c_nationkey", "bal_bin")
+      cell.join(broadcast(gv), "c_mktsegment")
+        .crossJoin(broadcast(tot))
+        .withColumn("n_c", sum("cnt").over(wc))
+        .groupBy("c_nationkey", "bal_bin")
+        .agg(max("n_c").as("n_c"), max("n_tot").as("n_tot"),
+          sum(abs(col("cnt") * col("n_tot") - col("g_v") * col("n_c"))
+            - col("g_v") * col("n_c")).as("present_term"))
+        .select(col("c_nationkey"), col("bal_bin"), col("n_c"),
+          expr("(CAST(present_term + n_c * n_tot AS DECIMAL(38,0)) * 500000) div " +
+            "(CAST(n_c AS DECIMAL(38,0)) * n_tot)").as("tvd_ppm"))
+        .withColumn("at_risk", when(col("tvd_ppm") > TClosePpm, 1).otherwise(0))
+        .orderBy("c_nationkey", "bal_bin")
+    }),
+
+    // Sparse→dense time-series fill: every (event_type, hour) cell over
+    // the corpus's global hour span, zero-filled where no events landed,
+    // with a per-type running total. The dense frame is sequence-exploded
+    // from ONE 1-row span aggregate, so its size is (types × hours) —
+    // time-bounded, independent of event cardinality; the hourly counts
+    // aggregate is map-side combinable and the fill join keys on the same
+    // (type, hour) pair. Hour epochs stay BIGINT seconds end to end
+    // (floorDiv on nanos — no timestamp round-trip to drift).
+    "events_gapfill" -> ((s, d) => {
+      val h = events(s, d).select(col("event_type"),
+        (graft.expr.IntMath.floorDiv(col("ts"), NanosPerHour) * 3600L).as("he"))
+      val span = h.agg(min("he").as("lo"), max("he").as("hi"))
+      val hours = span.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+      val dense = h.select("event_type").distinct().crossJoin(broadcast(hours))
+      val cnt = h.groupBy(col("event_type").as("et"), col("he"))
+        .agg(count(lit(1)).as("cn"))
+      val w = Window.partitionBy("event_type").orderBy("hour_epoch")
+      dense.join(cnt,
+          dense("event_type") === cnt("et") && col("hour_epoch") === col("he"), "left")
+        .select(dense("event_type"), col("hour_epoch"),
+          coalesce(col("cn"), lit(0L)).as("n"))
+        .withColumn("cum_n", sum("n").over(w))
+        .orderBy("event_type", "hour_epoch")
+    }),
+
+    // Vocabulary-growth (Heaps') curve: the corpus split into B equal
+    // doc_id ranges, each term attributed to the FIRST bucket where it
+    // appears, cumulative vocabulary vs cumulative tokens per bucket —
+    // the saturation diagnostic that says whether more data still buys
+    // new vocabulary. Shapes: explode → two map-side-combinable
+    // aggregates (min bucket per term, counts per bucket) → windows over
+    // B rows (single-partition window is B-bounded by construction). The
+    // only cross join is the 1-row doc-count frame fixing bucket width.
+    "vocab_growth" -> ((s, d) => {
+      val hi = docs(s, d).agg((max("doc_id") + 1L).as("nd"))
+      val db = docs(s, d).crossJoin(broadcast(hi))
+        .select(expr(s"(doc_id * $VocabGrowthBuckets) div nd").as("bucket"),
+          col("text"))
+      val t = db.select(col("bucket"), explode(TA.tokens(col("text"))).as("term"))
+      val perB = t.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+        .join(db.groupBy("bucket").agg(count(lit(1)).as("n_docs")), Seq("bucket"))
+      val firstB = t.groupBy("term").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+      val w = Window.orderBy("bucket")
+      perB.join(firstB, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("cum_vocab", sum("new_terms").over(w))
+        .orderBy("bucket")
+    }),
+
+    // Distributional co-occurrence: doc-level term-pair lift — the exact
+    // monotone core of PMI (the log is dropped so every score is an
+    // integer ppm the oracle replays bit-for-bit). Scale bounds, in
+    // order: df gates drop ubiquitous and hapax terms BEFORE pairing;
+    // each doc then contributes pairs only among its M rarest kept terms
+    // (rarest-first is the information-bearing end of the Zipf curve), so
+    // the pair space is M²-bounded per document, never vocabulary²; the
+    // support floor lands before the ppm math exactly like market_basket.
+    // Top-k by (lift, ta, tb) is a deterministic total order → TakeOrdered,
+    // no full sort shuffle.
+    "pmi_topk" -> ((s, d) => {
+      val dt = docs(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(TA.tokens(col("text")))).as("term"))
+      val dfv = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val tot = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val kept = dt.join(dfv, "term").crossJoin(broadcast(tot))
+        .filter(col("df") >= PmiMinDf &&
+          col("df") * 1000000L <= col("n_docs") * PmiMaxDfPpm)
+      val wdoc = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
+      val gated = kept.withColumn("rn", row_number().over(wdoc))
+        .filter(col("rn") <= PmiPerDocM)
+        .select(col("doc_id"), col("term"), col("df"), col("n_docs"))
+      gated.as("l").join(gated.as("r"),
+          col("l.doc_id") === col("r.doc_id") && col("l.term") < col("r.term"))
+        .groupBy(col("l.term").as("ta"), col("r.term").as("tb"))
+        .agg(count(lit(1)).as("n_ab"),
+          max(col("l.df")).as("df_a"), max(col("r.df")).as("df_b"),
+          max(col("l.n_docs")).as("nd"))
+        .filter(col("n_ab") >= PmiMinSupport)
+        .select(col("ta"), col("tb"), col("n_ab"), col("df_a"), col("df_b"),
+          expr("(CAST(n_ab AS DECIMAL(38,0)) * nd * 1000000) div " +
+            "(CAST(df_a AS DECIMAL(38,0)) * df_b)").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("ta"), col("tb"))
+        .limit(PmiTopK)
     })
   )
 
@@ -4587,6 +4732,89 @@ object SparkEntry {
            |FROM t f JOIN t g ON f.q_id = g.n_id AND f.n_id = g.q_id
            |  AND f.q_id < f.n_id
            |ORDER BY 1, 2""".stripMargin
+      },
+
+      "t_closeness" ->
+        s"""WITH q AS (SELECT c_nationkey,
+           |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bin,
+           |  c_mktsegment FROM customer),
+           |gv AS (SELECT c_mktsegment, count(*)::BIGINT AS g_v FROM q GROUP BY 1),
+           |tt AS (SELECT count(*)::BIGINT AS n_tot FROM q),
+           |cl AS (SELECT c_nationkey, bal_bin, c_mktsegment,
+           |  count(*)::BIGINT AS cnt FROM q GROUP BY 1, 2, 3),
+           |tm AS (SELECT cl.c_nationkey, cl.bal_bin, cl.cnt, gv.g_v, tt.n_tot,
+           |  sum(cl.cnt) OVER (PARTITION BY cl.c_nationkey, cl.bal_bin)::BIGINT AS n_c
+           |  FROM cl JOIN gv USING (c_mktsegment) CROSS JOIN tt),
+           |agg AS (SELECT c_nationkey, bal_bin,
+           |  max(n_c)::BIGINT AS n_c, max(n_tot)::BIGINT AS n_tot,
+           |  sum(abs(cnt * n_tot - g_v * n_c) - g_v * n_c)::BIGINT AS present_term
+           |  FROM tm GROUP BY 1, 2),
+           |tv AS (SELECT c_nationkey, bal_bin, n_c,
+           |  (((present_term + n_c * n_tot)::HUGEINT * 500000)
+           |    // (n_c::HUGEINT * n_tot))::BIGINT AS tvd_ppm FROM agg)
+           |SELECT c_nationkey, bal_bin, n_c, tvd_ppm,
+           |  CASE WHEN tvd_ppm > $TClosePpm THEN 1 ELSE 0 END AS at_risk
+           |FROM tv ORDER BY 1, 2""".stripMargin,
+
+      "events_gapfill" ->
+        """WITH h AS (SELECT event_type,
+          |  epoch(date_trunc('hour', ts))::BIGINT AS he FROM events),
+          |sp AS (SELECT min(he) AS lo, max(he) AS hi FROM h),
+          |hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+          |  FROM sp),
+          |ty AS (SELECT DISTINCT event_type FROM h),
+          |cnt AS (SELECT event_type, he, count(*)::BIGINT AS cn
+          |  FROM h GROUP BY 1, 2)
+          |SELECT ty.event_type, hrs.hour_epoch,
+          |  coalesce(cnt.cn, 0)::BIGINT AS n,
+          |  sum(coalesce(cnt.cn, 0)) OVER (PARTITION BY ty.event_type
+          |    ORDER BY hrs.hour_epoch)::BIGINT AS cum_n
+          |FROM ty CROSS JOIN hrs LEFT JOIN cnt
+          |  ON ty.event_type = cnt.event_type AND hrs.hour_epoch = cnt.he
+          |ORDER BY 1, 2""".stripMargin,
+
+      "vocab_growth" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH hi AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+           |db AS (SELECT (doc_id * $VocabGrowthBuckets) // hi.nd AS bucket,
+           |  text FROM documents, hi),
+           |t AS (SELECT bucket, unnest($toks) AS term FROM db),
+           |pb AS (SELECT bucket, count(*)::BIGINT AS n_tokens FROM t GROUP BY 1),
+           |dpb AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM db GROUP BY 1),
+           |fb AS (SELECT term, min(bucket) AS bucket FROM t GROUP BY 1),
+           |nt AS (SELECT bucket, count(*)::BIGINT AS new_terms FROM fb GROUP BY 1)
+           |SELECT d.bucket, d.n_docs, p.n_tokens,
+           |  coalesce(nt.new_terms, 0)::BIGINT AS new_terms,
+           |  sum(p.n_tokens) OVER (ORDER BY d.bucket)::BIGINT AS cum_tokens,
+           |  sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY d.bucket)::BIGINT
+           |    AS cum_vocab
+           |FROM dpb d JOIN pb p USING (bucket) LEFT JOIN nt USING (bucket)
+           |ORDER BY bucket""".stripMargin
+      },
+
+      "pmi_topk" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH dt AS (SELECT doc_id, unnest(list_distinct($toks)) AS term
+           |  FROM documents),
+           |df AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+           |tt AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+           |kept AS (SELECT dt.doc_id, dt.term, df.df, tt.n_docs
+           |  FROM dt JOIN df USING (term) CROSS JOIN tt
+           |  WHERE df.df >= $PmiMinDf
+           |    AND df.df * 1000000 <= tt.n_docs * $PmiMaxDfPpm),
+           |gated AS (SELECT doc_id, term, df, n_docs FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY df, term) AS rn FROM kept) WHERE rn <= $PmiPerDocM),
+           |pr AS (SELECT l.term AS ta, r.term AS tb, count(*)::BIGINT AS n_ab,
+           |    max(l.df)::BIGINT AS df_a, max(r.df)::BIGINT AS df_b,
+           |    max(l.n_docs)::BIGINT AS nd
+           |  FROM gated l JOIN gated r
+           |    ON l.doc_id = r.doc_id AND l.term < r.term
+           |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinSupport)
+           |SELECT ta, tb, n_ab, df_a, df_b,
+           |  ((n_ab::HUGEINT * nd * 1000000) // (df_a::HUGEINT * df_b))::BIGINT
+           |    AS lift_ppm
+           |FROM pr ORDER BY lift_ppm DESC, ta, tb LIMIT $PmiTopK""".stripMargin
       }
     )
   }

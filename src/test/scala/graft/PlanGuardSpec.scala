@@ -345,4 +345,61 @@ class PlanGuardSpec extends SparkSpec {
     assert(reads.exists(r => r.contains("doc_id") && !r.contains("text")),
       s"split side must not drag the text column through the join:\n$reads")
   }
+
+  test("t_closeness: value counts ride broadcasts; cell window is partitioned") {
+    val lines = SparkEntry.queries("t_closeness")(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    assert(lines.exists(_.contains("BroadcastHashJoin")),
+      "5-row global value counts must broadcast")
+    // the only SinglePartition is the 1-row total's scalar-agg merge
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val parent = lines.take(i).reverse.find(_.trim.nonEmpty).getOrElse("")
+        assert(parent.contains("HashAggregate(keys=[]"),
+          s"t_closeness: SinglePartition not under the scalar total:\n${lines.mkString("\n")}")
+    }
+  }
+
+  test("events_gapfill: dense grid rides the 1-row span broadcast; no row funnel") {
+    val lines = SparkEntry.queries("events_gapfill")(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    assert(lines.exists(l => l.contains("BroadcastNestedLoopJoin") ||
+      l.contains("BroadcastHashJoin")),
+      "the sequence-exploded hour axis must broadcast onto the type list")
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val parent = lines.take(i).reverse.find(_.trim.nonEmpty).getOrElse("")
+        assert(parent.contains("HashAggregate(keys=[]"),
+          s"events_gapfill: SinglePartition not under the span aggregate:\n${lines.mkString("\n")}")
+    }
+  }
+
+  test("vocab_growth: corpus-sized stages aggregate before any single-partition hop") {
+    // The B-row Heaps'-curve window IS single-partition by construction —
+    // legitimate only because everything reaching it is already bucket- or
+    // term-aggregated. Assert no SinglePartition exchange sits directly on
+    // a scan or an explode (i.e. on corpus-sized rows).
+    val lines = SparkEntry.queries("vocab_growth")(spark, d)
+      .queryExecution.executedPlan.toString.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        // the exchange's CHILD is what gets funneled — it must be a
+        // post-aggregation frame (Project/HashAggregate), never raw
+        // corpus rows (Scan/Generate)
+        val child = lines.drop(i + 1).find(_.trim.nonEmpty).getOrElse("")
+        assert(child.contains("HashAggregate") || child.contains("Project"),
+          s"vocab_growth: SinglePartition over unaggregated rows:\n${lines.mkString("\n")}")
+        assert(!child.contains("Scan") && !child.contains("Generate"),
+          s"vocab_growth: SinglePartition directly over corpus rows:\n${lines.mkString("\n")}")
+    }
+  }
+
+  test("pmi_topk: top-k is TakeOrdered, pair space is doc-keyed — never cartesian") {
+    val plan = SparkEntry.queries("pmi_topk")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not a full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairing must stay keyed on doc_id:\n$plan")
+  }
 }
