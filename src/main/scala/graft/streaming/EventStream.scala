@@ -274,6 +274,79 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  // ---- dense hourly gap-fill -------------------------------------------
+
+  case class EvG(ts: java.sql.Timestamp, event_type: String)
+  /** Per-type fill cursor: the next hour to emit and the counts of hours
+    * not yet finalized by the watermark. Pending size is bounded by the
+    * watermark horizon in hours — the cursor itself never grows.
+    */
+  case class GapState(nextHour: Long, pending: Map[Long, Long])
+  case class HourCount(event_type: String, hour_epoch: Long, n: Long)
+
+  /** Streaming twin of the `events_gapfill` batch key: per event_type,
+    * emit a row for EVERY hour from the type's first event onward —
+    * including n=0 rows for hours where the type went silent. The zero
+    * rows are what makes this stateful rather than a windowed aggregate:
+    * a groupBy(window) can only emit where data exists, so silence is
+    * invisible to it. Here each type's state carries an hour cursor, and
+    * an event-time TIMER re-fires the group whenever the watermark
+    * crosses the next hour boundary — the timer path (empty batch
+    * iterator) is the zero-row emitter.
+    *
+    * Hour H is final once the watermark reaches H+3600: every accepted
+    * future event has ts ≥ watermark, so none can land inside H. Emitted
+    * hours are therefore immutable (append-mode safe), and a late
+    * in-watermark arrival still lands in a pending hour and counts.
+    *
+    * Axis semantics vs the batch twin: the batch key zero-fills every
+    * type over the GLOBAL hour span; a stream cannot know the global
+    * left edge prospectively, so each type's axis starts at its own
+    * first event's hour. From that hour on the outputs match row for row
+    * (StreamingSpec pins the equivalence).
+    */
+  def gapfill(events: Dataset[EvG], watermark: String = "2 hours")
+             (implicit spark: SparkSession): Dataset[HourCount] = {
+    import spark.implicits._
+
+    def update(tpe: String, batch: Iterator[EvG],
+               state: GroupState[GapState]): Iterator[HourCount] = {
+      val incoming = batch
+        .map(e => Math.floorDiv(e.ts.getTime, 3600000L) * 3600L).toSeq
+      val st0 = state.getOption.getOrElse(
+        GapState(if (incoming.isEmpty) Long.MaxValue else incoming.min, Map.empty))
+      // a timer can in principle fire before any event was ever folded in;
+      // with no axis origin there is nothing to emit
+      val start = math.min(st0.nextHour,
+        if (incoming.isEmpty) Long.MaxValue else incoming.min)
+      if (start == Long.MaxValue) {
+        state.remove() // timer fired with no axis origin: nothing to emit
+        Iterator.empty
+      } else {
+        val pending = incoming.foldLeft(st0.pending) { (m, h) =>
+          m.updated(h, m.getOrElse(h, 0L) + 1L)
+        }
+        val wmSec = state.getCurrentWatermarkMs / 1000L
+        val ripe = Iterator.iterate(start)(_ + 3600L)
+          .takeWhile(h => h + 3600L <= wmSec)
+          .map(h => HourCount(tpe, h, pending.getOrElse(h, 0L)))
+          .toVector
+        val nextH = if (ripe.isEmpty) start else ripe.last.hour_epoch + 3600L
+        state.update(GapState(nextH, pending.filter(_._1 >= nextH)))
+        // wake this type when the watermark crosses its next hour boundary
+        // even if it never produces another event — THIS emits the zeros
+        state.setTimeoutTimestamp(math.max((nextH + 3600L) * 1000L,
+          state.getCurrentWatermarkMs + 1))
+        ripe.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ---- ordered conversion funnel ---------------------------------------
 
   case class EvF(ts: java.sql.Timestamp, user_id: Long, event_type: String)

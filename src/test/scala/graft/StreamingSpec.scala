@@ -557,4 +557,98 @@ class StreamingSpec extends SparkSpec {
         streamed.count(_._1 == 29L) == 1)
     } finally q.stop()
   }
+
+  test("streaming gapfill: silent hours emit zero rows via the event-time timer") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvG
+    val in = MemoryStream[EvG]
+    val q = EventStream.gapfill(in.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("gapfill")
+      .outputMode("append").start()
+    try {
+      // type A: hours 10 and 13 (11 and 12 silent); type B only at 10
+      in.addData(
+        EvG(ts("2024-01-01 10:05:00"), "A"),
+        EvG(ts("2024-01-01 10:40:00"), "A"),
+        EvG(ts("2024-01-01 10:20:00"), "B"),
+        EvG(ts("2024-01-01 13:10:00"), "A"))
+      q.processAllAvailable()
+      // a late but in-watermark-pending arrival for hour 13 still counts
+      in.addData(EvG(ts("2024-01-01 13:50:00"), "A"))
+      q.processAllAvailable()
+      // advance the watermark past hour 15 with an unrelated type: A's and
+      // B's TIMERS must fire and zero-fill their silent hours with no new
+      // data of their own
+      in.addData(EvG(ts("2024-01-01 16:00:00"), "C"))
+      q.processAllAvailable()
+      in.addData(EvG(ts("2024-01-01 17:00:00"), "C"))
+      q.processAllAvailable()
+      def hourEpoch(t: String) = ts(t).getTime / 1000L
+      val rows = spark.table("gapfill")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val aRows = rows.filter(_._1 == "A")
+      val expectA = Set(
+        ("A", hourEpoch("2024-01-01 10:00:00"), 2L),
+        ("A", hourEpoch("2024-01-01 11:00:00"), 0L),
+        ("A", hourEpoch("2024-01-01 12:00:00"), 0L),
+        ("A", hourEpoch("2024-01-01 13:00:00"), 2L), // incl. the late arrival
+        ("A", hourEpoch("2024-01-01 14:00:00"), 0L),
+        ("A", hourEpoch("2024-01-01 15:00:00"), 0L))
+      assert(aRows == expectA, s"A: $aRows != $expectA")
+      // B has been silent since 10:00 — the timer alone produced its zeros
+      val bZeros = rows.filter(r => r._1 == "B" && r._3 == 0L)
+      assert(rows.contains(("B", hourEpoch("2024-01-01 10:00:00"), 1L)))
+      assert(bZeros.map(_._2) ==
+        (hourEpoch("2024-01-01 11:00:00") to hourEpoch("2024-01-01 15:00:00") by 3600L).toSet,
+        s"B zero rows: $bZeros")
+    } finally q.stop()
+  }
+
+  test("streaming gapfill matches the batch dense fill from each type's first hour") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvG
+    // irregular arrivals over 3 types, out of order across batches but
+    // always inside the 2 h watermark (a beyond-watermark late row would
+    // be dropped by contract, which is not what this test pins)
+    val evs = Seq(
+      ("2024-01-01 10:05:00", "x"), ("2024-01-01 12:50:00", "x"),
+      ("2024-01-01 10:59:00", "y"), ("2024-01-01 11:30:00", "z"),
+      ("2024-01-01 11:45:00", "x"), ("2024-01-01 14:01:00", "y"),
+      ("2024-01-01 13:20:00", "z"), ("2024-01-01 15:00:00", "x"))
+    val batches = Seq(evs.take(3), evs.slice(3, 6), evs.drop(6))
+    val in = MemoryStream[EvG]
+    val q = EventStream.gapfill(in.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("gapfill_twin")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        in.addData(b.map { case (t, e) => EvG(ts(t), e) }: _*)
+        q.processAllAvailable()
+      }
+      // close the horizon: push the watermark far past every event, then
+      // one more batch so the timers actually run UNDER that watermark
+      // (the watermark a batch sees is the one set at the previous
+      // batch's end)
+      in.addData(EvG(ts("2024-01-02 09:00:00"), "q")); q.processAllAvailable()
+      in.addData(EvG(ts("2024-01-02 09:30:00"), "q")); q.processAllAvailable()
+      val streamed = spark.table("gapfill_twin")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter(r => Set("x", "y", "z")(r._1)).toSet
+      // batch truth: per type, dense hours from its own first hour to the
+      // last finalized hour (watermark = 2024-01-02 07:00 ⇒ final < 07:00)
+      val lastFinal = ts("2024-01-02 07:00:00").getTime / 1000L - 3600L
+      val byHour = evs.groupBy { case (t, e) =>
+        (e, ts(t).getTime / 1000L / 3600L * 3600L)
+      }.view.mapValues(_.size.toLong).toMap
+      val expected = (for {
+        e <- Seq("x", "y", "z")
+        first = evs.filter(_._2 == e).map(t => ts(t._1).getTime / 1000L / 3600L * 3600L).min
+        h <- first to lastFinal by 3600L
+      } yield (e, h, byHour.getOrElse((e, h), 0L))).toSet
+      assert(streamed == expected,
+        s"missing=${expected -- streamed} extra=${streamed -- expected}")
+    } finally q.stop()
+  }
 }
