@@ -3012,12 +3012,15 @@ object SparkEntry {
       cell.join(broadcast(gv), "c_mktsegment")
         .crossJoin(broadcast(tot))
         .withColumn("n_c", sum("cnt").over(wc))
+        // every product goes DECIMAL(38,0) BEFORE multiplying — cnt·N and
+        // g_v·n_c are ~N² terms that wrap BIGINT past ~3e9 customers
         .groupBy("c_nationkey", "bal_bin")
         .agg(max("n_c").as("n_c"), max("n_tot").as("n_tot"),
-          sum(abs(col("cnt") * col("n_tot") - col("g_v") * col("n_c"))
-            - col("g_v") * col("n_c")).as("present_term"))
+          sum(abs(col("cnt").cast("decimal(38,0)") * col("n_tot")
+              - col("g_v").cast("decimal(38,0)") * col("n_c"))
+            - col("g_v").cast("decimal(38,0)") * col("n_c")).as("present_term"))
         .select(col("c_nationkey"), col("bal_bin"), col("n_c"),
-          expr("(CAST(present_term + n_c * n_tot AS DECIMAL(38,0)) * 500000) div " +
+          expr("((present_term + CAST(n_c AS DECIMAL(38,0)) * n_tot) * 500000) div " +
             "(CAST(n_c AS DECIMAL(38,0)) * n_tot)").as("tvd_ppm"))
         .withColumn("at_risk", when(col("tvd_ppm") > TClosePpm, 1).otherwise(0))
         .orderBy("c_nationkey", "bal_bin")
@@ -3063,8 +3066,12 @@ object SparkEntry {
         .select(expr(s"(doc_id * $VocabGrowthBuckets) div nd").as("bucket"),
           col("text"))
       val t = db.select(col("bucket"), explode(TA.tokens(col("text"))).as("term"))
-      val perB = t.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
-        .join(db.groupBy("bucket").agg(count(lit(1)).as("n_docs")), Seq("bucket"))
+        .localCheckpoint() // ONE tokenize pass feeds token counts AND first-bucket
+      // doc side owns the bucket axis: a decile of all-empty texts has no
+      // token rows, and an inner join would silently hole the curve there
+      val perB = db.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .join(t.groupBy("bucket").agg(count(lit(1)).as("nt")), Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"), coalesce(col("nt"), lit(0L)).as("n_tokens"))
       val firstB = t.groupBy("term").agg(min("bucket").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
       val w = Window.orderBy("bucket")
@@ -3090,6 +3097,7 @@ object SparkEntry {
       val dt = docs(s, d)
         .select(col("doc_id"),
           explode(array_distinct(TA.tokens(col("text")))).as("term"))
+        .localCheckpoint() // ONE tokenize pass feeds df counts AND pairing
       val dfv = dt.groupBy("term").agg(count(lit(1)).as("df"))
       val tot = docs(s, d).agg(count(lit(1)).as("n_docs"))
       val kept = dt.join(dfv, "term").crossJoin(broadcast(tot))
@@ -3099,6 +3107,7 @@ object SparkEntry {
       val gated = kept.withColumn("rn", row_number().over(wdoc))
         .filter(col("rn") <= PmiPerDocM)
         .select(col("doc_id"), col("term"), col("df"), col("n_docs"))
+        .localCheckpoint() // both self-join sides read the gated frame
       gated.as("l").join(gated.as("r"),
           col("l.doc_id") === col("r.doc_id") && col("l.term") < col("r.term"))
         .groupBy(col("l.term").as("ta"), col("r.term").as("tb"))
@@ -4747,10 +4756,11 @@ object SparkEntry {
            |  FROM cl JOIN gv USING (c_mktsegment) CROSS JOIN tt),
            |agg AS (SELECT c_nationkey, bal_bin,
            |  max(n_c)::BIGINT AS n_c, max(n_tot)::BIGINT AS n_tot,
-           |  sum(abs(cnt * n_tot - g_v * n_c) - g_v * n_c)::BIGINT AS present_term
+           |  sum(abs(cnt::HUGEINT * n_tot - g_v::HUGEINT * n_c)
+           |    - g_v::HUGEINT * n_c) AS present_term
            |  FROM tm GROUP BY 1, 2),
            |tv AS (SELECT c_nationkey, bal_bin, n_c,
-           |  (((present_term + n_c * n_tot)::HUGEINT * 500000)
+           |  (((present_term + n_c::HUGEINT * n_tot) * 500000)
            |    // (n_c::HUGEINT * n_tot))::BIGINT AS tvd_ppm FROM agg)
            |SELECT c_nationkey, bal_bin, n_c, tvd_ppm,
            |  CASE WHEN tvd_ppm > $TClosePpm THEN 1 ELSE 0 END AS at_risk
@@ -4783,12 +4793,14 @@ object SparkEntry {
            |dpb AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM db GROUP BY 1),
            |fb AS (SELECT term, min(bucket) AS bucket FROM t GROUP BY 1),
            |nt AS (SELECT bucket, count(*)::BIGINT AS new_terms FROM fb GROUP BY 1)
-           |SELECT d.bucket, d.n_docs, p.n_tokens,
+           |SELECT d.bucket, d.n_docs,
+           |  coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
            |  coalesce(nt.new_terms, 0)::BIGINT AS new_terms,
-           |  sum(p.n_tokens) OVER (ORDER BY d.bucket)::BIGINT AS cum_tokens,
+           |  sum(coalesce(p.n_tokens, 0)) OVER (ORDER BY d.bucket)::BIGINT
+           |    AS cum_tokens,
            |  sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY d.bucket)::BIGINT
            |    AS cum_vocab
-           |FROM dpb d JOIN pb p USING (bucket) LEFT JOIN nt USING (bucket)
+           |FROM dpb d LEFT JOIN pb p USING (bucket) LEFT JOIN nt USING (bucket)
            |ORDER BY bucket""".stripMargin
       },
 

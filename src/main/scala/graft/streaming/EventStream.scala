@@ -334,8 +334,12 @@ object EventStream {
         val nextH = if (ripe.isEmpty) start else ripe.last.hour_epoch + 3600L
         state.update(GapState(nextH, pending.filter(_._1 >= nextH)))
         // wake this type when the watermark crosses its next hour boundary
-        // even if it never produces another event — THIS emits the zeros
-        state.setTimeoutTimestamp(math.max((nextH + 3600L) * 1000L,
+        // even if it never produces another event — THIS emits the zeros.
+        // −1 ms: timers fire only when timeout < watermark (STRICT), while
+        // ripeness above is wmSec >= H+3600 (inclusive) — a watermark
+        // landing exactly on the boundary (whole-hour event + whole-hour
+        // delay) must still fire the timer or the zero row is withheld
+        state.setTimeoutTimestamp(math.max((nextH + 3600L) * 1000L - 1L,
           state.getCurrentWatermarkMs + 1))
         ripe.iterator
       }

@@ -594,13 +594,16 @@ class StreamingSpec extends SparkSpec {
         ("A", hourEpoch("2024-01-01 12:00:00"), 0L),
         ("A", hourEpoch("2024-01-01 13:00:00"), 2L), // incl. the late arrival
         ("A", hourEpoch("2024-01-01 14:00:00"), 0L),
-        ("A", hourEpoch("2024-01-01 15:00:00"), 0L))
+        ("A", hourEpoch("2024-01-01 15:00:00"), 0L),
+        // the final watermark lands EXACTLY on 17:00 — the boundary hour
+        // 16:00 must still emit (the timer's -1 ms vs strict firing)
+        ("A", hourEpoch("2024-01-01 16:00:00"), 0L))
       assert(aRows == expectA, s"A: $aRows != $expectA")
       // B has been silent since 10:00 — the timer alone produced its zeros
       val bZeros = rows.filter(r => r._1 == "B" && r._3 == 0L)
       assert(rows.contains(("B", hourEpoch("2024-01-01 10:00:00"), 1L)))
       assert(bZeros.map(_._2) ==
-        (hourEpoch("2024-01-01 11:00:00") to hourEpoch("2024-01-01 15:00:00") by 3600L).toSet,
+        (hourEpoch("2024-01-01 11:00:00") to hourEpoch("2024-01-01 16:00:00") by 3600L).toSet,
         s"B zero rows: $bZeros")
     } finally q.stop()
   }
