@@ -1197,6 +1197,11 @@ object SparkEntry {
   private val PmiMinSupport = 3L
   private val PmiTopK = 30
 
+  /** `graph_components` co-purchase edge support floor (shared with the
+    * oracle): below it the graph is one giant hairball; at it the
+    * component structure is non-trivial (56 components at sf0.01). */
+  private val GraphCompSupport = 3L
+
   /** `graph_kcore` core order and peel-round budget — shared with the
     * oracle (the budget is part of the key's contract; `converged`
     * proves it sufficed).
@@ -3120,6 +3125,29 @@ object SparkEntry {
             "(CAST(df_a AS DECIMAL(38,0)) * df_b)").as("lift_ppm"))
         .orderBy(col("lift_ppm").desc, col("ta"), col("tb"))
         .limit(PmiTopK)
+    }),
+
+    // Connected components of the SUPPORT-FILTERED co-purchase graph: the
+    // market_basket support floor prunes noise edges first (and bounds
+    // pair cardinality before anything global runs), then the shared
+    // alternating-star CC core (llm.Dedup.clusters — O(log n) rounds of
+    // groupBy + shuffle join, no edge broadcast, scalar-only driver
+    // traffic) labels every surviving node with its component minimum.
+    // Completes the graph family: components alongside pagerank /
+    // triangles / k-core / degree / mutual-kNN on the same edge frame.
+    "graph_components" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val pairs = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= GraphCompSupport)
+        .select("a", "b")
+      graft.llm.Dedup.clusters(pairs)
+        .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+        .orderBy("node")
     })
   )
 
@@ -4827,7 +4855,22 @@ object SparkEntry {
            |  ((n_ab::HUGEINT * nd * 1000000) // (df_a::HUGEINT * df_b))::BIGINT
            |    AS lift_ppm
            |FROM pr ORDER BY lift_ppm DESC, ta, tb LIMIT $PmiTopK""".stripMargin
-      }
+      },
+
+      // Reference CC (recursive reachability) over the support-filtered
+      // co-purchase edges — the oracle-side stand-in for the engine's
+      // alternating-star rounds, same pattern as semantic_clusters.
+      "graph_components" ->
+        s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+           |  l_partkey AS pk FROM lineitem),
+           |pr AS (SELECT l.pk AS a, r.pk AS b
+           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk
+           |  GROUP BY 1, 2 HAVING count(*) >= $GraphCompSupport),
+           |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+           |reach AS (SELECT a AS id, b AS r FROM e
+           |  UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+           |SELECT id AS node, least(id, min(r)) AS component_id
+           |FROM reach GROUP BY id ORDER BY node""".stripMargin
     )
   }
 

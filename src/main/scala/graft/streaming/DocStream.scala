@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.llm.{Dedup, Substring}
 
 /** Streaming corpus admission: new documents arrive as a stream and are
@@ -122,6 +123,77 @@ object DocStream {
         round(size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
           size(array_union(col("l.sh"), col("r.sh"))), 6).as("jac_r"))
       .filter(col("jac_r") >= threshold)
+  }
+
+  // ---- streaming heavy hitters (Misra-Gries) ---------------------------
+
+  case class Tok(shard: Int, token: String, doc_id: Long)
+  /** Per-shard MG summary: tokens seen, decrement steps taken, epoch
+    * (this shard's update-invocation count), and ≤ k counters. */
+  case class MgState(n_seen: Long, n_dec: Long, epoch: Long,
+                     counters: Map[String, Long])
+  case class MgRow(shard: Int, epoch: Long, token: String, est: Long,
+                   n_seen: Long, n_dec: Long)
+
+  /** Streaming heavy hitters over the token stream of arriving documents:
+    * per-shard Misra-Gries summaries — k counters of BOUNDED state where
+    * exact streaming counts would need vocabulary-sized state (the
+    * batch `heavy_hitters` key's streaming twin at the summary level).
+    *
+    * Sharding by token hash keeps the operator distributed (each group
+    * holds k counters, never the vocabulary), and because a token's every
+    * occurrence lands in the same shard, per-shard truth IS that token's
+    * global truth. The MG guarantee then holds per shard: after N_s
+    * tokens with D_s decrement steps,
+    *   est(t) ≤ true(t) ≤ est(t) + D_s   for tracked tokens,
+    *   true(t) ≤ D_s                     for untracked tokens,
+    *   D_s ≤ N_s / (k + 1),
+    * so every token with true(t) > N_s/(k+1) is guaranteed tracked. D_s
+    * is carried in the emitted rows, making the bound CHECKABLE by the
+    * consumer (and the spec) instead of trusted. Each micro-batch appends
+    * the updated shards' summary snapshot tagged with an epoch — the
+    * periodic-dashboard shape; readers take each shard's max epoch.
+    * Within a batch, tokens fold in (doc_id, token) order, so a replay
+    * with the same batching is deterministic.
+    */
+  def heavyHitters(newDocs: DataFrame, k: Int, shards: Int = 8)
+                  (implicit spark: SparkSession): Dataset[MgRow] = {
+    import spark.implicits._
+    require(k >= 1 && shards >= 1)
+    val toks = newDocs
+      .select(col("doc_id"),
+        explode(graft.llm.TextAnalysis.tokens(col("text"))).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(shards)).cast("int").as("shard"),
+        col("token"), col("doc_id"))
+      .as[Tok]
+
+    def update(shard: Int, batch: Iterator[Tok],
+               state: GroupState[MgState]): Iterator[MgRow] = {
+      var st = state.getOption.getOrElse(MgState(0L, 0L, 0L, Map.empty))
+      for (t <- batch.toSeq.sortBy(x => (x.doc_id, x.token))) {
+        val c = st.counters
+        if (c.contains(t.token))
+          st = st.copy(n_seen = st.n_seen + 1,
+            counters = c.updated(t.token, c(t.token) + 1L))
+        else if (c.size < k)
+          st = st.copy(n_seen = st.n_seen + 1, counters = c.updated(t.token, 1L))
+        else {
+          // table full: one decrement step — every counter drops by 1 and
+          // the arriving token is NOT admitted (its occurrence cancels too)
+          val dec = c.map { case (tok, n) => tok -> (n - 1L) }.filter(_._2 > 0L)
+          st = MgState(st.n_seen + 1, st.n_dec + 1, st.epoch, dec)
+        }
+      }
+      st = st.copy(epoch = st.epoch + 1)
+      state.update(st)
+      st.counters.iterator.map { case (tok, est) =>
+        MgRow(shard, st.epoch, tok, est, st.n_seen, st.n_dec)
+      }
+    }
+
+    toks
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Batch admission with intra-batch completeness — the foreachBatch body.

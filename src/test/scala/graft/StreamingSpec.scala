@@ -654,4 +654,72 @@ class StreamingSpec extends SparkSpec {
         s"missing=${expected -- streamed} extra=${streamed -- expected}")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: MG invariants hold exactly against batch truth") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    val (k, shards) = (4, 4)
+    // skewed vocabulary: hh1/hh2 dominate, a long tail of rare tokens
+    def doc(i: Long, toks: Seq[String]) = (i, toks.mkString(" "))
+    val docs = (0L until 30L).map { i =>
+      val heavy = Seq.fill(6)(if (i % 2 == 0) "hh1" else "hh2")
+      val mid = Seq.fill(3)(s"mid${i % 5}")
+      val rare = Seq(s"rare$i", s"tail${i % 11}")
+      doc(i, heavy ++ mid ++ rare)
+    }
+    val batches = Seq(docs.take(10), docs.slice(10, 20), docs.drop(20))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.heavyHitters(
+        in.toDF().toDF("doc_id", "text"), k = k, shards = shards)
+      .writeStream.format("memory").queryName("mg").outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val rows = spark.table("mg").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      // final summary per shard = rows at that shard's max epoch
+      val finals = rows.groupBy(_._1).map { case (sh, rs) =>
+        val maxE = rs.map(_._2).max
+        sh -> rs.filter(_._2 == maxE)
+      }
+      // exact truth, sharded with the operator's own hash
+      import spark.implicits._
+      val truth = docs.toDF("doc_id", "text")
+        .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(pmod(xxhash64(col("token")), lit(shards)).cast("int").as("shard"),
+          col("token"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      for (sh <- truth.keys.map(_._1).toSet[Int]) {
+        val shardTruth = truth.collect { case ((s2, t), n) if s2 == sh => t -> n }
+        val nS = shardTruth.values.sum
+        finals.get(sh) match {
+          case None =>
+            // a shard with no emitted summary must have had no tokens
+            assert(shardTruth.isEmpty)
+          case Some(rs) =>
+            val (nSeen, nDec) = (rs.head._5, rs.head._6)
+            assert(nSeen == nS, s"shard $sh: n_seen $nSeen != true $nS")
+            assert(rs.size <= k, s"shard $sh: ${rs.size} counters > k=$k")
+            assert(nDec * (k + 1) <= nS, s"shard $sh: D=$nDec > N/(k+1)")
+            val tracked = rs.map(r => r._3 -> r._4).toMap
+            for ((t, est) <- tracked) {
+              val tru = shardTruth(t)
+              assert(est <= tru && tru <= est + nDec,
+                s"shard $sh token $t: est=$est true=$tru D=$nDec")
+            }
+            for ((t, tru) <- shardTruth if !tracked.contains(t))
+              assert(tru <= nDec,
+                s"shard $sh untracked $t has true=$tru > D=$nDec")
+            // the guarantee the operator exists for: sufficiently heavy
+            // tokens can never be missing
+            for ((t, tru) <- shardTruth if tru > nDec)
+              assert(tracked.contains(t), s"heavy token $t missing in shard $sh")
+        }
+      }
+      // the planted heavies really are heavy: both must be tracked
+      val allTracked = finals.values.flatten.map(_._3).toSet
+      assert(allTracked.contains("hh1") && allTracked.contains("hh2"))
+    } finally q.stop()
+  }
 }

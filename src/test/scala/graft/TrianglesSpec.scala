@@ -69,4 +69,37 @@ class TrianglesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) > 0))
     assert(rows.map(_.getLong(1)).sum % 3 == 0)
   }
+
+  test("graph_components: labeling equals a driver-side union-find replay") {
+    val d = "/root/testdata/sf0.001"
+    val labeled = SparkEntry.queries("graph_components")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled.nonEmpty, "sf0.001 has support-3 co-purchase edges")
+    // rebuild the same support-filtered edge set and union-find it
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size; if ps(i) != ps(j))
+        yield (ps(i), ps(j))
+    }.groupBy(identity)
+      // iterator first: collect-ing (a,b) tuples out of a Map would build
+      // a Map again and silently collapse all edges sharing a first node
+      .iterator.collect { case (p, xs) if xs.size >= 3 => p }.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) parent(find(a)) = find(b)
+    val members = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val byRoot = members.groupBy(find)
+    val expected = byRoot.values.flatMap { ms =>
+      val root = ms.min; ms.map(_ -> root)
+    }.toMap
+    assert(labeled == expected,
+      s"missing=${(expected.toSet -- labeled.toSet).take(5)} " +
+        s"extra=${(labeled.toSet -- expected.toSet).take(5)}")
+  }
 }
