@@ -655,6 +655,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("property: streaming gapfill == dense per-type truth under random arrival permutations") {
+    // Any arrival order inside the watermark, any batching: the emitted
+    // rows must equal the dense zero-filled hourly counts from each
+    // type's first hour through the last finalized hour.
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvG
+    val base = ts("2024-01-01 00:00:00").getTime
+    val evGen = for {
+      t <- org.scalacheck.Gen.oneOf("a", "b", "c")
+      min <- org.scalacheck.Gen.choose(0, 720) // 12 h span, sparse per type
+    } yield EvG(new Timestamp(base + min * 60000L), t)
+    for (trial <- 0 until 3) {
+      val events = org.scalacheck.Gen.listOfN(18, evGen)
+        .apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(9100L + trial))
+        .getOrElse(sys.error("generator exhausted"))
+      val rnd = new scala.util.Random(17L * trial + 3)
+      val arrival = rnd.shuffle(events)
+      val cuts = (Seq(0, arrival.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(arrival.size)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => arrival.slice(a, b) }
+      val in = MemoryStream[EvG]
+      val name = s"gapfill_prop_$trial"
+      // watermark wider than the span: no arrival is ever late-dropped
+      val q = EventStream.gapfill(in.toDS(), watermark = "1 day")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        // sentinels: push the watermark past the span, then fire the timers
+        in.addData(EvG(ts("2024-01-03 00:00:00"), "zz")); q.processAllAvailable()
+        in.addData(EvG(ts("2024-01-03 06:00:00"), "zz")); q.processAllAvailable()
+        val streamed = spark.table(name).filter(col("event_type") =!= "zz")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        // truth: dense per-type fill up to the last hour final under the
+        // FINAL watermark (second sentinel − 1 day): after the second
+        // sentinel's batch advances the watermark, the pending timers run
+        // one more micro-batch under it
+        val wmSec = ts("2024-01-02 06:00:00").getTime / 1000L
+        val lastFinal = wmSec / 3600L * 3600L - 3600L
+        val byCell = events.groupBy(e =>
+          (e.event_type, Math.floorDiv(e.ts.getTime, 3600000L) * 3600L))
+          .view.mapValues(_.size.toLong).toMap
+        val expected = (for {
+          t <- events.map(_.event_type).distinct
+          first = events.filter(_.event_type == t)
+            .map(e => Math.floorDiv(e.ts.getTime, 3600000L) * 3600L).min
+          h <- first to lastFinal by 3600L
+        } yield (t, h, byCell.getOrElse((t, h), 0L))).toSet
+        assert(streamed == expected,
+          s"trial $trial (batch sizes ${batches.map(_.size)}): " +
+            s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+        assert(expected.exists(_._3 == 0L), s"trial $trial fixture has gaps")
+      } finally q.stop()
+    }
+  }
+
   test("streaming heavy hitters: MG invariants hold exactly against batch truth") {
     implicit val s = spark
     implicit val sql = spark.sqlContext
