@@ -3148,6 +3148,53 @@ object SparkEntry {
       graft.llm.Dedup.clusters(pairs)
         .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
         .orderBy("node")
+    }),
+
+    // Linear interpolation of the hourly value series across silent
+    // hours — events_gapfill's sibling for VALUES (pandas-interpolate
+    // semantics) in exact integer arithmetic: money in cents, and each
+    // gap hour takes the integer-weighted mean
+    //   v = (vp·(hn−h) + vn·(h−hp)) div (hn−hp)
+    // of its observed neighbors — the epoch-second weights share the
+    // 3600 factor with the denominator, so the rational value (and its
+    // floor) is identical to the hour-unit form and both engines agree
+    // bit for bit. Hours outside a type's observed span stay NULL with
+    // src='edge'. Same scale shape as events_gapfill: dense axis from a
+    // 1-row span aggregate, carry windows per type over the
+    // time-bounded grid.
+    "events_interpolate" -> ((s, d) => {
+      val h = events(s, d).select(col("event_type"),
+        (graft.expr.IntMath.floorDiv(col("ts"), NanosPerHour) * 3600L).as("he"),
+        col("value").cast("decimal(12,2)").as("v"))
+      val obs = h.groupBy("event_type", "he")
+        .agg((sum(col("v")) * 100).cast("long").as("cents"))
+      val span = h.agg(min("he").as("lo"), max("he").as("hi"))
+      val hours = span.select(
+        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+      val dense = h.select("event_type").distinct().crossJoin(broadcast(hours))
+      val grid = dense.join(obs,
+          dense("event_type") === obs("event_type") &&
+            col("hour_epoch") === col("he"), "left")
+        .select(dense("event_type"), col("hour_epoch"), col("cents"))
+      val wPrev = Window.partitionBy("event_type").orderBy("hour_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("hour_epoch")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsPt = when(col("cents").isNotNull,
+        struct(col("hour_epoch").as("h"), col("cents").as("c")))
+      grid
+        .withColumn("pv", last(obsPt, ignoreNulls = true).over(wPrev))
+        .withColumn("nx", first(obsPt, ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("hour_epoch"),
+          when(col("cents").isNotNull, col("cents"))
+            .when(col("pv").isNotNull && col("nx").isNotNull,
+              expr("(pv.c * (nx.h - hour_epoch) + nx.c * (hour_epoch - pv.h))" +
+                " div (nx.h - pv.h)"))
+            .otherwise(lit(null).cast("long")).as("cents"),
+          when(col("cents").isNotNull, "obs")
+            .when(col("pv").isNotNull && col("nx").isNotNull, "interp")
+            .otherwise("edge").as("src"))
+        .orderBy("event_type", "hour_epoch")
     })
   )
 
@@ -4870,7 +4917,44 @@ object SparkEntry {
            |reach AS (SELECT a AS id, b AS r FROM e
            |  UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
            |SELECT id AS node, least(id, min(r)) AS component_id
-           |FROM reach GROUP BY id ORDER BY node""".stripMargin
+           |FROM reach GROUP BY id ORDER BY node""".stripMargin,
+
+      "events_interpolate" ->
+        """WITH h AS (SELECT event_type,
+          |  epoch(date_trunc('hour', ts))::BIGINT AS he,
+          |  value::DECIMAL(12,2) AS v FROM events),
+          |obs AS (SELECT event_type, he, (sum(v) * 100)::BIGINT AS cents
+          |  FROM h GROUP BY 1, 2),
+          |sp AS (SELECT min(he) AS lo, max(he) AS hi FROM h),
+          |hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+          |  FROM sp),
+          |ty AS (SELECT DISTINCT event_type FROM h),
+          |grid AS (SELECT ty.event_type, hrs.hour_epoch, obs.cents
+          |  FROM ty CROSS JOIN hrs LEFT JOIN obs
+          |    ON ty.event_type = obs.event_type AND hrs.hour_epoch = obs.he),
+          |car AS (SELECT *,
+          |  last_value(CASE WHEN cents IS NOT NULL THEN hour_epoch END
+          |    IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour_epoch
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+          |  last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+          |    ORDER BY hour_epoch
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+          |  first_value(CASE WHEN cents IS NOT NULL THEN hour_epoch END
+          |    IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour_epoch
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh,
+          |  first_value(cents IGNORE NULLS) OVER (PARTITION BY event_type
+          |    ORDER BY hour_epoch
+          |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+          |  FROM grid)
+          |SELECT event_type, hour_epoch,
+          |  (CASE WHEN cents IS NOT NULL THEN cents
+          |        WHEN ph IS NOT NULL AND nh IS NOT NULL THEN
+          |          (pc * (nh - hour_epoch) + nc * (hour_epoch - ph)) // (nh - ph)
+          |        ELSE NULL END)::BIGINT AS cents,
+          |  CASE WHEN cents IS NOT NULL THEN 'obs'
+          |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
+          |       ELSE 'edge' END AS src
+          |FROM car ORDER BY 1, 2""".stripMargin
     )
   }
 

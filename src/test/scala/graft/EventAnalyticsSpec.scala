@@ -135,4 +135,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out((1L, 1L)) == ((2L, 2000000000L, 400000000L)))
     assert(out.size == 3, "upper triangle only")
   }
+
+  test("events_interpolate: planted gap replays the exact integer-weighted mean") {
+    // type A: observed at hours 0 (1000 cents total) and 3 (4000 cents);
+    // hours 1-2 are gaps. type B: observed only at hour 1 (unambiguous
+    // edges on both sides). Hour axis is the union span 0..3.
+    val hr = 3600L * 1000000000L
+    val d = writeDir(ev(
+      (0L, 1L, "A", 0L * hr, 10.00),
+      (1L, 1L, "A", 3L * hr + 60L * 1000000000L, 40.00),
+      (2L, 1L, "B", 1L * hr, 7.50)))
+    val rows = SparkEntry.queries("events_interpolate")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+        r.getString(3)))
+    assert(rows.length == 8, "2 types x 4 hours")
+    val a = rows.filter(_._1 == "A").sortBy(_._2)
+    assert(a.map(_._4).toSeq == Seq("obs", "interp", "interp", "obs"))
+    assert(a(0)._3 == 1000L && a(3)._3 == 4000L)
+    // linear: v(h) = (1000*(3-h) + 4000*(h-0)) div 3
+    assert(a(1)._3 == (1000L * 2 + 4000L * 1) / 3)
+    assert(a(2)._3 == (1000L * 1 + 4000L * 2) / 3)
+    val b = rows.filter(_._1 == "B").sortBy(_._2)
+    assert(b.map(_._4).toSeq == Seq("edge", "obs", "edge", "edge"))
+    assert(b(1)._3 == 750L && b(0)._3 == null && b(3)._3 == null)
+  }
 }
