@@ -1202,6 +1202,13 @@ object SparkEntry {
     * component structure is non-trivial (56 components at sf0.01). */
   private val GraphCompSupport = 3L
 
+  /** `sketch_countmin` dimensions (shared with the oracle): depth = number
+    * of independent seeded hash rows, width = counters per row, probe =
+    * how many top tokens get exact-vs-estimate audit rows. */
+  private val CmDepth = 4
+  private val CmWidth = 256L
+  private val CmProbeK = 20
+
   /** `graph_kcore` core order and peel-round budget — shared with the
     * oracle (the budget is part of the key's contract; `converged`
     * proves it sufficed).
@@ -3195,6 +3202,39 @@ object SparkEntry {
             .when(col("pv").isNotNull && col("nx").isNotNull, "interp")
             .otherwise("edge").as("src"))
         .orderBy("event_type", "hour_epoch")
+    }),
+
+    // Count-Min sketch over the corpus token stream — the mergeable
+    // OVERestimating frequency sketch completing the family (bloom
+    // membership, KMV distinct/overlap, HLL distinct, GK rank, streaming
+    // MG). The depth×width counter table is ONE map-side-combinable sum
+    // (mergeable across partitions / executors / days by construction,
+    // bounded at depth·width rows — broadcastable at any corpus size);
+    // estimates probe the same seeded portable-hash cells the oracle
+    // recomputes. Output: the top-K tokens' exact counts next to their CM
+    // estimates — the CM contract est ≥ true ships in the result
+    // (`over_n`), checked not trusted.
+    "sketch_countmin" -> ((s, d) => {
+      import graft.expr.PortableHash
+      val toks = docs(s, d)
+        .select(explode(TA.tokens(col("text"))).as("token"))
+        .localCheckpoint() // ONE tokenize feeds the sketch AND exact counts
+      def cells(tok: Column) = explode(array((0 until CmDepth).map(i =>
+        struct(lit(i).as("row"),
+          pmod(PortableHash.phashSeed(i, tok), lit(CmWidth)).as("cell"))): _*))
+      val sketch = toks.select(cells(col("token")).as("rc"))
+        .groupBy(col("rc.row").as("row"), col("rc.cell").as("cell"))
+        .agg(count(lit(1)).as("n"))
+      val probe = toks.groupBy("token").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("token")).limit(CmProbeK)
+      probe.select(col("token"), col("true_n"), cells(col("token")).as("rc"))
+        .select(col("token"), col("true_n"),
+          col("rc.row").as("row"), col("rc.cell").as("cell"))
+        .join(broadcast(sketch), Seq("row", "cell"))
+        .groupBy("token", "true_n").agg(min("n").as("est_n"))
+        .select(col("token"), col("true_n"), col("est_n"),
+          (col("est_n") - col("true_n")).as("over_n"))
+        .orderBy(col("true_n").desc, col("token"))
     })
   )
 
@@ -4954,7 +4994,27 @@ object SparkEntry {
           |  CASE WHEN cents IS NOT NULL THEN 'obs'
           |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
           |       ELSE 'edge' END AS src
-          |FROM car ORDER BY 1, 2""".stripMargin
+          |FROM car ORDER BY 1, 2""".stripMargin,
+
+      "sketch_countmin" -> {
+        import graft.expr.PortableHash
+        val toks = TA.sqlTokens("text")
+        def cellRows(src: String, extra: String) = (0 until CmDepth).map { i =>
+          s"SELECT $extra $i AS row, " +
+            s"(${PortableHash.sqlPhashSeed(i, "token")}) % $CmWidth AS cell FROM $src"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
+           |rc AS (${cellRows("t", "")}),
+           |sk AS (SELECT row, cell, count(*)::BIGINT AS n FROM rc GROUP BY 1, 2),
+           |ex AS (SELECT token, count(*)::BIGINT AS true_n FROM t GROUP BY 1),
+           |pb AS (SELECT token, true_n FROM ex
+           |  ORDER BY true_n DESC, token LIMIT $CmProbeK),
+           |pc AS (${cellRows("pb", "token, true_n,")})
+           |SELECT pc.token, pc.true_n, min(sk.n)::BIGINT AS est_n,
+           |  (min(sk.n) - pc.true_n)::BIGINT AS over_n
+           |FROM pc JOIN sk USING (row, cell)
+           |GROUP BY 1, 2 ORDER BY true_n DESC, token""".stripMargin
+      }
     )
   }
 

@@ -87,4 +87,35 @@ class SketchSpec extends SparkSpec {
     }
     assert(missed.isEmpty, s"tokens above the floor missing from output: $missed")
   }
+
+  test("sketch_countmin: estimates equal a driver-side sketch replay and never undercount") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sketch_countmin")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // CM's one-sided error: the estimate can never undercount
+    rows.foreach { case (t, tru, est, over) =>
+      assert(est >= tru && over == est - tru, s"$t: est=$est true=$tru")
+    }
+    // full driver-side replay of the sketch with the same hash family
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val toks = Tables.documents(spark, d)
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("t"))
+      .as[String].collect()
+    val (depth, width) = (4, 256L)
+    val counters = scala.collection.mutable.Map[(Int, Long), Long]()
+    for (t <- toks; i <- 0 until depth) {
+      val cell = graft.expr.PortableHash.phashLocal(s"$i:$t") % width
+      counters((i, cell)) = counters.getOrElse((i, cell), 0L) + 1L
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (t, tru, est, _) =>
+      assert(tru == exact(t), s"$t exact count mismatch")
+      val replay = (0 until depth).map { i =>
+        counters((i, graft.expr.PortableHash.phashLocal(s"$i:$t") % width))
+      }.min
+      assert(est == replay, s"$t: engine est=$est replay=$replay")
+    }
+  }
 }
