@@ -1197,10 +1197,33 @@ object SparkEntry {
   private val PmiMinSupport = 3L
   private val PmiTopK = 30
 
-  /** `graph_components` co-purchase edge support floor (shared with the
-    * oracle): below it the graph is one giant hairball; at it the
-    * component structure is non-trivial (56 components at sf0.01). */
-  private val GraphCompSupport = 3L
+  /** Hour bucket of the nanos `ts` column as BIGINT epoch seconds — the
+    * shared axis unit of events_gapfill / events_interpolate (no
+    * timestamp round-trip to drift; mirrored by [[SqlHourEpoch]]). */
+  private def hourEpochCol =
+    (graft.expr.IntMath.floorDiv(col("ts"), NanosPerHour) * 3600L).as("he")
+  private val SqlHourEpoch = "epoch(date_trunc('hour', ts))::BIGINT"
+
+  /** Dense (event_type, hour_epoch) grid over `h`'s GLOBAL hour span —
+    * the sparse→dense scaffold shared by events_gapfill and
+    * events_interpolate (one grid contract, mirrored by
+    * [[SqlHourAxisCtes]]): the axis comes from ONE 1-row span aggregate,
+    * so the grid is (types × hours) — time-bounded, independent of event
+    * cardinality. `h` must carry (event_type, he). */
+  private def denseHourGrid(h: DataFrame): DataFrame = {
+    val span = h.agg(min("he").as("lo"), max("he").as("hi"))
+    val hours = span.select(
+      explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
+    h.select("event_type").distinct().crossJoin(broadcast(hours))
+  }
+
+  /** Oracle CTEs sp/hrs/ty over a prior CTE `h(event_type, he, …)` — the
+    * [[denseHourGrid]] axis in SQL; consumers cross-join ty × hrs. */
+  private val SqlHourAxisCtes: String =
+    """sp AS (SELECT min(he) AS lo, max(he) AS hi FROM h),
+      |hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
+      |  FROM sp),
+      |ty AS (SELECT DISTINCT event_type FROM h)""".stripMargin
 
   /** `sketch_countmin` dimensions (shared with the oracle): depth = number
     * of independent seeded hash rows, width = counters per row, probe =
@@ -2167,16 +2190,9 @@ object SparkEntry {
     // the rule count, not the pair count; per-order pairing is bounded by
     // basket width, the same shape graph_triangles builds its edges from.
     "market_basket" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct().localCheckpoint() // pairing self-join + margins + order total
+      val (li, pairs) = coPurchasePairs(s, d)
       val tot = li.agg(countDistinct("ok").as("n_orders"))
       val freq = li.groupBy("pk").agg(count(lit(1)).as("n_part"))
-      val pairs = li.as("l").join(li.as("r"),
-          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
-        .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= MinPairSupport)
       pairs
         .join(freq.withColumnRenamed("pk", "a").withColumnRenamed("n_part", "n_a"), "a")
         .join(freq.withColumnRenamed("pk", "b").withColumnRenamed("n_part", "n_b"), "b")
@@ -3047,12 +3063,8 @@ object SparkEntry {
     // (type, hour) pair. Hour epochs stay BIGINT seconds end to end
     // (floorDiv on nanos — no timestamp round-trip to drift).
     "events_gapfill" -> ((s, d) => {
-      val h = events(s, d).select(col("event_type"),
-        (graft.expr.IntMath.floorDiv(col("ts"), NanosPerHour) * 3600L).as("he"))
-      val span = h.agg(min("he").as("lo"), max("he").as("hi"))
-      val hours = span.select(
-        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
-      val dense = h.select("event_type").distinct().crossJoin(broadcast(hours))
+      val h = events(s, d).select(col("event_type"), hourEpochCol)
+      val dense = denseHourGrid(h)
       val cnt = h.groupBy(col("event_type").as("et"), col("he"))
         .agg(count(lit(1)).as("cn"))
       val w = Window.partitionBy("event_type").orderBy("hour_epoch")
@@ -3143,16 +3155,8 @@ object SparkEntry {
     // Completes the graph family: components alongside pagerank /
     // triangles / k-core / degree / mutual-kNN on the same edge frame.
     "graph_components" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct().localCheckpoint() // both sides of the pairing self-join
-      val pairs = li.as("l").join(li.as("r"),
-          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
-        .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= GraphCompSupport)
-        .select("a", "b")
-      graft.llm.Dedup.clusters(pairs)
+      val (_, pairs) = coPurchasePairs(s, d)
+      graft.llm.Dedup.clusters(pairs.select("a", "b"))
         .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
         .orderBy("node")
     }),
@@ -3170,15 +3174,11 @@ object SparkEntry {
     // 1-row span aggregate, carry windows per type over the
     // time-bounded grid.
     "events_interpolate" -> ((s, d) => {
-      val h = events(s, d).select(col("event_type"),
-        (graft.expr.IntMath.floorDiv(col("ts"), NanosPerHour) * 3600L).as("he"),
+      val h = events(s, d).select(col("event_type"), hourEpochCol,
         col("value").cast("decimal(12,2)").as("v"))
       val obs = h.groupBy("event_type", "he")
         .agg((sum(col("v")) * 100).cast("long").as("cents"))
-      val span = h.agg(min("he").as("lo"), max("he").as("hi"))
-      val hours = span.select(
-        explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_epoch"))
-      val dense = h.select("event_type").distinct().crossJoin(broadcast(hours))
+      val dense = denseHourGrid(h)
       val grid = dense.join(obs,
           dense("event_type") === obs("event_type") &&
             col("hour_epoch") === col("he"), "left")
@@ -3241,11 +3241,41 @@ object SparkEntry {
   /** Seed tag for `corpus_shuffle` (shared with the oracle). */
   private val ShuffleSeed = "shuffle-v1"
 
-  /** `market_basket` absolute pair-support floor (shared with the oracle).
-    * Production corpora would use a ppm floor like heavy_hitters; the
-    * absolute floor keeps the rule set readable at test scale.
+  /** Co-purchase pair-support floor, shared by `market_basket` and
+    * `graph_components` (and both oracles) — ONE definition of which
+    * pairs constitute the co-purchase graph. Production corpora would use
+    * a ppm floor like heavy_hitters; the absolute floor keeps the rule
+    * set readable at test scale (and leaves the component structure
+    * non-trivial: 56 components at sf0.01).
     */
   private val MinPairSupport = 3L
+
+  /** Support-filtered co-purchase pair frame (a < b, n_ab = #orders
+    * sharing the pair) — THE co-purchase graph contract behind
+    * market_basket and graph_components, mirrored CTE-for-CTE by
+    * [[sqlCoPurchasePairs]]. Also returns the checkpointed distinct
+    * (ok, pk) frame: market_basket derives margins and order totals from
+    * the same scan.
+    */
+  private def coPurchasePairs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint() // both sides of the pairing self-join
+    val pairs = li.as("l").join(li.as("r"),
+        col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+      .groupBy(col("l.pk").as("a"), col("r.pk").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinPairSupport)
+    (li, pairs)
+  }
+
+  /** Oracle CTEs `li` + `pr`: the [[coPurchasePairs]] contract in SQL. */
+  private def sqlCoPurchasePairs: String =
+    s"""li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pr AS (SELECT l.pk AS a, r.pk AS b, count(*)::BIGINT AS n_ab
+       |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinPairSupport)""".stripMargin
 
   /** `join_asof_nearest` tolerance (seconds) — also its band width. */
   private val NearestTolSec = 900L
@@ -4406,19 +4436,16 @@ object SparkEntry {
            |FROM w, tt ORDER BY 1""".stripMargin,
 
       "market_basket" ->
-        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-           |tt AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
-           |f AS (SELECT pk, count(*)::BIGINT AS n_part FROM li GROUP BY 1),
-           |pr AS (SELECT l.pk AS a, r.pk AS b, count(*)::BIGINT AS n_ab
-           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk GROUP BY 1, 2
-           |  HAVING count(*) >= $MinPairSupport)
+        (s"WITH $sqlCoPurchasePairs,\n" +
+          """tt AS (SELECT count(DISTINCT ok)::BIGINT AS n_orders FROM li),
+           |f AS (SELECT pk, count(*)::BIGINT AS n_part FROM li GROUP BY 1)
            |SELECT a, b, n_ab, fa.n_part AS n_a, fb.n_part AS n_b,
            |  (n_ab * 1000000) // fa.n_part AS conf_ab_ppm,
            |  (n_ab * 1000000) // fb.n_part AS conf_ba_ppm,
            |  ((n_ab::HUGEINT * n_orders * 1000000) //
            |   (fa.n_part::HUGEINT * fb.n_part))::BIGINT AS lift_ppm
            |FROM pr JOIN f fa ON a = fa.pk JOIN f fb ON b = fb.pk, tt
-           |ORDER BY 1, 2""".stripMargin,
+           |ORDER BY 1, 2""".stripMargin),
 
       "join_asof_nearest" ->
         s"""WITH e AS (SELECT event_id, user_id, event_type,
@@ -4882,12 +4909,8 @@ object SparkEntry {
            |FROM tv ORDER BY 1, 2""".stripMargin,
 
       "events_gapfill" ->
-        """WITH h AS (SELECT event_type,
-          |  epoch(date_trunc('hour', ts))::BIGINT AS he FROM events),
-          |sp AS (SELECT min(he) AS lo, max(he) AS hi FROM h),
-          |hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
-          |  FROM sp),
-          |ty AS (SELECT DISTINCT event_type FROM h),
+        s"""WITH h AS (SELECT event_type, $SqlHourEpoch AS he FROM events),
+          |$SqlHourAxisCtes,
           |cnt AS (SELECT event_type, he, count(*)::BIGINT AS cn
           |  FROM h GROUP BY 1, 2)
           |SELECT ty.event_type, hrs.hour_epoch,
@@ -4948,27 +4971,19 @@ object SparkEntry {
       // co-purchase edges — the oracle-side stand-in for the engine's
       // alternating-star rounds, same pattern as semantic_clusters.
       "graph_components" ->
-        s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
-           |  l_partkey AS pk FROM lineitem),
-           |pr AS (SELECT l.pk AS a, r.pk AS b
-           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk
-           |  GROUP BY 1, 2 HAVING count(*) >= $GraphCompSupport),
-           |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
-           |reach AS (SELECT a AS id, b AS r FROM e
-           |  UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
-           |SELECT id AS node, least(id, min(r)) AS component_id
-           |FROM reach GROUP BY id ORDER BY node""".stripMargin,
+        (s"WITH RECURSIVE $sqlCoPurchasePairs,\n" +
+          """e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+            |reach AS (SELECT a AS id, b AS r FROM e
+            |  UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+            |SELECT id AS node, least(id, min(r)) AS component_id
+            |FROM reach GROUP BY id ORDER BY node""".stripMargin),
 
       "events_interpolate" ->
-        """WITH h AS (SELECT event_type,
-          |  epoch(date_trunc('hour', ts))::BIGINT AS he,
+        s"""WITH h AS (SELECT event_type, $SqlHourEpoch AS he,
           |  value::DECIMAL(12,2) AS v FROM events),
           |obs AS (SELECT event_type, he, (sum(v) * 100)::BIGINT AS cents
           |  FROM h GROUP BY 1, 2),
-          |sp AS (SELECT min(he) AS lo, max(he) AS hi FROM h),
-          |hrs AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_epoch
-          |  FROM sp),
-          |ty AS (SELECT DISTINCT event_type FROM h),
+          |$SqlHourAxisCtes,
           |grid AS (SELECT ty.event_type, hrs.hour_epoch, obs.cents
           |  FROM ty CROSS JOIN hrs LEFT JOIN obs
           |    ON ty.event_type = obs.event_type AND hrs.hour_epoch = obs.he),

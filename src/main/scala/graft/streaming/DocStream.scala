@@ -152,9 +152,11 @@ object DocStream {
     * is carried in the emitted rows, making the bound CHECKABLE by the
     * consumer (and the spec) instead of trusted. Each micro-batch appends
     * the updated shards' summary snapshot tagged with an epoch — the
-    * periodic-dashboard shape; readers take each shard's max epoch.
-    * Within a batch, tokens fold in (doc_id, token) order, so a replay
-    * with the same batching is deterministic.
+    * periodic-dashboard shape; readers take each shard's max epoch. An
+    * update that decrements every counter away still emits one sentinel
+    * row (token null, est 0) so the max epoch is never a stale snapshot.
+    * Which tokens a summary tracks depends on fold order (inherent to MG);
+    * the guarantees above hold under any order.
     */
   def heavyHitters(newDocs: DataFrame, k: Int, shards: Int = 8)
                   (implicit spark: SparkSession): Dataset[MgRow] = {
@@ -170,7 +172,11 @@ object DocStream {
     def update(shard: Int, batch: Iterator[Tok],
                state: GroupState[MgState]): Iterator[MgRow] = {
       var st = state.getOption.getOrElse(MgState(0L, 0L, 0L, Map.empty))
-      for (t <- batch.toSeq.sortBy(x => (x.doc_id, x.token))) {
+      // fold the iterator directly — buffering the shard's whole
+      // micro-batch to sort it would cost O(batch/shards) transient
+      // memory on an operator whose point is O(k) state, and every
+      // invariant the summary guarantees holds under ANY fold order
+      for (t <- batch) {
         val c = st.counters
         if (c.contains(t.token))
           st = st.copy(n_seen = st.n_seen + 1,
@@ -186,9 +192,16 @@ object DocStream {
       }
       st = st.copy(epoch = st.epoch + 1)
       state.update(st)
-      st.counters.iterator.map { case (tok, est) =>
-        MgRow(shard, st.epoch, tok, est, st.n_seen, st.n_dec)
-      }
+      // an all-decremented-away update can leave ZERO counters; a sentinel
+      // row (token null, est 0) still carries (epoch, n_seen, n_dec) so the
+      // max-epoch read protocol never serves a stale snapshot whose smaller
+      // n_dec would overstate the tracking guarantee
+      if (st.counters.isEmpty)
+        Iterator.single(MgRow(shard, st.epoch, null, 0L, st.n_seen, st.n_dec))
+      else
+        st.counters.iterator.map { case (tok, est) =>
+          MgRow(shard, st.epoch, tok, est, st.n_seen, st.n_dec)
+        }
     }
 
     toks

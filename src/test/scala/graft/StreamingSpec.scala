@@ -758,7 +758,8 @@ class StreamingSpec extends SparkSpec {
             assert(nSeen == nS, s"shard $sh: n_seen $nSeen != true $nS")
             assert(rs.size <= k, s"shard $sh: ${rs.size} counters > k=$k")
             assert(nDec * (k + 1) <= nS, s"shard $sh: D=$nDec > N/(k+1)")
-            val tracked = rs.map(r => r._3 -> r._4).toMap
+            // an empty-summary update emits a null-token sentinel row
+            val tracked = rs.filter(_._3 != null).map(r => r._3 -> r._4).toMap
             for ((t, est) <- tracked) {
               val tru = shardTruth(t)
               assert(est <= tru && tru <= est + nDec,
