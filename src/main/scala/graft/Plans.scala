@@ -80,7 +80,8 @@ object Plans {
       "t_closeness", "events_gapfill", "vocab_growth", "pmi_topk",
       // round 6 (cont.): support-filtered co-purchase components, linear
       // value interpolation
-      "graph_components", "events_interpolate", "sketch_countmin")
+      "graph_components", "events_interpolate", "sketch_countmin",
+      "quality_sweep")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")

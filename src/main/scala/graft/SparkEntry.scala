@@ -2290,6 +2290,32 @@ object SparkEntry {
         .orderBy("thr")
     }),
 
+    // Quality-gate threshold sweep: how much of the corpus (docs AND
+    // tokens) survives each candidate quality cutoff — the knob-choosing
+    // report a pipeline runs BEFORE committing corpus_clean's minQuality;
+    // the quality-side sibling of dedup_threshold_sweep. ONE
+    // tokenize+score pass feeds every grid point (checkpointed); the grid
+    // is a 5-row broadcast theta join and the keep ratios are integer ppm
+    // against a 1-row broadcast total.
+    "quality_sweep" -> ((s, d) => {
+      import s.implicits._
+      val q = docs(s, d).select(
+          TA.qualityScore(col("text")).as("quality"),
+          size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint() // one tokenize+score pass feeds all grid points
+      val tot = q.agg(count(lit(1)).as("t_docs"), sum("n_tok").as("t_toks"))
+      QualitySweep.toDF("thr")
+        .join(q, col("quality") >= col("thr"), "left")
+        .groupBy("thr")
+        .agg(count(col("quality")).as("n_docs"),
+          coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("thr"), col("n_docs"), col("n_tokens"),
+          expr("(n_docs * 1000000) div t_docs").as("doc_keep_ppm"),
+          expr("(n_tokens * 1000000) div t_toks").as("tok_keep_ppm"))
+        .orderBy("thr")
+    }),
+
     // Multi-touch attribution: every click within the 24h window before a
     // same-user purchase shares that purchase's value — linear credit in
     // exact integer cents (cents div n_touch), plus the last-touch count.
@@ -3290,6 +3316,10 @@ object SparkEntry {
 
   /** `dedup_threshold_sweep` thresholds (shared with the oracle). */
   private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** `quality_sweep` cutoff grid (shared with the oracle) — spans
+    * corpus_clean's production minQuality (0.4). */
+  private val QualitySweep = Seq(0.2, 0.35, 0.5, 0.65, 0.8)
 
   /** `embedding_outlier` cutoff: cosine-to-own-label-centroid below this is
     * flagged (0.0 = anti-correlated with the label's mean direction; the
@@ -5010,6 +5040,23 @@ object SparkEntry {
           |       WHEN ph IS NOT NULL AND nh IS NOT NULL THEN 'interp'
           |       ELSE 'edge' END AS src
           |FROM car ORDER BY 1, 2""".stripMargin,
+
+      "quality_sweep" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH t AS (SELECT $toks AS toks FROM documents),
+           |q AS (SELECT ${TA.sqlQualityScore("toks")} AS quality,
+           |  len(toks)::BIGINT AS n_tok FROM t),
+           |tt AS (SELECT count(*)::BIGINT AS t_docs,
+           |  sum(n_tok)::BIGINT AS t_toks FROM q),
+           |g AS (SELECT unnest([${QualitySweep.mkString(", ")}]) AS thr),
+           |k AS (SELECT g.thr, count(q.quality)::BIGINT AS n_docs,
+           |    coalesce(sum(q.n_tok), 0)::BIGINT AS n_tokens
+           |  FROM g LEFT JOIN q ON q.quality >= g.thr GROUP BY 1)
+           |SELECT thr, n_docs, n_tokens,
+           |  (n_docs * 1000000) // t_docs AS doc_keep_ppm,
+           |  (n_tokens * 1000000) // t_toks AS tok_keep_ppm
+           |FROM k, tt ORDER BY thr""".stripMargin
+      },
 
       "sketch_countmin" -> {
         import graft.expr.PortableHash

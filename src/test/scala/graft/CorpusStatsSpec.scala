@@ -87,6 +87,27 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
 
+  test("quality_sweep: monotone keep curve, exact against per-doc scores") {
+    val rows = SparkEntry.queries("quality_sweep")(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length == 5)
+    // keep counts can only shrink as the cutoff rises
+    assert(rows.zip(rows.tail).forall { case (a, b) => a._2 >= b._2 && a._3 >= b._3 })
+    // exact replay from the per-doc quality scores + token counts
+    val perDoc = Tables.documents(spark, d)
+      .select(graft.llm.TextAnalysis.qualityScore(col("text")).as("q"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    val (tDocs, tToks) = (perDoc.length.toLong, perDoc.map(_._2).sum)
+    for ((thr, nDocs, nToks, dPpm, tPpm) <- rows) {
+      val kept = perDoc.filter(_._1 >= thr)
+      assert(nDocs == kept.length.toLong && nToks == kept.map(_._2).sum,
+        s"thr=$thr keep mismatch")
+      assert(dPpm == nDocs * 1000000L / tDocs && tPpm == nToks * 1000000L / tToks)
+    }
+  }
+
   test("pmi_topk: ordering, gate bounds, and an exact pair-count replay") {
     val rows = SparkEntry.queries("pmi_topk")(spark, d).collect()
     assert(rows.nonEmpty && rows.length <= 30)
