@@ -37,6 +37,22 @@ for name, sql in sorted(oracle.items()):
     for c in s.columns:
         a, b = s[c], d[c]
         try:
+            # Dtype-strict gate (mirrors the driver's typed hash): a Spark
+            # int64 vs an oracle float64 (e.g. DuckDB HUGEINT promotion from
+            # uncast sum()-in-arithmetic) must FAIL here, not be absorbed by
+            # the float coercion below. Compare dtype *kinds*, treating
+            # pandas nullable ints (kind 'O' with int values / Int64) as 'i'.
+            def kind(series):
+                k = series.dtype.kind
+                if str(series.dtype).startswith('Int'): return 'i'
+                return k
+            ka, kb = kind(a), kind(b)
+            num = {'i', 'u', 'f'}
+            if ka != kb and (ka in num or kb in num) and not (ka in 'iu' and kb in 'iu'):
+                print(f"DTYPE    {name}.{c}: spark={a.dtype} duck={b.dtype} "
+                      f"(driver's typed hash would reject this — cast the oracle)")
+                ok = False
+                continue
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 av, bv = a.astype(float).values, b.astype(float).values
                 eq = (av == bv) | (np.isnan(av) & np.isnan(bv))

@@ -1390,6 +1390,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("fp")),
 
+    // URL/metadata-level dedup — web-corpus stage 0 (CCNet/FineWeb run it
+    // before any content hashing): canonicalize the URL (strip scheme/
+    // query/fragment/www/default port, lowercase host) and exact-dedup on
+    // the canonical string; keep = min doc_id per group. Pure codegen'd
+    // Column regex + one hash aggregate; verdict joins corpus_clean on
+    // doc_id. The fixture has no raw URL column, so the key derives one
+    // deterministically from (source, doc_id) — identically in the oracle.
+    "dedup_url" -> ((s, d) =>
+      graft.llm.Url.dedupUrl(docs(s, d)).orderBy("doc_id")),
+
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashCandidates(docs(s, d), shingleSize = 3, numPerms = 16, numBands = 4)
         .orderBy("a", "b")),
@@ -2459,6 +2469,14 @@ object SparkEntry {
       graft.llm.Substring.incremental(docs(s, d),
           pmod(col("doc_id"), lit(10)) === 9, SubstrWinTok)
         .orderBy("doc_id")),
+
+    // Span-level scrub: rebuild every document with its cross-doc
+    // duplicated spans removed (keep-one: the min-doc owner of each
+    // duplicated window keeps its copy) — the emitter the span family
+    // feeds; token mass conserved (n_kept + n_removed = n_tok) and
+    // idempotent (SubstringSpec proves the fixpoint).
+    "substring_scrub" -> ((s, d) =>
+      graft.llm.Substring.scrub(docs(s, d), SubstrWinTok).orderBy("doc_id")),
 
     // Pairwise total-variation distance between source token distributions
     // (ppm) — the mixing diagnostic read before choosing mix_rates. TV, not
@@ -4004,6 +4022,8 @@ object SparkEntry {
            |  count(*) AS n_docs
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "dedup_url" -> graft.llm.Url.sqlDedupUrl,
+
       // shares sqlLshBase so the occupancy cap (and every future change to
       // the LSH chain) can never diverge from the other dedup oracles
       "dedup_minhash" ->
@@ -4447,8 +4467,8 @@ object SparkEntry {
            |ow AS (SELECT g, min(doc_id) AS owner FROM p GROUP BY 1)
            |SELECT p.doc_id, count(*) AS n_shingles,
            |  sum(CASE WHEN ow.owner = p.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-           |  (sum(CASE WHEN ow.owner = p.doc_id THEN 1 ELSE 0 END) * 1000000)
-           |    // count(*) AS novel_ppm
+           |  ((sum(CASE WHEN ow.owner = p.doc_id THEN 1 ELSE 0 END) * 1000000)
+           |    // count(*))::BIGINT AS novel_ppm
            |FROM p JOIN ow ON p.g = ow.g GROUP BY 1 ORDER BY 1""".stripMargin
       },
 
@@ -4564,6 +4584,8 @@ object SparkEntry {
 
       "substring_incremental" ->
         graft.llm.Substring.sqlIncremental("doc_id % 10 = 9", SubstrWinTok),
+
+      "substring_scrub" -> graft.llm.Substring.sqlScrub(SubstrWinTok),
 
       "corpus_divergence" -> graft.llm.Divergence.sqlPairwiseTV,
 

@@ -157,6 +157,84 @@ object Substring {
           .otherwise(expr(s"(n_hit * $Ppm) div n_win")))
   }
 
+  /** Span-level scrub: rewrite each document with its cross-doc duplicated
+    * spans REMOVED — the step a real training-data pipeline runs on this
+    * family's output (the "deduplicating training data" intervention:
+    * verbatim repeated spans memorize; see PAPERS.md). Keep-one semantics:
+    * for each duplicated window fingerprint the smallest carrying doc
+    * (min doc_id — the same owner convention as [[postings]]) KEEPS its
+    * copy; every other doc drops the tokens covered by that window. Content
+    * is therefore never lost from the corpus, only de-replicated.
+    *
+    * Output is the rebuilt token stream (`clean_text` = kept tokens
+    * space-joined — the normalized text convention every downstream key in
+    * this family already uses) plus conservation accounting:
+    * `n_kept + n_removed = n_tok` for every doc, by construction
+    * (`n_removed` = cardinality of the distinct covered-index set).
+    *
+    * Scale notes (100 TB): one window pass (checkpointed, the
+    * signatureIndex contract) feeds the owner aggregate and the removal
+    * join; removed-index sets are per-doc bounded (≤ doc length), carried
+    * as a sorted array into a higher-order `filter` over the token array —
+    * no per-token shuffle, no collect. A boilerplate window shared by k
+    * docs emits k−1 removal rows (linear), never k² pairs. Re-running the
+    * scrub on its own output is a fixpoint (SubstringSpec): after keep-one
+    * removal every previously-duplicated fingerprint survives in exactly
+    * one document.
+    */
+  def scrub(docs: DataFrame, w: Int): DataFrame = {
+    val wins = windowFrame(docs, w).localCheckpoint()
+    val own = wins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select("wh", "owner")
+    val remIdx = wins.join(own, Seq("wh"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("rem"))
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .join(remIdx, Seq("doc_id"), "left")
+      .withColumn("rem", coalesce(col("rem"), expr("CAST(array() AS array<bigint>)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(col("rem")).cast("long").as("n_removed"),
+        (size(col("toks")).cast("long") - size(col("rem")).cast("long")).as("n_kept"),
+        array_join(
+          expr("transform(filter(transform(toks, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)), x -> NOT array_contains(rem, x.i)), x -> x.t)"),
+          " ").as("clean_text"))
+  }
+
+  /** DuckDB mirror of [[scrub]]. Relational form of the same removal set:
+    * token positions kept = all positions anti-joined against the distinct
+    * covered-index expansion of non-owner duplicated windows; `string_agg
+    * ... ORDER BY idx` mirrors the ordered token rebuild.
+    */
+  def sqlScrub(w: Int): String =
+    s"""WITH ${sqlWindowCte(w)},
+       |own AS (SELECT wh, min(doc_id) AS owner FROM wins GROUP BY 1
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |rw AS (SELECT wins.doc_id, wins.pos FROM wins JOIN own ON wins.wh = own.wh
+       |       WHERE wins.doc_id <> own.owner),
+       |rp AS (SELECT DISTINCT doc_id, pos + range AS idx FROM rw, range(0, $w)),
+       |tp AS (SELECT doc_id, unnest(toks) AS tok,
+       |         unnest(range(len(toks)))::BIGINT AS idx FROM t),
+       |kept AS (SELECT tp.doc_id, tp.tok, tp.idx FROM tp LEFT JOIN rp
+       |         ON tp.doc_id = rp.doc_id AND tp.idx = rp.idx
+       |         WHERE rp.idx IS NULL),
+       |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY idx) AS clean_text
+       |       FROM kept GROUP BY 1),
+       |nt AS (SELECT doc_id, len(toks)::BIGINT AS n_tok FROM t)
+       |SELECT nt.doc_id, nt.n_tok,
+       |  (nt.n_tok - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+       |  coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(ka.clean_text, '') AS clean_text
+       |FROM nt LEFT JOIN ka ON nt.doc_id = ka.doc_id
+       |ORDER BY nt.doc_id""".stripMargin
+
   /** DuckDB mirror of [[windowFrame]] as a CTE body (named `wins`). */
   def sqlWindowCte(w: Int): String = {
     val toks = TextAnalysis.sqlTokens("text")

@@ -91,6 +91,39 @@ class SubstringSpec extends SparkSpec {
     assert(out(19L) == ((5L, 0L, 0L)))
   }
 
+  test("scrub: keep-one removal — owner keeps its span, others lose exactly it") {
+    val shared = words(1 to 8, "s") // 5 shared 4-windows covering 8 tokens
+    val df = docsDf(Seq(
+      (1L, shared + " " + words(1 to 4, "a")), // owner (min doc) — unchanged
+      (2L, words(1 to 4, "b") + " " + shared)))
+    val out = Substring.scrub(df, w = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out.values.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+      "token mass conserved: n_tok = n_removed + n_kept"))
+    assert(out(1L).getLong(2) == 0L, "owner removes nothing")
+    assert(out(1L).getString(4) == shared + " " + words(1 to 4, "a"))
+    assert(out(2L).getLong(2) == 8L, "non-owner loses the 8 shared tokens")
+    assert(out(2L).getString(4) == words(1 to 4, "b"))
+  }
+
+  test("scrub: re-running on its own output is a fixpoint (removes nothing)") {
+    import org.apache.spark.sql.functions._
+    val shared = words(1 to 10, "s")
+    val df = docsDf(Seq(
+      (1L, shared + " " + words(1 to 5, "a")),
+      (2L, words(1 to 5, "b") + " " + shared),
+      (3L, shared),      // exact span copy -> fully emptied
+      (4L, "tiny doc"))) // sub-window doc -> untouched
+    val first = Substring.scrub(df, w = 4)
+    val rows = first.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(3L).getString(4) == "", "pure-replica doc empties")
+    assert(rows(4L) .getString(4) == "tiny doc", "short doc unchanged")
+    val again = Substring.scrub(
+      first.select(col("doc_id"), col("clean_text").as("text")), w = 4)
+    assert(again.collect().forall(_.getLong(2) == 0L),
+      "after keep-one removal every duplicated fingerprint has one carrier")
+  }
+
   test("a shared span of length L >= w surfaces as exactly L - w + 1 postings") {
     val span = words(1 to 12, "x")
     val df = docsDf(Seq(

@@ -1,0 +1,56 @@
+package graft
+
+import graft.llm.Url
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-level dedup verdict. */
+class UrlSpec extends SparkSpec {
+
+  private def canon(raw: String): String = {
+    import spark.implicits._
+    Seq(raw).toDF("u").select(Url.canonical(col("u")).as("c"))
+      .collect().head.getString(0)
+  }
+
+  test("canonical: scheme/fragment/query/port/www stripped, host lowercased") {
+    assert(canon("HTTPS://WWW.Src1.Example.COM:443/page/3?utm=x#frag")
+      == "src1.example.com/page/3")
+    assert(canon("http://example.com") == "example.com")
+    assert(canon("example.com/a/") == "example.com/a", "schemeless input ok")
+    assert(canon("https://host.com/a///") == "host.com/a", "trailing-slash runs")
+  }
+
+  test("canonical: path case is preserved (case-sensitive per RFC); host is not") {
+    assert(canon("https://HOST.com/Path/To/X") == "host.com/Path/To/X")
+  }
+
+  test("canonical: non-default port and real query-less URLs survive intact") {
+    assert(canon("https://host.com:8080/a") == "host.com:8080/a")
+    assert(canon("host.com") == "host.com")
+  }
+
+  test("dedupUrl: same page under different scheme-case/junk collapses; min doc keeps") {
+    import spark.implicits._
+    // doc 3 and doc 53, same source: residues give different scheme case but
+    // identical canonical URL (page 3); doc 7 is alone on page 7.
+    val df = Seq((3L, "src9"), (53L, "src9"), (7L, "src9"))
+      .toDF("doc_id", "source")
+    val out = Url.dedupUrl(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getString(2) == "src9.example.com/page/3")
+    assert(out(3L).getString(2) == out(53L).getString(2), "canonicals collide")
+    assert(out(3L).getString(1) != out(53L).getString(1), "raw urls differ")
+    assert(out(3L).getLong(3) == 2L && out(53L).getLong(3) == 2L)
+    assert(out(3L).getBoolean(4) && !out(53L).getBoolean(4), "min doc keeps")
+    assert(out(7L).getLong(3) == 1L && out(7L).getBoolean(4))
+  }
+
+  test("syntheticUrl: every canonicalization rule is exercised across residues") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"src${i % 20}")).toDF("doc_id", "source")
+    val urls = df.select(Url.syntheticUrl(col("doc_id"), col("source")).as("u"))
+      .collect().map(_.getString(0))
+    assert(urls.exists(_.contains("#")) && urls.exists(_.contains("?")) &&
+      urls.exists(_.contains(":443")) && urls.exists(_.startsWith("HTTP://")) &&
+      urls.exists(_.contains("WWW.")) && urls.exists(_.contains(".EXAMPLE.COM")))
+  }
+}
