@@ -394,6 +394,65 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("suite-wide cartesian sweep: every cross/non-equi join carries a <=1-row side or is whitelisted") {
+    // Generalization of the per-key pins above: across ALL registered keys,
+    // any logical join with no conjunctive equi-key (the shapes Spark can
+    // only execute as BroadcastNestedLoopJoin / CartesianProduct) must have
+    // a provably <=1-row side (scalar-aggregate totals broadcast — the only
+    // sanctioned pattern) or be on the documented whitelist of by-design
+    // bounded brute-force baselines. A future key can no longer silently
+    // ship an accidental cross join.
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, BinaryComparison}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // By-design non-equi joins, each with a bounded side by construction
+    // (adjudicated in BASELINE.md / VERDICT rounds 4-6). Maintain the
+    // REASON with the key — an entry without a boundedness argument is a
+    // bug, not a whitelist candidate.
+    val whitelist: Set[String] = Set(
+      // O(G^2) pairs over per-source/per-group AGGREGATE frames (G = number
+      // of sources/groups — metadata-sized at any corpus scale):
+      "corpus_divergence", "sketch_kmv_overlap", "sketch_kmv_union",
+      // constant-size threshold / percentile / k grids joined against an
+      // aggregate frame (|grid| is a query literal):
+      "dedup_threshold_sweep", "quality_sweep", "quality_report",
+      "vocab_coverage",
+      // dense time-grid explode from a 1-row span aggregate x the type
+      // list (grid is span-bounded; the 1-row root is invisible to
+      // maxRows once exploded) — pinned individually above:
+      "events_gapfill", "events_interpolate",
+      // docs x per-source model — the model side is O(G x topM), a
+      // broadcast frame by design (naive-Bayes attribution):
+      "source_classifier",
+      // brute-force baseline / audit exact sides: all-pairs BY CONTRACT,
+      // query side capped (recallModFor) at any corpus size:
+      "similarity_topk", "similarity_recall", "similarity_recall_ivf",
+      "similarity_recall_pq")
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val violations = SparkEntry.queries.keys.toSeq.sorted.filterNot(whitelist).flatMap { key =>
+      val plan = SparkEntry.queries(key)(spark, d).queryExecution.optimizedPlan
+      plan.collect {
+        case j: Join =>
+          val hasEqui = j.condition.toSeq.flatMap(conjuncts).exists {
+            case e @ (_: EqualTo | _: EqualNullSafe) =>
+              val bc = e.asInstanceOf[BinaryComparison]
+              val (l, r) = (bc.left.references, bc.right.references)
+              l.nonEmpty && r.nonEmpty &&
+                ((l.subsetOf(j.left.outputSet) && r.subsetOf(j.right.outputSet)) ||
+                 (l.subsetOf(j.right.outputSet) && r.subsetOf(j.left.outputSet)))
+            case _ => false
+          }
+          val oneRowSide = j.left.maxRows.exists(_ <= 1) || j.right.maxRows.exists(_ <= 1)
+          if (!hasEqui && !oneRowSide) Some(s"$key: ${j.joinType} join cond=${j.condition}")
+          else None
+      }.flatten
+    }
+    assert(violations.isEmpty,
+      s"unbounded cross/non-equi joins outside the whitelist:\n${violations.mkString("\n")}")
+  }
+
   test("pmi_topk: top-k is TakeOrdered, pair space is doc-keyed — never cartesian") {
     val plan = SparkEntry.queries("pmi_topk")(spark, d)
       .queryExecution.executedPlan.toString
