@@ -133,8 +133,27 @@ object Bench {
     // subtract from the headline total
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failures = results.count(_._2 < 0)
+    // In-artifact adjudication floors: the container's shared-host bursts
+    // have twice inflated sort-shuffle-bound keys 3-6x over their
+    // reproducible floor in full-suite draws (hbase_key_tile rounds 5-6,
+    // adjudicated in BASELINE.md both times via separate isolated re-runs).
+    // Re-measure the 5 most expensive keys post-suite (quiet JVM, min of 2)
+    // so the suite number and its floor ship in the SAME artifact and
+    // burst-vs-regression triage needs no out-of-band reproduction.
+    val floors = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map { case (name, suiteV) =>
+      val iso = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => suiteV }
+      }.min
+      name -> ((suiteV, iso))
+    }
+    val floorsJson = floors.map { case (k, (s, i)) =>
+      s"\"" + k + "\":{\"suite\":" + r3(s) + ",\"isolated\":" + r3(i) + "}"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failures":$failures,"floors":$floorsJson,"sf":"$sfDir"}"""
     println(line)
     // full-fidelity copy: the round-2 driver capture truncated the stdout
     // tail and lost the total + the alphabetically-first keys. Subset

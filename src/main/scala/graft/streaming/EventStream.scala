@@ -351,6 +351,218 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ---- hourly value interpolation --------------------------------------
+
+  case class EvI(ts: java.sql.Timestamp, event_type: String, value: Double)
+  /** Per-type interpolation cursor: next hour to finalize, pending
+    * hour→cents sums, the last FINALIZED observed point, and finalized
+    * silent hours buffered until their right endpoint arrives.
+    */
+  case class InterpState(nextHour: Long, pending: Map[Long, Long],
+                         lastObs: Option[(Long, Long)], buffered: Vector[Long])
+  case class HourValue(event_type: String, hour_epoch: Long,
+                       cents: Option[Long], src: String)
+
+  /** Streaming twin of the `events_interpolate` batch key: per event_type,
+    * the hourly cents series with silent hours linearly interpolated
+    * between their observed neighbors — the same exact integer form
+    * `(pc·(nh−h) + nc·(h−ph)) div (nh−ph)` as the batch key, so outputs
+    * are replayable bit for bit.
+    *
+    * Two-stage finality, one stage more than [[gapfill]]: an hour's OWN
+    * count finalizes when the watermark passes hour+3600 (gapfill's rule),
+    * but a SILENT hour's value additionally needs its right endpoint — the
+    * next observed hour — to have finalized, so silent hours buffer in
+    * state until the next observation's hour is ripe, then the whole gap
+    * emits in one burst. Observed hours emit at watermark finality
+    * directly. Buffered-gap state is bounded by the type's longest silence
+    * inside the stream (an interpolation cannot do better: the value IS a
+    * function of the gap's right endpoint).
+    *
+    * Axis semantics vs the batch twin: the batch key grids every type over
+    * the GLOBAL hour span and marks rows outside a type's observed span
+    * 'edge' (NULL value); a stream knows neither the global left edge
+    * prospectively nor "no future observation" ever, so each type's axis
+    * runs from its own first observed hour and trailing edges never emit.
+    * Equivalently: the stream emits exactly the batch rows with
+    * src ∈ {obs, interp} — i.e. each type's [first, last] observed span —
+    * which is what StreamingSpec pins (including under random arrival
+    * permutations).
+    */
+  def interpolate(events: Dataset[EvI], watermark: String = "2 hours")
+                 (implicit spark: SparkSession): Dataset[HourValue] = {
+    import spark.implicits._
+
+    // mirrors the batch key's cast(value as decimal(12,2)) * 100 → long:
+    // Spark's double→decimal cast goes through the toString form
+    // (BigDecimal.valueOf), then HALF_UP at scale 2
+    def centsOf(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+
+    def update(tpe: String, batch: Iterator[EvI],
+               state: GroupState[InterpState]): Iterator[HourValue] = {
+      val incoming = batch
+        .map(e => (Math.floorDiv(e.ts.getTime, 3600000L) * 3600L, centsOf(e.value)))
+        .toSeq
+      val st0 = state.getOption.getOrElse(InterpState(
+        if (incoming.isEmpty) Long.MaxValue else incoming.map(_._1).min,
+        Map.empty, None, Vector.empty))
+      val start = math.min(st0.nextHour,
+        if (incoming.isEmpty) Long.MaxValue else incoming.map(_._1).min)
+      if (start == Long.MaxValue) {
+        state.remove() // timer fired with no axis origin: nothing to emit
+        Iterator.empty
+      } else {
+        val pending = incoming.foldLeft(st0.pending) { case (m, (h, c)) =>
+          m.updated(h, m.getOrElse(h, 0L) + c)
+        }
+        val wmSec = state.getCurrentWatermarkMs / 1000L
+        val ripe = Iterator.iterate(start)(_ + 3600L)
+          .takeWhile(h => h + 3600L <= wmSec).toVector
+        val out = Vector.newBuilder[HourValue]
+        var lastObs = st0.lastObs
+        var buffered = st0.buffered
+        ripe.foreach { h =>
+          pending.get(h) match {
+            case Some(c) =>
+              lastObs.foreach { case (ph, pc) =>
+                buffered.foreach { bh =>
+                  // plain / : truncation toward zero, the exact semantics of
+                  // the batch key's SQL `div` on possibly-negative cents
+                  out += HourValue(tpe, bh,
+                    Some((pc * (h - bh) + c * (bh - ph)) / (h - ph)), "interp")
+                }
+              }
+              buffered = Vector.empty
+              out += HourValue(tpe, h, Some(c), "obs")
+              lastObs = Some((h, c))
+            case None =>
+              if (lastObs.isDefined) buffered :+= h
+              else out += HourValue(tpe, h, None, "edge") // unreachable: axis
+              // starts at the first OBSERVED hour; kept as the honest
+              // batch-mirroring fallback rather than a silent drop
+          }
+        }
+        val nextH = if (ripe.isEmpty) start else ripe.last + 3600L
+        state.update(InterpState(nextH, pending.filter(_._1 >= nextH), lastObs, buffered))
+        // same −1 ms boundary-timer rule as gapfill: wake when the
+        // watermark crosses the next hour even with no further events
+        state.setTimeoutTimestamp(math.max((nextH + 3600L) * 1000L - 1L,
+          state.getCurrentWatermarkMs + 1))
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  // ---- online seasonal-naive residuals ----------------------------------
+
+  case class EvS(ts: java.sql.Timestamp, event_type: String)
+  /** Per-type seasonal accumulator: next day to finalize, pending
+    * (day, hod)→count, cumulative per-hod train counts, and the number of
+    * OBSERVED train days folded so far. `cum` is at most 24 entries; the
+    * whole state is constant-size per type.
+    */
+  case class SeasonalState(nextDay: Long, pending: Map[(Long, Long), Long],
+                           cum: Map[Long, Long], trainDays: Long)
+  case class SeasonalRow(event_type: String, day: Long, hod: Long,
+                         base_cnt: Long, n_train_days: Long,
+                         baseline_ppm: Long, actual_cnt: Long, resid_ppm: Long)
+
+  /** Streaming twin of the `events_seasonal` batch key, run ONLINE: per
+    * event_type, when a day finalizes (watermark passes its end) emit that
+    * day's per-hour-of-day residuals against the seasonal-naive baseline
+    * accumulated from all PRIOR observed days — then fold the day into the
+    * baseline. The batch key scores only the corpus's last day; the stream
+    * scores every day as it completes, and its rows for a type's final
+    * observed day reproduce the per-type batch computation exactly
+    * (StreamingSpec pins it, random arrival orders included).
+    *
+    * Semantics vs batch, made per-type: the batch key's train-day count is
+    * the GLOBAL distinct observed days before the global max day; a
+    * per-type group cannot see other types' days, so here train days are
+    * the TYPE's own observed days before the day being scored (identical
+    * when every type is observed every day — true of the fixture — and the
+    * honest per-entity reading otherwise). Days with zero events for the
+    * type are skipped, mirroring the batch `SELECT DISTINCT day` over
+    * observed rows; (hod) rows emit when baseline or actual is non-zero,
+    * mirroring the batch full-outer join's row set. Baseline is the same
+    * exact-integer ppm: `cum·1e6 div max(trainDays, 1)`, residual
+    * `actual·1e6 − baseline_ppm`.
+    *
+    * State per type is constant-size (24 cum cells + the pending horizon);
+    * emission cadence is one burst of ≤24 rows per type-day — the same
+    * state class as [[anomalies]], with [[gapfill]]'s boundary timer (day
+    * granularity) firing silent-day rollovers.
+    */
+  def seasonal(events: Dataset[EvS], watermark: String = "2 hours")
+              (implicit spark: SparkSession): Dataset[SeasonalRow] = {
+    import spark.implicits._
+    val DaySec = 86400L
+
+    def update(tpe: String, batch: Iterator[EvS],
+               state: GroupState[SeasonalState]): Iterator[SeasonalRow] = {
+      val incoming = batch.map { e =>
+        val sec = Math.floorDiv(e.ts.getTime, 1000L)
+        (Math.floorDiv(sec, DaySec), Math.floorDiv(sec, 3600L) % 24L)
+      }.toSeq
+      val st0 = state.getOption.getOrElse(SeasonalState(
+        if (incoming.isEmpty) Long.MaxValue else incoming.map(_._1).min,
+        Map.empty, Map.empty, 0L))
+      val start = math.min(st0.nextDay,
+        if (incoming.isEmpty) Long.MaxValue else incoming.map(_._1).min)
+      if (start == Long.MaxValue) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val pending = incoming.foldLeft(st0.pending) { (m, k) =>
+          m.updated(k, m.getOrElse(k, 0L) + 1L)
+        }
+        val wmDay = Math.floorDiv(state.getCurrentWatermarkMs / 1000L, DaySec)
+        val out = Vector.newBuilder[SeasonalRow]
+        var cum = st0.cum
+        var trainDays = st0.trainDays
+        var d = start
+        while (d < wmDay) { // day d is final once the watermark enters d+1
+          val dd = d
+          val dayCounts = pending.collect { case ((`dd`, hod), n) => hod -> n }
+          if (dayCounts.nonEmpty) { // observed day — score, then train on it
+            if (trainDays > 0) {
+              val hods = (cum.keySet ++ dayCounts.keySet).toSeq.sorted
+              hods.foreach { hod =>
+                val base = cum.getOrElse(hod, 0L)
+                val actual = dayCounts.getOrElse(hod, 0L)
+                val ppm = base * 1000000L / math.max(trainDays, 1L)
+                out += SeasonalRow(tpe, d, hod, base, trainDays, ppm,
+                  actual, actual * 1000000L - ppm)
+              }
+            }
+            cum = dayCounts.foldLeft(cum) { case (m, (hod, n)) =>
+              m.updated(hod, m.getOrElse(hod, 0L) + n)
+            }
+            trainDays += 1
+          }
+          d += 1 // next calendar day (day ids are floorDiv(sec, 86400) units)
+        }
+        state.update(SeasonalState(d, pending.filter(_._1._1 >= d), cum, trainDays))
+        state.setTimeoutTimestamp(math.max((d + 1) * DaySec * 1000L - 1L,
+          state.getCurrentWatermarkMs + 1))
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ---- ordered conversion funnel ---------------------------------------
 
   case class EvF(ts: java.sql.Timestamp, user_id: Long, event_type: String)

@@ -779,4 +779,205 @@ class StreamingSpec extends SparkSpec {
       assert(allTracked.contains("hh1") && allTracked.contains("hh2"))
     } finally q.stop()
   }
+
+  // ---- interpolate twin -------------------------------------------------
+
+  /** The batch key's cents mapping, replicated for truth computation. */
+  private def centsOf(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  test("streaming interpolate: gap hours emit the batch integer form once the right endpoint finalizes") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvI
+    val in = MemoryStream[EvI]
+    val q = EventStream.interpolate(in.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("interp")
+      .outputMode("append").start()
+    try {
+      // A observed at hours 10 (1.25 + 2.00 -> 325 cents) and 13 (400);
+      // 11 and 12 silent -> must interpolate once hour 13 finalizes
+      in.addData(
+        EvI(ts("2024-01-01 10:05:00"), "A", 1.25),
+        EvI(ts("2024-01-01 10:40:00"), "A", 2.00),
+        EvI(ts("2024-01-01 13:10:00"), "A", 4.00))
+      q.processAllAvailable()
+      // hour 10 is ripe under wm=13:10 but 11/12 must NOT emit yet (right
+      // endpoint hour 13 is not final) — the two-stage finality
+      def rows() = spark.table("interp").filter(col("event_type") === "A")
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toSet
+      val h = (t: String) => ts(t).getTime / 1000L
+      assert(rows() == Set((h("2024-01-01 10:00:00"), Some(325L), "obs")),
+        s"premature emission: ${rows()}")
+      // advance the watermark past hour 13; the timer fires the gap burst
+      in.addData(EvI(ts("2024-01-01 16:00:00"), "Z", 0.0)); q.processAllAvailable()
+      in.addData(EvI(ts("2024-01-01 17:00:00"), "Z", 0.0)); q.processAllAvailable()
+      // hour-unit interpolation: 11 -> (325*2 + 400*1) div 3 = 350,
+      // 12 -> (325*1 + 400*2) div 3 = 375 (3600 factors cancel)
+      assert(rows() == Set(
+        (h("2024-01-01 10:00:00"), Some(325L), "obs"),
+        (h("2024-01-01 11:00:00"), Some(350L), "interp"),
+        (h("2024-01-01 12:00:00"), Some(375L), "interp"),
+        (h("2024-01-01 13:00:00"), Some(400L), "obs")), s"${rows()}")
+    } finally q.stop()
+  }
+
+  test("property: streaming interpolate == per-type batch interpolation under random arrival permutations") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvI
+    val base = ts("2024-01-01 00:00:00").getTime
+    val evGen = for {
+      t <- org.scalacheck.Gen.oneOf("a", "b")
+      min <- org.scalacheck.Gen.choose(0, 720)
+      cts <- org.scalacheck.Gen.choose(0L, 9999L)
+    } yield EvI(new Timestamp(base + min * 60000L), t, cts / 100.0)
+    for (trial <- 0 until 3) {
+      val events = org.scalacheck.Gen.listOfN(14, evGen)
+        .apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(4200L + trial))
+        .getOrElse(sys.error("generator exhausted"))
+      val rnd = new scala.util.Random(31L * trial + 7)
+      val arrival = rnd.shuffle(events)
+      val cuts = (Seq(0, arrival.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(arrival.size)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => arrival.slice(a, b) }
+      val in = MemoryStream[EvI]
+      val name = s"interp_prop_$trial"
+      val q = EventStream.interpolate(in.toDS(), watermark = "1 day")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        in.addData(EvI(ts("2024-01-03 00:00:00"), "zz", 0.0)); q.processAllAvailable()
+        in.addData(EvI(ts("2024-01-03 06:00:00"), "zz", 0.0)); q.processAllAvailable()
+        val streamed = spark.table(name).filter(col("event_type") =!= "zz")
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toSet
+        // truth: per type, obs sums per hour; every silent hour between
+        // consecutive observed hours takes the exact integer interpolation
+        val byCell = events.groupBy(e =>
+            (e.event_type, Math.floorDiv(e.ts.getTime, 3600000L) * 3600L))
+          .view.mapValues(_.map(e => centsOf(e.value)).sum).toMap
+        val expected = (for {
+          t <- events.map(_.event_type).distinct
+          hs = byCell.keys.filter(_._1 == t).map(_._2).toSeq.sorted
+          hh <- hs.head to hs.last by 3600L
+        } yield byCell.get((t, hh)) match {
+          case Some(c) => (t, hh, Some(c): Option[Long], "obs")
+          case None =>
+            val ph = hs.filter(_ < hh).max; val nh = hs.filter(_ > hh).min
+            val (pc, nc) = (byCell((t, ph)), byCell((t, nh)))
+            (t, hh, Some((pc * (nh - hh) + nc * (hh - ph)) / (nh - ph)): Option[Long], "interp")
+        }).toSet
+        assert(streamed == expected,
+          s"trial $trial (batch sizes ${batches.map(_.size)}): " +
+            s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+      } finally q.stop()
+    }
+  }
+
+  // ---- seasonal twin ----------------------------------------------------
+
+  test("streaming seasonal: each completed day scores against the prior-day baseline, then trains") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvS
+    val in = MemoryStream[EvS]
+    val q = EventStream.seasonal(in.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("seasonal")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // day 1: hod 10 ×2, hod 11 ×1 (first observed day: trains, no rows)
+        EvS(ts("2024-01-01 10:05:00"), "A"), EvS(ts("2024-01-01 10:40:00"), "A"),
+        EvS(ts("2024-01-01 11:30:00"), "A"),
+        // day 2: hod 10 ×3
+        EvS(ts("2024-01-02 10:01:00"), "A"), EvS(ts("2024-01-02 10:02:00"), "A"),
+        EvS(ts("2024-01-02 10:03:00"), "A"),
+        // day 3: hod 12 ×1
+        EvS(ts("2024-01-03 12:00:00"), "A"))
+      q.processAllAvailable()
+      in.addData(EvS(ts("2024-01-05 00:00:00"), "Z")); q.processAllAvailable()
+      in.addData(EvS(ts("2024-01-05 06:00:00"), "Z")); q.processAllAvailable()
+      val day1 = Math.floorDiv(ts("2024-01-01 00:00:00").getTime / 1000L, 86400L)
+      val rows = spark.table("seasonal").filter(col("event_type") === "A")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+      val expected = Set(
+        // day 2 vs {day 1}: hod 10 base 2 ppm 2e6 actual 3; hod 11 base 1 actual 0
+        (day1 + 1, 10L, 2L, 1L, 2000000L, 3L, 1000000L),
+        (day1 + 1, 11L, 1L, 1L, 1000000L, 0L, -1000000L),
+        // day 3 vs {days 1,2}: cum hod10=5, hod11=1; day brings hod12
+        (day1 + 2, 10L, 5L, 2L, 2500000L, 0L, -2500000L),
+        (day1 + 2, 11L, 1L, 2L, 500000L, 0L, -500000L),
+        (day1 + 2, 12L, 0L, 2L, 0L, 1L, 1000000L))
+      assert(rows == expected, s"missing=${expected -- rows} extra=${rows -- expected}")
+    } finally q.stop()
+  }
+
+  test("property: streaming seasonal == per-type online truth under random arrival permutations") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvS
+    val base = ts("2024-01-01 00:00:00").getTime
+    val evGen = for {
+      t <- org.scalacheck.Gen.oneOf("a", "b")
+      day <- org.scalacheck.Gen.choose(0, 3)
+      hod <- org.scalacheck.Gen.choose(0, 5) // narrow so hods repeat
+    } yield EvS(new Timestamp(base + day * 86400000L + hod * 3600000L + 60000L), t)
+    for (trial <- 0 until 3) {
+      val events = org.scalacheck.Gen.listOfN(20, evGen)
+        .apply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(7700L + trial))
+        .getOrElse(sys.error("generator exhausted"))
+      val rnd = new scala.util.Random(13L * trial + 5)
+      val arrival = rnd.shuffle(events)
+      val cuts = (Seq(0, arrival.size) ++ Seq.fill(rnd.nextInt(3))(rnd.nextInt(arrival.size)))
+        .distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => arrival.slice(a, b) }
+      val in = MemoryStream[EvS]
+      val name = s"seasonal_prop_$trial"
+      // watermark wider than the 4-day span: no shuffled arrival is ever
+      // late-dropped (that contract is pinned elsewhere, not here)
+      val q = EventStream.seasonal(in.toDS(), watermark = "10 days")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        in.addData(EvS(ts("2024-01-20 00:00:00"), "zz")); q.processAllAvailable()
+        in.addData(EvS(ts("2024-01-20 06:00:00"), "zz")); q.processAllAvailable()
+        val streamed = spark.table(name).filter(col("event_type") =!= "zz")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+          .toSet
+        // truth: per type, fold observed days in order; each day after the
+        // first emits (cum ∪ day) hods scored against the prior cum
+        val expected = events.map(_.event_type).distinct.flatMap { t =>
+          val cells = events.filter(_.event_type == t).groupBy { e =>
+            val sec = Math.floorDiv(e.ts.getTime, 1000L)
+            (Math.floorDiv(sec, 86400L), Math.floorDiv(sec, 3600L) % 24L)
+          }.view.mapValues(_.size.toLong).toMap
+          val days = cells.keys.map(_._1).toSeq.distinct.sorted
+          var cum = Map.empty[Long, Long]; var trainDays = 0L
+          days.flatMap { d =>
+            val dayCounts = cells.collect { case ((`d`, hod), n) => hod -> n }
+            val out = if (trainDays > 0) {
+              (cum.keySet ++ dayCounts.keySet).toSeq.sorted.map { hod =>
+                val b = cum.getOrElse(hod, 0L); val a = dayCounts.getOrElse(hod, 0L)
+                val ppm = b * 1000000L / trainDays
+                (t, d, hod, b, trainDays, ppm, a, a * 1000000L - ppm)
+              }
+            } else Seq.empty
+            cum = dayCounts.foldLeft(cum) { case (m, (hod, n)) =>
+              m.updated(hod, m.getOrElse(hod, 0L) + n) }
+            trainDays += 1
+            out
+          }
+        }.toSet
+        assert(streamed == expected,
+          s"trial $trial (batch sizes ${batches.map(_.size)}): " +
+            s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+      } finally q.stop()
+    }
+  }
 }
