@@ -2193,6 +2193,66 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Per-domain document caps — the web-corpus over-representation guard
+    // (FineWeb-style: a single hot domain must not dominate the mixture):
+    // rank each doc within its canonical host by doc_id and keep the first
+    // DomainCap. Rank windows partition by host; at web scale a mega-host
+    // partition is the one skew risk, and the sample_reservoir two-pass
+    // hash-prefilter applies verbatim (keep = smallest-N is a threshold on
+    // a per-host rank) — at the fixture's host cardinality the plain
+    // window IS the right plan. Verdict joins dedup_url/corpus_clean on
+    // doc_id.
+    "domain_caps" -> ((s, d) => {
+      val host = regexp_extract(
+        graft.llm.Url.canonical(
+          graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))),
+        "^([^/]*)", 1)
+      val u = docs(s, d).select(col("doc_id"), host.as("host"))
+      val counts = u.groupBy("host").agg(count(lit(1)).as("n_domain_docs"))
+      u.withColumn("rank_in_domain",
+          row_number().over(Window.partitionBy("host").orderBy("doc_id")).cast("long"))
+        .join(broadcast(counts), Seq("host")) // |hosts| rows at the fixture;
+        // at web scale drop the hint and let AQE pick (documented seam)
+        .select(col("doc_id"), col("host"), col("n_domain_docs"),
+          col("rank_in_domain"),
+          (col("rank_in_domain") <= DomainCap).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Data-constrained epoch planning (the "how many epochs is each
+    // source worth" step after mix_temperature): a token budget of
+    // EpochBudgetX × corpus allocates per-language targets by the same
+    // √-temperature weights; epochs_ppm = target/available capped at
+    // MaxEpochs (the ~4-epoch usefulness limit for repeated data), with
+    // the capped shortfall reported as deficit_tokens — the number the
+    // next acquisition round is sized by. All exact integer ppm math on
+    // the |langs|-row aggregate frame.
+    "mix_epochs" -> ((s, d) => {
+      val t = docs(s, d).select(col("lang"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt((col("n_tokens") * 1000000L).cast("double"))).cast("long"))
+        .localCheckpoint() // |langs| rows; totals + final frame both read it
+      val tot = agg.agg(sum("w").as("sum_w"), sum("n_tokens").as("tot"))
+      // products ride DECIMAL(38,0): at 100 TB n_tokens ~ 1e13, so
+      // w·tot (~3e22) and target·1e6 (~2e19) both overflow BIGINT
+      agg.crossJoin(tot)
+        .select(col("lang"), col("n_tokens"),
+          expr(s"CAST((CAST(w AS DECIMAL(38,0)) * tot * $EpochBudgetX)" +
+            " div sum_w AS BIGINT)").as("target_tokens"))
+        .withColumn("epochs_ppm",
+          least(lit(MaxEpochs * 1000000L),
+            expr("CAST((CAST(target_tokens AS DECIMAL(38,0)) * 1000000)" +
+              " div n_tokens AS BIGINT)")))
+        .withColumn("served_tokens",
+          expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * epochs_ppm)" +
+            " div 1000000 AS BIGINT)"))
+        .withColumn("deficit_tokens",
+          greatest(lit(0L), expr("target_tokens - served_tokens")))
+        .orderBy("lang")
+    }),
+
     // Association rules over order baskets: pair support / directional
     // confidence / lift in exact integer ppm (lift through DECIMAL(38,0)
     // so n_ab·N·10⁶ cannot wrap at production counts). The support floor
@@ -3377,6 +3437,16 @@ object SparkEntry {
   /** Support floor for `heavy_hitters` (ppm of total corpus tokens). */
   private val HeavyHitterPpm = 2000L
 
+  /** `domain_caps` per-domain keep limit (docs per canonical host). */
+  private val DomainCap = 10L
+
+  /** `mix_epochs` budget multiple (×corpus tokens) and the max-epochs cap
+    * (the data-constrained-scaling ~4-epoch usefulness limit), shared with
+    * the oracle.
+    */
+  private val EpochBudgetX = 2L
+  private val MaxEpochs = 4L
+
   /** Mixture weights for `sample_stratified` (ppm), shared by plan + oracle. */
   private val MixRatesPpm = Seq("en" -> 500000L, "fr" -> 250000L)
   private val MixDefaultPpm = 100000L
@@ -4484,6 +4554,39 @@ object SparkEntry {
            |  (w * tot) // sum_w AS target_tokens,
            |  least(1000000, (((w * tot) // sum_w) * 1000000) // n_tokens) AS rate_ppm
            |FROM w, tt ORDER BY 1""".stripMargin,
+
+      "domain_caps" -> {
+        val canon = graft.llm.Url.sqlCanonical(graft.llm.Url.sqlSyntheticUrl)
+        s"""WITH h AS (SELECT doc_id,
+           |  regexp_extract($canon, '^([^/]*)', 1) AS host FROM documents),
+           |r AS (SELECT doc_id, host,
+           |  row_number() OVER (PARTITION BY host ORDER BY doc_id)::BIGINT
+           |    AS rank_in_domain FROM h),
+           |c AS (SELECT host, count(*)::BIGINT AS n_domain_docs FROM h GROUP BY 1)
+           |SELECT r.doc_id, r.host, c.n_domain_docs, r.rank_in_domain,
+           |  (r.rank_in_domain <= $DomainCap) AS keep
+           |FROM r JOIN c ON r.host = c.host ORDER BY r.doc_id""".stripMargin
+      },
+
+      "mix_epochs" ->
+        s"""WITH t AS (SELECT lang, len(${graft.llm.TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok
+           |  FROM documents),
+           |a AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1),
+           |w AS (SELECT lang, n_tokens,
+           |  floor(sqrt((n_tokens * 1000000)::DOUBLE))::BIGINT AS w FROM a),
+           |tt AS (SELECT sum(w)::BIGINT AS sum_w, sum(n_tokens)::BIGINT AS tot FROM w),
+           |tgt AS (SELECT lang, n_tokens,
+           |  ((w::HUGEINT * tot * $EpochBudgetX) // sum_w)::BIGINT AS target_tokens
+           |  FROM w, tt),
+           |e AS (SELECT lang, n_tokens, target_tokens,
+           |  least($MaxEpochs * 1000000,
+           |    ((target_tokens::HUGEINT * 1000000) // n_tokens))::BIGINT AS epochs_ppm
+           |  FROM tgt)
+           |SELECT lang, n_tokens, target_tokens, epochs_ppm,
+           |  ((n_tokens::HUGEINT * epochs_ppm) // 1000000)::BIGINT AS served_tokens,
+           |  greatest(0, target_tokens -
+           |    ((n_tokens::HUGEINT * epochs_ppm) // 1000000))::BIGINT AS deficit_tokens
+           |FROM e ORDER BY lang""".stripMargin,
 
       "market_basket" ->
         (s"WITH $sqlCoPurchasePairs,\n" +
