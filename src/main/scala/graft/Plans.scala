@@ -81,7 +81,10 @@ object Plans {
       // round 6 (cont.): support-filtered co-purchase components, linear
       // value interpolation
       "graph_components", "events_interpolate", "sketch_countmin",
-      "quality_sweep")
+      "quality_sweep",
+      // round 7: span-scrub emitter, URL stage-0 dedup, per-domain caps,
+      // data-constrained epoch planning
+      "substring_scrub", "dedup_url", "domain_caps", "mix_epochs")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")
