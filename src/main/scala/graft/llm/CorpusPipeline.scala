@@ -13,10 +13,17 @@ import graft.expr.PortableHash
   * reference pipeline uses, `MapBuilder.java:130-133`).
   *
   *   raw documents
+  *     → URL dedup (stage 0): canonicalize + exact-dedup on the canonical
+  *       URL before any content hashing ([[Url.dedupUrl]] — the CCNet/
+  *       FineWeb ordering: re-crawls die on a string groupBy, not on
+  *       MinHash)                                              [barrier]
   *     → hygiene: PII redaction + quality/repetition gates + exact dedup
   *       keeper (`Scrub.cleanCorpus`)                        [barrier]
   *     → near-dup dedup: MinHash/LSH candidates, exact-jaccard verify,
   *       star-CC clusters, keep each cluster's root            [barrier]
+  *     → span scrub: rewrite survivors with their cross-doc duplicated
+  *       spans removed ([[Substring.scrub]], keep-one; docs scrubbed to
+  *       zero tokens drop)                                     [barrier]
   *     → mixing: per-language integer-ppm keep rates to the uniform token
   *       target, deterministic hash gate                       [barrier]
   *     → packing: fixed token windows (`Pack.sequences`), hash-striped
@@ -41,9 +48,13 @@ object CorpusPipeline {
       // a positive value pins the layout explicitly
       packBuckets: Int = 0,
       shards: Int = 8,
+      urlDedup: Boolean = true,
+      // 0 disables the span-scrub stage; ≥1 is the window length in tokens
+      scrubWindowTok: Int = 16,
       onStage: (String, Double) => Unit = (_, _) => ())
 
-  case class Result(clean: DataFrame, deduped: DataFrame, mixed: DataFrame,
+  case class Result(urlKept: DataFrame, clean: DataFrame, deduped: DataFrame,
+                    scrubbed: DataFrame, mixed: DataFrame,
                     shardSeqs: DataFrame, report: DataFrame)
 
   private def timed[T](cfg: Config, name: String)(body: => T): T = {
@@ -59,11 +70,23 @@ object CorpusPipeline {
   def run(spark: SparkSession, docs: DataFrame, barrier: Barrier,
           cfg: Config = Config()): Result = {
 
+    // ---- stage 0: URL-level dedup ------------------------------------
+    // The fixture carries no raw URL column; Url.dedupUrl derives one
+    // deterministically from (source, doc_id) — the documented seam a
+    // real deployment replaces with its crawl-metadata column.
+    val urlKept = timed(cfg, "url_dedup") {
+      if (!cfg.urlDedup) docs
+      else {
+        val keep = Url.dedupUrl(docs).filter(col("keep")).select("doc_id")
+        barrier.materialize(spark, docs.join(keep, Seq("doc_id")), "corpus_url")
+      }
+    }
+
     // ---- stage 1: hygiene --------------------------------------------
     val clean = timed(cfg, "hygiene") {
-      val verdicts = Scrub.cleanCorpus(docs, cfg.minQuality, cfg.maxTop2)
+      val verdicts = Scrub.cleanCorpus(urlKept, cfg.minQuality, cfg.maxTop2)
       barrier.materialize(spark,
-        docs.join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id")),
+        urlKept.join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id")),
         "corpus_clean")
     }
 
@@ -83,9 +106,27 @@ object CorpusPipeline {
         clean.join(losers, Seq("doc_id"), "left_anti"), "corpus_dedup")
     }
 
+    // ---- stage 2.5: span-level scrub ---------------------------------
+    // After doc-level dedup: whole-doc near-dups are gone, but shared
+    // boilerplate/quoted spans inside SURVIVING docs remain — rewrite
+    // them out (keep-one ownership), drop docs scrubbed to zero tokens.
+    val scrubbed = timed(cfg, "span_scrub") {
+      if (cfg.scrubWindowTok <= 0) deduped
+      else {
+        val sc = Substring.scrub(deduped, cfg.scrubWindowTok)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text"))
+        barrier.materialize(spark,
+          deduped.join(sc, Seq("doc_id"))
+            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
+          "corpus_scrubbed")
+      }
+    }
+
     // ---- stage 3: language mixing ------------------------------------
     val mixed = timed(cfg, "mixing") {
-      val t = deduped.select(col("doc_id"), col("lang"), col("text"),
+      val t = scrubbed.select(col("doc_id"), col("lang"), col("text"),
         col("source"), col("n_chars"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
       val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens")).localCheckpoint()
@@ -124,15 +165,16 @@ object CorpusPipeline {
           col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val packed = shardSeqs
       .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
-      .select(lit(4).as("stage_idx"), lit("packed_seq_slices").as("stage"),
+      .select(lit(6).as("stage_idx"), lit("packed_seq_slices").as("stage"),
         col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val report = Seq(
-      docStat(0, "input", docs), docStat(1, "clean", clean),
-      docStat(2, "deduped", deduped), docStat(3, "mixed", mixed))
+      docStat(0, "input", docs), docStat(1, "url_kept", urlKept),
+      docStat(2, "clean", clean), docStat(3, "deduped", deduped),
+      docStat(4, "scrubbed", scrubbed), docStat(5, "mixed", mixed))
       .reduce(_ union _)
       .union(packed)
       .orderBy("stage_idx")
 
-    Result(clean, deduped, mixed, shardSeqs, report)
+    Result(urlKept, clean, deduped, scrubbed, mixed, shardSeqs, report)
   }
 }

@@ -15,12 +15,23 @@ class CorpusPipelineSpec extends SparkSpec {
     val res = runOnce()
     val rep = res.report.collect()
       .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
-    val docsAt = Seq("input", "clean", "deduped", "mixed").map(s => rep(s)._1)
+    val docsAt = Seq("input", "url_kept", "clean", "deduped", "scrubbed", "mixed")
+      .map(s => rep(s)._1)
     assert(docsAt.zip(docsAt.tail).forall { case (a, b) => a >= b },
       s"doc counts must shrink monotonically: $docsAt")
     assert(rep("mixed")._2 == rep("packed_seq_slices")._2,
       s"packing must preserve token mass: ${rep("mixed")._2} vs ${rep("packed_seq_slices")._2}")
     assert(rep("deduped")._1 > 0, "pipeline must not empty the corpus")
+    // the scrub stage may only REMOVE tokens, never add
+    assert(rep("scrubbed")._2 <= rep("deduped")._2,
+      s"span scrub cannot grow token mass: ${rep("scrubbed")._2} vs ${rep("deduped")._2}")
+  }
+
+  test("scrubbed stage carries no cross-doc duplicated window") {
+    val res = runOnce()
+    val posts = graft.llm.Substring.postings(res.scrubbed, 16).count()
+    assert(posts == 0L,
+      s"$posts duplicated 16-token windows survived the span scrub")
   }
 
   test("no verified near-dup pair survives the dedup stage") {
