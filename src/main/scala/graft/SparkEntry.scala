@@ -2208,6 +2208,7 @@ object SparkEntry {
           graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))),
         "^([^/]*)", 1)
       val u = docs(s, d).select(col("doc_id"), host.as("host"))
+        .localCheckpoint() // one scan + one regex pass feeds counts AND rank
       val counts = u.groupBy("host").agg(count(lit(1)).as("n_domain_docs"))
       u.withColumn("rank_in_domain",
           row_number().over(Window.partitionBy("host").orderBy("doc_id")).cast("long"))

@@ -100,9 +100,14 @@ object Url {
     * owner convention). Joinable with `corpus_clean` on doc_id.
     */
   def dedupUrl(docs: DataFrame): DataFrame = {
+    // one scan + one regex pass: the canonicalized frame is materialized
+    // once (localCheckpoint — the signatureIndex contract) and feeds both
+    // the group aggregate and the verdict join; without the cut the plan
+    // re-scans documents and re-runs the whole regex chain per consumer
     val withUrl = docs.select(col("doc_id"),
       syntheticUrl(col("doc_id"), col("source")).as("url"))
       .withColumn("canon_url", canonical(col("url")))
+      .localCheckpoint()
     val groups = withUrl.groupBy("canon_url")
       .agg(count(lit(1)).as("n_dup"), min(col("doc_id")).as("owner"))
     withUrl.join(groups, Seq("canon_url"))
