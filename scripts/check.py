@@ -45,6 +45,17 @@ for name, sql in sorted(oracle.items()):
             def kind(series):
                 k = series.dtype.kind
                 if str(series.dtype).startswith('Int'): return 'i'
+                if k == 'O':
+                    # object columns holding ints/Decimals (DuckDB HUGEINT /
+                    # DECIMAL(38,0) — the repo's sanctioned big-int idiom)
+                    # compare as integers, not as a dtype mismatch
+                    import decimal
+                    nn = series.dropna()
+                    if len(nn) and all(isinstance(v, int) or
+                                       (isinstance(v, decimal.Decimal) and
+                                        v == v.to_integral_value())
+                                       for v in nn.head(100)):
+                        return 'i'
                 return k
             ka, kb = kind(a), kind(b)
             num = {'i', 'u', 'f'}

@@ -141,13 +141,15 @@ object Bench {
     // so the suite number and its floor ship in the SAME artifact and
     // burst-vs-regression triage needs no out-of-band reproduction.
     val floors = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map { case (name, suiteV) =>
-      val iso = (1 to 2).map { _ =>
+      // a failed re-run must NOT masquerade as "floor == suite" (that is
+      // the confirmed-regression signature); -1 = floor not obtained
+      val iso = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => suiteV }
-      }.min
-      name -> ((suiteV, iso))
+              Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      name -> ((suiteV, if (iso.isEmpty) -1.0 else iso.min))
     }
     val floorsJson = floors.map { case (k, (s, i)) =>
       s"\"" + k + "\":{\"suite\":" + r3(s) + ",\"isolated\":" + r3(i) + "}"

@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
 import graft.llm.CorpusPipeline
 
 /** End-to-end bench of the COMPOSED training-data pipeline
-  * (`llm.CorpusPipeline`: hygiene → near-dup dedup → mixing → packing,
-  * through materialization barriers) — the LLM-side sibling of
+  * (`llm.CorpusPipeline`: URL dedup (skipped here — the fixture has no
+  * URL column) → hygiene → near-dup dedup → span scrub → mixing →
+  * packing, through materialization barriers) — the LLM-side sibling of
   * `BenchPipeline`. Emits `BENCH_corpus.json`: per-stage wall times plus
   * the corpus-shrinkage report rows.
   *

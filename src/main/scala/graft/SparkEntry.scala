@@ -2180,7 +2180,10 @@ object SparkEntry {
         size(TA.tokens(col("text"))).cast("long").as("n_tok"))
       val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens"))
         .withColumn("w",
-          floor(sqrt((col("n_tokens") * 1000000L).cast("double"))).cast("long"))
+          floor(sqrt(col("n_tokens").cast("double") * 1e6)).cast("long"))
+        // double-first multiply: the long product n_tokens*1e6 wraps past
+        // ~9.2e12 tokens (real at 100 TB); double*1e6 is IEEE-exact to 2^53
+        // and both engines round sqrt identically beyond it
         .localCheckpoint() // |langs| rows; total + join both read it
       val tot = agg.agg(sum("w").as("sum_w"), sum("n_tokens").as("tot"))
       agg.crossJoin(tot)
@@ -2233,7 +2236,10 @@ object SparkEntry {
         size(TA.tokens(col("text"))).cast("long").as("n_tok"))
       val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens"))
         .withColumn("w",
-          floor(sqrt((col("n_tokens") * 1000000L).cast("double"))).cast("long"))
+          floor(sqrt(col("n_tokens").cast("double") * 1e6)).cast("long"))
+        // double-first multiply: the long product n_tokens*1e6 wraps past
+        // ~9.2e12 tokens (real at 100 TB); double*1e6 is IEEE-exact to 2^53
+        // and both engines round sqrt identically beyond it
         .localCheckpoint() // |langs| rows; totals + final frame both read it
       val tot = agg.agg(sum("w").as("sum_w"), sum("n_tokens").as("tot"))
       // products ride DECIMAL(38,0): at 100 TB n_tokens ~ 1e13, so
@@ -2534,8 +2540,9 @@ object SparkEntry {
     // Span-level scrub: rebuild every document with its cross-doc
     // duplicated spans removed (keep-one: the min-doc owner of each
     // duplicated window keeps its copy) — the emitter the span family
-    // feeds; token mass conserved (n_kept + n_removed = n_tok) and
-    // idempotent (SubstringSpec proves the fixpoint).
+    // feeds; token mass conserved (n_kept + n_removed = n_tok); no INPUT
+    // cross-doc duplicated window survives (seam-minted new windows are
+    // possible in principle — see Substring.scrub's invariant note).
     "substring_scrub" -> ((s, d) =>
       graft.llm.Substring.scrub(docs(s, d), SubstrWinTok).orderBy("doc_id")),
 
@@ -4548,7 +4555,7 @@ object SparkEntry {
            |  FROM documents),
            |a AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1),
            |w AS (SELECT lang, n_tokens,
-           |  floor(sqrt((n_tokens * 1000000)::DOUBLE))::BIGINT AS w FROM a),
+           |  floor(sqrt(n_tokens::DOUBLE * 1000000))::BIGINT AS w FROM a),
            |tt AS (SELECT sum(w)::BIGINT AS sum_w, sum(n_tokens)::BIGINT AS tot FROM w)
            |SELECT lang, n_tokens, w,
            |  (w * 1000000) // sum_w AS share_ppm,
@@ -4574,7 +4581,7 @@ object SparkEntry {
            |  FROM documents),
            |a AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1),
            |w AS (SELECT lang, n_tokens,
-           |  floor(sqrt((n_tokens * 1000000)::DOUBLE))::BIGINT AS w FROM a),
+           |  floor(sqrt(n_tokens::DOUBLE * 1000000))::BIGINT AS w FROM a),
            |tt AS (SELECT sum(w)::BIGINT AS sum_w, sum(n_tokens)::BIGINT AS tot FROM w),
            |tgt AS (SELECT lang, n_tokens,
            |  ((w::HUGEINT * tot * $EpochBudgetX) // sum_w)::BIGINT AS target_tokens

@@ -13,10 +13,10 @@ import graft.expr.PortableHash
   * reference pipeline uses, `MapBuilder.java:130-133`).
   *
   *   raw documents
-  *     → URL dedup (stage 0): canonicalize + exact-dedup on the canonical
-  *       URL before any content hashing ([[Url.dedupUrl]] — the CCNet/
-  *       FineWeb ordering: re-crawls die on a string groupBy, not on
-  *       MinHash)                                              [barrier]
+  *     → URL dedup (stage 0, when a URL column exists): canonicalize +
+  *       exact-dedup on the canonical URL before any content hashing
+  *       ([[Url.dedupUrlOn]] — the CCNet/FineWeb ordering: re-crawls die
+  *       on a string groupBy, not on MinHash)                  [barrier]
   *     → hygiene: PII redaction + quality/repetition gates + exact dedup
   *       keeper (`Scrub.cleanCorpus`)                        [barrier]
   *     → near-dup dedup: MinHash/LSH candidates, exact-jaccard verify,
@@ -48,7 +48,13 @@ object CorpusPipeline {
       // a positive value pins the layout explicitly
       packBuckets: Int = 0,
       shards: Int = 8,
-      urlDedup: Boolean = true,
+      // crawl-metadata URL column for stage 0; None (the fixture shape —
+      // documents carries no URL) skips the stage. The synthetic URL the
+      // standalone dedup_url KEY derives exists to exercise the
+      // canonicalizer's rules, and its deliberate collisions would gut a
+      // real corpus if used as a pipeline gate — so the pipeline only
+      // dedups on a caller-provided column.
+      urlCol: Option[String] = None,
       // 0 disables the span-scrub stage; ≥1 is the window length in tokens
       scrubWindowTok: Int = 16,
       onStage: (String, Double) => Unit = (_, _) => ())
@@ -71,14 +77,12 @@ object CorpusPipeline {
           cfg: Config = Config()): Result = {
 
     // ---- stage 0: URL-level dedup ------------------------------------
-    // The fixture carries no raw URL column; Url.dedupUrl derives one
-    // deterministically from (source, doc_id) — the documented seam a
-    // real deployment replaces with its crawl-metadata column.
     val urlKept = timed(cfg, "url_dedup") {
-      if (!cfg.urlDedup) docs
-      else {
-        val keep = Url.dedupUrl(docs).filter(col("keep")).select("doc_id")
-        barrier.materialize(spark, docs.join(keep, Seq("doc_id")), "corpus_url")
+      cfg.urlCol match {
+        case None => docs
+        case Some(c) =>
+          val keep = Url.dedupUrlOn(docs, col(c)).filter(col("keep")).select("doc_id")
+          barrier.materialize(spark, docs.join(keep, Seq("doc_id")), "corpus_url")
       }
     }
 

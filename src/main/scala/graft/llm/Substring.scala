@@ -174,13 +174,20 @@ object Substring {
     *
     * Scale notes (100 TB): one window pass (checkpointed, the
     * signatureIndex contract) feeds the owner aggregate and the removal
-    * join; removed-index sets are per-doc bounded (≤ doc length), carried
-    * as a sorted array into a higher-order `filter` over the token array —
-    * no per-token shuffle, no collect. A boilerplate window shared by k
-    * docs emits k−1 removal rows (linear), never k² pairs. Re-running the
-    * scrub on its own output is a fixpoint (SubstringSpec): after keep-one
-    * removal every previously-duplicated fingerprint survives in exactly
-    * one document.
+    * join; removed-index sets are per-doc bounded (≤ doc length), applied
+    * via one `array_except` per doc (hash-set, O(L + |rem|)) — no
+    * per-token shuffle, no collect. A boilerplate window shared by k docs
+    * emits k−1 removal rows (linear), never k² pairs.
+    *
+    * Invariant (provable): every window that was a CROSS-DOC duplicate in
+    * the input loses all its non-owner occurrences — so no INPUT
+    * duplicated fingerprint survives in more than one doc. Removing an
+    * interior span does join its neighbors, and the seam can in principle
+    * mint a NEW w-token window that coincides with another doc (rare at
+    * realistic w; absent on the fixtures — SubstringSpec pins both the
+    * invariant and the fixture-level fixpoint). Iterating the scrub
+    * strictly removes tokens each pass, so it terminates; one pass is the
+    * production trade.
     */
   def scrub(docs: DataFrame, w: Int): DataFrame = {
     val wins = windowFrame(docs, w).localCheckpoint()
@@ -194,7 +201,8 @@ object Substring {
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
       .distinct()
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("idx"))).as("rem"))
+      .agg(collect_list(col("idx")).as("rem")) // set semantics only: the
+      // rebuild below is ordered by the position sequence, never by rem
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .join(remIdx, Seq("doc_id"), "left")
       .withColumn("rem", coalesce(col("rem"), expr("CAST(array() AS array<bigint>)")))
@@ -202,8 +210,15 @@ object Substring {
         size(col("toks")).cast("long").as("n_tok"),
         size(col("rem")).cast("long").as("n_removed"),
         (size(col("toks")).cast("long") - size(col("rem")).cast("long")).as("n_kept"),
+        // kept positions via array_except (hash-set build: O(L + |rem|),
+        // not the O(L·|rem|) an array_contains probe per token would be —
+        // |rem| = L on a fully-duplicated doc); left-operand order is
+        // preserved, so the rebuild is position-ordered and deterministic
         array_join(
-          expr("transform(filter(transform(toks, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)), x -> NOT array_contains(rem, x.i)), x -> x.t)"),
+          expr("transform(" +
+            "CASE WHEN size(toks) = 0 THEN CAST(array() AS array<bigint>) " +
+            "ELSE array_except(sequence(CAST(0 AS BIGINT), CAST(size(toks) - 1 AS BIGINT)), rem) END, " +
+            "i -> element_at(toks, CAST(i + 1 AS INT)))"),
           " ").as("clean_text"))
   }
 

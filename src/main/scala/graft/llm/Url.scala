@@ -99,13 +99,18 @@ object Url {
     * canonical group size, and `keep` (min doc_id per canonical URL — the
     * owner convention). Joinable with `corpus_clean` on doc_id.
     */
-  def dedupUrl(docs: DataFrame): DataFrame = {
+  def dedupUrl(docs: DataFrame): DataFrame =
+    dedupUrlOn(docs, syntheticUrl(col("doc_id"), col("source")))
+
+  /** [[dedupUrl]] over an arbitrary URL expression — the entry point a
+    * real deployment uses with its crawl-metadata column.
+    */
+  def dedupUrlOn(docs: DataFrame, url: Column): DataFrame = {
     // one scan + one regex pass: the canonicalized frame is materialized
     // once (localCheckpoint — the signatureIndex contract) and feeds both
     // the group aggregate and the verdict join; without the cut the plan
     // re-scans documents and re-runs the whole regex chain per consumer
-    val withUrl = docs.select(col("doc_id"),
-      syntheticUrl(col("doc_id"), col("source")).as("url"))
+    val withUrl = docs.select(col("doc_id"), url.as("url"))
       .withColumn("canon_url", canonical(col("url")))
       .localCheckpoint()
     val groups = withUrl.groupBy("canon_url")

@@ -27,11 +27,38 @@ class CorpusPipelineSpec extends SparkSpec {
       s"span scrub cannot grow token mass: ${rep("scrubbed")._2} vs ${rep("deduped")._2}")
   }
 
-  test("scrubbed stage carries no cross-doc duplicated window") {
+  test("span scrub removes every window that was a cross-doc duplicate at the deduped stage") {
+    // The PROVABLE invariant: input duplicated fingerprints lose all
+    // non-owner occurrences, so none survives as a cross-doc duplicate.
+    // (A removal seam can in principle mint a NEW duplicated window —
+    // Substring.scrub's invariant note — so the assertion joins against
+    // the input's duplicate set rather than demanding a blanket zero.)
     val res = runOnce()
-    val posts = graft.llm.Substring.postings(res.scrubbed, 16).count()
-    assert(posts == 0L,
-      s"$posts duplicated 16-token windows survived the span scrub")
+    val before = graft.llm.Substring.postings(res.deduped, 16).select("wh")
+    val after = graft.llm.Substring.postings(res.scrubbed, 16).select("wh")
+    val survived = after.join(before, Seq("wh")).count()
+    assert(survived == 0L,
+      s"$survived input duplicated 16-token windows survived the span scrub")
+    // fixture fact (not an invariant): no seam-minted duplicates either
+    assert(after.count() == 0L, "fixture: scrub output is fully span-clean")
+  }
+
+  test("stage 0 drops re-crawls on the canonical URL when a url column is provided") {
+    import spark.implicits._
+    val docs = Seq(
+      // same page crawled three ways — one canonical survivor
+      (1L, "alpha beta gamma delta", "en", "web", 22L, "https://www.Site.com/a?utm=x"),
+      (2L, "alpha beta gamma delta", "en", "web", 22L, "HTTP://site.com/a/"),
+      (3L, "alpha beta gamma delta", "en", "web", 22L, "https://site.com:443/a#frag"),
+      // a distinct page
+      (4L, "epsilon zeta eta theta", "en", "web", 22L, "https://site.com/b"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+    val dir = java.nio.file.Files.createTempDirectory("corpus_url").toString
+    val res = CorpusPipeline.run(spark, docs, MapPipeline.PathBarrier(dir),
+      CorpusPipeline.Config(urlCol = Some("url")))
+    val kept = res.urlKept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L),
+      s"canonical re-crawls must collapse to the min doc: $kept")
   }
 
   test("no verified near-dup pair survives the dedup stage") {
