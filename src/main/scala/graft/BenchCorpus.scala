@@ -10,8 +10,12 @@ import graft.llm.CorpusPipeline
   * (`llm.CorpusPipeline`: URL dedup (skipped here — the fixture has no
   * URL column) → hygiene → near-dup dedup → span scrub → mixing →
   * packing, through materialization barriers) — the LLM-side sibling of
-  * `BenchPipeline`. Emits `BENCH_corpus.json`: per-stage wall times plus
-  * the corpus-shrinkage report rows.
+  * `BenchPipeline`. The corpus leg runs on the 90% doc_id head; the 10%
+  * tail then flows through `CorpusPipeline.admitDelta` against the
+  * frozen state (the daily-crawl shape), so the artifact carries BOTH
+  * the full-build cost and the incremental-admission cost. Emits
+  * `BENCH_corpus.json`: per-stage wall times (delta stages under a
+  * `delta_` prefix) plus the corpus- and delta-shrinkage report rows.
   *
   * `runMain graft.BenchCorpus [sfDir] [workDir] [outFile]`
   */
@@ -36,18 +40,43 @@ object BenchCorpus {
     val cfg = CorpusPipeline.Config(
       onStage = (name, sec) => stages.synchronized { stages(name) = sec })
 
+    import org.apache.spark.sql.functions.col
+
+    // 90/10 split by doc_id: the 90% head is the standing corpus, the 10%
+    // tail (the LARGEST ids — the monotonic-ingestion contract
+    // admitDelta requires) is the daily-crawl delta.
+    val docs = Tables.documents(spark, sfDir)
+    val splitId = docs.stat.approxQuantile("doc_id", Array(0.9), 0.001)(0).toLong
+
     val t0 = System.nanoTime()
-    val res = CorpusPipeline.run(spark, Tables.documents(spark, sfDir),
+    val res = CorpusPipeline.run(spark,
+      docs.filter(col("doc_id") < splitId),
       MapPipeline.PathBarrier(workDir), cfg)
     val report = res.report.collect().map(r =>
       (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val total = (System.nanoTime() - t0) / 1e9
 
-    val stageJson = stages.map { case (n, s) => f""""$n":$s%.3f""" }.mkString(",")
-    val reportJson = report.map { case (_, n, d, t) =>
-      s""""$n":{"n_docs":$d,"n_tokens":$t}""" }.mkString(",")
+    // incremental admission of the delta against the frozen state — the
+    // per-stage times land in the same stage map under a "delta_" prefix
+    val dStages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val dCfg = cfg.copy(
+      onStage = (name, sec) => dStages.synchronized { dStages(name) = sec })
+    val d0 = System.nanoTime()
+    val dRes = CorpusPipeline.admitDelta(spark, res,
+      docs.filter(col("doc_id") >= splitId),
+      MapPipeline.PathBarrier(workDir + "_delta"), dCfg)
+    val dReport = dRes.report.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val dTotal = (System.nanoTime() - d0) / 1e9
+
+    val stageJson = (stages.map { case (n, s) => f""""$n":$s%.3f""" } ++
+      dStages.map { case (n, s) => f""""delta_$n":$s%.3f""" }).mkString(",")
+    val reportJson = (report.map { case (_, n, d, t) =>
+      s""""$n":{"n_docs":$d,"n_tokens":$t}""" } ++
+      dReport.map { case (_, n, d, t) =>
+        s""""delta_$n":{"n_docs":$d,"n_tokens":$t}""" }).mkString(",")
     val json =
-      f"""{"metric":"corpus_pipeline","value":$total%.3f,"unit":"sec","sf":"$sfDir","stages":{$stageJson},"report":{$reportJson}}"""
+      f"""{"metric":"corpus_pipeline","value":$total%.3f,"delta_value":$dTotal%.3f,"unit":"sec","sf":"$sfDir","stages":{$stageJson},"report":{$reportJson}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()

@@ -70,6 +70,12 @@ object CorpusPipeline {
     r
   }
 
+  private def docStat(stage: Int, name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .select(lit(stage).as("stage_idx"), lit(name).as("stage"),
+        col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+
   /** docs must carry (doc_id, text, lang, source, n_chars) — the
     * documents-table shape.
     */
@@ -162,11 +168,6 @@ object CorpusPipeline {
 
     // ---- shrinkage report (each stage is a materialized barrier, so
     // these aggregates are cheap re-reads, never stage recomputes) ------
-    def docStat(stage: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
-        .select(lit(stage).as("stage_idx"), lit(name).as("stage"),
-          col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val packed = shardSeqs
       .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
       .select(lit(6).as("stage_idx"), lit("packed_seq_slices").as("stage"),
@@ -180,5 +181,172 @@ object CorpusPipeline {
       .orderBy("stage_idx")
 
     Result(urlKept, clean, deduped, scrubbed, mixed, shardSeqs, report)
+  }
+
+  /** Output of [[admitDelta]]: the admitted delta rows in the
+    * scrubbed-stage shape, a per-delta-doc verdict frame (`dropped_at`
+    * names the first gate that rejected the doc; null = admitted), and
+    * the delta shrinkage report.
+    */
+  case class DeltaResult(admitted: DataFrame, verdicts: DataFrame,
+                         report: DataFrame)
+
+  /** Incremental admission — the production daily-crawl shape: run a NEW
+    * delta batch through the same gates as [[run]] against the FROZEN
+    * state of an already-pipelined corpus (the [[Result]] of a prior
+    * run, production-wise reloaded from its barrier tables). The corpus
+    * is never recomputed; each gate costs work linear in the delta plus
+    * one probe pass of the corresponding frozen corpus stage.
+    *
+    * Contract: doc ids are monotonic — every delta id exceeds every
+    * corpus id (the ingestion-watermark convention every *_incremental
+    * key shares). Under it, each stage reproduces the union run's
+    * per-delta verdicts exactly (CorpusDeltaSpec pins
+    * `run(C ∪ D)` restricted to delta ids == `admitDelta(run(C), D)`):
+    *
+    *   - URL: the union keeper per canonical URL is the min id, so a
+    *     delta doc survives iff no corpus doc shares its canon (probing
+    *     the KEPT corpus canon set is exact — the url stage keeps a
+    *     representative per raw canon group) and it is the min delta doc
+    *     of its canon group.
+    *   - hygiene: per-doc gates are corpus-independent; the union exact
+    *     keeper is the min id per REDACTED fingerprint over the union
+    *     hygiene INPUT, so the probe side is the corpus urlKept frame
+    *     (a quality-REJECTED corpus doc still blocks an identical delta
+    *     doc, exactly as in the union run).
+    *   - near-dup: ONE signature pass over corpus-clean ∪ delta-clean
+    *     (at production scale the persisted signatureIndex replaces the
+    *     corpus side); all candidate pairs touching the delta are
+    *     verified, then corpus partners collapse to a single sentinel
+    *     node (-1) before the star-CC — every corpus-connected component
+    *     roots below the id boundary, so delta verdicts match the union
+    *     run bit-exactly, INCLUDING transitive chains (a delta doc
+    *     near-dup of a delta doc that near-dups the corpus drops, even
+    *     with no direct corpus edge). The occupancy cap is counted over
+    *     the same combined frame the union run caps over.
+    *   - span scrub: [[Substring.scrubAgainst]] the frozen DEDUPED-stage
+    *     corpus window fingerprints (pre-scrub text — the union run
+    *     derives ownership from the deduped frame, not the scrubbed one).
+    *
+    * Known, accepted divergence (any frozen-corpus admission has it): a
+    * delta doc bridging two separate corpus near-dup clusters merges
+    * them in a full re-run, retroactively dropping one corpus root — a
+    * frozen corpus, by definition, never retro-drops. The delta doc
+    * itself drops either way. Mixing/packing are corpus-GLOBAL stages
+    * (rates depend on total token mass) and are deliberately not part of
+    * delta admission: re-run them over the merged corpus when a new
+    * training mix is cut.
+    */
+  def admitDelta(spark: SparkSession, state: Result, delta: DataFrame,
+                 barrier: Barrier, cfg: Config = Config()): DeltaResult = {
+    // the id boundary comes from the delta — the small side; one scalar agg
+    val deltaFrom = delta.agg(min(col("doc_id"))).head().getLong(0)
+
+    // ---- stage 0: URL probe ------------------------------------------
+    val urlKept = timed(cfg, "url_dedup") {
+      cfg.urlCol match {
+        case None => delta
+        case Some(c) =>
+          val corpusCanon = state.urlKept
+            .select(Url.canonical(col(c)).as("canon_url")).distinct()
+          val keepIds = Url.dedupUrlOn(delta, col(c))
+            .filter(col("keep"))
+            .join(corpusCanon, Seq("canon_url"), "left_anti")
+            .select("doc_id")
+          barrier.materialize(spark, delta.join(keepIds, Seq("doc_id")),
+            "delta_url")
+      }
+    }
+
+    // ---- stage 1: hygiene + frozen-corpus exact probe ----------------
+    val clean = timed(cfg, "hygiene") {
+      val corpusFps = state.urlKept
+        .select(Dedup.fingerprint(Scrub.redact(col("text"))).as("fp"))
+        .distinct()
+      val verdicts = Scrub.cleanCorpus(urlKept, cfg.minQuality, cfg.maxTop2)
+      val known = urlKept
+        .select(col("doc_id"),
+          Dedup.fingerprint(Scrub.redact(col("text"))).as("fp"))
+        .join(corpusFps, Seq("fp"), "left_semi")
+        .select("doc_id")
+      barrier.materialize(spark,
+        urlKept
+          .join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+          .join(known, Seq("doc_id"), "left_anti"),
+        "delta_clean")
+    }
+
+    // ---- stage 2: near-dup vs corpus ∪ within-delta ------------------
+    val deduped = timed(cfg, "neardup") {
+      val combined = state.clean.select(col("doc_id"), col("text"))
+        .unionByName(clean.select(col("doc_id"), col("text")))
+      val idx = Dedup.signatureIndex(combined,
+        cfg.shingleSize, cfg.numPerms, cfg.numBands)
+      val capped = Dedup.cappedBuckets(idx.banded, Dedup.MaxBandBucket)
+      val cand = capped.as("l").join(capped.as("r"),
+          col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+            col("l.doc_id") < col("r.doc_id") &&
+            col("r.doc_id") >= deltaFrom) // every pair touching the delta:
+        // corpus ids are all below the boundary, so the larger side of a
+        // corpus-delta pair is always the delta doc
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .distinct()
+      val ver = cand
+        .join(idx.sets.as("ls"), col("a") === col("ls.doc_id"))
+        .join(idx.sets.as("rs"), col("b") === col("rs.doc_id"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("ls.sh"), col("rs.sh"))).cast("double") /
+            size(array_union(col("ls.sh"), col("rs.sh")))).as("jaccard"))
+      val edges = ver.filter(round(col("jaccard"), 6) >= cfg.dupJaccard)
+        .select(when(col("a") < deltaFrom, lit(-1L)).otherwise(col("a")).as("a"),
+          col("b"))
+        .distinct()
+      val losers = Dedup.clusters(edges)
+        .filter(col("doc_id") =!= col("cluster_id") &&
+          col("doc_id") >= deltaFrom)
+        .select(col("doc_id"))
+      barrier.materialize(spark,
+        clean.join(losers, Seq("doc_id"), "left_anti"), "delta_dedup")
+    }
+
+    // ---- stage 2.5: span scrub vs frozen corpus windows --------------
+    val scrubbed = timed(cfg, "span_scrub") {
+      if (cfg.scrubWindowTok <= 0) deduped
+      else {
+        val idxWh = Substring.windowFrame(state.deduped, cfg.scrubWindowTok)
+          .select("wh")
+        val sc = Substring.scrubAgainst(deduped, idxWh, cfg.scrubWindowTok)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text"))
+        barrier.materialize(spark,
+          deduped.join(sc, Seq("doc_id"))
+            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
+          "delta_scrubbed")
+      }
+    }
+
+    // ---- verdicts + delta shrinkage report ---------------------------
+    def has(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id")).withColumn(name, lit(true))
+    val verdicts = delta.select(col("doc_id"))
+      .join(has(urlKept, "url_ok"), Seq("doc_id"), "left")
+      .join(has(clean, "clean_ok"), Seq("doc_id"), "left")
+      .join(has(deduped, "dedup_ok"), Seq("doc_id"), "left")
+      .join(has(scrubbed, "scrub_ok"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("url_ok").isNull, "url_dup")
+          .when(col("clean_ok").isNull, "hygiene")
+          .when(col("dedup_ok").isNull, "neardup")
+          .when(col("scrub_ok").isNull, "scrubbed_empty")
+          .as("dropped_at"))
+    val report = Seq(
+      docStat(0, "delta_input", delta), docStat(1, "url_kept", urlKept),
+      docStat(2, "clean", clean), docStat(3, "deduped", deduped),
+      docStat(4, "scrubbed", scrubbed))
+      .reduce(_ union _)
+      .orderBy("stage_idx")
+
+    DeltaResult(scrubbed, verdicts, report)
   }
 }

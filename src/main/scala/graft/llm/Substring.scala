@@ -195,14 +195,48 @@ object Substring {
       .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
       .filter(col("nd") >= 2)
       .select("wh", "owner")
-    val remIdx = wins.join(own, Seq("wh"))
-      .filter(col("doc_id") =!= col("owner"))
+    rebuildClean(docs, removalIndex(
+      wins.join(own, Seq("wh")).filter(col("doc_id") =!= col("owner")), w))
+  }
+
+  /** [[scrub]] of a NEW batch against a FROZEN corpus window-fingerprint
+    * set (`indexWh`: a `wh` column — [[windowFrame]] of the already-
+    * ingested corpus, reduced to DISTINCT fingerprints here). Ownership
+    * mirrors the union-run scrub under monotonic doc ids (every corpus id
+    * < every batch id): a batch window whose fingerprint exists in the
+    * corpus is always non-owner (the corpus carrier is the min id and
+    * keeps its copy — which it already has, so the corpus is never
+    * rewritten); fingerprints absent from the corpus fall back to
+    * keep-one within the batch (min batch doc). Cost: linear in the batch
+    * plus one distinct-reduce probe pass of the index — never a corpus
+    * rebuild ([[graft.llm.CorpusPipeline.admitDelta]] is the composed
+    * caller; equivalence to the union run is pinned in CorpusDeltaSpec).
+    */
+  def scrubAgainst(newDocs: DataFrame, indexWh: DataFrame, w: Int): DataFrame = {
+    val wins = windowFrame(newDocs, w).localCheckpoint()
+    val inIdx = indexWh.select(col("wh")).distinct()
+      .withColumn("in_idx", lit(true))
+    val own = wins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+    val marked = wins.join(inIdx, Seq("wh"), "left").join(own, Seq("wh"))
+      .filter(coalesce(col("in_idx"), lit(false)) ||
+        (col("nd") >= 2 && col("doc_id") =!= col("owner")))
+    rebuildClean(newDocs, removalIndex(marked, w))
+  }
+
+  /** (doc_id, rem: array<bigint>) removed-token index sets from the
+    * filtered window rows that lost ownership.
+    */
+  private def removalIndex(remWins: DataFrame, w: Int): DataFrame =
+    remWins
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
       .distinct()
       .groupBy("doc_id")
       .agg(collect_list(col("idx")).as("rem")) // set semantics only: the
       // rebuild below is ordered by the position sequence, never by rem
+
+  private def rebuildClean(docs: DataFrame, remIdx: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .join(remIdx, Seq("doc_id"), "left")
       .withColumn("rem", coalesce(col("rem"), expr("CAST(array() AS array<bigint>)")))
@@ -220,7 +254,6 @@ object Substring {
             "ELSE array_except(sequence(CAST(0 AS BIGINT), CAST(size(toks) - 1 AS BIGINT)), rem) END, " +
             "i -> element_at(toks, CAST(i + 1 AS INT)))"),
           " ").as("clean_text"))
-  }
 
   /** DuckDB mirror of [[scrub]]. Relational form of the same removal set:
     * token positions kept = all positions anti-joined against the distinct

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.llm.CorpusPipeline
+
+/** Incremental corpus admission ([[graft.llm.CorpusPipeline.admitDelta]]):
+  * every gate's verdict on a hand-built delta, plus the contract the
+  * Scaladoc promises — `run(C ∪ D)` restricted to delta ids equals
+  * `admitDelta(run(C), D)`, and the corpus side stays frozen.
+  */
+class CorpusDeltaSpec extends SparkSpec {
+
+  private def uniq(p: String, n: Int): String =
+    (1 to n).map(i => s"$p$i").mkString(" ")
+
+  private val shared16 = uniq("shared", 16) // corpus-owned boilerplate run
+  private val nshared16 = uniq("nshared", 16) // delta-internal shared run
+  private val textA = uniq("alpha", 40)
+  private val textE = uniq("echo", 30)
+
+  // corpus: ids 1-6 — a clean doc, a quality reject, a span-dup owner,
+  // a near-dup chain anchor, and a url re-crawl target
+  private def corpusDocs = Seq(
+    (1L, textA, "https://corp.com/a"),
+    (2L, uniq("bravo", 40), "https://corp.com/b"),
+    (3L, ("the " * 30).trim, "https://corp.com/c"), // quality+repetition reject
+    (4L, shared16 + " " + uniq("cfour", 24), "https://corp.com/d"),
+    (5L, textE, "https://corp.com/e"),
+    (6L, uniq("foxtrot", 30), "https://www.Corp.com/page?utm=1"))
+
+  // delta: ids 101+ — one doc per admission path
+  private def deltaDocs = Seq(
+    (101L, uniq("durl", 30), "http://corp.com/page/"), // url re-crawl of 6
+    (102L, uniq("dtwoa", 30), "https://corp.com/new"), // url keeper of {102,103}
+    (103L, uniq("dtwob", 30), "https://corp.com/new/"), // url_dup within delta
+    (104L, ("the " * 30).trim, "https://corp.com/q"), // hygiene quality reject
+    (105L, textA, "https://corp.com/x1"), // exact dup of corpus 1
+    (106L, uniq("gexact", 30), "https://corp.com/x2"), // exact keeper of {106,107}
+    (107L, uniq("gexact", 30), "https://corp.com/x3"), // exact dup within delta
+    (108L, textA + " changedword", "https://corp.com/n1"), // near corpus 1
+    (109L, textE + " golfx", "https://corp.com/n2"), // near corpus 5
+    (110L, textE + " golfx " + uniq("hotel", 2),
+      "https://corp.com/n3"), // near 109 (and transitively the corpus)
+    (111L, shared16 + " " + uniq("dspan", 24), "https://corp.com/s1"), // span vs corpus
+    (112L, nshared16 + " " + uniq("dwa", 24), "https://corp.com/s2"), // span owner
+    (113L, nshared16 + " " + uniq("dwb", 24), "https://corp.com/s3"), // span loser
+    (114L, uniq("india", 40), "https://corp.com/k"), // fully clean
+    (115L, shared16, "https://corp.com/s4")) // scrubbed to zero tokens
+
+  private def toDf(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t, u) => (id, t, "en", "web", t.length.toLong, u) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+  }
+
+  private def cfg = CorpusPipeline.Config(urlCol = Some("url"))
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private lazy val corpusState =
+    CorpusPipeline.run(spark, toDf(corpusDocs), MapPipeline.PathBarrier(tmp("cd_c")), cfg)
+  private lazy val deltaRes =
+    CorpusPipeline.admitDelta(spark, corpusState, toDf(deltaDocs),
+      MapPipeline.PathBarrier(tmp("cd_d")), cfg)
+
+  test("admitDelta: every gate fires on its delta doc, admitted set is exact") {
+    val v = deltaRes.verdicts.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("admitted"))
+      .toMap
+    val expected = Map(
+      101L -> "url_dup", 103L -> "url_dup",
+      104L -> "hygiene", 105L -> "hygiene", 107L -> "hygiene",
+      108L -> "neardup", 109L -> "neardup", 110L -> "neardup",
+      115L -> "scrubbed_empty",
+      102L -> "admitted", 106L -> "admitted", 111L -> "admitted",
+      112L -> "admitted", 113L -> "admitted", 114L -> "admitted")
+    assert(v == expected, s"verdicts diverge: $v")
+  }
+
+  test("admitDelta: corpus-owned and delta-duplicated spans are scrubbed, owners keep theirs") {
+    val texts = deltaRes.admitted.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(111L) == uniq("dspan", 24),
+      "the corpus-owned 16-token run must be scrubbed from doc 111")
+    assert(texts(112L) == nshared16 + " " + uniq("dwa", 24),
+      "the within-delta span OWNER (min id) keeps its copy")
+    assert(texts(113L) == uniq("dwb", 24),
+      "the within-delta span loser drops the shared run")
+    assert(texts(114L) == uniq("india", 40), "a clean doc passes untouched")
+  }
+
+  test("admitDelta == run(C ∪ D) restricted to delta ids; corpus side frozen") {
+    val full = CorpusPipeline.run(spark,
+      toDf(corpusDocs).unionByName(toDf(deltaDocs)),
+      MapPipeline.PathBarrier(tmp("cd_f")), cfg)
+    def rows(df: DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toSeq).toSet
+    assert(rows(full.scrubbed.filter(col("doc_id") >= 101L)) ==
+      rows(deltaRes.admitted),
+      "delta admission must replay the union run's delta verdicts and text")
+    assert(rows(full.scrubbed.filter(col("doc_id") < 101L)) ==
+      rows(corpusState.scrubbed),
+      "the union run must leave the (bridge-free) corpus side unchanged")
+  }
+
+  test("admitDelta: report shrinks monotonically and matches the admitted frame") {
+    val rep = deltaRes.report.collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(rep("delta_input") == 15L)
+    assert(rep("url_kept") == 13L && rep("clean") == 10L &&
+      rep("deduped") == 7L && rep("scrubbed") == 6L,
+      s"stage doc counts: $rep")
+    assert(deltaRes.admitted.count() == 6L)
+  }
+}
