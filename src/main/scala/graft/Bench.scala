@@ -147,7 +147,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
               Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        catch { case e: Throwable =>
+          // a -1 floor is only adjudicable if the artifact's log says WHY
+          System.err.println(s"[bench floor] $name failed: ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).take(300))
+          None }
       }
       name -> ((suiteV, if (iso.isEmpty) -1.0 else iso.min))
     }
