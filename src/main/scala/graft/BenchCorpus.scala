@@ -69,6 +69,25 @@ object BenchCorpus {
       (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val dTotal = (System.nanoTime() - d0) / 1e9
 
+    // chained (streaming-shaped) admission: the SAME delta arrives as 4
+    // id-ordered micro-batches through DocStream.CorpusAdmitter, each
+    // gated against state that folds in its predecessors — per-batch cost
+    // must stay ~flat (admission is delta-linear + a probe pass of state)
+    val delta = docs.filter(col("doc_id") >= splitId)
+    val cuts = delta.stat.approxQuantile(
+      "doc_id", Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+    val bounds = (Seq(splitId) ++ cuts :+ Long.MaxValue).sliding(2).toSeq
+    val adm = new graft.streaming.DocStream.CorpusAdmitter(spark, res,
+      MapPipeline.PathBarrier(workDir + "_chain"), cfg)
+    val chainTimes = bounds.map { case Seq(lo, hi) =>
+      val t = System.nanoTime()
+      adm.step(docs.filter(col("doc_id") >= lo && col("doc_id") < hi))
+        .admitted.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    val chainJson = chainTimes.map(s => f"$s%.3f").mkString(
+      s"""\"chain_batches\":[""", ",", "]")
+
     val stageJson = (stages.map { case (n, s) => f""""$n":$s%.3f""" } ++
       dStages.map { case (n, s) => f""""delta_$n":$s%.3f""" }).mkString(",")
     val reportJson = (report.map { case (_, n, d, t) =>
@@ -76,7 +95,7 @@ object BenchCorpus {
       dReport.map { case (_, n, d, t) =>
         s""""delta_$n":{"n_docs":$d,"n_tokens":$t}""" }).mkString(",")
     val json =
-      f"""{"metric":"corpus_pipeline","value":$total%.3f,"delta_value":$dTotal%.3f,"unit":"sec","sf":"$sfDir","stages":{$stageJson},"report":{$reportJson}}"""
+      f"""{"metric":"corpus_pipeline","value":$total%.3f,"delta_value":$dTotal%.3f,$chainJson,"unit":"sec","sf":"$sfDir","stages":{$stageJson},"report":{$reportJson}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()

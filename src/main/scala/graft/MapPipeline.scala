@@ -46,6 +46,18 @@ object MapPipeline {
     }
   }
 
+  /** Namespacing wrapper: routes every `materialize` through `inner` under
+    * `<prefix>_<name>`. A repeated stage sequence (e.g. one `admitDelta`
+    * per arriving micro-batch, which always materializes `delta_url` /
+    * `delta_clean` / …) would otherwise OVERWRITE its previous batch's
+    * tables — and a frame read from the old path would silently serve the
+    * new batch's rows on its next (lazy) scan.
+    */
+  case class PrefixedBarrier(inner: Barrier, prefix: String) extends Barrier {
+    def materialize(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+      inner.materialize(spark, df, s"${prefix}_$name")
+  }
+
   /** Session-catalog barrier: real `CREATE TABLE … USING parquet AS SELECT`
     * into database `db` — the reference's S5/S6 CTAS semantics. The sandbox
     * has no Hive metastore (SURVEY §7.5); the in-memory catalog exercises

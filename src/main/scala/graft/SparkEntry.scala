@@ -1518,6 +1518,29 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // MRR audit — recall@k's companion: recall asks WHETHER the truth was
+    // retrieved, MRR asks WHERE it ranked. Per query: the brute rank-1
+    // true NN, its rank inside the LSH top-10 (0 = missed), and the
+    // reciprocal rank as an exact ppm integer (1e6 div rank — integer
+    // division, so the metric hash-matches the oracle with no float
+    // averaging). Same bounded-query-sample exact side as the recall trio.
+    "similarity_mrr" -> ((s, d) => {
+      val k = 10
+      val isQ = col("vec_id") % 20 === 0
+      val nn = Similarity.topK(emb(s, d), isQ, k = 1)
+        .select(col("q_id"), col("n_id").as("nn_id"))
+      val ret = Similarity.lshTopK(emb(s, d), isQ, k = k,
+          bitsPerBand = lshBitsFor(s, d))
+        .select(col("q_id").as("r_q"), col("n_id").as("r_n"), col("rank"))
+      nn.join(ret, col("q_id") === col("r_q") && col("nn_id") === col("r_n"), "left")
+        .select(col("q_id"), col("nn_id"),
+          coalesce(col("rank").cast("long"), lit(0L)).as("rank_lsh"),
+          when(col("rank").isNotNull,
+            expr("CAST(1000000 AS BIGINT) div CAST(rank AS BIGINT)"))
+            .otherwise(lit(0L)).as("rr_ppm"))
+        .orderBy("q_id")
+    }),
+
     // TRAINED IVF codebook: 3 Lloyd rounds of exact-integer k-means (k=8)
     // from deterministic phash seeds — bit-replayed by the DuckDB oracle.
     "quantizer_kmeans" -> ((s, d) =>
@@ -4313,6 +4336,7 @@ object SparkEntry {
       "similarity_lsh" -> sqlLshTopK(k = 5),
 
       "similarity_recall" -> sqlRecall(k = 5),
+      "similarity_mrr" -> sqlMrr(k = 10),
       "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
       "pq_codes" -> graft.llm.Quantizer.sqlPqCodes(),
       "similarity_pq" -> graft.llm.Quantizer.sqlPqTopK("(q.vec_id % 20) = 0", topK = 5),
@@ -5347,6 +5371,45 @@ object SparkEntry {
        |  round(count(r.n_id)::DOUBLE / count(*), 6) AS recall_r
        |FROM exact e LEFT JOIN ret r ON e.q_id = r.q_id AND e.n_id = r.n_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Oracle twin of the `similarity_mrr` audit: brute rank-1 true NN per
+    * query, left-joined by the banded-LSH top-k WITH its rank; reciprocal
+    * rank as exact ppm integer division. Same CTE chains as [[sqlRecall]].
+    */
+  private def sqlMrr(k: Int): String = {
+    import graft.llm.Similarity
+    val cells = Similarity.sqlBandCells(
+      "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+    val cosQ = s"round(${Similarity.sqlDot("q_emb", "e.embedding")} / (q_nrm * e.nrm), 6)"
+    val cosL = s"round(${Similarity.sqlDot("l.embedding", "rr.embedding")} / (l.nrm * rr.nrm), 6)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM n WHERE vec_id % 20 = 0),
+       |bp AS (SELECT q_id, e.vec_id AS n_id, $cosQ AS cos_r
+       |  FROM q JOIN n e ON q_id <> e.vec_id),
+       |br AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM bp),
+       |nn AS (SELECT q_id, n_id AS nn_id FROM br WHERE rnk = 1),
+       |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+       |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc AS (SELECT vec_id, band, cell FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+       |  WHERE occ <= ${Similarity.MaxCellBucket}),
+       |cand AS (SELECT DISTINCT qq.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM cc qq JOIN cc e ON qq.band = e.band AND qq.cell = e.cell AND qq.vec_id <> e.vec_id
+       |  WHERE qq.vec_id % 20 = 0),
+       |lp AS (SELECT q_id, n_id, $cosL AS cos_r
+       |  FROM cand JOIN n l ON q_id = l.vec_id JOIN n rr ON n_id = rr.vec_id),
+       |lr AS (SELECT q_id, n_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk FROM lp),
+       |ret AS (SELECT q_id, n_id, rnk FROM lr WHERE rnk <= $k)
+       |SELECT nn.q_id, nn.nn_id,
+       |  coalesce(r.rnk, 0)::BIGINT AS rank_lsh,
+       |  (CASE WHEN r.rnk IS NULL THEN 0 ELSE 1000000 // r.rnk END)::BIGINT AS rr_ppm
+       |FROM nn LEFT JOIN ret r ON nn.q_id = r.q_id AND nn.nn_id = r.n_id
+       |ORDER BY nn.q_id""".stripMargin
   }
 
   /** Oracle twin of [[graft.llm.Dedup.verifiedJaccard]]: CTE chain from

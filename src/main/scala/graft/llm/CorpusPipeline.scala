@@ -185,11 +185,15 @@ object CorpusPipeline {
 
   /** Output of [[admitDelta]]: the admitted delta rows in the
     * scrubbed-stage shape, a per-delta-doc verdict frame (`dropped_at`
-    * names the first gate that rejected the doc; null = admitted), and
-    * the delta shrinkage report.
+    * names the first gate that rejected the doc; null = admitted), the
+    * delta shrinkage report, and the delta's per-stage survivor frames
+    * (`urlKept`/`clean`/`deduped`) — the probe-state increments
+    * [[mergeDelta]] folds into the frozen corpus so the NEXT delta's
+    * gates see this one's documents.
     */
   case class DeltaResult(admitted: DataFrame, verdicts: DataFrame,
-                         report: DataFrame)
+                         report: DataFrame, urlKept: DataFrame,
+                         clean: DataFrame, deduped: DataFrame)
 
   /** Incremental admission — the production daily-crawl shape: run a NEW
     * delta batch through the same gates as [[run]] against the FROZEN
@@ -347,6 +351,60 @@ object CorpusPipeline {
       .reduce(_ union _)
       .orderBy("stage_idx")
 
-    DeltaResult(scrubbed, verdicts, report)
+    DeltaResult(scrubbed, verdicts, report, urlKept, clean, deduped)
   }
+
+  /** Fold an admitted delta into the frozen corpus state, producing the
+    * state the NEXT [[admitDelta]] call probes — the chained daily-crawl
+    * loop (each batch is gated against everything admitted before it).
+    * Each probe-relevant stage frame appends its delta increment:
+    *
+    *   - `urlKept`  += the delta's url survivors (carries every canon the
+    *     delta introduced — a within-delta url loser's canon rides on its
+    *     keeper — AND the hygiene-INPUT redacted fingerprints, so a
+    *     quality-rejected doc still blocks a later identical twin);
+    *   - `clean`    += the delta's hygiene survivors, INCLUDING near-dup
+    *     losers — the union run's transitive near-dup chains reach
+    *     through them, so later batches must too;
+    *   - `deduped`  += the delta's near-dup survivors with PRE-scrub
+    *     text (span ownership in the union run derives from the deduped
+    *     frame, not the scrubbed one);
+    *   - `scrubbed` += the admitted (post-scrub) rows — the consumer
+    *     output stage.
+    *
+    * Mixing/packing stay the CORPUS's frames untouched: they are
+    * corpus-global (rates depend on total token mass) and are re-cut
+    * over the merged corpus when a new training mix is drawn — the same
+    * boundary [[admitDelta]] draws.
+    *
+    * Inductive contract (CorpusDeltaSpec pins the chained form): under
+    * monotonic ids and id-ordered batches, chaining
+    * `admitDelta → mergeDelta` over any batching of D reproduces the
+    * one-shot `admitDelta(state, D)` verdicts and admitted text exactly.
+    *
+    * 100 TB posture: every appended frame is barrier-materialized (a
+    * parquet scan), so the union is a scan-union, never a recompute —
+    * but after k batches each state frame is a k-way union. Production
+    * compacts periodically: re-materialize the four state frames through
+    * a barrier every N merges ([[compactState]];
+    * `DocStream.CorpusAdmitter(compactEvery = N)` automates it).
+    */
+  def mergeDelta(state: Result, d: DeltaResult): Result =
+    state.copy(
+      urlKept  = state.urlKept.unionByName(d.urlKept),
+      clean    = state.clean.unionByName(d.clean),
+      deduped  = state.deduped.unionByName(d.deduped),
+      scrubbed = state.scrubbed.unionByName(d.admitted))
+
+  /** Re-materialize the four probe-state frames through `barrier`,
+    * collapsing a k-way scan-union back to one scan each (see
+    * [[mergeDelta]]'s posture note). Names are `<prefix>_<stage>`.
+    */
+  def compactState(spark: SparkSession, state: Result, barrier: Barrier,
+                   prefix: String): Result =
+    state.copy(
+      urlKept  = barrier.materialize(spark, state.urlKept, s"${prefix}_url"),
+      clean    = barrier.materialize(spark, state.clean, s"${prefix}_clean"),
+      deduped  = barrier.materialize(spark, state.deduped, s"${prefix}_dedup"),
+      scrubbed = barrier.materialize(spark, state.scrubbed, s"${prefix}_scrubbed"))
 }

@@ -278,4 +278,67 @@ object DocStream {
     fp.join(status.filter(col("st") === "A").select("doc_id"), Seq("doc_id"))
       .select("doc_id", "text", "fp")
   }
+
+  /** The FULL-gate streaming corpus admission loop — every batch gate of
+    * [[graft.llm.CorpusPipeline.run]] (url dedup → hygiene → near-dup →
+    * span scrub), applied per micro-batch against state that FOLDS IN each
+    * batch's survivors, so cross-batch duplicates are caught at every
+    * layer (where [[admit]]/[[nearDupProbe]]/[[spanProbe]] probe a frozen
+    * index and [[admitBatch]] closes only the intra-batch gap).
+    *
+    * Each `step` is one [[graft.llm.CorpusPipeline.admitDelta]] against
+    * the current state followed by [[graft.llm.CorpusPipeline.mergeDelta]];
+    * the intended use is a `foreachBatch` body (grouped per-doc aggregates
+    * make the gates stateful-illegal as a pure streaming query — the same
+    * split [[spanProbe]] documents):
+    *
+    * {{{
+    * val adm = new DocStream.CorpusAdmitter(spark, corpusState, barrier, cfg)
+    * stream.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   sink(adm.step(b).admitted)
+    * }.start()
+    * }}}
+    *
+    * Contract (inherited from admitDelta, pinned chained in
+    * CorpusDeltaSpec): doc ids are monotonic ACROSS batches — every id in
+    * batch k+1 exceeds every id seen through batch k (the ingestion-
+    * watermark convention). Under it, admission verdicts are
+    * batching-invariant: any id-ordered batching of a delta reproduces
+    * the one-shot `admitDelta` verdicts and admitted text exactly.
+    *
+    * 100 TB posture: each step's work is linear in the batch plus one
+    * probe pass per frozen stage (admitDelta's contract); state frames
+    * are scan-unions of barrier-materialized parquet, compacted back to
+    * one scan each every `compactEvery` steps so per-batch planning cost
+    * stays bounded over an unbounded stream. Barriers namespace per step
+    * (`b<k>_delta_*`) — a repeated plain barrier would overwrite the
+    * prior batch's tables under the state frames still reading them.
+    */
+  final class CorpusAdmitter(spark: SparkSession,
+                             initial: graft.llm.CorpusPipeline.Result,
+                             barrier: graft.MapPipeline.Barrier,
+                             cfg: graft.llm.CorpusPipeline.Config =
+                               graft.llm.CorpusPipeline.Config(),
+                             compactEvery: Int = 0) {
+    import graft.llm.CorpusPipeline
+    private var st = initial
+    private var steps = 0L
+    /** The current frozen state (the merged corpus after every step so
+      * far) — read-only; production reloads it from the barrier tables. */
+    def state: CorpusPipeline.Result = synchronized(st)
+    /** Gate one micro-batch, fold its survivors into the state, return its
+      * [[graft.llm.CorpusPipeline.DeltaResult]] (admitted rows, per-doc
+      * verdicts, shrinkage report). Serialized: micro-batches of one query
+      * arrive in order, and admission is order-defined. */
+    def step(batch: org.apache.spark.sql.DataFrame): CorpusPipeline.DeltaResult =
+      synchronized {
+        val d = CorpusPipeline.admitDelta(spark, st,
+          batch, graft.MapPipeline.PrefixedBarrier(barrier, s"b$steps"), cfg)
+        st = CorpusPipeline.mergeDelta(st, d)
+        steps += 1
+        if (compactEvery > 0 && steps % compactEvery == 0)
+          st = CorpusPipeline.compactState(spark, st, barrier, s"c$steps")
+        d
+      }
+  }
 }

@@ -106,6 +106,59 @@ class CorpusDeltaSpec extends SparkSpec {
       "the union run must leave the (bridge-free) corpus side unchanged")
   }
 
+  // ---- chained admission (DocStream.CorpusAdmitter / mergeDelta) --------
+
+  private def oneShot: (Map[Long, String], Map[Long, String]) = {
+    val v = deltaRes.verdicts.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("admitted"))
+      .toMap
+    val t = deltaRes.admitted.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (v, t)
+  }
+
+  private def chained(batches: Seq[Seq[(Long, String, String)]],
+                      compactEvery: Int = 0): (Map[Long, String], Map[Long, String]) = {
+    val adm = new graft.streaming.DocStream.CorpusAdmitter(spark, corpusState,
+      MapPipeline.PathBarrier(tmp("cd_ch")), cfg, compactEvery)
+    var verdicts = Map.empty[Long, String]
+    var texts = Map.empty[Long, String]
+    for (b <- batches) {
+      val d = adm.step(toDf(b))
+      verdicts ++= d.verdicts.collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("admitted"))
+      texts ++= d.admitted.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+    }
+    (verdicts, texts)
+  }
+
+  test("chained admission: any id-ordered batching == one-shot admitDelta (cross-batch gates fire)") {
+    val (v1, t1) = oneShot
+    // each split severs a different within-delta duplicate pair across the
+    // batch boundary, so the corresponding gate must catch it from STATE:
+    //   102|103 → url canon, 106|107 → hygiene exact fp,
+    //   109|110 → near-dup transitive chain, 112|113 → span ownership
+    val splits = Seq(
+      Seq(deltaDocs.take(2), deltaDocs.drop(2)), // 102 | 103
+      Seq(deltaDocs.take(6), deltaDocs.drop(6)), // 106 | 107
+      Seq(deltaDocs.take(9), deltaDocs.drop(9)), // 109 | 110
+      Seq(deltaDocs.take(12), deltaDocs.drop(12)), // 112 | 113
+      deltaDocs.grouped(4).toSeq) // three boundaries at once
+    for ((s, i) <- splits.zipWithIndex) {
+      val (v, t) = chained(s)
+      assert(v == v1, s"split $i verdicts diverge from one-shot: $v")
+      assert(t == t1, s"split $i admitted text diverges from one-shot")
+    }
+  }
+
+  test("chained admission: state compaction is verdict-invariant") {
+    val (v1, t1) = oneShot
+    val (v, t) = chained(deltaDocs.grouped(5).toSeq, compactEvery = 1)
+    assert(v == v1, s"compacted-state verdicts diverge: $v")
+    assert(t == t1, "compacted-state admitted text diverges")
+  }
+
   test("admitDelta: report shrinks monotonically and matches the admitted frame") {
     val rep = deltaRes.report.collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap

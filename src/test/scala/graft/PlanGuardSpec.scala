@@ -426,7 +426,10 @@ class PlanGuardSpec extends SparkSpec {
       // brute-force baseline / audit exact sides: all-pairs BY CONTRACT,
       // query side capped (recallModFor) at any corpus size:
       "similarity_topk", "similarity_recall", "similarity_recall_ivf",
-      "similarity_recall_pq")
+      "similarity_recall_pq",
+      // MRR audit: same capped-query-sample brute exact side as the
+      // recall trio (its LSH retrieval side is equi-joined):
+      "similarity_mrr")
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)

@@ -296,6 +296,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CorpusAdmitter foreachBatch: full-gate admission catches cross-micro-batch duplicates") {
+    import graft.llm.CorpusPipeline
+    import graft.streaming.DocStream
+    implicit val sql = spark.sqlContext
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val shared = uniq("cbshared", 16)
+    def doc(id: Long, t: String, u: String) =
+      (id, t, "en", "web", t.length.toLong, u)
+    val tmp = java.nio.file.Files.createTempDirectory("adm_st").toString
+    val cfg = CorpusPipeline.Config(urlCol = Some("url"))
+    val corpus = Seq(doc(1L, uniq("cbase", 40), "https://c.com/base"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+    val state = CorpusPipeline.run(spark, corpus,
+      MapPipeline.PathBarrier(tmp + "/c"), cfg)
+    val adm = new DocStream.CorpusAdmitter(spark, state,
+      MapPipeline.PathBarrier(tmp + "/d"), cfg)
+    // batch 1 plants one doc per gate; batch 2 arrives later and must be
+    // caught by STATE (url canon / redacted fp / near-dup / span owner)
+    val b1 = Seq(
+      doc(10L, uniq("burl", 30), "https://c.com/p1"),
+      doc(11L, uniq("btext", 30), "https://c.com/p2"),
+      doc(12L, uniq("bnear", 30) + " tail", "https://c.com/p3"),
+      doc(13L, shared + " " + uniq("bown", 24), "https://c.com/p4"))
+    val b2 = Seq(
+      doc(20L, uniq("other", 30), "HTTP://WWW.c.com/p1?s=9"), // url re-crawl of 10
+      doc(21L, uniq("btext", 30), "https://c.com/q2"), // exact twin of 11
+      doc(22L, uniq("bnear", 30) + " tail2", "https://c.com/q3"), // near-dup of 12
+      doc(23L, shared + " " + uniq("bloser", 24), "https://c.com/q4"), // span of 13
+      doc(24L, uniq("fresh", 40), "https://c.com/q5")) // clean
+    val verdicts = scala.collection.mutable.Map.empty[Long, String]
+    val in = MemoryStream[(Long, String, String, String, Long, String)]
+    val fn: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (b, _) => verdicts ++= adm.step(
+          b.toDF("doc_id", "text", "lang", "source", "n_chars", "url"))
+        .verdicts.collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("admitted"))
+    val q = in.toDS().toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+      .writeStream.foreachBatch(fn).outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(verdicts.toMap == Map(
+      10L -> "admitted", 11L -> "admitted", 12L -> "admitted", 13L -> "admitted",
+      20L -> "url_dup", 21L -> "hygiene", 22L -> "neardup",
+      23L -> "admitted", 24L -> "admitted"), s"verdicts: $verdicts")
+    // the span loser was admitted but REWRITTEN: batch-1 owner keeps the
+    // shared run, the batch-2 doc sheds it
+    val t23 = adm.state.scrubbed.filter(col("doc_id") === 23L)
+      .select("text").head().getString(0)
+    assert(t23 == uniq("bloser", 24), s"cross-batch span scrub: '$t23'")
+  }
+
   test("stream-stream interval join: purchases attribute to containing signup windows across batches") {
     implicit val sql = spark.sqlContext
     val signups = MemoryStream[(Timestamp, Long, String, Double)]
