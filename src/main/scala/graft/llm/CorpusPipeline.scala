@@ -134,7 +134,36 @@ object CorpusPipeline {
       }
     }
 
-    // ---- stage 3: language mixing ------------------------------------
+    // ---- stages 3-4: mixing + packing (corpus-global) ----------------
+    val (mixed, shardSeqs) = mixAndPack(spark, scrubbed, barrier, cfg)
+
+    // ---- shrinkage report (each stage is a materialized barrier, so
+    // these aggregates are cheap re-reads, never stage recomputes) ------
+    val packed = shardSeqs
+      .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
+      .select(lit(6).as("stage_idx"), lit("packed_seq_slices").as("stage"),
+        col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val report = Seq(
+      docStat(0, "input", docs), docStat(1, "url_kept", urlKept),
+      docStat(2, "clean", clean), docStat(3, "deduped", deduped),
+      docStat(4, "scrubbed", scrubbed), docStat(5, "mixed", mixed))
+      .reduce(_ union _)
+      .union(packed)
+      .orderBy("stage_idx")
+
+    Result(urlKept, clean, deduped, scrubbed, mixed, shardSeqs, report)
+  }
+
+  /** Stages 3-4 — the CORPUS-GLOBAL tail of the pipeline (per-language
+    * rates depend on total token mass; pack buckets on corpus size), shared
+    * by [[run]] and [[remix]].
+    *
+    * Stage 3 (mixing): per-language integer-ppm keep rates toward the
+    * uniform token target, deterministic hash gate. Stage 4 (packing):
+    * fixed token windows hash-striped into training shards.
+    */
+  private def mixAndPack(spark: SparkSession, scrubbed: DataFrame,
+                         barrier: Barrier, cfg: Config): (DataFrame, DataFrame) = {
     val mixed = timed(cfg, "mixing") {
       val t = scrubbed.select(col("doc_id"), col("lang"), col("text"),
         col("source"), col("n_chars"),
@@ -153,8 +182,6 @@ object CorpusPipeline {
           .select("doc_id", "text", "lang", "source", "n_chars"),
         "corpus_mixed")
     }
-
-    // ---- stage 4: packing + sharding ---------------------------------
     val shardSeqs = timed(cfg, "packing") {
       val buckets =
         if (cfg.packBuckets > 0) cfg.packBuckets
@@ -165,22 +192,34 @@ object CorpusPipeline {
           .cast("int"))
       barrier.materialize(spark, seqs, "corpus_shards")
     }
+    (mixed, shardSeqs)
+  }
 
-    // ---- shrinkage report (each stage is a materialized barrier, so
-    // these aggregates are cheap re-reads, never stage recomputes) ------
+  /** Re-cut the corpus-global stages over a MERGED state — the nightly
+    * companion of the chained admission loop: `admitDelta`/`mergeDelta`
+    * keep the per-doc gates incremental all day, then `remix` draws a new
+    * training mix + shard layout over everything admitted so far (the one
+    * boundary both document: mixing rates and pack buckets depend on total
+    * token mass, so they are never incrementally patched — a stale-rate
+    * mix would over-sample whichever language the deltas grew).
+    * Deterministic end-to-end: same merged scrubbed frame + same
+    * `mixSeed` → identical mix and shards, so `remix(mergeDelta…)` equals
+    * the full `run(C ∪ D)` tail row-for-row (pinned in CorpusDeltaSpec,
+    * bridge-free fixtures).
+    */
+  def remix(spark: SparkSession, state: Result, barrier: Barrier,
+            cfg: Config = Config()): Result = {
+    val (mixed, shardSeqs) = mixAndPack(spark, state.scrubbed, barrier, cfg)
     val packed = shardSeqs
       .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
       .select(lit(6).as("stage_idx"), lit("packed_seq_slices").as("stage"),
         col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val report = Seq(
-      docStat(0, "input", docs), docStat(1, "url_kept", urlKept),
-      docStat(2, "clean", clean), docStat(3, "deduped", deduped),
-      docStat(4, "scrubbed", scrubbed), docStat(5, "mixed", mixed))
+      docStat(4, "scrubbed", state.scrubbed), docStat(5, "mixed", mixed))
       .reduce(_ union _)
       .union(packed)
       .orderBy("stage_idx")
-
-    Result(urlKept, clean, deduped, scrubbed, mixed, shardSeqs, report)
+    state.copy(mixed = mixed, shardSeqs = shardSeqs, report = report)
   }
 
   /** Output of [[admitDelta]]: the admitted delta rows in the

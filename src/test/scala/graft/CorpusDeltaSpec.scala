@@ -152,6 +152,22 @@ class CorpusDeltaSpec extends SparkSpec {
     }
   }
 
+  test("remix over chained-admission state == the full run's mix + shards") {
+    val adm = new graft.streaming.DocStream.CorpusAdmitter(spark, corpusState,
+      MapPipeline.PathBarrier(tmp("cd_rm")), cfg)
+    deltaDocs.grouped(5).foreach(b => adm.step(toDf(b)))
+    val remixed = CorpusPipeline.remix(spark, adm.state,
+      MapPipeline.PathBarrier(tmp("cd_rm2")), cfg)
+    val full = CorpusPipeline.run(spark,
+      toDf(corpusDocs).unionByName(toDf(deltaDocs)),
+      MapPipeline.PathBarrier(tmp("cd_rf")), cfg)
+    def rows(df: DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(remixed.mixed) == rows(full.mixed),
+      "re-cut mix over the merged state must equal the union run's mix")
+    assert(rows(remixed.shardSeqs) == rows(full.shardSeqs),
+      "re-cut shards must equal the union run's shards")
+  }
+
   test("chained admission: state compaction is verdict-invariant") {
     val (v1, t1) = oneShot
     val (v, t) = chained(deltaDocs.grouped(5).toSeq, compactEvery = 1)
