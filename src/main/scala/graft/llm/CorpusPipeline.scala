@@ -282,8 +282,11 @@ object CorpusPipeline {
     */
   def admitDelta(spark: SparkSession, state: Result, delta: DataFrame,
                  barrier: Barrier, cfg: Config = Config()): DeltaResult = {
-    // the id boundary comes from the delta — the small side; one scalar agg
-    val deltaFrom = delta.agg(min(col("doc_id"))).head().getLong(0)
+    // the id boundary comes from the delta — the small side; one scalar
+    // agg. An EMPTY delta (a streaming micro-batch can be) yields a null
+    // min: MaxValue makes every gate a no-op instead of an NPE.
+    val deltaFrom = Option(delta.agg(min(col("doc_id"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
 
     // ---- stage 0: URL probe ------------------------------------------
     val urlKept = timed(cfg, "url_dedup") {

@@ -323,6 +323,7 @@ object DocStream {
     import graft.llm.CorpusPipeline
     private var st = initial
     private var steps = 0L
+    private var maxSeen = Long.MinValue
     /** The current frozen state (the merged corpus after every step so
       * far) — read-only; production reloads it from the barrier tables. */
     def state: CorpusPipeline.Result = synchronized(st)
@@ -332,6 +333,15 @@ object DocStream {
       * arrive in order, and admission is order-defined. */
     def step(batch: org.apache.spark.sql.DataFrame): CorpusPipeline.DeltaResult =
       synchronized {
+        // the monotonic-id contract is the whole correctness argument
+        // (admitDelta's sentinel collapse keys off the batch's min id); a
+        // violating batch would MIS-VERDICT silently, so fail loudly — one
+        // scalar agg on the delta-sized batch
+        val ids = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        require(ids.isNullAt(0) || ids.getLong(0) > maxSeen,
+          s"CorpusAdmitter: batch min doc_id ${ids.getLong(0)} <= max already " +
+            s"seen $maxSeen — ids must be monotonic across batches")
+        if (!ids.isNullAt(1)) maxSeen = math.max(maxSeen, ids.getLong(1))
         val d = CorpusPipeline.admitDelta(spark, st,
           batch, graft.MapPipeline.PrefixedBarrier(barrier, s"b$steps"), cfg)
         st = CorpusPipeline.mergeDelta(st, d)

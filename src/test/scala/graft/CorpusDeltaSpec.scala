@@ -152,6 +152,20 @@ class CorpusDeltaSpec extends SparkSpec {
     }
   }
 
+  test("CorpusAdmitter: empty micro-batch is a no-op; a non-monotonic batch fails loudly") {
+    val adm = new graft.streaming.DocStream.CorpusAdmitter(spark, corpusState,
+      MapPipeline.PathBarrier(tmp("cd_g")), cfg)
+    val d0 = adm.step(toDf(Seq.empty)) // streaming delivers empty batches
+    assert(d0.admitted.count() == 0L && d0.verdicts.count() == 0L,
+      "empty batch admits nothing and verdicts nothing")
+    adm.step(toDf(deltaDocs.drop(2))) // ids 103..115
+    // a batch whose min id does not exceed everything seen would
+    // MIS-VERDICT silently (sentinel collapse keys off the batch min) —
+    // it must throw instead
+    val ex = intercept[IllegalArgumentException](adm.step(toDf(deltaDocs.take(1))))
+    assert(ex.getMessage.contains("monotonic"), ex.getMessage)
+  }
+
   test("remix over chained-admission state == the full run's mix + shards") {
     val adm = new graft.streaming.DocStream.CorpusAdmitter(spark, corpusState,
       MapPipeline.PathBarrier(tmp("cd_rm")), cfg)
