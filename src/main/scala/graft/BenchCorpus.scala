@@ -74,11 +74,13 @@ object BenchCorpus {
     // gated against state that folds in its predecessors — per-batch cost
     // must stay ~flat (admission is delta-linear + a probe pass of state)
     val delta = docs.filter(col("doc_id") >= splitId)
-    val cuts = delta.stat.approxQuantile(
-      "doc_id", Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_CHAIN_BATCHES", "4").toInt
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_CHAIN_COMPACT", "0").toInt
+    val qs = (1 until nBatches).map(_.toDouble / nBatches).toArray
+    val cuts = delta.stat.approxQuantile("doc_id", qs, 0.001).map(_.toLong)
     val bounds = (Seq(splitId) ++ cuts :+ Long.MaxValue).sliding(2).toSeq
     val adm = new graft.streaming.DocStream.CorpusAdmitter(spark, res,
-      MapPipeline.PathBarrier(workDir + "_chain"), cfg)
+      MapPipeline.PathBarrier(workDir + "_chain"), cfg, compactEvery)
     val chainTimes = bounds.map { case Seq(lo, hi) =>
       val t = System.nanoTime()
       adm.step(docs.filter(col("doc_id") >= lo && col("doc_id") < hi))
