@@ -1541,6 +1541,30 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // Hard-negative mining — the training-data op behind contrastive
+    // retriever/embedding training (DPR/ANCE-style): per query, negatives
+    // the CURRENT index ranks highest but that are NOT the query's class.
+    // Candidates come from the scale-path LSH retrieval (top-10 by exact
+    // cosine — never the brute side, so mining stays bucketed at any
+    // corpus size); candidates sharing the query's label are presumed
+    // positives and excluded; the top-3 survivors (hardest negatives)
+    // re-rank 1..3. Everything downstream of retrieval is k-bounded, and
+    // every join is equi ((band,cell), then id→label).
+    "hard_negatives" -> ((s, d) => {
+      val lab = emb(s, d).select(col("vec_id"), col("label"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("n_id"))
+      Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0, k = 10,
+          bitsPerBand = lshBitsFor(s, d))
+        .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+        .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+        .filter(col("n_label") =!= col("q_label"))
+        .withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= 3)
+        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+          col("cos_r"), col("neg_rank"))
+        .orderBy("q_id", "neg_rank", "n_id")
+    }),
+
     // TRAINED IVF codebook: 3 Lloyd rounds of exact-integer k-means (k=8)
     // from deterministic phash seeds — bit-replayed by the DuckDB oracle.
     "quantizer_kmeans" -> ((s, d) =>
@@ -4337,6 +4361,7 @@ object SparkEntry {
 
       "similarity_recall" -> sqlRecall(k = 5),
       "similarity_mrr" -> sqlMrr(k = 10),
+      "hard_negatives" -> sqlHardNegatives(kRetr = 10, kNeg = 3),
       "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
       "pq_codes" -> graft.llm.Quantizer.sqlPqCodes(),
       "similarity_pq" -> graft.llm.Quantizer.sqlPqTopK("(q.vec_id % 20) = 0", topK = 5),
@@ -5410,6 +5435,40 @@ object SparkEntry {
        |  (CASE WHEN r.rnk IS NULL THEN 0 ELSE 1000000 // r.rnk END)::BIGINT AS rr_ppm
        |FROM nn LEFT JOIN ret r ON nn.q_id = r.q_id AND nn.nn_id = r.n_id
        |ORDER BY nn.q_id""".stripMargin
+  }
+
+  /** Oracle twin of `hard_negatives`: the [[sqlLshTopK]] retrieval chain to
+    * top-kRetr, labels joined, same-label candidates (presumed positives)
+    * excluded, survivors re-ranked to kNeg.
+    */
+  private def sqlHardNegatives(kRetr: Int, kNeg: Int): String = {
+    import graft.llm.Similarity
+    val cells = Similarity.sqlBandCells(
+      "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+    val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+       |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc AS (SELECT vec_id, band, cell FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+       |  WHERE occ <= ${Similarity.MaxCellBucket}),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM cc q JOIN cc e ON q.band = e.band AND q.cell = e.cell AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id % 20 = 0),
+       |p AS (SELECT q_id, n_id, $cos AS cos_r
+       |  FROM cand JOIN n l ON q_id = l.vec_id JOIN n r ON n_id = r.vec_id),
+       |ret AS (SELECT q_id, n_id, cos_r FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
+       |  FROM p) WHERE rnk <= $kRetr),
+       |neg AS (SELECT rt.q_id, ql.label AS q_label, rt.n_id, nl.label AS n_label, rt.cos_r
+       |  FROM ret rt JOIN embeddings ql ON rt.q_id = ql.vec_id
+       |              JOIN embeddings nl ON rt.n_id = nl.vec_id
+       |  WHERE nl.label <> ql.label)
+       |SELECT q_id, q_label, n_id, n_label, cos_r, neg_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS neg_rank
+       |  FROM neg) WHERE neg_rank <= $kNeg
+       |ORDER BY q_id, neg_rank, n_id""".stripMargin
   }
 
   /** Oracle twin of [[graft.llm.Dedup.verifiedJaccard]]: CTE chain from

@@ -142,6 +142,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("hard_negatives: subset of LSH top-10, never the query's label, dense hardest-first ranks") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("hard_negatives")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(rows.nonEmpty, "fixture must mine at least one hard negative")
+    rows.foreach { case (q, ql, n, nl, _, _) =>
+      assert(nl != ql, s"negative $n of query $q shares its label $ql")
+    }
+    val ret = Similarity.lshTopK(Tables.embeddings(spark, d),
+        col("vec_id") % 20 === 0, k = 10,
+        bitsPerBand = SparkEntry.lshBitsFor(spark, d))
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (q, _, n, _, _, _) =>
+      assert(ret((q, n)), s"negative ($q,$n) outside the LSH top-10 retrieval")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val ranks = rs.map(_._6).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"query $q ranks not dense: $ranks")
+      assert(ranks.length <= 3, s"query $q exceeds the kNeg cap")
+      val cosByRank = rs.sortBy(_._6).map(_._5)
+      assert(cosByRank.zip(cosByRank.drop(1)).forall { case (a, b) => a >= b },
+        s"query $q negatives not hardest-first")
+    }
+  }
+
   test("length_histogram: every doc in exactly one power-of-2 bucket, token totals preserved") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("length_histogram")(spark, d)
