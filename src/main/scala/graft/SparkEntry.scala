@@ -3111,6 +3111,23 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Embedding-level split-leak audit — the semantic complement of
+    // split_leak_audit: lexical jaccard misses paraphrase contamination,
+    // so this reports near-dup VECTOR pairs (cos >= 0.4, the same
+    // LSH-verified edge set as embedding_neardup) that straddle the
+    // train/val/test split. Same deterministic phash split rule as the
+    // document keys, applied to vec_id; pair volume is the near-dup edge
+    // count — no new quadratic surface.
+    "split_leak_semantic" -> ((s, d) => {
+      val sp = emb(s, d).select(col("vec_id"), splitOf(col("vec_id")).as("split"))
+      Similarity.nearDupPairs(emb(s, d), 0.4, bitsPerBand = lshBitsFor(s, d))
+        .join(sp.select(col("vec_id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(sp.select(col("vec_id").as("b"), col("split").as("split_b")), Seq("b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("a"), col("b"), col("split_a"), col("split_b"), col("cos_r"))
+        .orderBy("a", "b")
+    }),
+
     // Sparse lexical retrieval, tf-idf flavor: inverted-index top-k over
     // per-doc top-M discriminative-term postings (llm.Sparse — rational
     // ppm idf, decimal-exact pair sums; the WAND-style top-M +
@@ -4999,6 +5016,17 @@ object SparkEntry {
              |FROM v JOIN sp sa ON v.a = sa.doc_id
              |  JOIN sp sb ON v.b = sb.doc_id
              |WHERE v.jac_r >= 0.5 AND sa.split <> sb.split
+             |ORDER BY 1, 2""".stripMargin),
+
+      "split_leak_semantic" ->
+        (s"WITH ${sqlNearDupCte(0.4)},\n" +
+          s"""sp AS (SELECT vec_id, ${sqlSplitOf("vec_id")} AS split
+             |  FROM embeddings)
+             |SELECT ndp.a, ndp.b, sa.split AS split_a, sb.split AS split_b,
+             |  ndp.cos_r
+             |FROM ndp JOIN sp sa ON ndp.a = sa.vec_id
+             |  JOIN sp sb ON ndp.b = sb.vec_id
+             |WHERE sa.split <> sb.split
              |ORDER BY 1, 2""".stripMargin),
 
       "events_seasonal" ->

@@ -169,6 +169,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("split_leak_semantic: exactly the cross-split subset of the near-dup edge set") {
+    val d = "/root/testdata/sf0.001"
+    val leaks = SparkEntry.queries("split_leak_semantic")(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getString(3)))).toMap
+    leaks.values.foreach { case (sa, sb) =>
+      assert(sa != sb, "reported pair must straddle the split")
+    }
+    val edges = SparkEntry.queries("embedding_neardup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(leaks.keySet.subsetOf(edges.toSet),
+      "every leak must be a verified near-dup edge")
+    // completeness: recompute each edge's splits with the key's own rule
+    val split = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        pmod(graft.expr.PortableHash.phash(
+          concat(lit("split-v1:"), col("vec_id").cast("string"))), lit(1000000L)))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getLong(1) < 900000L) "train" else if (r.getLong(1) < 950000L) "val" else "test"))
+      .toMap
+    val expected = edges.filter { case (a, b) => split(a) != split(b) }.toSet
+    assert(leaks.keySet == expected,
+      s"leak set must be exactly the cross-split edges (got ${leaks.size}, want ${expected.size})")
+  }
+
   test("length_histogram: every doc in exactly one power-of-2 bucket, token totals preserved") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("length_histogram")(spark, d)
