@@ -171,8 +171,8 @@ object Similarity {
     * shares [[Dedup.cappedBuckets]] so text and embedding LSH can never
     * diverge on the divert semantics either.
     */
-  private def cappedCells(emb: DataFrame, bands: Int, bitsPerBand: Int,
-                          dim: Int, maxBucket: Int): DataFrame =
+  private[graft] def cappedCells(emb: DataFrame, bands: Int, bitsPerBand: Int,
+                                 dim: Int, maxBucket: Int): DataFrame =
     Dedup.cappedBuckets(
         emb.select(col("vec_id"),
           posexplode(bandCellsArray(col("embedding"), bands, bitsPerBand, dim))
@@ -184,7 +184,7 @@ object Similarity {
     * verification stage probes it twice (query and candidate side): one
     * scan + one norm pass, shared.
     */
-  private def normFrame(emb: DataFrame): DataFrame =
+  private[graft] def normFrame(emb: DataFrame): DataFrame =
     withNorm(emb).select(col("vec_id"), col("embedding"), col("nrm"))
       .localCheckpoint()
 

@@ -124,4 +124,44 @@ class DedupIncrementalSpec extends SparkSpec {
     assert(byId(19L)._4, s"novel vector kept (best=${byId(19L)._3})")
     assert(byId(19L)._3 < 0.9, "novel vector's best cosine is under the threshold")
   }
+
+  test("streaming VecStream.nearDupProbe == batch probe over the same static index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.llm.Similarity
+    implicit val sql = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    def vec() = Array.fill(Similarity.Dim)(rnd.nextFloat() * 2 - 1)
+    val v0 = vec(); val v1 = vec(); val v2 = vec()
+    val near = v0.map(x => x + 0.001f)
+    val novel = vec()
+    val index = Seq((0L, v0), (1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val incoming = Seq((9L, v0), (19L, near), (29L, novel))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.VecStream.nearDupProbe(
+        in.toDF().toDF("vec_id", "embedding"), index, threshold = 0.9)
+      .writeStream.format("memory").queryName("vec_probe").outputMode("append").start()
+    try {
+      // two micro-batches to cross a batch boundary
+      in.addData(incoming.take(2): _*); q.processAllAvailable()
+      in.addData(incoming.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("vec_probe")
+        .select("vec_id", "near_id", "band", "cos_r")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      // batch replica of the SAME computation over the identical capped index
+      val batchDf = incoming.toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      val expected = graft.streaming.VecStream.nearDupProbe(batchDf, index, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(streamed == expected, s"streamed $streamed != batch $expected")
+      val hitVecs = streamed.map(_._1)
+      assert(hitVecs.contains(9L) && hitVecs.contains(19L),
+        "exact copy and near-copy both hit the index")
+      assert(!hitVecs.contains(29L), "novel vector emits nothing")
+      assert(streamed.filter(_._1 == 9L).forall(_._4 > 0.999), "copy verifies at cos ~1")
+      // multiplicity contract: one row per shared band, all bands for a copy
+      assert(streamed.filter(t => t._1 == 9L && t._2 == 0L).size == Similarity.Bands,
+        "an exact copy collides in every band")
+    } finally q.stop()
+  }
 }
