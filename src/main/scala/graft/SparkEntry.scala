@@ -2414,6 +2414,26 @@ object SparkEntry {
         .orderBy("thr")
     }),
 
+    // Semantic-dedup tuning sweep — the embedding sibling of
+    // dedup_threshold_sweep: pair and removal counts at each candidate
+    // cosine threshold, all from ONE LSH+verify pass (the near-dup edge
+    // set at the grid minimum, checkpointed); the sweep itself is a 5-row
+    // broadcast theta join. n_docs_removed counts the larger vec of each
+    // surviving pair — the keep-smallest one-level removal set, matching
+    // the lexical sweep's contract (semantic_clusters owns transitivity).
+    "semantic_sweep" -> ((s, d) => {
+      import s.implicits._
+      val ver = Similarity.nearDupPairs(emb(s, d), CosSweepThresholds.min,
+          bitsPerBand = lshBitsFor(s, d))
+        .localCheckpoint() // one LSH+verify pass feeds all thresholds
+      CosSweepThresholds.toDF("thr")
+        .join(ver, col("cos_r") >= col("thr"), "left")
+        .groupBy("thr")
+        .agg(count(col("a")).as("n_pairs"),
+          countDistinct(col("b")).as("n_docs_removed"))
+        .orderBy("thr")
+    }),
+
     // Quality-gate threshold sweep: how much of the corpus (docs AND
     // tokens) survives each candidate quality cutoff — the knob-choosing
     // report a pipeline runs BEFORE committing corpus_clean's minQuality;
@@ -3467,6 +3487,11 @@ object SparkEntry {
   /** `dedup_threshold_sweep` thresholds (shared with the oracle). */
   private val SweepThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
+  /** `semantic_sweep` cosine thresholds (shared with the oracle); the edge
+    * pass runs once at the grid minimum.
+    */
+  private val CosSweepThresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+
   /** `quality_sweep` cutoff grid (shared with the oracle) — spans
     * corpus_clean's production minQuality (0.4). */
   private val QualitySweep = Seq(0.2, 0.35, 0.5, 0.65, 0.8)
@@ -4213,6 +4238,14 @@ object SparkEntry {
       "embedding_neardup" ->
         (s"WITH ${sqlNearDupCte(0.4)}\n" +
           "SELECT a, b, cos_r FROM ndp ORDER BY 1, 2"),
+
+      "semantic_sweep" ->
+        (s"WITH ${sqlNearDupCte(CosSweepThresholds.min)},\n" +
+          s"""thr AS (SELECT unnest([${CosSweepThresholds.mkString(", ")}]) AS thr)
+             |SELECT thr.thr, count(ndp.a)::BIGINT AS n_pairs,
+             |  count(DISTINCT ndp.b)::BIGINT AS n_docs_removed
+             |FROM thr LEFT JOIN ndp ON ndp.cos_r >= thr.thr
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
 
       "embedding_outlier" ->
         s"""WITH q AS (SELECT vec_id, label, r.range::INTEGER AS idx,

@@ -193,6 +193,22 @@ class LlmSpec extends SparkSpec {
       s"leak set must be exactly the cross-split edges (got ${leaks.size}, want ${expected.size})")
   }
 
+  test("semantic_sweep: counts non-increasing in the threshold; 0.4 row matches embedding_neardup") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("semantic_sweep")(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.4, 0.5, 0.6, 0.7))
+    rows.zip(rows.drop(1)).foreach { case ((t1, p1, d1), (t2, p2, d2)) =>
+      assert(p1 >= p2 && d1 >= d2, s"counts must not rise from thr $t1 to $t2")
+    }
+    val edges = SparkEntry.queries("embedding_neardup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val at04 = rows.find(_._1 == 0.4).get
+    assert(at04._2 == edges.length, "n_pairs at 0.4 == the embedding_neardup edge count")
+    assert(at04._3 == edges.map(_._2).distinct.length,
+      "n_docs_removed at 0.4 == distinct larger-side vecs of the 0.4 edge set")
+  }
+
   test("length_histogram: every doc in exactly one power-of-2 bucket, token totals preserved") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("length_histogram")(spark, d)

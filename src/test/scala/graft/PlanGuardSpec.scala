@@ -414,8 +414,8 @@ class PlanGuardSpec extends SparkSpec {
       "corpus_divergence", "sketch_kmv_overlap", "sketch_kmv_union",
       // constant-size threshold / percentile / k grids joined against an
       // aggregate frame (|grid| is a query literal):
-      "dedup_threshold_sweep", "quality_sweep", "quality_report",
-      "vocab_coverage",
+      "dedup_threshold_sweep", "semantic_sweep", "quality_sweep",
+      "quality_report", "vocab_coverage",
       // dense time-grid explode from a 1-row span aggregate x the type
       // list (grid is span-bounded; the 1-row root is invisible to
       // maxRows once exploded) — pinned individually above:
