@@ -90,6 +90,15 @@ object BenchCorpus {
     val chainJson = chainTimes.map(s => f"$s%.3f").mkString(
       s"""\"chain_batches\":[""", ",", "]")
 
+    // nightly remix over the chain's final merged state: a fresh
+    // corpus-global mix/pack re-cut WITHOUT re-running the per-doc gates —
+    // its cost should be the mixing+packing tail alone, not the full build
+    val r0 = System.nanoTime()
+    CorpusPipeline.remix(spark, adm.state,
+        MapPipeline.PathBarrier(workDir + "_remix"), cfg)
+      .shardSeqs.write.format("noop").mode("overwrite").save()
+    val remixTotal = (System.nanoTime() - r0) / 1e9
+
     val stageJson = (stages.map { case (n, s) => f""""$n":$s%.3f""" } ++
       dStages.map { case (n, s) => f""""delta_$n":$s%.3f""" }).mkString(",")
     val reportJson = (report.map { case (_, n, d, t) =>
@@ -97,7 +106,7 @@ object BenchCorpus {
       dReport.map { case (_, n, d, t) =>
         s""""delta_$n":{"n_docs":$d,"n_tokens":$t}""" }).mkString(",")
     val json =
-      f"""{"metric":"corpus_pipeline","value":$total%.3f,"delta_value":$dTotal%.3f,$chainJson,"unit":"sec","sf":"$sfDir","stages":{$stageJson},"report":{$reportJson}}"""
+      f"""{"metric":"corpus_pipeline","value":$total%.3f,"delta_value":$dTotal%.3f,$chainJson,"remix_value":$remixTotal%.3f,"unit":"sec","sf":"$sfDir","stages":{$stageJson},"report":{$reportJson}}"""
     println(json)
     Files.writeString(Paths.get(outFile), json + "\n")
     spark.stop()
