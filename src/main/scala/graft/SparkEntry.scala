@@ -1565,6 +1565,30 @@ object SparkEntry {
         .orderBy("q_id", "neg_rank", "n_id")
     }),
 
+    // kNN label propagation — the weak-supervision auto-labeling pass
+    // (classify-by-neighbors over the embedding index): each query
+    // vector's LSH top-5 retrieved neighbors vote with their labels;
+    // majority wins, smallest label on ties. Emitting the true label
+    // beside the prediction makes the key double as the classifier's
+    // accuracy audit. Same scale shape as hard_negatives: retrieval +
+    // k-bounded label join + a votes-sized aggregate, all equi-joined.
+    "knn_classify" -> ((s, d) => {
+      val k = 5
+      val lab = emb(s, d).select(col("vec_id"), col("label"))
+      val votes = Similarity.lshTopK(emb(s, d), col("vec_id") % 20 === 0,
+          k = k, bitsPerBand = lshBitsFor(s, d))
+        .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+        .groupBy("q_id", "n_label")
+        .agg(count(lit(1)).as("n_votes"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("n_votes").desc, col("n_label"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .join(lab.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+        .select(col("q_id"), col("true_label"),
+          col("n_label").as("pred_label"), col("n_votes"))
+        .orderBy("q_id")
+    }),
+
     // TRAINED IVF codebook: 3 Lloyd rounds of exact-integer k-means (k=8)
     // from deterministic phash seeds — bit-replayed by the DuckDB oracle.
     "quantizer_kmeans" -> ((s, d) =>
@@ -4412,6 +4436,7 @@ object SparkEntry {
       "similarity_recall" -> sqlRecall(k = 5),
       "similarity_mrr" -> sqlMrr(k = 10),
       "hard_negatives" -> sqlHardNegatives(kRetr = 10, kNeg = 3),
+      "knn_classify" -> sqlKnnClassify(k = 5),
       "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
       "pq_codes" -> graft.llm.Quantizer.sqlPqCodes(),
       "similarity_pq" -> graft.llm.Quantizer.sqlPqTopK("(q.vec_id % 20) = 0", topK = 5),
@@ -5530,6 +5555,41 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS neg_rank
        |  FROM neg) WHERE neg_rank <= $kNeg
        |ORDER BY q_id, neg_rank, n_id""".stripMargin
+  }
+
+  /** Oracle twin of `knn_classify`: the [[sqlLshTopK]] retrieval chain to
+    * top-k, labels joined, per-(query, label) vote counts, majority with
+    * smallest-label tie-break, true label beside the prediction.
+    */
+  private def sqlKnnClassify(k: Int): String = {
+    import graft.llm.Similarity
+    val cells = Similarity.sqlBandCells(
+      "embedding", Similarity.Bands, Similarity.BitsPerBand, Similarity.Dim)
+    val cos = s"round(${Similarity.sqlDot("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6)"
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+       |c AS (SELECT vec_id, unnest($cells) AS t FROM embeddings),
+       |cc0 AS (SELECT vec_id, t['band'] AS band, t['cell'] AS cell FROM c),
+       |cc AS (SELECT vec_id, band, cell FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, cell) AS occ FROM cc0)
+       |  WHERE occ <= ${Similarity.MaxCellBucket}),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, e.vec_id AS n_id
+       |  FROM cc q JOIN cc e ON q.band = e.band AND q.cell = e.cell AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id % 20 = 0),
+       |p AS (SELECT q_id, n_id, $cos AS cos_r
+       |  FROM cand JOIN n l ON q_id = l.vec_id JOIN n r ON n_id = r.vec_id),
+       |ret AS (SELECT q_id, n_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rnk
+       |  FROM p) WHERE rnk <= $k),
+       |votes AS (SELECT rt.q_id, nl.label AS n_label, count(*)::BIGINT AS n_votes
+       |  FROM ret rt JOIN embeddings nl ON rt.n_id = nl.vec_id
+       |  GROUP BY 1, 2),
+       |win AS (SELECT q_id, n_label, n_votes FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, n_label) AS rn
+       |  FROM votes) WHERE rn = 1)
+       |SELECT w.q_id, ql.label AS true_label, w.n_label AS pred_label, w.n_votes
+       |FROM win w JOIN embeddings ql ON w.q_id = ql.vec_id
+       |ORDER BY w.q_id""".stripMargin
   }
 
   /** Oracle twin of [[graft.llm.Dedup.verifiedJaccard]]: CTE chain from

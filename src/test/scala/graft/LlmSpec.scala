@@ -209,6 +209,33 @@ class LlmSpec extends SparkSpec {
       "n_docs_removed at 0.4 == distinct larger-side vecs of the 0.4 edge set")
   }
 
+  test("knn_classify: one verdict per retrieved query, majority label with smallest-label ties") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("knn_classify")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty, "fixture must classify at least one query")
+    assert(rows.map(_._1).distinct.length == rows.length, "one verdict per query")
+    // recompute the vote from the retrieval the key is built on
+    val lab = Tables.embeddings(spark, d).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ret = Similarity.lshTopK(Tables.embeddings(spark, d),
+        col("vec_id") % 20 === 0, k = 5,
+        bitsPerBand = SparkEntry.lshBitsFor(spark, d))
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ret.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => lab(n._2)).groupBy(identity)
+        .map { case (l, vs) => (l, vs.length.toLong) }
+      val (predLab, nVotes) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      q -> (lab(q), predLab, nVotes)
+    }
+    assert(rows.length == expected.size, "every query with retrieval gets a verdict")
+    rows.foreach { case (q, trueL, predL, votes) =>
+      assert(expected(q) == ((trueL, predL, votes)),
+        s"query $q: got ($trueL,$predL,$votes), want ${expected(q)}")
+    }
+  }
+
   test("length_histogram: every doc in exactly one power-of-2 bucket, token totals preserved") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("length_histogram")(spark, d)
