@@ -1247,21 +1247,30 @@ object SparkEntry {
   private val SplitTrainPpm = 900000L
   private val SplitValPpm = 950000L
 
-  /** Deterministic split assignment from the doc id alone. */
-  private def splitOf(docId: Column): Column = {
+  /** Deterministic split assignment from an arbitrary string key — the
+    * doc-id path hashes ids, the domain-disjoint path hashes canonical
+    * hosts (so every doc of a host lands in ONE split).
+    */
+  private def splitOfKey(key: Column): Column = {
     val g = pmod(graft.expr.PortableHash.phash(
-      concat(lit(s"$SplitSeed:"), docId.cast("string"))), lit(SamplePpmScale))
+      concat(lit(s"$SplitSeed:"), key)), lit(SamplePpmScale))
     when(g < SplitTrainPpm, "train").when(g < SplitValPpm, "val")
       .otherwise("test")
   }
 
-  /** Oracle twin of [[splitOf]] over a doc_id expression. */
-  private def sqlSplitOf(e: String): String =
-    s"""CASE WHEN ${graft.expr.PortableHash.sqlPhash(s"'$SplitSeed:' || $e::VARCHAR")}
+  /** Deterministic split assignment from the doc id alone. */
+  private def splitOf(docId: Column): Column = splitOfKey(docId.cast("string"))
+
+  /** Oracle twin of [[splitOfKey]] over a VARCHAR expression. */
+  private def sqlSplitOfKey(e: String): String =
+    s"""CASE WHEN ${graft.expr.PortableHash.sqlPhash(s"'$SplitSeed:' || $e")}
        | % $SamplePpmScale < $SplitTrainPpm THEN 'train'
-       | WHEN ${graft.expr.PortableHash.sqlPhash(s"'$SplitSeed:' || $e::VARCHAR")}
+       | WHEN ${graft.expr.PortableHash.sqlPhash(s"'$SplitSeed:' || $e")}
        | % $SamplePpmScale < $SplitValPpm THEN 'val'
        | ELSE 'test' END""".stripMargin.replace("\n", "")
+
+  /** Oracle twin of [[splitOf]] over a doc_id expression. */
+  private def sqlSplitOf(e: String): String = sqlSplitOfKey(s"$e::VARCHAR")
 
   /** `stats_corr` measure pairs (alphabetical, matching the output
     * order) — shared with the oracle.
@@ -2438,6 +2447,57 @@ object SparkEntry {
         .orderBy("thr")
     }),
 
+    // LSH parameterization sweep: every (bands, rows) factorization of the
+    // 16-perm signature, measured on the corpus — candidate volume, true
+    // near-dups among candidates (jac >= 0.5, the dedup_verified contract),
+    // precision, and recall vs the union of all configs' true pairs, plus
+    // the analytic S-curve midpoint (1/b)^(1/r) per config. The signature
+    // is computed ONCE (it depends on numPerms only, Dedup.signatureFrame)
+    // and each config re-bands it as a cheap projection — the production
+    // retune shape: at 100 TB the sweep runs on a sample, the chosen
+    // config on the corpus. Exact verification runs once over the UNION of
+    // candidate pairs, never per config (config pair sets are nested: an
+    // 8-row band match implies both 4-row halves match, so the union IS
+    // the most permissive config's set).
+    "lsh_param_sweep" -> ((s, d) => {
+      import s.implicits._
+      val th = Dedup.tokenHashFrame(docs(s, d)).localCheckpoint()
+      val sig = Dedup.signatureFrame(th, shingleSize = 3, numPerms = 16)
+        .localCheckpoint() // one signature pass feeds every banding config
+      val sets = th.select(col("doc_id"),
+        array_distinct(Dedup.hashedShingles(col("th"), 3)).as("sh"))
+      val pairs = LshSweepConfigs.map { case (b, _, _) =>
+        Dedup.minhashCandidatesFrom(Dedup.bandsFromSignature(sig, 16, b))
+          .select(lit(b).as("n_bands"), col("a"), col("b"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val ver = pairs.select("a", "b").distinct()
+        .join(sets.as("l"), col("a") === col("l.doc_id"))
+        .join(sets.as("r"), col("b") === col("r.doc_id"))
+        .select(col("a"), col("b"),
+          (round(size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+            size(array_union(col("l.sh"), col("r.sh"))), 6) >= 0.5).as("is_true"))
+        .localCheckpoint() // one exact-verify pass over the union of configs
+      val tot = ver.agg(
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("total_true"))
+      val counts = pairs.join(ver, Seq("a", "b"))
+        .groupBy("n_bands")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"))
+      LshSweepConfigs.toDF("n_bands", "rows_per_band", "thr_micro")
+        .join(counts, Seq("n_bands"), "left")
+        .crossJoin(broadcast(tot)) // 1-row totals broadcast
+        .select(col("n_bands"), col("rows_per_band"), col("thr_micro"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"), col("total_true"))
+        .select(col("n_bands"), col("rows_per_band"), col("thr_micro"),
+          col("n_pairs"), col("n_true"),
+          when(col("n_pairs") > 0, expr("(n_true * 1000000) div n_pairs"))
+            .otherwise(0L).as("precision_ppm"),
+          when(col("total_true") > 0, expr("(n_true * 1000000) div total_true"))
+            .otherwise(0L).as("recall_ppm"))
+        .orderBy("n_bands")
+    }),
+
     // Semantic-dedup tuning sweep — the embedding sibling of
     // dedup_threshold_sweep: pair and removal counts at each candidate
     // cosine threshold, all from ONE LSH+verify pass (the near-dup edge
@@ -3139,6 +3199,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
         .orderBy("split")),
 
+    // Domain-disjoint corpus split: hash the CANONICAL HOST, not the doc
+    // id, so every page of a site lands in ONE split — the leakage-safe
+    // split discipline (near-identical pages cluster within domains, and
+    // an id-hash split scatters them across train/eval — exactly the
+    // contamination split_leak_audit measures). Report: per-split
+    // doc/domain/token mass plus the global domain count, so disjointness
+    // is checkable in-row (Σ n_domains = domains_total). One scan: the
+    // tokenize + URL-regex pass is checkpointed and feeds both the split
+    // aggregate and the 1-row total broadcast.
+    "split_domain_disjoint" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+          size(TA.tokens(col("text"))).cast("long").as("n_tok"),
+          graft.llm.Url.canonicalHost(
+            graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))).as("domain"))
+        .withColumn("split", splitOfKey(col("domain")))
+        .localCheckpoint()
+      val tot = base.agg(countDistinct("domain").as("domains_total"))
+      base.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("domain").as("n_domains"),
+          sum("n_tok").as("n_tokens"))
+        .crossJoin(broadcast(tot)) // 1-row totals broadcast
+        .orderBy("split")
+    }),
+
     // Split-leak audit: verified near-dup pairs (jac ≥ 0.5, the
     // dedup_verified machinery) that CROSS the split boundary — the eval
     // contamination a held-out set silently inherits when near-dups of
@@ -3519,6 +3604,18 @@ object SparkEntry {
   /** `quality_sweep` cutoff grid (shared with the oracle) — spans
     * corpus_clean's production minQuality (0.4). */
   private val QualitySweep = Seq(0.2, 0.35, 0.5, 0.65, 0.8)
+
+  /** `lsh_param_sweep` band/row grid over the 16-perm signature: every
+    * (bands, rows = 16/bands) factorization. `thrMicro` is the S-curve
+    * midpoint (1/b)^(1/r) in micro-units, computed HERE (driver-side
+    * double, floored) and baked as a literal into both the plan and the
+    * oracle SQL — one source of truth, no cross-engine pow() replay.
+    */
+  private val LshSweepConfigs: Seq[(Int, Int, Long)] =
+    Seq(2, 4, 8, 16).map { b =>
+      val r = 16 / b
+      (b, r, math.floor(math.pow(1.0 / b, 1.0 / r) * 1e6).toLong)
+    }
 
   /** `embedding_outlier` cutoff: cosine-to-own-label-centroid below this is
     * flagged (0.0 = anti-correlated with the label's mean direction; the
@@ -4258,6 +4355,8 @@ object SparkEntry {
              |  count(DISTINCT v.b)::BIGINT AS n_docs_removed
              |FROM thr LEFT JOIN v ON v.jac_r >= thr.thr
              |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "lsh_param_sweep" -> sqlLshSweep(shingleSize = 3, numPerms = 16),
 
       "embedding_neardup" ->
         (s"WITH ${sqlNearDupCte(0.4)}\n" +
@@ -5010,6 +5109,22 @@ object SparkEntry {
            |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
       },
 
+      "split_domain_disjoint" -> {
+        val toks = graft.llm.TextAnalysis.sqlTokens("text")
+        s"""WITH u AS (SELECT doc_id, len($toks)::BIGINT AS n_tok,
+           |  ${graft.llm.Url.sqlSyntheticUrl} AS url FROM documents),
+           |c AS (SELECT doc_id, n_tok,
+           |  ${graft.llm.Url.sqlCanonicalHost("url")} AS domain FROM u),
+           |a AS (SELECT doc_id, n_tok, domain,
+           |  ${sqlSplitOfKey("domain")} AS split FROM c),
+           |tot AS (SELECT count(DISTINCT domain)::BIGINT AS domains_total FROM a)
+           |SELECT split, count(*)::BIGINT AS n_docs,
+           |  count(DISTINCT domain)::BIGINT AS n_domains,
+           |  sum(n_tok)::BIGINT AS n_tokens, tot.domains_total
+           |FROM a CROSS JOIN tot
+           |GROUP BY split, tot.domains_total ORDER BY split""".stripMargin
+      },
+
       "sparse_topk" ->
         graft.llm.Sparse.sqlTopK(c => s"$c % 20 = 0", k = 5),
 
@@ -5686,6 +5801,67 @@ object SparkEntry {
        |  round(len(list_intersect(l.sh, r.sh))::DOUBLE /
        |        len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jac_r
        |  FROM cand JOIN k l ON a = l.doc_id JOIN k r ON b = r.doc_id)""".stripMargin
+
+  /** Oracle for `lsh_param_sweep`: one shared signature CTE, one
+    * banding + capped candidate CTE per grid config (mirroring the
+    * engine's per-config [[graft.llm.Dedup.cappedBuckets]]), one exact
+    * verification over the union of candidate pairs. thr_micro values are
+    * the SAME driver-computed literals the plan carries.
+    */
+  private def sqlLshSweep(shingleSize: Int, numPerms: Int): String = {
+    import graft.llm.{Dedup, TextAnalysis => TA}
+    val toks = TA.sqlTokens("text")
+    val perCfg = LshSweepConfigs.map { case (nb, rpb, _) =>
+      s"""bd$nb AS (SELECT doc_id,
+         |  unnest([{'band': bi, 'bh': ${graft.expr.PortableHash.sqlPhash(
+              s"array_to_string((sig)[bi * $rpb + 1 : bi * $rpb + $rpb], ',')")}}
+         |          for bi in range(0, $nb)]) AS t
+         |  FROM sg),
+         |bb$nb AS (SELECT doc_id, band, bh FROM (
+         |  SELECT doc_id, t['band'] AS band, t['bh'] AS bh,
+         |         count(*) OVER (PARTITION BY t['band'], t['bh']) AS occ FROM bd$nb)
+         |  WHERE occ <= ${Dedup.MaxBandBucket}),
+         |cand$nb AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bb$nb l JOIN bb$nb r
+         |  ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unionCand = LshSweepConfigs.map { case (nb, _, _) =>
+      s"SELECT $nb AS n_bands, a, b FROM cand$nb" }.mkString("\n  UNION ALL ")
+    val cfgValues = LshSweepConfigs.map { case (nb, r, m) =>
+      s"($nb, $r, ${m}::BIGINT)" }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |th AS (SELECT doc_id, ${Dedup.sqlTokenHashes("toks")} AS th FROM t),
+       |s AS (SELECT doc_id, ${Dedup.sqlHashedShingles("th", shingleSize)} AS sh FROM th),
+       |nz AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |sg AS (SELECT doc_id, ${Dedup.sqlMinhashSignature("sh", numPerms)} AS sig FROM nz),
+       |k AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+       |$perCfg,
+       |allc AS ($unionCand),
+       |u AS (SELECT DISTINCT a, b FROM allc),
+       |ver AS (SELECT u.a, u.b,
+       |  (round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+       |         len(list_distinct(list_concat(l.sh, r.sh))), 6) >= 0.5) AS is_true
+       |  FROM u JOIN k l ON u.a = l.doc_id JOIN k r ON u.b = r.doc_id),
+       |tot AS (SELECT coalesce(sum(CASE WHEN is_true THEN 1 ELSE 0 END), 0)::BIGINT
+       |  AS total_true FROM ver),
+       |cnt AS (SELECT n_bands, count(*)::BIGINT AS n_pairs,
+       |  sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true
+       |  FROM allc JOIN ver USING (a, b) GROUP BY 1),
+       |cfg(n_bands, rows_per_band, thr_micro) AS (VALUES $cfgValues)
+       |SELECT cfg.n_bands::INTEGER AS n_bands,
+       |  cfg.rows_per_band::INTEGER AS rows_per_band, cfg.thr_micro,
+       |  coalesce(cnt.n_pairs, 0)::BIGINT AS n_pairs,
+       |  coalesce(cnt.n_true, 0)::BIGINT AS n_true,
+       |  (CASE WHEN coalesce(cnt.n_pairs, 0) > 0
+       |        THEN (coalesce(cnt.n_true, 0) * 1000000) // cnt.n_pairs
+       |        ELSE 0 END)::BIGINT AS precision_ppm,
+       |  (CASE WHEN tot.total_true > 0
+       |        THEN (coalesce(cnt.n_true, 0) * 1000000) // tot.total_true
+       |        ELSE 0 END)::BIGINT AS recall_ppm
+       |FROM cfg LEFT JOIN cnt ON cfg.n_bands = cnt.n_bands CROSS JOIN tot
+       |ORDER BY cfg.n_bands""".stripMargin
+  }
 
   /** Oracle twin of [[graft.llm.Dedup.incremental]]: batch docs (pred on
     * doc_id) probe the index on exact fingerprints and LSH bands.

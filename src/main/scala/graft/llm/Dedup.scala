@@ -125,16 +125,36 @@ object Dedup {
     * single-task stall on the 10× replica).
     */
   def bandedFromTokenHashes(
-      th: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame = {
-    val rowsPerBand = numPerms / numBands
-    val perms = permConstants(numPerms)
-    val sigCols = perms.zipWithIndex.map { case ((a, b), k) =>
+      th: DataFrame, shingleSize: Int, numPerms: Int, numBands: Int): DataFrame =
+    bandsFromSignature(signatureFrame(th, shingleSize, numPerms), numPerms, numBands)
+
+  /** `(doc_id, sig_0..sig_{numPerms-1})` minhash signature frame from a
+    * (doc_id, th) token-hash frame — the explode + numPerms codegen'd
+    * min-aggregates pass. The signature depends only on `numPerms`, not on
+    * the banding, so a parameter sweep (`lsh_param_sweep`) or a production
+    * re-band computes it ONCE and derives every (bands, rows) config as a
+    * cheap projection ([[bandsFromSignature]]); docs with no shingles
+    * produce no row (explode of an empty array), matching the banded
+    * contract. Aggregate output feeds the band projections through an
+    * Aggregate node, so CollapseProject can never inline the tokenize→md5
+    * subtree into per-band consumers (the round-2 alias lesson holds by
+    * construction).
+    */
+  def signatureFrame(th: DataFrame, shingleSize: Int, numPerms: Int): DataFrame = {
+    val sigCols = permConstants(numPerms).zipWithIndex.map { case ((a, b), k) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashPrime))).as(s"sig_$k")
     }
-    val sig = th
-      .select(col("doc_id"), explode(hashedShingles(col("th"), shingleSize)).as("h"))
+    th.select(col("doc_id"), explode(hashedShingles(col("th"), shingleSize)).as("h"))
       .groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Banded LSH rows `(doc_id, band, bh)` from a [[signatureFrame]] — pure
+    * projection + explode, no shuffle; band `bi` hashes signature slots
+    * `[bi·r, (bi+1)·r)` with r = numPerms / numBands.
+    */
+  def bandsFromSignature(sig: DataFrame, numPerms: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numPerms / numBands
     val bandCols = (0 until numBands).map { bi =>
       struct(lit(bi).as("band"),
         PortableHash.phash(concat_ws(",",

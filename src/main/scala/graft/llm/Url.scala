@@ -58,21 +58,42 @@ object Url {
     s"($host || $path)"
   }
 
+  /** Subdomain labels cycling on `(doc_id % 50) / 10` — host-count fan-out
+    * so domain-level operators (`domain_caps`, `split_domain_disjoint`) see
+    * ~|sources| × 5 canonical hosts instead of |sources|. The index is a
+    * function of the `% 50` residue, so docs agreeing on (source,
+    * doc_id % 50) — the designed collision groups — always share a host;
+    * and it is NOT determined by the fixture's source cycle (source tracks
+    * doc_id % 20, and the decade index varies within each mod-20 class),
+    * which a plain `% 5` index would be (5 divides 20). None of the labels
+    * is `www` (that prefix canonicalizes away).
+    */
+  val Subdomains: Seq[String] = Seq("news", "blog", "docs", "shop", "forum")
+
+  /** DuckDB mirror of the subdomain pick (list literal indexed by residue). */
+  private val sqlSubdomain: String =
+    s"(['${Subdomains.mkString("','")}'])[((doc_id % 50) // 10)::INTEGER + 1]"
+
   /** The fixture's `documents` table carries no raw URL column, so the key
     * derives one deterministically from (source, doc_id) — mixed-case
     * scheme/host, `www.` prefixes, tracking query strings, fragments,
     * default ports, and trailing slashes all cycle on doc_id residues so
     * every canonicalization rule is exercised; docs agreeing on
-    * (source, doc_id % 50) collide post-canonicalization. Mirrored exactly
-    * by [[sqlSyntheticUrl]].
+    * (source, doc_id % 50) collide post-canonicalization (the subdomain
+    * index is itself a function of the `% 50` residue, so the fan-out
+    * never splits a collision group). Mirrored exactly by
+    * [[sqlSyntheticUrl]].
     */
   def syntheticUrl(docId: Column, source: Column): Column = {
     val scheme = when(pmod(docId, lit(3)) === 0, lit("https://"))
       .when(pmod(docId, lit(3)) === 1, lit("HTTP://"))
       .otherwise(lit("HTTPS://"))
     val www  = when(pmod(docId, lit(2)) === 0, lit("WWW.")).otherwise(lit(""))
-    val host = when(pmod(docId, lit(5)) === 0, concat(upper(source), lit(".EXAMPLE.COM")))
-      .otherwise(concat(source, lit(".example.com")))
+    val sub  = element_at(typedlit(Subdomains),
+      (pmod(docId, lit(50)) / lit(10)).cast("int") + 1)
+    val host = when(pmod(docId, lit(5)) === 0,
+        concat(upper(sub), lit("."), upper(source), lit(".EXAMPLE.COM")))
+      .otherwise(concat(sub, lit("."), source, lit(".example.com")))
     val port = when(pmod(docId, lit(11)) === 0, lit(":443")).otherwise(lit(""))
     val path  = concat(lit("/page/"), pmod(docId, lit(50)).cast("string"))
     val slash = when(pmod(docId, lit(6)) === 0, lit("/")).otherwise(lit(""))
@@ -84,16 +105,28 @@ object Url {
 
   /** DuckDB mirror of [[syntheticUrl]] over `documents` columns. */
   val sqlSyntheticUrl: String =
-    """(CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://' ELSE 'HTTPS://' END
+    s"""(CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://' ELSE 'HTTPS://' END
       | || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
-      | || CASE WHEN doc_id % 5 = 0 THEN upper(source) || '.EXAMPLE.COM'
-      |         ELSE source || '.example.com' END
+      | || CASE WHEN doc_id % 5 = 0
+      |         THEN upper(${sqlSubdomain}) || '.' || upper(source) || '.EXAMPLE.COM'
+      |         ELSE ${sqlSubdomain} || '.' || source || '.example.com' END
       | || CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END
       | || '/page/' || (doc_id % 50)::VARCHAR
       | || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
       | || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&session=' || doc_id::VARCHAR ELSE '' END
       | || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)"""
       .stripMargin.replace("\n", "")
+
+  /** Canonical host (registrable domain analog) of a URL-shaped string —
+    * the group key of domain-level operators (`domain_caps`,
+    * `split_domain_disjoint`).
+    */
+  def canonicalHost(u: Column): Column =
+    regexp_extract(canonical(u), "^([^/]*)", 1)
+
+  /** DuckDB mirror of [[canonicalHost]]. */
+  def sqlCanonicalHost(u: String): String =
+    s"regexp_extract(${sqlCanonical(u)}, '^([^/]*)', 1)"
 
   /** URL-level dedup verdict: per doc its raw URL, canonical URL, the
     * canonical group size, and `keep` (min doc_id per canonical URL — the

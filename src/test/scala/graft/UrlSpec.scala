@@ -36,7 +36,9 @@ class UrlSpec extends SparkSpec {
     val df = Seq((3L, "src9"), (53L, "src9"), (7L, "src9"))
       .toDF("doc_id", "source")
     val out = Url.dedupUrl(df).collect().map(r => r.getLong(0) -> r).toMap
-    assert(out(3L).getString(2) == "src9.example.com/page/3")
+    // subdomain cycles on (doc_id % 50) / 10: decade 0 for both 3 and 53 ->
+    // "news" — a function of the % 50 residue, so collisions survive
+    assert(out(3L).getString(2) == "news.src9.example.com/page/3")
     assert(out(3L).getString(2) == out(53L).getString(2), "canonicals collide")
     assert(out(3L).getString(1) != out(53L).getString(1), "raw urls differ")
     assert(out(3L).getLong(3) == 2L && out(53L).getLong(3) == 2L)
@@ -52,5 +54,27 @@ class UrlSpec extends SparkSpec {
     assert(urls.exists(_.contains("#")) && urls.exists(_.contains("?")) &&
       urls.exists(_.contains(":443")) && urls.exists(_.startsWith("HTTP://")) &&
       urls.exists(_.contains("WWW.")) && urls.exists(_.contains(".EXAMPLE.COM")))
+  }
+
+  test("split_domain_disjoint: domains partition cleanly and masses reconcile") {
+    val out = SparkEntry.queries("split_domain_disjoint")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty && out.length <= 3)
+    val domainsTotal = out.head.getLong(4)
+    assert(out.map(_.getLong(4)).distinct.length == 1, "global total in every row")
+    // disjointness: per-split domain counts sum to the global distinct count
+    assert(out.map(_.getLong(2)).sum == domainsTotal)
+    assert(out.map(_.getLong(1)).sum > 0, "docs assigned")
+  }
+
+  test("canonicalHost: subdomain fan-out yields |sources| x 5 hosts, case-folded") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val hosts = df.select(Url.canonicalHost(
+        Url.syntheticUrl(col("doc_id"), col("source"))).as("h"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(hosts.size == 20, s"4 sources x 5 decade-subdomains, got ${hosts.size}")
+    assert(hosts.forall(h => h == h.toLowerCase), "hosts are case-folded")
+    assert(hosts.forall(h => Url.Subdomains.exists(s => h.startsWith(s + "."))))
   }
 }
