@@ -84,7 +84,15 @@ object Plans {
       "quality_sweep",
       // round 7: span-scrub emitter, URL stage-0 dedup, per-domain caps,
       // data-constrained epoch planning
-      "substring_scrub", "dedup_url", "domain_caps", "mix_epochs")
+      "substring_scrub", "dedup_url", "domain_caps", "mix_epochs",
+      // round 7 (cont.): retrieval-quality audit, contrastive mining,
+      // semantic split audit, tuning sweeps, kNN label propagation,
+      // domain-disjoint splitting
+      "similarity_mrr", "hard_negatives", "split_leak_semantic",
+      "semantic_sweep", "lsh_param_sweep", "knn_classify",
+      "split_domain_disjoint",
+      // round 7 (cont.): packing-config sweep, shard-balance audit
+      "pack_sweep", "export_balance")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")

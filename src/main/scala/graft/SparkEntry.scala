@@ -1744,6 +1744,29 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // Shard-balance audit over export_shards' assignment: one row with the
+    // max/min/mean token mass across shards and the straggler factor in ppm
+    // (1e6 = perfectly even). At 100 TB an uneven shard set IS the training
+    // job's critical path — this is the gate that catches it before export.
+    "export_balance" -> ((s, d) => {
+      val shards = 8
+      val sized = docs(s, d).select(col("doc_id"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint()
+      graft.ops.GlobalRank.withGlobalRowNumber(
+          sized.withColumn("neg_tok", -col("n_tok")),
+          "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
+        .withColumn("shard", pmod(col("rn") - 1, lit(shards.toLong)).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .agg(count(lit(1)).cast("int").as("n_shards"),
+          sum("n_docs").as("docs_total"), sum("n_tokens").as("tok_total"),
+          max("n_tokens").as("tok_max"), min("n_tokens").as("tok_min"))
+        .select(col("n_shards"), col("docs_total"), col("tok_total"),
+          col("tok_max"), col("tok_min"),
+          expr("(tok_max * n_shards * 1000000) div tok_total").as("tok_balance_ppm"))
+    }),
+
     "multimodal_features" -> ((s, d) =>
       MultiModal.features(docs(s, d))(s).orderBy("doc_id")),
 
@@ -2726,6 +2749,14 @@ object SparkEntry {
       graft.llm.Pack.fillStats(docs(s, d),
           buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))
         .orderBy("bucket", "bin")),
+
+    // Packing-config sweep: per candidate seq length, corpus-level
+    // truncation loss (no-split style) vs padding loss (concat-then-chunk
+    // style) — the one-report tuning artifact for the (length × style)
+    // packing decision. One tokenize + one cumulative pass feed all configs.
+    "pack_sweep" -> ((s, d) =>
+      graft.llm.Pack.sweep(docs(s, d),
+        buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))),
 
     // Tokenizer/corpus head-mass: per source, the ppm of token mass covered
     // by the top-k tokens (k ∈ 10/100/1000) — the Zipf-head diagnostic that
@@ -4477,6 +4508,18 @@ object SparkEntry {
            |  md5(array_to_string(list(doc_id::VARCHAR ORDER BY doc_id), ',')) AS member_md5
            |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
+      "export_balance" ->
+        s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tok FROM documents),
+           |r AS (SELECT doc_id, n_tok,
+           |  row_number() OVER (ORDER BY -n_tok, doc_id) AS rn FROM t),
+           |p AS (SELECT ((rn - 1) % 8)::INTEGER AS shard, count(*)::BIGINT AS n_docs,
+           |  sum(n_tok)::BIGINT AS n_tokens FROM r GROUP BY 1)
+           |SELECT count(*)::INTEGER AS n_shards, sum(n_docs)::BIGINT AS docs_total,
+           |  sum(n_tokens)::BIGINT AS tok_total, max(n_tokens)::BIGINT AS tok_max,
+           |  min(n_tokens)::BIGINT AS tok_min,
+           |  ((max(n_tokens) * count(*) * 1000000) // sum(n_tokens))::BIGINT AS tok_balance_ppm
+           |FROM p""".stripMargin,
+
       "ngram_counts" ->
         s"""WITH t AS (SELECT $toks AS toks FROM documents),
            |g AS (SELECT unnest(${TA.sqlShingles("toks", 2)}) AS ngram FROM t)
@@ -4892,6 +4935,8 @@ object SparkEntry {
       "pack_nosplit" -> graft.llm.Pack.sqlNosplit(),
 
       "pack_fill" -> graft.llm.Pack.sqlFillStats(),
+
+      "pack_sweep" -> graft.llm.Pack.sqlSweep(),
 
       "vocab_coverage" ->
         s"""WITH i AS (SELECT source, unnest($toks) AS tok FROM documents),

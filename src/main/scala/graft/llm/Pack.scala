@@ -195,6 +195,105 @@ object Pack {
         expr(s"(tok_kept * 1000000) div $seqLen").as("fill_ppm"),
         expr(s"((tok_offered - tok_kept) * 1000000) div $seqLen").as("trunc_ppm"))
 
+  /** Packing-config sweep: for each candidate `seqLen`, the corpus-level
+    * cost of BOTH packing styles — no-split truncation loss (tokens cut at
+    * bin boundaries, docs fully dropped) and concat-then-chunk padding loss
+    * (the final partial sequence per bucket) — so the config choice
+    * (length × style) is one report, the same tuning-sweep shape as
+    * `quality_sweep`/`lsh_param_sweep`.
+    *
+    * Scale shape: ONE tokenize + ONE bucket-cumulative-sum pass produces the
+    * checkpointed (bucket, start_off, n_tok) frame; each config then costs
+    * one (bucket, bin)-partitioned aggregation over that narrow frame — no
+    * re-tokenize, no re-shuffle of the wide corpus. `pos_in_bin` is
+    * recovered as `start_off - min(start_off) over (bucket, bin)` (bins
+    * tile the concatenation stream contiguously), so the per-config pass
+    * needs no second running sum.
+    */
+  def sweep(docs: DataFrame, seqLens: Seq[Int] = SweepLens,
+            buckets: Int = Buckets): DataFrame = {
+    seqLens.foreach(l => require(l > 0 && (l & (l - 1)) == 0, "seqLen must be a power of two"))
+    val base = docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", bucketOf(col("doc_id"), buckets))
+    val wB = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = base
+      .withColumn("start_off", sum("n_tok").over(wB) - col("n_tok"))
+      .select("bucket", "start_off", "n_tok")
+      .localCheckpoint()
+    // per-bucket totals: the split-style waste is only the final partial
+    // sequence of each bucket stream — a `buckets`-row frame, reused per L
+    val bucketTok = offs.groupBy("bucket").agg(sum("n_tok").as("btok"))
+      .localCheckpoint()
+    seqLens.map { sl =>
+      val l = lit(sl.toLong)
+      val wBin = Window.partitionBy("bucket", "bin")
+      val kept = offs
+        .withColumn("bin", call_function("div", col("start_off"), l))
+        .withColumn("pos_in_bin", col("start_off") - min("start_off").over(wBin))
+        .withColumn("kept_tok", greatest(lit(0L), least(l - col("pos_in_bin"), col("n_tok"))))
+      val perBin = kept.groupBy("bucket", "bin")
+        .agg(sum("n_tok").as("off_"), sum("kept_tok").as("kept_"),
+          sum(when(col("kept_tok") === 0L, 1L).otherwise(0L)).as("drop_"))
+      val nosplitRow = perBin.agg(
+        count(lit(1)).as("n_bins"), sum("off_").as("tok_offered"),
+        sum("kept_").as("tok_kept"), sum("drop_").as("docs_dropped"))
+      val splitRow = bucketTok.agg(
+        sum(call_function("div", col("btok") + (sl - 1).toLong, l)).as("split_seqs"),
+        sum(call_function("div", col("btok") + (sl - 1).toLong, l) * l - col("btok"))
+          .as("split_pad"))
+      nosplitRow.crossJoin(splitRow) // 1 row × 1 row
+        .select(lit(sl).as("seq_len"),
+          col("n_bins"), col("tok_offered"), col("tok_kept"), col("docs_dropped"),
+          expr("((tok_offered - tok_kept) * 1000000) div tok_offered").as("trunc_ppm"),
+          col("split_seqs"),
+          expr(s"(split_pad * 1000000) div (split_seqs * $sl)").as("split_pad_ppm"))
+    }.reduce(_.union(_)).orderBy("seq_len")
+  }
+
+  val SweepLens: Seq[Int] = Seq(64, 128, 256, 512, 1024)
+
+  /** DuckDB mirror of [[sweep]]. */
+  def sqlSweep(seqLens: Seq[Int] = SweepLens, bucketsE: String = sqlAutoBuckets): String = {
+    val ph = PortableHash.sqlPhash("('pack:' || doc_id::VARCHAR)")
+    val branches = seqLens.map { l =>
+      s"""SELECT $l::INTEGER AS seq_len,
+         |  (SELECT count(*) FROM (SELECT bucket, bin FROM k$l GROUP BY 1, 2))::BIGINT AS n_bins,
+         |  (SELECT sum(n_tok) FROM k$l)::BIGINT AS tok_offered,
+         |  (SELECT sum(kept_tok) FROM k$l)::BIGINT AS tok_kept,
+         |  (SELECT count(*) FROM k$l WHERE kept_tok = 0)::BIGINT AS docs_dropped,
+         |  (SELECT ((sum(n_tok) - sum(kept_tok)) * 1000000) // sum(n_tok) FROM k$l)::BIGINT AS trunc_ppm,
+         |  (SELECT sum((btok + ${l - 1}) // $l) FROM bt)::BIGINT AS split_seqs,
+         |  (SELECT (sum((btok + ${l - 1}) // $l * $l - btok) * 1000000)
+         |     // (sum((btok + ${l - 1}) // $l) * $l) FROM bt)::BIGINT AS split_pad_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val keptCtes = seqLens.map { l =>
+      s"""k$l AS (
+         |  SELECT bucket, start_off // $l AS bin, n_tok,
+         |    greatest(0, least($l - (start_off - min(start_off)
+         |      OVER (PARTITION BY bucket, start_off // $l)), n_tok))::BIGINT AS kept_tok
+         |  FROM o
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, len(${TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok,
+       |         ((($ph % $bucketsE) + $bucketsE) % $bucketsE) AS bucket
+       |  FROM documents
+       |),
+       |o AS (
+       |  SELECT doc_id, n_tok, bucket,
+       |         (sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)::BIGINT
+       |           AS start_off
+       |  FROM t WHERE n_tok > 0
+       |),
+       |bt AS (SELECT bucket, sum(n_tok)::BIGINT AS btok FROM o GROUP BY 1),
+       |$keptCtes
+       |SELECT * FROM ($branches) ORDER BY seq_len""".stripMargin
+  }
+
   /** Shared oracle CTE body for the no-split packing: `ns` = (bucket, bin,
     * doc_id, n_tok, pos_in_bin, kept_tok), the [[nosplit]] output.
     */

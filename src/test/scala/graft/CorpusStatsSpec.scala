@@ -10,6 +10,23 @@ class CorpusStatsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("export_balance: rollup agrees with export_shards row for row") {
+    val shards = SparkEntry.queries("export_shards")(spark, d).collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    val bal = SparkEntry.queries("export_balance")(spark, d).collect()
+    assert(bal.length == 1)
+    val b = bal.head
+    assert(b.getAs[Int]("n_shards") == shards.length)
+    assert(b.getAs[Long]("docs_total") == shards.map(_._1).sum)
+    assert(b.getAs[Long]("tok_total") == shards.map(_._2).sum)
+    assert(b.getAs[Long]("tok_max") == shards.map(_._2).max)
+    assert(b.getAs[Long]("tok_min") == shards.map(_._2).min)
+    assert(b.getAs[Long]("tok_balance_ppm") ==
+      shards.map(_._2).max * shards.length * 1000000L / shards.map(_._2).sum)
+    // longest-first round-robin should land well under a 2x straggler
+    assert(b.getAs[Long]("tok_balance_ppm") < 2000000L)
+  }
+
   test("t_closeness: folded TVD equals the brute-force cell x value cross") {
     val rep = SparkEntry.queries("t_closeness")(spark, d).collect()
     assert(rep.nonEmpty)

@@ -140,6 +140,52 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("sweep: hand-computed truncation and padding costs per config") {
+    // counts 3, 3, 4 with one bucket (btok = 10):
+    // L=4: bins (0:[d10 k3, d11 k1], 1:[d12 k4]) -> kept 8, trunc 2;
+    //      split ceil(10/4)=3 seqs, pad 2
+    // L=8: one bin [d10 k3, d11 k3, d12 k2] -> kept 8, trunc 2;
+    //      split ceil(10/8)=2 seqs, pad 6
+    val docs = Seq(
+      (10L, "a b c"), (11L, "d e f"), (12L, "g h i j")
+    ).toDF("doc_id", "text")
+    val out = Pack.sweep(docs, seqLens = Seq(4, 8), buckets = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      (4, 2L, 10L, 8L, 0L, 200000L, 3L, 2L * 1000000L / 12L),
+      (8, 1L, 10L, 8L, 0L, 200000L, 2L, 6L * 1000000L / 16L)))
+  }
+
+  test("sweep: each config row matches the fillStats rollup at that config") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (l <- Seq(64, 256)) {
+      val row = Pack.sweep(docs, seqLens = Seq(l), buckets = 4).collect().head
+      val fills = Pack.fillStats(docs, seqLen = l, buckets = 4)
+        .agg(count(lit(1)).as("n_bins"), sum("tok_offered").as("off"),
+          sum("tok_kept").as("kept")).collect().head
+      assert(row.getAs[Long]("n_bins") == fills.getAs[Long]("n_bins"), s"L=$l bins")
+      assert(row.getAs[Long]("tok_offered") == fills.getAs[Long]("off"), s"L=$l offered")
+      assert(row.getAs[Long]("tok_kept") == fills.getAs[Long]("kept"), s"L=$l kept")
+    }
+  }
+
+  test("sweep: offered mass is config-invariant; split capacity covers every token") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Pack.sweep(docs, buckets = 4).collect()
+    assert(rows.length == Pack.SweepLens.length)
+    val offered = rows.map(_.getAs[Long]("tok_offered")).distinct
+    assert(offered.length == 1, "every config sees the same corpus")
+    rows.foreach { r =>
+      val l = r.getAs[Int]("seq_len").toLong
+      assert(r.getAs[Long]("tok_kept") <= r.getAs[Long]("tok_offered"))
+      assert(r.getAs[Long]("split_seqs") * l >= r.getAs[Long]("tok_offered"),
+        "split-style capacity >= corpus tokens (lossless by construction)")
+      assert(r.getAs[Long]("trunc_ppm") >= 0L && r.getAs[Long]("split_pad_ppm") >= 0L)
+      assert(r.getAs[Long]("split_pad_ppm") < 1000000L, "padding is less than capacity")
+    }
+  }
+
   test("bucketing is deterministic and partition-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Pack.sequences(docs).collect().map(_.toSeq).toSet
