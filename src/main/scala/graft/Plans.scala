@@ -91,8 +91,11 @@ object Plans {
       "similarity_mrr", "hard_negatives", "split_leak_semantic",
       "semantic_sweep", "lsh_param_sweep", "knn_classify",
       "split_domain_disjoint",
-      // round 7 (cont.): packing-config sweep, shard-balance audit
-      "pack_sweep", "export_balance")
+      // round 7 (cont.): packing-config sweep, shard-balance audit,
+      // quality-aware dedup keeper, SemDeDup diversity keeper,
+      // Bloom admission gate
+      "pack_sweep", "export_balance", "dedup_keep_best",
+      "semantic_keep_diverse", "dedup_bloom_gate")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")

@@ -1232,6 +1232,14 @@ object SparkEntry {
   private val CmWidth = 256L
   private val CmProbeK = 20
 
+  /** `dedup_bloom_gate` dimensions (shared with the oracle): K seeded hash
+    * functions into an M-bit filter. M is sized for the gate's CONTRACT to
+    * be visible at fixture scale (some false positives, zero false
+    * negatives); production sizes M from the corpus cardinality and target
+    * FPR — the structure stays a constant-size broadcast either way. */
+  private val BloomK = 4
+  private val BloomM = 4096L
+
   /** `graph_kcore` core order and peel-round budget — shared with the
     * oracle (the budget is part of the key's contract; `converged`
     * proves it sufficed).
@@ -1835,6 +1843,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware dedup keeper: per near-dup cluster keep the HIGHEST-
+    // QUALITY member (ties → smallest doc_id), not the smallest id — the
+    // keeper policy production pipelines actually run (min-id throws away a
+    // clean original when a truncated copy has a smaller id). Argmax rides
+    // a struct max-aggregate, not a per-cluster window, so a pathological
+    // giant cluster costs one hash-agg cell, never a single-task sort.
+    "dedup_keep_best" -> ((s, d) => {
+      val clusters = Dedup.clusters(verifiedPairs(s, d))
+      val labeled = docs(s, d)
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("quality"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val best = labeled.groupBy("cluster_id")
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("cluster_id"), (-col("b.nid")).as("best_doc"))
+      labeled.join(best, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          (col("doc_id") === col("best_doc")).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus vocabulary: top-20 tokens by frequency. `orderBy().limit(k)`
     // is Spark's distributed TakeOrderedAndProject (per-partition top-k,
     // merge of k×partitions rows) — NOT a row_number over a global window,
@@ -1901,6 +1930,49 @@ object SparkEntry {
       Dedup.incremental(docs(s, d), pmod(col("doc_id"), lit(10)) === 9,
           shingleSize = 3, numPerms = 16, numBands = 4, threshold = 0.5)
         .orderBy("doc_id")),
+
+    // Bloom-filter admission gate: before the shuffle join that dedups a
+    // NEW crawl batch against the corpus, probe a K-hash
+    // Bloom filter over the corpus's canonical URLs ("seen this URL
+    // before?") — the constant-size broadcast structure that lets 100 TB
+    // admission skip the join for the (vast) never-seen majority. Bits ride
+    // the seeded portable-hash family (sketch_countmin's), so the oracle
+    // replays them exactly. The set-bit table is ≤ BloomM rows regardless
+    // of corpus size — that bound is the whole point — and broadcasts. The
+    // Bloom contract ships in the row: bloom_hit ≥ true_dup (NO false
+    // negatives; false positives are the measured price), checked not
+    // trusted. The batch models a real crawl day: RE-CRAWLS (the %7 leg —
+    // coprime with the synthetic URL's %100 group cycle, so their groups
+    // always have corpus members → must hit) plus NEVER-SEEN pages (the
+    // ≥95 page band, whose URL groups live entirely in the batch → may
+    // only hit as false positives). Both sides of the contract are
+    // exercised, neither vacuously.
+    "dedup_bloom_gate" -> ((s, d) => {
+      import graft.expr.PortableHash
+      import graft.llm.Url
+      val all = docs(s, d).select(col("doc_id"),
+        Url.canonical(Url.syntheticUrl(col("doc_id"), col("source"))).as("sig"))
+      val page = pmod(col("doc_id"), lit(100))
+      val isDelta = (pmod(col("doc_id"), lit(7)) === 3 && page < 50) ||
+        page >= 95
+      val corpus = all.filter(!isDelta).localCheckpoint() // bits + exact probe
+      val delta = all.filter(isDelta)
+      def bits(sig: Column) = explode(array((0 until BloomK).map(i =>
+        pmod(PortableHash.phashSeed(i, sig), lit(BloomM))): _*))
+      val setBits = corpus.select(bits(col("sig")).as("bit")).distinct()
+      val nSet = delta.select(col("doc_id"), bits(col("sig")).as("bit"))
+        .join(broadcast(setBits), Seq("bit"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_set"))
+      val trueDup = delta.join(corpus.select("sig"), Seq("sig"), "left_semi")
+        .select(col("doc_id"), lit(true).as("td"))
+      delta.select("doc_id")
+        .join(nSet, Seq("doc_id"), "left")
+        .join(trueDup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_set"), lit(0L)) === BloomK).as("bloom_hit"),
+          coalesce(col("td"), lit(false)).as("true_dup"))
+        .orderBy("doc_id")
+    }),
 
     // Top-3 distinctive tokens per document by TF-IDF (token-keyed DF join,
     // doc-partitioned ranking window — both scale-safe).
@@ -1977,6 +2049,50 @@ object SparkEntry {
         .select(col("vec_id"),
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
           (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id")).as("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup keeper policy (Abbas et al. 2023): within each semantic
+    // near-dup cluster keep the member with the LOWEST cosine to the
+    // cluster centroid — the farthest-from-center sample carries the most
+    // diversity; min-id (semantic_decisions) keeps an arbitrary one.
+    // Centroids are exact quantized-integer means per (cluster, dim) —
+    // the embedding_outlier determinism trade, so the oracle replays them
+    // bit-for-bit. The centroid join is a shuffle join on (cluster_id,
+    // idx), NOT a broadcast: cluster count is O(corpus), unlike the
+    // |labels|-bounded centroid table. Argmin rides a struct min-aggregate
+    // (one hash-agg cell per cluster), never a per-cluster sort.
+    "semantic_keep_diverse" -> ((s, d) => {
+      val edges = Similarity.nearDupPairs(emb(s, d), 0.4,
+        bitsPerBand = lshBitsFor(s, d)).select("a", "b")
+      val clusters = Dedup.clusters(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val q = emb(s, d)
+        .select(col("vec_id"), posexplode(Quantizer.quantize(col("embedding"))))
+        .toDF("vec_id", "idx", "qv")
+        .join(clusters, Seq("vec_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+        .localCheckpoint() // feeds both the centroid agg and the member dots
+      val cent = q.groupBy("cluster_id", "idx")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .select(col("cluster_id"), col("idx"),
+          expr("(s - pmod(s, n)) div n").as("c"))
+      val cos = q.join(cent, Seq("cluster_id", "idx"))
+        .groupBy("vec_id", "cluster_id")
+        .agg(sum(col("qv") * col("c")).as("dt"),
+          sum(col("qv") * col("qv")).as("n2v"),
+          sum(col("c") * col("c")).as("n2c"))
+        .select(col("vec_id"), col("cluster_id"),
+          when(col("n2v") === 0 || col("n2c") === 0, lit(-2.0))
+            .otherwise(round(col("dt") / (sqrt(col("n2v")) * sqrt(col("n2c"))), 6))
+            .as("cos_centroid_r"))
+        .localCheckpoint() // keeper argmin + final output share it
+      val keep = cos.groupBy("cluster_id")
+        .agg(min(struct(col("cos_centroid_r"), col("vec_id"))).as("b"))
+        .select(col("cluster_id"), col("b.vec_id").as("best_vec"))
+      cos.join(keep, Seq("cluster_id"))
+        .select(col("vec_id"), col("cluster_id"), col("cos_centroid_r"),
+          (col("vec_id") === col("best_vec")).as("keep"))
         .orderBy("vec_id")
     }),
 
@@ -4449,6 +4565,45 @@ object SparkEntry {
             |FROM embeddings v LEFT JOIN cl ON v.vec_id = cl.vec_id
             |ORDER BY v.vec_id""".stripMargin),
 
+      "semantic_keep_diverse" ->
+        (s"WITH RECURSIVE ${sqlNearDupCte(0.4)},\n" +
+          s"""e AS (SELECT a, b FROM ndp UNION ALL SELECT b, a FROM ndp),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+            |cl AS (SELECT id AS vec_id, least(id, min(r)) AS cluster_id
+            |       FROM reach GROUP BY id),
+            |q0 AS (SELECT vec_id,
+            |         ${graft.llm.Quantizer.sqlQuantize("embedding")} AS ei
+            |       FROM embeddings),
+            |q AS (SELECT q0.vec_id,
+            |        COALESCE(cl.cluster_id, q0.vec_id) AS cluster_id,
+            |        r.range::INTEGER AS idx, ei[r.range + 1] AS qv
+            |      FROM q0 LEFT JOIN cl ON q0.vec_id = cl.vec_id
+            |      CROSS JOIN range(${Similarity.Dim}) r),
+            |cent AS (SELECT cluster_id, idx,
+            |           ((s - (((s % n) + n) % n)) / n)::BIGINT AS c
+            |         FROM (SELECT cluster_id, idx, sum(qv)::BIGINT AS s,
+            |                 count(*)::BIGINT AS n FROM q GROUP BY 1, 2)),
+            |d AS (SELECT q.vec_id, q.cluster_id,
+            |        sum(q.qv * cent.c)::BIGINT AS dt,
+            |        sum(q.qv * q.qv)::BIGINT AS n2v,
+            |        sum(cent.c * cent.c)::BIGINT AS n2c
+            |      FROM q JOIN cent USING (cluster_id, idx) GROUP BY 1, 2),
+            |o AS (SELECT vec_id, cluster_id,
+            |        CASE WHEN n2v = 0 OR n2c = 0 THEN -2.0
+            |             ELSE round(dt::DOUBLE / (sqrt(n2v::DOUBLE) * sqrt(n2c::DOUBLE)), 6)
+            |        END AS cos_centroid_r
+            |      FROM d),
+            |b AS (SELECT cluster_id, vec_id AS best_vec FROM (
+            |  SELECT cluster_id, vec_id, row_number() OVER (PARTITION BY cluster_id
+            |    ORDER BY cos_centroid_r, vec_id) AS rn FROM o) WHERE rn = 1)
+            |SELECT o.vec_id, o.cluster_id, o.cos_centroid_r,
+            |  (o.vec_id = b.best_vec) AS keep
+            |FROM o JOIN b ON o.cluster_id = b.cluster_id
+            |ORDER BY o.vec_id""".stripMargin),
+
       "heavy_hitters" ->
         s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
            |f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1),
@@ -4643,6 +4798,28 @@ object SparkEntry {
             |cs AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1)
             |SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
 
+      "dedup_keep_best" ->
+        (s"WITH RECURSIVE ${sqlVerifiedCte(3, 16, 4)},\n" +
+          s"""e AS (SELECT a, b FROM v WHERE jac_r >= 0.5
+            |      UNION ALL SELECT b, a FROM v WHERE jac_r >= 0.5),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+            |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+            |       FROM reach GROUP BY id),
+            |tq AS (SELECT doc_id, $toks AS toks FROM documents),
+            |q AS (SELECT doc_id, ${TA.sqlQualityScore("toks")} AS quality FROM tq),
+            |lab AS (SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+            |        q.quality FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+            |b AS (SELECT cluster_id, doc_id AS best_doc FROM (
+            |  SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id
+            |    ORDER BY quality DESC, doc_id) AS rn FROM lab) WHERE rn = 1)
+            |SELECT lab.doc_id, lab.cluster_id, lab.quality,
+            |  (lab.doc_id = b.best_doc) AS keep
+            |FROM lab JOIN b ON lab.cluster_id = b.cluster_id
+            |ORDER BY lab.doc_id""".stripMargin),
+
       "doc_quality" ->
         s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
            |q AS (SELECT doc_id, ${TA.sqlQualityScore("toks")} AS quality FROM t)
@@ -4684,6 +4861,34 @@ object SparkEntry {
 
       "dedup_incremental" -> sqlIncremental(e => s"(($e % 10) = 9)",
         shingleSize = 3, numPerms = 16, numBands = 4, thr = 0.5),
+
+      "dedup_bloom_gate" -> {
+        import graft.expr.PortableHash
+        def bitRows(src: String, extra: String) = (0 until BloomK).map { i =>
+          s"SELECT $extra (${PortableHash.sqlPhashSeed(i, "sig")}) % $BloomM AS bit FROM $src"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH u AS (SELECT doc_id, ${graft.llm.Url.sqlSyntheticUrl} AS url
+           |           FROM documents),
+           |allr AS (SELECT doc_id, ${graft.llm.Url.sqlCanonical("url")} AS sig
+           |         FROM u),
+           |c AS (SELECT * FROM allr WHERE NOT
+           |        (((doc_id % 7) = 3 AND (doc_id % 100) < 50)
+           |         OR (doc_id % 100) >= 95)),
+           |dl AS (SELECT * FROM allr WHERE
+           |        (((doc_id % 7) = 3 AND (doc_id % 100) < 50)
+           |         OR (doc_id % 100) >= 95)),
+           |bb AS (SELECT DISTINCT bit FROM (${bitRows("c", "")})),
+           |pr AS (${bitRows("dl", "doc_id,")}),
+           |hit AS (SELECT pr.doc_id, count(*)::BIGINT AS n_set
+           |        FROM pr JOIN bb USING (bit) GROUP BY 1),
+           |td AS (SELECT DISTINCT dl.doc_id FROM dl JOIN c ON dl.sig = c.sig)
+           |SELECT dl.doc_id,
+           |  (COALESCE(hit.n_set, 0) = $BloomK) AS bloom_hit,
+           |  (td.doc_id IS NOT NULL) AS true_dup
+           |FROM dl LEFT JOIN hit ON dl.doc_id = hit.doc_id
+           |LEFT JOIN td ON dl.doc_id = td.doc_id
+           |ORDER BY dl.doc_id""".stripMargin
+      },
 
       "tfidf_topk" -> TA.sqlTfidfTopK(k = 3),
 

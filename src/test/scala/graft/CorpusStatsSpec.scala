@@ -10,6 +10,24 @@ class CorpusStatsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("dedup_keep_best: one keeper per cluster, and it is the argmax-quality member") {
+    val rows = SparkEntry.queries("dedup_keep_best")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (c, rs) =>
+      val kept = rs.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length == 1, s"cluster $c keeps exactly one member")
+      val best = rs.maxBy(r => (r.getAs[Double]("quality"), -r.getAs[Long]("doc_id")))
+      assert(kept.head.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"),
+        s"cluster $c keeper is max quality, ties to smallest id")
+    }
+    // same clustering as dedup_decisions — only the keeper policy differs
+    val dec = SparkEntry.queries("dedup_decisions")(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach(r =>
+      assert(dec(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id")))
+    assert(rows.count(_.getAs[Boolean]("keep")) == dec.values.toSet.size)
+  }
+
   test("export_balance: rollup agrees with export_shards row for row") {
     val shards = SparkEntry.queries("export_shards")(spark, d).collect()
       .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))

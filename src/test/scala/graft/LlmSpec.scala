@@ -142,6 +142,31 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semantic_keep_diverse: same clustering as semantic_decisions, keeper is argmin cos-to-centroid") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("semantic_keep_diverse")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == Tables.embeddings(spark, d).count(),
+      "every vector gets a verdict")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.count(_._4) == 1, s"cluster $cid must have exactly one keeper")
+      val best = members.minBy(m => (m._3, m._1))
+      assert(members.find(_._4).get._1 == best._1,
+        s"keeper of $cid is the min-cosine (most diverse) member, ties to smallest id")
+    }
+    // singletons: centroid is the vector itself -> cosine exactly 1 (or the
+    // -2.0 zero-vector sentinel), and they keep themselves
+    val dec = SparkEntry.queries("semantic_decisions")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (v, cid, cos, keep) =>
+      assert(dec(v) == cid, s"vector $v must land in the same cluster as semantic_decisions")
+      if (cid == v && !rows.exists(o => o._2 == cid && o._1 != v)) {
+        assert(cos == 1.0 || cos == -2.0, s"singleton $v cosine to own centroid")
+        assert(keep, s"singleton $v must keep itself")
+      }
+    }
+  }
+
   test("hard_negatives: subset of LSH top-10, never the query's label, dense hardest-first ranks") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("hard_negatives")(spark, d).collect()

@@ -67,6 +67,23 @@ class UrlSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum > 0, "docs assigned")
   }
 
+  test("dedup_bloom_gate: no false negatives, both batch populations present") {
+    val rows = SparkEntry.queries("dedup_bloom_gate")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // the Bloom contract: a true duplicate can never miss the filter
+    rows.foreach { case (id, hit, dup) =>
+      assert(hit || !dup, s"doc $id: true_dup=$dup must imply bloom_hit")
+    }
+    // the fixture batch exercises both sides: re-crawled URLs (must hit)
+    // and never-seen pages (may only hit as false positives)
+    assert(rows.exists(_._3), "batch contains re-crawled URLs")
+    assert(rows.exists(r => !r._3), "batch contains never-seen URLs")
+    // the gate is useful: at least one never-seen doc passes the filter
+    // untouched (otherwise every doc would fall through to the join)
+    assert(rows.exists(r => !r._2), "some never-seen docs skip the join")
+  }
+
   test("canonicalHost: subdomain fan-out yields |sources| x 5 hosts, case-folded") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
