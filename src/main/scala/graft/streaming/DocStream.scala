@@ -30,6 +30,36 @@ object DocStream {
       .filter(col("known").isNull)
       .select("doc_id", "text", "fp")
 
+  /** Streaming Bloom admission gate — `dedup_bloom_gate`'s filter as the
+    * stream-side fast path in front of [[admit]]/[[nearDupProbe]]. The
+    * static side is the corpus's set-bit table (K seeded portable hashes
+    * of each corpus `sig` into an m-bit space, deduped — ≤ m rows at ANY
+    * corpus size); each arriving doc's K bits probe it through K
+    * stream-static broadcast LEFT joins — O(1) hash lookups per row, no
+    * explode-then-regroup (a streaming groupBy would be a stateful
+    * aggregate; this stays append-mode legal with zero state). Emits
+    * (doc_id, bloom_hit). bloom_hit=false docs are GUARANTEED novel (the
+    * Bloom no-false-negative contract) and skip the dedup join entirely;
+    * hits fall through to exact adjudication. `newDocs` needs (doc_id,
+    * sig); `corpusSigs` needs (sig) — sig is whatever admission keys on
+    * (canonical URL, content fingerprint).
+    */
+  def bloomProbe(newDocs: DataFrame, corpusSigs: DataFrame,
+                 k: Int = 4, m: Long = 4096): DataFrame = {
+    import graft.expr.PortableHash
+    val setBits = corpusSigs.select(explode(array((0 until k).map(i =>
+        pmod(PortableHash.phashSeed(i, col("sig")), lit(m))): _*)).as("bit"))
+      .distinct()
+    val probed = (0 until k).foldLeft(
+      newDocs.select(col("doc_id"), col("sig"))) { (df, i) =>
+      df.withColumn(s"b$i", pmod(PortableHash.phashSeed(i, col("sig")), lit(m)))
+        .join(broadcast(setBits.select(col("bit").as(s"b$i"),
+          lit(1).as(s"m$i"))), Seq(s"b$i"), "left_outer")
+    }
+    probed.select(col("doc_id"),
+      (0 until k).map(i => col(s"m$i").isNotNull).reduce(_ && _).as("bloom_hit"))
+  }
+
   /** Streaming NEAR-dup probe — the LSH layer of
     * [[graft.llm.Dedup.incremental]] as a stream: each incoming doc's
     * banded signature (computed per-row, [[Dedup.bandedRowwise]] — no

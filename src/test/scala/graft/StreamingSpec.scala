@@ -221,6 +221,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomProbe: streaming verdicts match the batch dedup_bloom_gate under arrival permutations") {
+    import graft.llm.Url
+    val d = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("dedup_bloom_gate")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val docsDf = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"),
+        Url.canonical(Url.syntheticUrl(col("doc_id"), col("source"))).as("sig"))
+    val page = col("doc_id") % 100
+    val isDelta = (col("doc_id") % 7 === 3 && page < 50) || page >= 95
+    val corpusSigs = docsDf.filter(!isDelta).select("sig")
+    val delta = docsDf.filter(isDelta)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rnd = new scala.util.Random(7)
+    val (b1, b2) = rnd.shuffle(delta.toSeq).splitAt(delta.length / 2)
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val withSig = in.toDF().toDF("doc_id", "source")
+      .withColumn("sig", Url.canonical(Url.syntheticUrl(col("doc_id"), col("source"))))
+    val q = graft.streaming.DocStream.bloomProbe(withSig, corpusSigs)
+      .writeStream.format("memory").queryName("bloomed").outputMode("append").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("bloomed").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got.keySet == batch.keySet, "every batch-delta doc got a streamed verdict")
+      got.foreach { case (id, hit) =>
+        assert(hit == batch(id), s"doc $id: stream=$hit batch=${batch(id)}")
+      }
+    } finally q.stop()
+  }
+
   test("admitBatch: intra-batch duplicates resolve exactly like one-at-a-time processing") {
     import graft.streaming.DocStream
     // Chain A≈B≈C with A≉C (B = A's tokens ++ C's tokens, so jac(A,B) =
