@@ -95,7 +95,9 @@ object Plans {
       // quality-aware dedup keeper, SemDeDup diversity keeper,
       // Bloom admission gate
       "pack_sweep", "export_balance", "dedup_keep_best",
-      "semantic_keep_diverse", "dedup_bloom_gate")
+      "semantic_keep_diverse", "dedup_bloom_gate",
+      // round 7 (cont.): domain review list, cluster-label purity
+      "quality_by_domain", "semantic_purity")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")

@@ -1240,6 +1240,16 @@ object SparkEntry {
   private val BloomK = 4
   private val BloomM = 4096L
 
+  /** `quality_by_domain` review-list thresholds (shared with the oracle):
+    * flag a host when its MEAN doc quality sits at least this margin (ppm)
+    * below the CORPUS mean, with at least this many docs of support — a
+    * domain-level action is a bigger hammer than a doc drop, so it demands
+    * evidence, and the relative cut tracks whatever quality regime the
+    * corpus is in (an absolute floor would be vacuous on a clean corpus
+    * and block everything on a dirty one). */
+  private val DomainQualityMarginPpm = 10000L
+  private val DomainBlockMinDocs = 3L
+
   /** `graph_kcore` core order and peel-round budget — shared with the
     * oracle (the budget is part of the key's contract; `converged`
     * proves it sufficed).
@@ -2096,6 +2106,34 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Semantic-cluster label purity — the diagnostic that tells you whether
+    // the embedding near-dup clusters respect the label structure (low
+    // purity = the cosine threshold is merging distinct content; the check
+    // run before trusting SemDeDup-style removal). Per cluster: member
+    // count, distinct labels, the majority label (ties → smallest label,
+    // via a struct max-aggregate — one hash-agg cell per cluster, no
+    // per-cluster sort) and its share as an exact ppm integer (DECIMAL
+    // product: n*10⁶ wraps a long once clusters pass ~9e12 members).
+    "semantic_purity" -> ((s, d) => {
+      val edges = Similarity.nearDupPairs(emb(s, d), 0.4,
+        bitsPerBand = lshBitsFor(s, d)).select("a", "b")
+      val clusters = Dedup.clusters(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val labeled = emb(s, d).select(col("vec_id"), col("label"))
+        .join(clusters, Seq("vec_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      val cl = labeled.groupBy("cluster_id", "label")
+        .agg(count(lit(1)).as("n"))
+      cl.groupBy("cluster_id")
+        .agg(sum("n").as("n_members"), count(lit(1)).as("n_labels"),
+          max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+        .select(col("cluster_id"), col("n_members"), col("n_labels"),
+          (-col("m.nl")).as("majority_label"),
+          expr("(CAST(m.n AS DECIMAL(38,0)) * 1000000) div n_members")
+            .as("purity_ppm"))
+        .orderBy("cluster_id")
+    }),
+
     // Token-length distribution in power-of-2 buckets — the profile a
     // packing stage consults to pick seqLen and outlier cutoffs. Bucket
     // edges are literal comparisons (a CASE chain, identical text in the
@@ -2440,6 +2478,42 @@ object SparkEntry {
           col("rank_in_domain"),
           (col("rank_in_domain") <= DomainCap).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // Domain-level quality profile — the FineWeb-style review-list builder:
+    // roll per-doc quality up to the canonical host and flag hosts whose
+    // MEAN quality sits ≥ DomainQualityMarginPpm below the CORPUS mean
+    // with enough support to trust the host mean (a host-level action is a
+    // much bigger hammer than a doc-level drop, so it demands evidence).
+    // Quality is quantized to ppm BIGINT before aggregation
+    // (quality_report's trade: integer sums are shuffle-order-exact; float
+    // means are not); both means are integer floor division, and the
+    // corpus mean rides the 1-row scalar-agg broadcast (derived from the
+    // checkpointed host frame — no second corpus scan). One scan → one
+    // regex pass → one host-keyed hash agg; host cardinality is millions
+    // at web scale — comfortably partitioned, never collected.
+    "quality_by_domain" -> ((s, d) => {
+      val host = regexp_extract(
+        graft.llm.Url.canonical(
+          graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))),
+        "^([^/]*)", 1)
+      val hostAgg = docs(s, d)
+        .select(host.as("host"),
+          size(TA.tokens(col("text"))).cast("long").as("n_tok"),
+          round(TA.qualityScore(col("text")) * SamplePpmScale, 0)
+            .cast("long").as("q_ppm"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          sum("q_ppm").as("sum_q"))
+        .localCheckpoint() // feeds the host rows AND the corpus-mean scalar
+      val tot = hostAgg.agg(sum("sum_q").as("gq"), sum("n_docs").as("gn"))
+      hostAgg.crossJoin(tot)
+        .select(col("host"), col("n_docs"), col("n_tokens"),
+          expr("sum_q div n_docs").as("mean_q_ppm"),
+          (expr("sum_q div n_docs") <
+            expr("gq div gn") - DomainQualityMarginPpm &&
+            col("n_docs") >= DomainBlockMinDocs).as("flagged"))
+        .orderBy("host")
     }),
 
     // Data-constrained epoch planning (the "how many epochs is each
@@ -4604,6 +4678,32 @@ object SparkEntry {
             |FROM o JOIN b ON o.cluster_id = b.cluster_id
             |ORDER BY o.vec_id""".stripMargin),
 
+      "semantic_purity" ->
+        (s"WITH RECURSIVE ${sqlNearDupCte(0.4)},\n" +
+          """e AS (SELECT a, b FROM ndp UNION ALL SELECT b, a FROM ndp),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+            |cl AS (SELECT id AS vec_id, least(id, min(r)) AS cluster_id
+            |       FROM reach GROUP BY id),
+            |lab AS (SELECT v.vec_id,
+            |          COALESCE(cl.cluster_id, v.vec_id) AS cluster_id, v.label
+            |        FROM embeddings v LEFT JOIN cl ON v.vec_id = cl.vec_id),
+            |cln AS (SELECT cluster_id, label, count(*)::BIGINT AS n
+            |        FROM lab GROUP BY 1, 2),
+            |mj AS (SELECT cluster_id, label AS majority_label, n AS mn FROM (
+            |  SELECT cluster_id, label, n, row_number() OVER (
+            |    PARTITION BY cluster_id ORDER BY n DESC, label) AS rn
+            |  FROM cln) WHERE rn = 1),
+            |ag AS (SELECT cluster_id, sum(n)::BIGINT AS n_members,
+            |         count(*)::BIGINT AS n_labels FROM cln GROUP BY 1)
+            |SELECT ag.cluster_id, ag.n_members, ag.n_labels,
+            |  mj.majority_label,
+            |  ((mj.mn * 1000000) // ag.n_members)::BIGINT AS purity_ppm
+            |FROM ag JOIN mj ON ag.cluster_id = mj.cluster_id
+            |ORDER BY 1""".stripMargin),
+
       "heavy_hitters" ->
         s"""WITH t AS (SELECT unnest($toks) AS token FROM documents),
            |f AS (SELECT token, count(*) AS freq FROM t GROUP BY 1),
@@ -5045,6 +5145,26 @@ object SparkEntry {
            |SELECT r.doc_id, r.host, c.n_domain_docs, r.rank_in_domain,
            |  (r.rank_in_domain <= $DomainCap) AS keep
            |FROM r JOIN c ON r.host = c.host ORDER BY r.doc_id""".stripMargin
+      },
+
+      "quality_by_domain" -> {
+        val canon = graft.llm.Url.sqlCanonical(graft.llm.Url.sqlSyntheticUrl)
+        s"""WITH h AS (SELECT doc_id,
+           |  regexp_extract($canon, '^([^/]*)', 1) AS host,
+           |  $toks AS toksv FROM documents),
+           |q AS (SELECT host, len(toksv)::BIGINT AS n_tok,
+           |  CAST(round(${TA.sqlQualityScore("toksv")} * $SamplePpmScale)
+           |    AS BIGINT) AS q_ppm FROM h),
+           |a AS (SELECT host, count(*)::BIGINT AS n_docs,
+           |        sum(n_tok)::BIGINT AS n_tokens, sum(q_ppm)::BIGINT AS sum_q
+           |      FROM q GROUP BY 1),
+           |g AS (SELECT sum(sum_q)::BIGINT AS gq, sum(n_docs)::BIGINT AS gn
+           |      FROM a)
+           |SELECT host, n_docs, n_tokens,
+           |  (sum_q // n_docs)::BIGINT AS mean_q_ppm,
+           |  ((sum_q // n_docs) < (gq // gn) - $DomainQualityMarginPpm
+           |    AND n_docs >= $DomainBlockMinDocs) AS flagged
+           |FROM a, g ORDER BY 1""".stripMargin
       },
 
       "mix_epochs" ->

@@ -167,6 +167,27 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("semantic_purity: exact re-derivation from semantic_decisions clusters and labels") {
+    val d = "/root/testdata/sf0.001"
+    val clusterOf = SparkEntry.queries("semantic_decisions")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labelOf = Tables.embeddings(spark, d).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = labelOf.keys.groupBy(clusterOf).map { case (cid, vs) =>
+      val counts = vs.groupBy(labelOf).map { case (l, g) => (l, g.size.toLong) }
+      val (ml, mn) = counts.toSeq.minBy { case (l, n) => (-n, l) }
+      cid -> (vs.size.toLong, counts.size.toLong, ml, mn * 1000000L / vs.size)
+    }
+    val rows = SparkEntry.queries("semantic_purity")(spark, d).collect()
+    assert(rows.length == expected.size, "one row per cluster")
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))
+      assert(got == expected(r.getLong(0)), s"cluster ${r.getLong(0)}")
+    }
+    assert(rows.exists(_.getLong(4) < 1000000L),
+      "fixture has at least one impure cluster (the diagnostic's reason to exist)")
+  }
+
   test("hard_negatives: subset of LSH top-10, never the query's label, dense hardest-first ranks") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("hard_negatives")(spark, d).collect()

@@ -67,6 +67,32 @@ class UrlSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum > 0, "docs assigned")
   }
 
+  test("quality_by_domain: exact re-derivation from per-doc quality and hosts") {
+    val d = "/root/testdata/sf0.001"
+    val perDoc = Tables.documents(spark, d)
+      .select(Url.canonicalHost(
+          Url.syntheticUrl(col("doc_id"), col("source"))).as("host"),
+        size(graft.llm.TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        round(graft.llm.TextAnalysis.qualityScore(col("text")) * 1000000L, 0)
+          .cast("long").as("q_ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byHost = perDoc.groupBy(_._1).map { case (h, rs) =>
+      h -> (rs.length.toLong, rs.map(_._2).sum, rs.map(_._3).sum / rs.length)
+    }
+    val gq = perDoc.map(_._3).sum / perDoc.length
+    val rows = SparkEntry.queries("quality_by_domain")(spark, d).collect()
+    assert(rows.length == byHost.size, "one row per canonical host")
+    rows.foreach { r =>
+      val (h, n, t, m, f) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))
+      val (en, et, em) = byHost(h)
+      assert(n == en && t == et && m == em, s"host $h aggregates")
+      assert(f == (em < gq - 10000L && en >= 3L), s"host $h flag")
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "review list is neither empty nor everything")
+  }
+
   test("dedup_bloom_gate: no false negatives, both batch populations present") {
     val rows = SparkEntry.queries("dedup_bloom_gate")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
