@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.analog.{OccurrenceAnalog => OA}
 import graft.expr.{BorYear, IntMath, Salt}
+import org.apache.spark.sql.types.DecimalType
 import graft.tiles._
 
 /** Driver contract — one `queries` entry + oracle SQL per operator from
@@ -2998,6 +2999,54 @@ object SparkEntry {
         .orderBy("source", "p")
     }),
 
+    // Per-source distribution drift: the exact Kolmogorov–Smirnov statistic
+    // of each source's quality distribution against the REST of the corpus
+    // (ks_ppm = max over values of |⌊F_src·10⁶⌋ − ⌊F_rest·10⁶⌋|, argmax
+    // reported at the smallest attaining value) — the "did this crawl
+    // slice shift under me" check run before trusting a mix recipe.
+    // Shape: per-(source, value) counts once, then a sources × value-axis
+    // grid (the events_gapfill dense-grid pattern — sources are enum-
+    // bounded, the axis is ≤10⁶ distinct ppm values by construction, so
+    // the grid is corpus-size-INDEPENDENT); per-source CDFs are window
+    // sums over the grid, and the global CDF falls out as the per-value
+    // SUM of source CDFs — no partition-less window anywhere. The KS max
+    // is a single struct-max hash agg per source.
+    "quality_ks" -> ((s, d) => {
+      val b = docs(s, d)
+        .select(col("source"), TA.qualityScore(col("text")).as("q"))
+        .select(col("source"),
+          expr(s"CAST(round(q * $SamplePpmScale, 0) AS BIGINT)").as("v"))
+      val svc = b.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds axis, per-source totals, and the grid
+      val axis = svc.select("v").distinct()
+      val srcN = svc.groupBy("source").agg(sum("c").as("n_src"))
+      val tot = svc.agg(sum("c").as("n")) // 1 row
+      val grid = srcN.select("source").crossJoin(axis) // bounded grid
+        .join(svc, Seq("source", "v"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wCum = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid.withColumn("cum_src", sum("c").over(wCum))
+        .localCheckpoint() // the global CDF below re-reads it per value
+      val ca = cum.groupBy("v").agg(sum("cum_src").as("cum_all"))
+      cum.join(ca, Seq("v"))
+        .join(broadcast(srcN), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") > col("n_src")) // a lone source has no "rest" CDF
+        .select(col("source"), col("n_src"), col("v"),
+          expr("""abs(CAST((CAST(cum_src AS DECIMAL(38,0)) * 1000000)
+                 |         div n_src AS BIGINT)
+                 |  - CAST((CAST(cum_all - cum_src AS DECIMAL(38,0)) * 1000000)
+                 |         div (n - n_src) AS BIGINT))"""
+            .stripMargin.replace("\n", " ")).as("gap_ppm"))
+        .groupBy("source")
+        .agg(max("n_src").as("n_docs"),
+          max(struct(col("gap_ppm"), (-col("v")).as("nv"))).as("m"))
+        .select(col("source"), col("n_docs"),
+          col("m.gap_ppm").as("ks_ppm"), (-col("m.nv")).as("q_ppm_at_max"))
+        .orderBy("source")
+    }),
+
     // Importance sampling by quality: deterministic Bernoulli(quality) via
     // the seeded hash gate (same reproducible-slice contract as
     // sample_stratified, with a per-doc continuous rate instead of a
@@ -3011,6 +3060,60 @@ object SparkEntry {
         .filter(pmod(graft.expr.PortableHash.phash(
             concat(lit(s"$ImportanceSeed:"), col("doc_id").cast("string"))),
           lit(SamplePpmScale)) < col("w_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every document by
+    // how TARGET-like its hashed-n-gram profile is, where target = the
+    // lang='en' slice and source = the whole corpus. Features are the
+    // hashing trick over unigram+bigram token hashes (DsirBuckets cells);
+    // each feature carries a smoothed target/source likelihood ratio in
+    // ppm, and a document's score is the count-weighted mean ratio delta —
+    // an exact-integer rational kernel standing in for the paper's
+    // sum-of-log-ratios (log is monotone per feature; the rational form is
+    // bit-replayable cross-engine, the repo's determinism contract).
+    // Scale: the ratio table is DsirBuckets rows (broadcast); the corpus
+    // side is one token-linear explode + two map-side-combined hash aggs —
+    // no shuffle wider than (doc_id, bucket). Per-doc sums accumulate in
+    // DECIMAL(38,0) (a rare-feature ratio can reach ~1e12 ppm; long would
+    // wrap) — the PageRank in-aggregate-cast lesson.
+    "dsir_weights" -> ((s, d) => {
+      import graft.llm.{Dedup, TextAnalysis => TA}
+      // Stage the tokenize→md5 pass BEFORE the shingle lambda: inlined, the
+      // hash-array expression re-evaluates inside every element_at of
+      // hashedShingles — O(tokens²) md5 calls per doc (measured 47 s at
+      // sf0.1 vs ~1 s staged; the round-2/3/5 footgun, PlanGuardSpec).
+      val thf = docs(s, d)
+        .select(col("doc_id"), (col("lang") === DsirTargetLang).as("tgt"),
+          Dedup.tokenHashes(TA.tokens(col("text"))).as("th"))
+        .localCheckpoint()
+      val feats = thf
+        .select(col("doc_id"), col("tgt"),
+          explode(concat(col("th"), Dedup.hashedShingles(col("th"), 2))).as("h"))
+        .select(col("doc_id"), col("tgt"), (col("h") % DsirBuckets).as("f"))
+      val dfc = feats.groupBy("doc_id", "tgt", "f")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the bucket-ratio table AND the scoring
+      val fc = dfc.groupBy("f").agg(sum("c").as("cs"),
+        sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
+      val tot = fc.agg(sum("cs").as("ts"), sum("ct").as("tt")) // 1 row
+      val ratios = fc.crossJoin(broadcast(tot)).select(col("f"),
+        expr(s"""CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (ts + $DsirBuckets) * 1000000)
+                | div (CAST(cs + 1 AS DECIMAL(38,0)) * (tt + $DsirBuckets)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("r_ppm"))
+      val sc = dfc.join(broadcast(ratios), Seq("f"))
+        .groupBy("doc_id")
+        .agg(sum(col("c").cast(DecimalType(38, 0)) * (col("r_ppm") - lit(1000000L)))
+            .as("w"),
+          sum("c").as("nf"))
+        .select(col("doc_id"), col("nf"),
+          expr("CAST((w - pmod(w, nf)) div nf AS BIGINT)").as("sp"))
+      docs(s, d).select(col("doc_id")).join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nf"), lit(0L)).as("n_feats"),
+          coalesce(col("sp"), lit(0L)).as("score_ppm"),
+          coalesce(col("sp") > 0, lit(false)).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -3687,6 +3790,56 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // Label-propagation communities over the same co-purchase graph —
+    // components answer "reachable", LPA answers "densely clustered":
+    // inside one component the label mode splits hub neighborhoods apart.
+    // Deterministic synchronous variant (fixed rounds, smallest-label tie
+    // break, self-vote) so the oracle unrolls the identical supersteps;
+    // per-round cost = one edges×labels equi-join + two map-side-combined
+    // hash aggs, labels node-sized, lineage cut per round (ops/Lpa).
+    "graph_lpa" -> ((s, d) => {
+      val (_, pairs) = coPurchasePairs(s, d)
+      graft.ops.Lpa.run(pairs.select("a", "b"), iters = LpaIters)
+        .orderBy("node")
+    }),
+
+    // Modularity audit of the LPA partition (Newman-Girvan Q, per
+    // community, in exact floored ppm): q_ppm = ⌊E_c·10⁶/m⌋ −
+    // ⌊deg_c²·10⁶/(4m²)⌋ — the "did LPA find real structure" check (Q
+    // near 0 = no better than random). Terms accumulate in DECIMAL(38,0)
+    // (deg_c ≤ 2m; m²·10⁶ wraps long past m≈3e6 edges — real at 100 TB).
+    // Cost on top of the LPA rounds: one degree agg + one labels⨝pairs
+    // equi-join (labels node-sized) + a 1-row m broadcast.
+    "graph_modularity" -> ((s, d) => {
+      val (_, pairsAll) = coPurchasePairs(s, d)
+      val pairs = pairsAll.select("a", "b")
+        .localCheckpoint() // feeds LPA rounds, degrees, and the E_c join
+      val labels = graft.ops.Lpa.run(pairs, iters = LpaIters)
+        .localCheckpoint() // probed twice below (deg_c and E_c)
+      val m = pairs.agg(count(lit(1)).as("m")) // 1 row
+      val deg = pairs.select(col("a").as("node"))
+        .union(pairs.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val degC = deg.join(labels, Seq("node"))
+        .groupBy("label")
+        .agg(sum("deg").as("deg_sum"), count(lit(1)).as("n_nodes"))
+      val eIn = pairs
+        .join(labels.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+        .join(labels.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      degC.join(eIn, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .select(col("label").as("community_id"), col("n_nodes"),
+          col("deg_sum"), col("e_in"),
+          expr("""CAST((CAST(e_in AS DECIMAL(38,0)) * 1000000) div m AS BIGINT)
+                 | - CAST((CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * 1000000)
+                 |         div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("q_ppm"))
+        .orderBy("community_id")
+    }),
+
     // Linear interpolation of the hourly value series across silent
     // hours — events_gapfill's sibling for VALUES (pandas-interpolate
     // semantics) in exact integer arithmetic: money in cents, and each
@@ -3775,6 +3928,15 @@ object SparkEntry {
     * non-trivial: 56 components at sf0.01).
     */
   private val MinPairSupport = 3L
+
+  /** `graph_lpa` superstep count (shared with the oracle's unroll). */
+  private val LpaIters = 4
+
+  /** `dsir_weights` hashed-feature bucket count and target slice (shared
+    * with the oracle).
+    */
+  private val DsirBuckets = 256L
+  private val DsirTargetLang = "en"
 
   /** Support-filtered co-purchase pair frame (a < b, n_ab = #orders
     * sharing the pair) — THE co-purchase graph contract behind
@@ -5308,6 +5470,33 @@ object SparkEntry {
            |FROM r JOIN ps ON r.rnk = ((r.n - 1) * ps.p) // 100 + 1
            |ORDER BY 1, 2""".stripMargin,
 
+      "quality_ks" ->
+        s"""WITH b AS (SELECT source,
+           |  CAST(round(${TA.sqlQualityScore(toks)} * $SamplePpmScale)
+           |    AS BIGINT) AS v FROM documents),
+           |svc AS (SELECT source, v, count(*)::BIGINT AS c FROM b GROUP BY 1, 2),
+           |ax AS (SELECT DISTINCT v FROM svc),
+           |sn AS (SELECT source, sum(c)::BIGINT AS n_src FROM svc GROUP BY 1),
+           |tot AS (SELECT sum(c)::BIGINT AS n FROM svc),
+           |grid AS (SELECT sn.source, ax.v, coalesce(svc.c, 0)::BIGINT AS c
+           |  FROM sn CROSS JOIN ax
+           |  LEFT JOIN svc ON svc.source = sn.source AND svc.v = ax.v),
+           |cum AS (SELECT source, v,
+           |  sum(c) OVER (PARTITION BY source ORDER BY v)::BIGINT AS cum_src
+           |  FROM grid),
+           |ca AS (SELECT v, sum(cum_src)::BIGINT AS cum_all FROM cum GROUP BY 1),
+           |g AS (SELECT cum.source, sn.n_src, cum.v,
+           |  abs((cum_src::HUGEINT * 1000000) // n_src
+           |    - ((cum_all - cum_src)::HUGEINT * 1000000)
+           |      // (n - n_src))::BIGINT AS gap_ppm
+           |  FROM cum JOIN ca USING (v) JOIN sn USING (source), tot
+           |  WHERE n > n_src)
+           |SELECT source, n_src AS n_docs, gap_ppm AS ks_ppm,
+           |  v AS q_ppm_at_max
+           |FROM (SELECT *, row_number() OVER (PARTITION BY source
+           |        ORDER BY gap_ppm DESC, v) AS r FROM g)
+           |WHERE r = 1 ORDER BY source""".stripMargin,
+
       "sample_importance" ->
         s"""WITH q AS (SELECT doc_id, lang,
            |  CAST(round(${TA.sqlQualityScore(toks)} * $SamplePpmScale)
@@ -5316,6 +5505,34 @@ object SparkEntry {
            |WHERE (${graft.expr.PortableHash.sqlPhash(
                 s"'$ImportanceSeed:' || doc_id::VARCHAR")} % $SamplePpmScale) < w_ppm
            |ORDER BY doc_id""".stripMargin,
+
+      "dsir_weights" -> {
+        import graft.llm.{Dedup, TextAnalysis => TA}
+        val toksE = TA.sqlTokens("text")
+        val B = DsirBuckets
+        s"""WITH t AS (SELECT doc_id, (lang = '$DsirTargetLang') AS tgt,
+           |  ${Dedup.sqlTokenHashes(toksE)} AS th FROM documents),
+           |hs AS (SELECT doc_id, tgt,
+           |  list_concat(th, ${Dedup.sqlHashedShingles("th", 2)}) AS hs FROM t),
+           |f AS (SELECT doc_id, tgt, unnest(hs) % $B AS f FROM hs),
+           |dfc AS (SELECT doc_id, tgt, f, count(*)::BIGINT AS c
+           |  FROM f GROUP BY 1, 2, 3),
+           |fc AS (SELECT f, sum(c)::BIGINT AS cs,
+           |  sum(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS ct
+           |  FROM dfc GROUP BY 1),
+           |tot AS (SELECT sum(cs)::BIGINT AS ts, sum(ct)::BIGINT AS tt FROM fc),
+           |r AS (SELECT f, (((ct + 1)::HUGEINT * (ts + $B) * 1000000)
+           |  // ((cs + 1)::HUGEINT * (tt + $B)))::BIGINT AS r_ppm FROM fc, tot),
+           |sc AS (SELECT doc_id, sum(c::HUGEINT * (r_ppm - 1000000)) AS w,
+           |  sum(c)::BIGINT AS nf FROM dfc JOIN r USING (f) GROUP BY 1),
+           |sc2 AS (SELECT doc_id, nf,
+           |  ((w - (((w % nf) + nf) % nf)) // nf)::BIGINT AS sp FROM sc)
+           |SELECT d.doc_id, coalesce(nf, 0)::BIGINT AS n_feats,
+           |  coalesce(sp, 0)::BIGINT AS score_ppm,
+           |  coalesce(sp > 0, FALSE) AS keep
+           |FROM documents d LEFT JOIN sc2 USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       "k_anonymity" ->
         s"""WITH q AS (SELECT c_nationkey, c_mktsegment,
@@ -5760,6 +5977,28 @@ object SparkEntry {
             |  UNION SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
             |SELECT id AS node, least(id, min(r)) AS component_id
             |FROM reach GROUP BY id ORDER BY node""".stripMargin),
+
+      "graph_lpa" -> graft.ops.Lpa.sqlRun(
+        "SELECT a, b FROM pr", iters = LpaIters, preCtes = sqlCoPurchasePairs),
+
+      "graph_modularity" ->
+        (s"WITH ${graft.ops.Lpa.sqlCtes("SELECT a, b FROM pr", LpaIters, sqlCoPurchasePairs)},\n" +
+          s"""deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY 1),
+             |dc AS (SELECT l.label, sum(deg)::BIGINT AS deg_sum,
+             |  count(*)::BIGINT AS n_nodes
+             |  FROM deg JOIN l$LpaIters l USING (node) GROUP BY 1),
+             |ei AS (SELECT la.label, count(*)::BIGINT AS e_in
+             |  FROM p JOIN l$LpaIters la ON p.a = la.node
+             |         JOIN l$LpaIters lb ON p.b = lb.node
+             |  WHERE la.label = lb.label GROUP BY 1),
+             |m AS (SELECT count(*)::BIGINT AS m FROM p)
+             |SELECT dc.label AS community_id, n_nodes, deg_sum,
+             |  coalesce(e_in, 0)::BIGINT AS e_in,
+             |  ((coalesce(e_in, 0)::HUGEINT * 1000000) // m
+             |   - (deg_sum::HUGEINT * deg_sum * 1000000)
+             |     // (4::HUGEINT * m * m))::BIGINT AS q_ppm
+             |FROM dc LEFT JOIN ei USING (label), m
+             |ORDER BY community_id""".stripMargin),
 
       "events_interpolate" ->
         s"""WITH h AS (SELECT event_type, $SqlHourEpoch AS he,

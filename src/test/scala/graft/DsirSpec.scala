@@ -1,0 +1,49 @@
+package graft
+
+/** Contracts of the DSIR-shaped importance scorer (`dsir_weights`): total
+  * coverage, score polarity toward the target slice, and determinism.
+  */
+class DsirSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private lazy val rows = SparkEntry.queries("dsir_weights")(spark, d)
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
+  test("every document scores exactly once; empty docs score 0 and drop") {
+    val docs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.length == docs)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.filter(_._2 == 0L).foreach { case (_, _, sp, keep) =>
+      assert(sp == 0L && !keep, "featureless doc must be score-0, keep=false")
+    }
+  }
+
+  test("keep flag is exactly the positive-score set") {
+    rows.foreach { case (id, _, sp, keep) =>
+      assert(keep == (sp > 0L), s"doc $id: score=$sp keep=$keep")
+    }
+  }
+
+  test("target-language docs score higher than non-target on average") {
+    import org.apache.spark.sql.functions._
+    val langs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (tgt, rest) = rows.partition(r => langs(r._1) == "en")
+    assert(tgt.nonEmpty && rest.nonEmpty, "fixture must carry both slices")
+    val mTgt = tgt.map(_._3).sum.toDouble / tgt.length
+    val mRest = rest.map(_._3).sum.toDouble / rest.length
+    assert(mTgt > mRest,
+      s"target mean $mTgt must exceed non-target mean $mRest — the scorer " +
+        "exists to separate exactly these slices")
+  }
+
+  test("deterministic across runs") {
+    val again = SparkEntry.queries("dsir_weights")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
+}

@@ -265,7 +265,7 @@ class PlanGuardSpec extends SparkSpec {
     // fired in rounds 2, 3 and 5.
     val cutKeys = Seq("dedup_minhash", "dedup_verified", "dedup_ngram_jaccard",
       "dedup_containment", "dedup_editdistance", "corpus_novelty",
-      "boilerplate_flag")
+      "boilerplate_flag", "dsir_weights")
     for (key <- cutKeys) {
       val plan = SparkEntry.queries(key)(spark, d)
         .queryExecution.executedPlan.toString
@@ -429,7 +429,11 @@ class PlanGuardSpec extends SparkSpec {
       "similarity_recall_pq",
       // MRR audit: same capped-query-sample brute exact side as the
       // recall trio (its LSH retrieval side is equi-joined):
-      "similarity_mrr")
+      "similarity_mrr",
+      // sources x quality-value axis (axis <= 1e6 distinct ppm values by
+      // construction, sources enum-bounded): the events_gapfill dense-grid
+      // shape on a value axis instead of a time axis:
+      "quality_ks")
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
