@@ -1622,6 +1622,14 @@ object SparkEntry {
     "quantizer_kmeans" -> ((s, d) =>
       Quantizer.centroidsDF(s, Quantizer.trainSampled(emb(s, d))).orderBy("cid", "idx")),
 
+    // Inertia audit of the trained codebook: per-cell member count + exact
+    // integer SSE + floored mean — the k-elbow / cell-balance diagnostic
+    // (one fat cell = one hot partition at query time). One narrow
+    // codegen'd projection + one k-bounded hash agg (llm/Quantizer).
+    "quantizer_inertia" -> ((s, d) =>
+      Quantizer.inertia(emb(s, d), Quantizer.trainSampled(emb(s, d)))
+        .orderBy("cid")),
+
     // IVF probe with the trained codebook: assignment is a narrow codegen'd
     // argmin (codebook rides the plan as literals), rerank is exact cosine.
     "similarity_ivf_trained" -> ((s, d) =>
@@ -3063,57 +3071,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // DSIR-shaped data selection (Xie et al. 2023, "Data Selection for
-    // Language Models via Importance Resampling"): score every document by
-    // how TARGET-like its hashed-n-gram profile is, where target = the
-    // lang='en' slice and source = the whole corpus. Features are the
-    // hashing trick over unigram+bigram token hashes (DsirBuckets cells);
-    // each feature carries a smoothed target/source likelihood ratio in
-    // ppm, and a document's score is the count-weighted mean ratio delta —
-    // an exact-integer rational kernel standing in for the paper's
-    // sum-of-log-ratios (log is monotone per feature; the rational form is
-    // bit-replayable cross-engine, the repo's determinism contract).
-    // Scale: the ratio table is DsirBuckets rows (broadcast); the corpus
-    // side is one token-linear explode + two map-side-combined hash aggs —
-    // no shuffle wider than (doc_id, bucket). Per-doc sums accumulate in
-    // DECIMAL(38,0) (a rare-feature ratio can reach ~1e12 ppm; long would
-    // wrap) — the PageRank in-aggregate-cast lesson.
+    // DSIR-shaped data selection: target = the lang='en' slice, source =
+    // the whole corpus. Design, arithmetic and scale notes in llm/Dsir
+    // (bucket-bounded broadcast ratio table; token-linear corpus side).
     "dsir_weights" -> ((s, d) => {
-      import graft.llm.{Dedup, TextAnalysis => TA}
-      // Stage the tokenize→md5 pass BEFORE the shingle lambda: inlined, the
-      // hash-array expression re-evaluates inside every element_at of
-      // hashedShingles — O(tokens²) md5 calls per doc (measured 47 s at
-      // sf0.1 vs ~1 s staged; the round-2/3/5 footgun, PlanGuardSpec).
-      val thf = docs(s, d)
-        .select(col("doc_id"), (col("lang") === DsirTargetLang).as("tgt"),
-          Dedup.tokenHashes(TA.tokens(col("text"))).as("th"))
-        .localCheckpoint()
-      val feats = thf
-        .select(col("doc_id"), col("tgt"),
-          explode(concat(col("th"), Dedup.hashedShingles(col("th"), 2))).as("h"))
-        .select(col("doc_id"), col("tgt"), (col("h") % DsirBuckets).as("f"))
-      val dfc = feats.groupBy("doc_id", "tgt", "f")
-        .agg(count(lit(1)).as("c"))
+      import graft.llm.Dsir
+      val dfc = Dsir.docFeatures(docs(s, d),
+          col("lang") === Dsir.TargetLang)
         .localCheckpoint() // feeds the bucket-ratio table AND the scoring
-      val fc = dfc.groupBy("f").agg(sum("c").as("cs"),
-        sum(when(col("tgt"), col("c")).otherwise(0L)).as("ct"))
-      val tot = fc.agg(sum("cs").as("ts"), sum("ct").as("tt")) // 1 row
-      val ratios = fc.crossJoin(broadcast(tot)).select(col("f"),
-        expr(s"""CAST((CAST(ct + 1 AS DECIMAL(38,0)) * (ts + $DsirBuckets) * 1000000)
-                | div (CAST(cs + 1 AS DECIMAL(38,0)) * (tt + $DsirBuckets)) AS BIGINT)"""
-          .stripMargin.replace("\n", " ")).as("r_ppm"))
-      val sc = dfc.join(broadcast(ratios), Seq("f"))
-        .groupBy("doc_id")
-        .agg(sum(col("c").cast(DecimalType(38, 0)) * (col("r_ppm") - lit(1000000L)))
-            .as("w"),
-          sum("c").as("nf"))
-        .select(col("doc_id"), col("nf"),
-          expr("CAST((w - pmod(w, nf)) div nf AS BIGINT)").as("sp"))
-      docs(s, d).select(col("doc_id")).join(sc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("nf"), lit(0L)).as("n_feats"),
-          coalesce(col("sp"), lit(0L)).as("score_ppm"),
-          coalesce(col("sp") > 0, lit(false)).as("keep"))
+      Dsir.score(dfc, Dsir.ratios(dfc), docs(s, d))
+        .orderBy("doc_id")
+    }),
+
+    // The resample half of DSIR: select the top score quartile via the
+    // distributed range-bucketed global ntile (window_ntile's machinery —
+    // no partition-less window, no single-task sort at any corpus size).
+    // keep = quartile 4; the paper's importance-resampling step reduced to
+    // a deterministic top-fraction cut on the exact integer scores.
+    "dsir_select" -> ((s, d) => {
+      import graft.llm.Dsir
+      val dfc = Dsir.docFeatures(docs(s, d),
+          col("lang") === Dsir.TargetLang)
+        .localCheckpoint()
+      val scored = Dsir.score(dfc, Dsir.ratios(dfc), docs(s, d))
+        .select("doc_id", "score_ppm")
+      graft.ops.GlobalRank.withNtile(scored,
+          rangeCol = "score_ppm", tieBreak = Seq("doc_id"),
+          buckets = 32, tiles = 4, out = "quartile")
+        .select(col("doc_id"), col("score_ppm"), col("quartile"),
+          (col("quartile") === 4).as("keep"))
         .orderBy("doc_id")
     }),
 
@@ -3932,11 +3918,39 @@ object SparkEntry {
   /** `graph_lpa` superstep count (shared with the oracle's unroll). */
   private val LpaIters = 4
 
-  /** `dsir_weights` hashed-feature bucket count and target slice (shared
-    * with the oracle).
+  /** `dsir_weights` hashed-feature bucket count and target slice —
+    * aliases of the [[graft.llm.Dsir]] constants for the oracle strings.
     */
-  private val DsirBuckets = 256L
-  private val DsirTargetLang = "en"
+  private val DsirBuckets = graft.llm.Dsir.Buckets
+  private val DsirTargetLang = graft.llm.Dsir.TargetLang
+
+  /** The DSIR training+scoring replay as a WITH-clause body (ends at
+    * `sc2` = per-doc n_feats + floored score) — shared by the
+    * `dsir_weights` and `dsir_select` oracles; mirrors [[graft.llm.Dsir]]
+    * stage for stage.
+    */
+  private def sqlDsirCtes: String = {
+    import graft.llm.{Dedup, TextAnalysis => TA}
+    val toksE = TA.sqlTokens("text")
+    val B = DsirBuckets
+    s"""t AS (SELECT doc_id, (lang = '$DsirTargetLang') AS tgt,
+       |  ${Dedup.sqlTokenHashes(toksE)} AS th FROM documents),
+       |hs AS (SELECT doc_id, tgt,
+       |  list_concat(th, ${Dedup.sqlHashedShingles("th", 2)}) AS hs FROM t),
+       |f AS (SELECT doc_id, tgt, unnest(hs) % $B AS f FROM hs),
+       |dfc AS (SELECT doc_id, tgt, f, count(*)::BIGINT AS c
+       |  FROM f GROUP BY 1, 2, 3),
+       |fc AS (SELECT f, sum(c)::BIGINT AS cs,
+       |  sum(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS ct
+       |  FROM dfc GROUP BY 1),
+       |tot AS (SELECT sum(cs)::BIGINT AS ts, sum(ct)::BIGINT AS tt FROM fc),
+       |r AS (SELECT f, (((ct + 1)::HUGEINT * (ts + $B) * 1000000)
+       |  // ((cs + 1)::HUGEINT * (tt + $B)))::BIGINT AS r_ppm FROM fc, tot),
+       |sc AS (SELECT doc_id, sum(c::HUGEINT * (r_ppm - 1000000)) AS w,
+       |  sum(c)::BIGINT AS nf FROM dfc JOIN r USING (f) GROUP BY 1),
+       |sc2 AS (SELECT doc_id, nf,
+       |  ((w - (((w % nf) + nf) % nf)) // nf)::BIGINT AS sp FROM sc)""".stripMargin
+  }
 
   /** Support-filtered co-purchase pair frame (a < b, n_ab = #orders
     * sharing the pair) — THE co-purchase graph contract behind
@@ -4997,6 +5011,8 @@ object SparkEntry {
       "hard_negatives" -> sqlHardNegatives(kRetr = 10, kNeg = 3),
       "knn_classify" -> sqlKnnClassify(k = 5),
       "quantizer_kmeans" -> graft.llm.Quantizer.sqlCentroids(),
+
+      "quantizer_inertia" -> graft.llm.Quantizer.sqlInertia(),
       "pq_codes" -> graft.llm.Quantizer.sqlPqCodes(),
       "similarity_pq" -> graft.llm.Quantizer.sqlPqTopK("(q.vec_id % 20) = 0", topK = 5),
       "similarity_ivf_trained" ->
@@ -5506,33 +5522,23 @@ object SparkEntry {
                 s"'$ImportanceSeed:' || doc_id::VARCHAR")} % $SamplePpmScale) < w_ppm
            |ORDER BY doc_id""".stripMargin,
 
-      "dsir_weights" -> {
-        import graft.llm.{Dedup, TextAnalysis => TA}
-        val toksE = TA.sqlTokens("text")
-        val B = DsirBuckets
-        s"""WITH t AS (SELECT doc_id, (lang = '$DsirTargetLang') AS tgt,
-           |  ${Dedup.sqlTokenHashes(toksE)} AS th FROM documents),
-           |hs AS (SELECT doc_id, tgt,
-           |  list_concat(th, ${Dedup.sqlHashedShingles("th", 2)}) AS hs FROM t),
-           |f AS (SELECT doc_id, tgt, unnest(hs) % $B AS f FROM hs),
-           |dfc AS (SELECT doc_id, tgt, f, count(*)::BIGINT AS c
-           |  FROM f GROUP BY 1, 2, 3),
-           |fc AS (SELECT f, sum(c)::BIGINT AS cs,
-           |  sum(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS ct
-           |  FROM dfc GROUP BY 1),
-           |tot AS (SELECT sum(cs)::BIGINT AS ts, sum(ct)::BIGINT AS tt FROM fc),
-           |r AS (SELECT f, (((ct + 1)::HUGEINT * (ts + $B) * 1000000)
-           |  // ((cs + 1)::HUGEINT * (tt + $B)))::BIGINT AS r_ppm FROM fc, tot),
-           |sc AS (SELECT doc_id, sum(c::HUGEINT * (r_ppm - 1000000)) AS w,
-           |  sum(c)::BIGINT AS nf FROM dfc JOIN r USING (f) GROUP BY 1),
-           |sc2 AS (SELECT doc_id, nf,
-           |  ((w - (((w % nf) + nf) % nf)) // nf)::BIGINT AS sp FROM sc)
+      "dsir_weights" ->
+        s"""WITH $sqlDsirCtes
            |SELECT d.doc_id, coalesce(nf, 0)::BIGINT AS n_feats,
            |  coalesce(sp, 0)::BIGINT AS score_ppm,
            |  coalesce(sp > 0, FALSE) AS keep
            |FROM documents d LEFT JOIN sc2 USING (doc_id)
-           |ORDER BY d.doc_id""".stripMargin
-      },
+           |ORDER BY d.doc_id""".stripMargin,
+
+      "dsir_select" ->
+        s"""WITH $sqlDsirCtes,
+           |alls AS (SELECT d.doc_id, coalesce(sp, 0)::BIGINT AS score_ppm
+           |  FROM documents d LEFT JOIN sc2 USING (doc_id))
+           |SELECT doc_id, score_ppm, quartile, quartile = 4 AS keep FROM (
+           |  SELECT doc_id, score_ppm,
+           |    ntile(4) OVER (ORDER BY score_ppm, doc_id) AS quartile
+           |  FROM alls)
+           |ORDER BY doc_id""".stripMargin,
 
       "k_anonymity" ->
         s"""WITH q AS (SELECT c_nationkey, c_mktsegment,

@@ -188,6 +188,55 @@ object Quantizer {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-cell inertia audit of a trained codebook: member count, the EXACT
+    * integer within-cell SSE Σ|q − c|² and its floored per-member mean —
+    * the k-elbow / cell-balance diagnostic an IVF deployment reads before
+    * trusting cell routing (one fat cell = one hot partition at query
+    * time). |q − c|² expands to |q|² − 2 q·c + |c|² over the quantized
+    * integers: every operand ≤ 10⁴ so products and sums stay exact in
+    * double far below 2⁵³ ([[pqTopK]]'s ADC argument); the codebook rides
+    * the plan as literals (|c|² lookup + centroid LUT — no join), so the
+    * whole pass is ONE narrow projection + one k-bounded hash agg. SSE
+    * accumulates in DECIMAL(38,0) (a cell's sum wraps long past ~3.5e8
+    * max-distance members) and casts to BIGINT on output.
+    */
+  def inertia(emb: DataFrame, centroids: Array[Array[Long]]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val qf = transform(quantize(col("embedding")), x => x.cast("float"))
+    val cLut = typedlit(centroids.map(_.map(_.toFloat).toSeq).toSeq)
+    val ccSq = typedlit(centroids.map(c => c.map(x => x * x).sum).toSeq)
+    val a = emb
+      .select(KMeansAssign.assign(col("embedding"), centroids, Scale.toDouble).as("cid"),
+        qf.as("qf"))
+      .filter(col("cid").isNotNull)
+      .select(col("cid"),
+        (Similarity.dot(col("qf"), col("qf")).cast("long")
+          - lit(2L) * Similarity.dot(col("qf"),
+              element_at(cLut, (col("cid") + 1).cast("int"))).cast("long")
+          + element_at(ccSq, (col("cid") + 1).cast("int"))).as("d2"))
+    a.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("d2").cast(DecimalType(38, 0))).as("s"))
+      .select(col("cid"), col("n_vecs"),
+        expr("CAST(s AS BIGINT)").as("sse"),
+        expr("CAST(s div n_vecs AS BIGINT)").as("mean_d2"))
+  }
+
+  /** Oracle for [[inertia]]: the training replay + direct Σ(qᵢ−cᵢ)² per
+    * assigned cell over the quantized integer lists.
+    */
+  def sqlInertia(k: Int = K, iters: Int = Iters, dim: Int = Dim): String =
+    s"""WITH ${sqlTrainCtes(k, iters, dim)}
+       |SELECT a.cid, count(*)::BIGINT AS n_vecs,
+       |  sum(list_sum([(p[1]-p[2])*(p[1]-p[2])
+       |    for p in list_zip(q.ei, c.ei)])::BIGINT)::BIGINT AS sse,
+       |  (sum(list_sum([(p[1]-p[2])*(p[1]-p[2])
+       |    for p in list_zip(q.ei, c.ei)])::BIGINT)::HUGEINT
+       |   // count(*))::BIGINT AS mean_d2
+       |FROM a${iters + 1} a JOIN eq q USING (vec_id)
+       |JOIN c$iters c ON c.cid = a.cid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------ product quantization
 
   /** PQ defaults: 4 subspaces × 16 dims, 8 codes each, 2 Lloyd rounds —

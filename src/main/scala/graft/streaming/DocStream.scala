@@ -95,6 +95,22 @@ object DocStream {
       .filter(col("jac_r") >= threshold)
   }
 
+  /** Streaming DSIR scoring probe — [[graft.llm.Dsir]]'s apply half
+    * against a FROZEN corpus-trained ratio table: each micro-batch's docs
+    * score without touching the corpus (the ratio table is
+    * [[graft.llm.Dsir.Buckets]] rows, broadcast; the batch side is
+    * token-linear). Per-doc scoring is a grouped aggregate — stateful on a
+    * raw stream — so run this inside foreachBatch, the [[spanProbe]]
+    * split. The target flag is train-time-only (ratios are frozen here),
+    * so the batch's flag is a don't-care literal. Scores are per-doc
+    * independent given the ratio table, so ANY batching reproduces the
+    * one-shot scores row-for-row (pinned in DsirSpec).
+    */
+  def dsirProbe(batch: DataFrame, ratioTable: DataFrame): DataFrame = {
+    import graft.llm.Dsir
+    Dsir.score(Dsir.docFeatures(batch, lit(false)), ratioTable, batch)
+  }
+
   /** Streaming span-level probe — [[graft.llm.Substring.incremental]]'s
     * join half as a stream: each incoming doc's rolling w-token window
     * fingerprints (explode is a stateless generator — legal in append

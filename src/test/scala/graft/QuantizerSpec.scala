@@ -159,4 +159,23 @@ class QuantizerSpec extends SparkSpec {
     }
     assert(got.nonEmpty)
   }
+
+  test("inertia equals the brute-force integer SSE per assigned cell") {
+    val emb = fixture.limit(60)
+    val cents = Quantizer.train(emb, k = 4, iters = 2)
+    val assigned = Quantizer.assignAll(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cid")).collect()
+      .map(r => (r.getSeq[Float](1).map(x => math.floor(x * 10000.0).toLong),
+        r.getInt(2)))
+    val want = assigned.groupBy(_._2).map { case (cid, xs) =>
+      val sses = xs.map { case (q, _) =>
+        q.zip(cents(cid)).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      cid -> (xs.length.toLong, sses.sum, sses.sum / xs.length)
+    }
+    val got = Quantizer.inertia(emb, cents).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"engine $got vs reference $want")
+    assert(got.values.map(_._1).sum == 60L, "every vector lands in one cell")
+  }
 }
