@@ -2562,6 +2562,89 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // DoReMi-style mixture reweighting (Xie et al. 2023 "Doremi",
+    // PAPERS.md): ONE multiplicative-weights step over per-language
+    // excess loss. The loss proxy is the corpus bigram LM's likelihood
+    // deficit (10⁶ − lm_ppm, the same integer Laplace score lm_score
+    // ships), bigram-mass-weighted; the reference model is the corpus-
+    // wide mean of the same score; the update is reported in log-space
+    // ppm (logw_delta = η·excess, η = DoremiEtaPpm/10⁶). exp() and
+    // renormalization are the training loop's float-side steps — the
+    // engine side stays integer-exact. Loss mass rides DECIMAL(38,0)
+    // (ppm × bigram counts wraps BIGINT near 10¹³ corpus bigrams); the
+    // per-doc scored frame is checkpointed because the per-lang frame
+    // and the 1-row reference both read it; the reference broadcast is
+    // the usual 1-row totals crossJoin.
+    "mix_doremi" -> ((s, d) => {
+      val j = docs(s, d).select(col("doc_id"), col("lang"))
+        .join(graft.llm.NgramModel.lmScore(docs(s, d)), Seq("doc_id"))
+        .filter(col("n_bigrams") > 0) // an empty doc has no defined loss
+        .select(col("lang"), col("n_bigrams"),
+          expr(s"CAST($SamplePpmScale - lm_ppm AS DECIMAL(38,0)) * n_bigrams")
+            .as("loss_mass"))
+        .localCheckpoint()
+      val perLang = j.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+          sum("loss_mass").as("loss_mass"))
+      val ref = j.agg(
+        expr("CAST(sum(loss_mass) div sum(n_bigrams) AS BIGINT)").as("ref_ppm"))
+      perLang.crossJoin(broadcast(ref))
+        .select(col("lang"), col("n_docs"), col("n_bigrams"),
+          expr("CAST(loss_mass div n_bigrams AS BIGINT)").as("loss_ppm"),
+          col("ref_ppm"))
+        .withColumn("excess_ppm", greatest(lit(0L), expr("loss_ppm - ref_ppm")))
+        .withColumn("logw_delta_ppm",
+          expr(s"($DoremiEtaPpm * excess_ppm) div 1000000"))
+        .orderBy("lang")
+    }),
+
+    // The dataset card: the release summary a corpus ships with (docs /
+    // tokens / chars, language and host diversity, exact-dup and PII
+    // prevalence, mean quality) as tall (metric, value) rows, every
+    // number integer-exact. Shape: ONE scan builds the narrow per-doc
+    // frame (checkpointed — four consumers); totals are one hash agg,
+    // and each count-distinct is its own two-stage agg over the cached
+    // frame instead of a single multi-distinct agg, which would Expand
+    // the scan ×4 (the stats_profile lesson). The three 1-row distinct
+    // frames ride broadcast crossJoins; stack() unpivots the single
+    // result row driver-free.
+    "dataset_card" -> ((s, d) => {
+      val q = TA.qualityScore(col("text"))
+      val host = regexp_extract(
+        graft.llm.Url.canonical(
+          graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))),
+        "^([^/]*)", 1)
+      val pd = docs(s, d).select(
+          size(TA.tokens(col("text"))).cast("long").as("n_tok"),
+          col("n_chars"), col("lang"), host.as("host"),
+          Dedup.fingerprint(col("text")).as("fp"),
+          when(Scrub.emailCount(col("text")) + Scrub.phoneCount(col("text")) > 0,
+            1L).otherwise(0L).as("has_pii"),
+          round(q * SamplePpmScale, 0).cast("long").as("q_ppm"))
+        .localCheckpoint()
+      val base = pd.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"), sum("has_pii").as("pii_docs"),
+        sum("q_ppm").as("q_sum"))
+      val langs = pd.agg(countDistinct("lang").as("n_langs"))
+      val hosts = pd.agg(countDistinct("host").as("n_hosts"))
+      val uniq = pd.agg(countDistinct("fp").as("n_unique"))
+      base.crossJoin(broadcast(langs)).crossJoin(broadcast(hosts))
+        .crossJoin(broadcast(uniq))
+        .select(expr(
+          """stack(9,
+            |  'dup_docs', n_docs - n_unique,
+            |  'dup_ppm', ((n_docs - n_unique) * 1000000) div n_docs,
+            |  'mean_quality_ppm', q_sum div n_docs,
+            |  'n_chars', n_chars,
+            |  'n_docs', n_docs,
+            |  'n_hosts', n_hosts,
+            |  'n_langs', n_langs,
+            |  'n_tokens', n_tokens,
+            |  'pii_docs', pii_docs) AS (metric, value)"""
+            .stripMargin.replace("\n", " ")))
+        .orderBy("metric")
+    }),
+
     // Association rules over order baskets: pair support / directional
     // confidence / lift in exact integer ppm (lift through DECIMAL(38,0)
     // so n_ab·N·10⁶ cannot wrap at production counts). The support floor
@@ -4034,6 +4117,11 @@ object SparkEntry {
   private val ImportanceSeed = "importance-v1"
   private val SamplePpmScale = 1000000L
 
+  /** DoReMi step size η in ppm (0.1) — one multiplicative-weights update
+    * per `mix_doremi` run; the training loop re-runs the key per round.
+    */
+  private val DoremiEtaPpm = 100000L
+
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
 
@@ -5364,6 +5452,59 @@ object SparkEntry {
            |  greatest(0, target_tokens -
            |    ((n_tokens::HUGEINT * epochs_ppm) // 1000000))::BIGINT AS deficit_tokens
            |FROM e ORDER BY lang""".stripMargin,
+
+      "mix_doremi" ->
+        s"""WITH lm AS (${graft.llm.NgramModel.sqlLmScore}),
+           |j AS (SELECT d.lang, lm.n_bigrams,
+           |        ($SamplePpmScale - lm.lm_ppm)::HUGEINT * lm.n_bigrams AS loss_mass
+           |      FROM documents d JOIN lm USING (doc_id)
+           |      WHERE lm.n_bigrams > 0),
+           |a AS (SELECT lang, count(*)::BIGINT AS n_docs,
+           |        sum(n_bigrams)::BIGINT AS n_bigrams,
+           |        (sum(loss_mass) // sum(n_bigrams))::BIGINT AS loss_ppm
+           |      FROM j GROUP BY 1),
+           |tt AS (SELECT (sum(loss_mass) // sum(n_bigrams))::BIGINT AS ref_ppm
+           |       FROM j)
+           |SELECT lang, n_docs, n_bigrams, loss_ppm, ref_ppm,
+           |  greatest(0, loss_ppm - ref_ppm)::BIGINT AS excess_ppm,
+           |  (($DoremiEtaPpm * greatest(0, loss_ppm - ref_ppm))
+           |    // 1000000)::BIGINT AS logw_delta_ppm
+           |FROM a, tt ORDER BY lang""".stripMargin,
+
+      "dataset_card" -> {
+        val canon = graft.llm.Url.sqlCanonical(graft.llm.Url.sqlSyntheticUrl)
+        s"""WITH t AS (SELECT doc_id, text, lang, n_chars,
+           |  regexp_extract($canon, '^([^/]*)', 1) AS host,
+           |  ${TA.sqlTokens("text")} AS toksv FROM documents),
+           |p AS (SELECT len(toksv)::BIGINT AS n_tok, n_chars, lang, host,
+           |  ${graft.llm.Dedup.sqlFingerprint("text")} AS fp,
+           |  CASE WHEN ${Scrub.sqlEmailCount("text")}
+           |         + ${Scrub.sqlPhoneCount("text")} > 0
+           |       THEN 1 ELSE 0 END AS has_pii,
+           |  CAST(round(${TA.sqlQualityScore("toksv")} * $SamplePpmScale)
+           |    AS BIGINT) AS q_ppm FROM t),
+           |a AS (SELECT count(*)::BIGINT AS n_docs,
+           |        sum(n_tok)::BIGINT AS n_tokens,
+           |        sum(n_chars)::BIGINT AS n_chars,
+           |        count(DISTINCT lang)::BIGINT AS n_langs,
+           |        count(DISTINCT host)::BIGINT AS n_hosts,
+           |        count(DISTINCT fp)::BIGINT AS n_unique,
+           |        sum(has_pii)::BIGINT AS pii_docs,
+           |        sum(q_ppm)::BIGINT AS q_sum
+           |      FROM p)
+           |SELECT metric, value FROM (
+           |  SELECT 'dup_docs' AS metric, (n_docs - n_unique)::BIGINT AS value FROM a
+           |  UNION ALL SELECT 'dup_ppm',
+           |    (((n_docs - n_unique) * 1000000) // n_docs)::BIGINT FROM a
+           |  UNION ALL SELECT 'mean_quality_ppm', (q_sum // n_docs)::BIGINT FROM a
+           |  UNION ALL SELECT 'n_chars', n_chars FROM a
+           |  UNION ALL SELECT 'n_docs', n_docs FROM a
+           |  UNION ALL SELECT 'n_hosts', n_hosts FROM a
+           |  UNION ALL SELECT 'n_langs', n_langs FROM a
+           |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+           |  UNION ALL SELECT 'pii_docs', pii_docs FROM a)
+           |ORDER BY metric""".stripMargin
+      },
 
       "market_basket" ->
         (s"WITH $sqlCoPurchasePairs,\n" +

@@ -139,6 +139,70 @@ object NgramModel {
         coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
   }
 
+  /** Bigram-Laplace LM trained on `train`, scoring `score` docs — the
+    * two-model primitive behind `rholoss_select` (train-pool loss vs
+    * holdout-trained irreducible loss). Unlike [[lmScore]] (the
+    * train == score special case, where every scored bigram exists in
+    * the model), a scored bigram may be unseen: LEFT joins + coalesce
+    * give it the Laplace floor (0+1)·scale/(c1+v), and an unseen prefix
+    * the uniform scale/v — the smoothing a held-out LM must apply.
+    * Model frames are vocab-bounded; the scoring joins are bg-keyed
+    * shuffles (model side partial-aggregated), the same economics as
+    * lmScore at any corpus size.
+    */
+  def lmScoreAgainst(train: DataFrame, score: DataFrame): DataFrame = {
+    def inst(docs: DataFrame) = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextAnalysis.shingles(col("toks"), 2)).as("bg"))
+    val ti = inst(train).localCheckpoint() // feeds c2 AND (via c2) c1
+    val c2 = ti.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum("c2").as("c1"))
+    val vocab = train.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val scored = inst(score)
+      .join(c2, Seq("bg"), "left")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("term",
+        expr(s"((coalesce(c2, 0) + 1) * $LmScale) div (coalesce(c1, 0) + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("term").as("t_sum"))
+      .withColumn("lm_ppm", expr("t_sum div n_bigrams"))
+    score.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_ppm"), lit(0L)).as("lm_ppm"))
+  }
+
+  /** DuckDB mirror of [[lmScoreAgainst]]: train on `documents WHERE
+    * trainPred`, score `documents WHERE scorePred`.
+    */
+  def sqlLmScoreAgainst(trainPred: String, scorePred: String): String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    val bgs = TextAnalysis.sqlShingles("toks", 2)
+    s"""WITH tr AS (SELECT doc_id, $toks AS toks FROM documents WHERE $trainPred),
+       |ti AS (SELECT unnest($bgs) AS bg FROM tr),
+       |c2 AS (SELECT bg, count(*)::BIGINT AS c2 FROM ti GROUP BY 1),
+       |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2)::BIGINT AS c1
+       |       FROM c2 GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT tok)::BIGINT AS v
+       |       FROM (SELECT unnest(toks) AS tok FROM tr)),
+       |sd AS (SELECT doc_id, $toks AS toks FROM documents WHERE $scorePred),
+       |si AS (SELECT doc_id, unnest($bgs) AS bg FROM sd),
+       |sc AS (SELECT si.doc_id, count(*)::BIGINT AS n_bigrams,
+       |         sum(((coalesce(c2.c2, 0) + 1) * $LmScale)
+       |             // (coalesce(c1.c1, 0) + vv.v))::BIGINT AS t_sum
+       |       FROM si LEFT JOIN c2 USING (bg)
+       |         LEFT JOIN c1 ON string_split(si.bg, ' ')[1] = c1.w1
+       |         CROSS JOIN vv
+       |       GROUP BY 1)
+       |SELECT sd.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  coalesce(sc.t_sum // sc.n_bigrams, 0)::BIGINT AS lm_ppm
+       |FROM sd LEFT JOIN sc ON sd.doc_id = sc.doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[lmScore]] over a `documents` table. */
   def sqlLmScore: String = {
     val toks = TextAnalysis.sqlTokens("text")
