@@ -75,16 +75,71 @@ object Bench {
       catch { case _: Throwable => () } // bench must not die on a warm-up
     }
     warmUp()
+    // Suite-contention fix (round-8): most keys localCheckpoint an
+    // intermediate frame; those blocks live in the BlockManager until the
+    // ContextCleaner happens to GC the referencing RDD. Across 215 keys the
+    // un-collected blocks pile up and pressure later sort/shuffle-bound keys
+    // (round-7 floors: graph_triangles 23.3 s in-suite vs 7.3 s isolated).
+    // Dropping each key's persisted blocks right after its timing window
+    // returns the JVM to a near-isolated state for the next key. Safe: every
+    // query fn is self-contained; nothing is shared across keys.
+    // SPARK_GRAFT_CLEANUP: per-key persisted-block cleanup knob (round-8
+    // suite-contention experiment). "async"/"blocking" unpersist every
+    // localCheckpoint block after each key's timed window; "none" is the
+    // r7 behavior (lazy ContextCleaner). A/B on the full 216-key suite was
+    // INCONCLUSIVE: async 431 s, blocking 524 s, none 571 s — run back to
+    // back in that order while the shared host's noise was visibly rising
+    // (the control's own floors reproduce r7-level isolated times, e.g.
+    // quality_ks 9.8 s in-suite vs 2.7 s isolated minutes later), so the
+    // spread is the host, not the variants. Default stays "none" (the
+    // judged r7 configuration); the knob remains for a quieter-day A/B.
+    val cleanup = sys.env.getOrElse("SPARK_GRAFT_CLEANUP", "none")
+    def dropBlocks(): Unit = cleanup match {
+      case "none" => ()
+      case mode =>
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(mode == "blocking"))
+        spark.sharedState.cacheManager.clearCache()
+    }
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      val v =
+        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench fail] $name: ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).take(300))
+          -1.0 }
+      dropBlocks() // untimed: cleanup belongs to the suite, not the key
+      v
+    }
     def rep(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-            catch { case _: Throwable => false }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(name => only.forall(_.contains(name)))
+        .map(name => name -> timeOne(name))
+    // Prior round's per-query record (read BEFORE this run overwrites the
+    // file): keys that regressed >1.5x vs last round get a floor re-run even
+    // if they are not in the top-10 — round 7's embedding_gram-style 1.7x
+    // deltas then ship with their own in-artifact adjudication.
+    val priorTimes: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_LAST.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val s = java.nio.file.Files.readString(p)
+        val start = s.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val body = s.substring(start + 11, s.indexOf('}', start))
+          body.split(",").flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) => try Some(k.trim.stripPrefix("\"").stripSuffix("\"") -> v.toDouble)
+                                  catch { case _: Throwable => None }
+              case _ => None
+            }
+          }.toMap
         }
+      } catch { case _: Throwable => Map.empty }
+    }
     // reps>1: keep the per-query MIN across repetitions (the least-noise
     // estimate on a shared container); failures stay -1 regardless of reps
     val all = (1 to reps).map { i =>
@@ -114,11 +169,7 @@ object Bench {
         firstPass.map { case (name, v) =>
           if (!redo(name)) name -> v
           else {
-            val t0 = System.nanoTime()
-            val again =
-              try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-                    (System.nanoTime() - t0) / 1e9 }
-              catch { case _: Throwable => v } // keep the first measurement
+            val again = timeOne(name) match { case x if x >= 0 => x; case _ => v }
             System.err.println(f"[bench redo] $name first=$v%.3f redo=$again%.3f")
             name -> math.min(v, again)
           }
@@ -137,22 +188,33 @@ object Bench {
     // have twice inflated sort-shuffle-bound keys 3-6x over their
     // reproducible floor in full-suite draws (hbase_key_tile rounds 5-6,
     // adjudicated in BASELINE.md both times via separate isolated re-runs).
-    // Re-measure the 5 most expensive keys post-suite (quiet JVM, min of 2)
-    // so the suite number and its floor ship in the SAME artifact and
-    // burst-vs-regression triage needs no out-of-band reproduction.
-    val floors = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map { case (name, suiteV) =>
+    // Re-measure the 10 most expensive keys — plus every key >1.5x its
+    // prior-round number (from the pre-run BENCH_LAST.json snapshot) —
+    // post-suite (quiet JVM, min of 2) so the suite number and its floor
+    // ship in the SAME artifact and burst-vs-regression triage needs no
+    // out-of-band reproduction.
+    val ok = results.filter(_._2 >= 0)
+    // floors are a full-run artifact feature; a SPARK_GRAFT_QUERIES dev
+    // subset already IS a quiet-JVM isolated measurement and re-running it
+    // 2 more times per key just doubles the wait
+    val floorSet: Seq[String] = if (only.nonEmpty) Seq.empty else {
+      val top10 = ok.sortBy(-_._2).take(10).map(_._1)
+      // regressed-vs-prior floors are capped at the 15 worst ratios: on a
+      // noisy-host day the 1.5x trigger can fire for a third of the suite
+      // (74 keys measured on 2026-08-15) and the floor re-runs would cost
+      // more wall than the suite itself
+      val regressed = ok
+        .collect { case (name, v) if priorTimes.get(name).exists(p => p > 0 && v > 1.5 * p) =>
+          name -> (v / priorTimes(name)) }
+        .sortBy(-_._2).take(15).map(_._1)
+      (top10 ++ regressed).distinct
+    }
+    val suiteTime = results.toMap
+    val floors = floorSet.map { name =>
+      val suiteV = suiteTime(name)
       // a failed re-run must NOT masquerade as "floor == suite" (that is
       // the confirmed-regression signature); -1 = floor not obtained
-      val iso = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          // a -1 floor is only adjudicable if the artifact's log says WHY
-          System.err.println(s"[bench floor] $name failed: ${e.getClass.getName}: " +
-            String.valueOf(e.getMessage).take(300))
-          None }
-      }
+      val iso = (1 to 2).map(_ => timeOne(name)).filter(_ >= 0)
       name -> ((suiteV, if (iso.isEmpty) -1.0 else iso.min))
     }
     val floorsJson = floors.map { case (k, (s, i)) =>
@@ -169,6 +231,26 @@ object Bench {
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_LAST.json"),
         line + "\n")
+    // Driver-parseable COMPACT line, printed LAST: the driver keeps only the
+    // final ~2000 chars of stdout (BENCH_r07.json "tail"), and the full
+    // 215-key line is ~7.5 KB, so its opening brace falls outside the window
+    // and rounds 6-7 shipped "parsed": null. This line budgets itself to
+    // ~1200 chars (sbt's "[success] Total time" epilogue eats ~100 more) so
+    // the whole object sits inside the tail: headline + floors + as many
+    // slowest keys as fit + a pointer to the full per-key record.
+    val floorsCompact = floors.map { case (k, (s, i)) =>
+      "\"" + k + "\":[" + r3(s) + "," + r3(i) + "]"
+    }.mkString("{", ",", "}")
+    val fixed = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"failures":$failures,"floors_si":$floorsCompact,"queries":{},"full":"BENCH_LAST.json","sf":"$sfDir"}"""
+    val budget = 1200 - fixed.length
+    val slowKeys = new scala.collection.mutable.ListBuffer[String]
+    var used = 0
+    ok.sortBy(-_._2).foreach { case (k, v) =>
+      val frag = "\"" + k + "\":" + r3(v)
+      if (used + frag.length + 1 <= budget) { slowKeys += frag; used += frag.length + 1 }
+    }
+    val compact = fixed.replace("\"queries\":{}", "\"queries\":{" + slowKeys.mkString(",") + "}")
+    println(compact)
     spark.stop()
   }
 }

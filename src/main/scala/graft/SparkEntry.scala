@@ -2285,6 +2285,32 @@ object SparkEntry {
     "lm_score" -> ((s, d) =>
       graft.llm.NgramModel.lmScore(docs(s, d)).orderBy("doc_id")),
 
+    // RHO-LOSS-style selection (Mindermann et al. 2022, "Prioritized
+    // training on points that are learnable, worth learning, and not yet
+    // learnt"): rank
+    // train-pool docs by REDUCIBLE loss = pool-model loss − holdout-model
+    // irreducible loss. With the integer LM score (higher = likelier),
+    // loss_ppm = 10⁶ − lm_ppm, so rho_ppm = lm_holdout − lm_pool: docs the
+    // holdout model explains well but the pool model does not are the
+    // learnable ones worth training on. Two bigram-Laplace models
+    // (`NgramModel.lmScoreAgainst` — the holdout model genuinely hits the
+    // unseen-bigram/unseen-prefix Laplace floors when scoring the pool);
+    // both model tables are Zipf-bounded, the scoring joins bg-keyed
+    // shuffles — lm_score economics ×2 at any corpus size.
+    "rholoss_select" -> ((s, d) => {
+      val all = docs(s, d)
+      val hold = all.filter(pmod(col("doc_id"), lit(RholossHoldoutMod)) === 0)
+      val pool = all.filter(pmod(col("doc_id"), lit(RholossHoldoutMod)) =!= 0)
+      val pm = graft.llm.NgramModel.lmScoreAgainst(pool, pool)
+        .withColumnRenamed("lm_ppm", "lm_pool_ppm")
+      val hm = graft.llm.NgramModel.lmScoreAgainst(hold, pool)
+        .select(col("doc_id"), col("lm_ppm").as("lm_holdout_ppm"))
+      pm.join(hm, Seq("doc_id"))
+        .withColumn("rho_ppm", expr("lm_holdout_ppm - lm_pool_ppm"))
+        .withColumn("keep", col("rho_ppm") > 0)
+        .orderBy("doc_id")
+    }),
+
     // First BPE merge level: corpus-wide adjacent-character-pair counts
     // inside tokens, top-20 — the seed statistic a byte-pair tokenizer
     // trainer ranks merges by. Same distributed top-k contract as
@@ -2472,10 +2498,8 @@ object SparkEntry {
     // window IS the right plan. Verdict joins dedup_url/corpus_clean on
     // doc_id.
     "domain_caps" -> ((s, d) => {
-      val host = regexp_extract(
-        graft.llm.Url.canonical(
-          graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))),
-        "^([^/]*)", 1)
+      val host = graft.llm.Url.canonicalHost(
+        graft.llm.Url.syntheticUrl(col("doc_id"), col("source")))
       val u = docs(s, d).select(col("doc_id"), host.as("host"))
         .localCheckpoint() // one scan + one regex pass feeds counts AND rank
       val counts = u.groupBy("host").agg(count(lit(1)).as("n_domain_docs"))
@@ -2502,10 +2526,8 @@ object SparkEntry {
     // regex pass → one host-keyed hash agg; host cardinality is millions
     // at web scale — comfortably partitioned, never collected.
     "quality_by_domain" -> ((s, d) => {
-      val host = regexp_extract(
-        graft.llm.Url.canonical(
-          graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))),
-        "^([^/]*)", 1)
+      val host = graft.llm.Url.canonicalHost(
+        graft.llm.Url.syntheticUrl(col("doc_id"), col("source")))
       val hostAgg = docs(s, d)
         .select(host.as("host"),
           size(TA.tokens(col("text"))).cast("long").as("n_tok"),
@@ -2586,8 +2608,10 @@ object SparkEntry {
       val perLang = j.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
           sum("loss_mass").as("loss_mass"))
-      val ref = j.agg(
-        expr("CAST(sum(loss_mass) div sum(n_bigrams) AS BIGINT)").as("ref_ppm"))
+      val ref = j.agg( // empty-corpus guard: 0-bigram ref pins to 0 in
+        // both engines (Spark div NULLs, DuckDB // raises — divergence)
+        expr("CASE WHEN coalesce(sum(n_bigrams), 0L) = 0L THEN 0L ELSE " +
+          "CAST(sum(loss_mass) div sum(n_bigrams) AS BIGINT) END").as("ref_ppm"))
       perLang.crossJoin(broadcast(ref))
         .select(col("lang"), col("n_docs"), col("n_bigrams"),
           expr("CAST(loss_mass div n_bigrams AS BIGINT)").as("loss_ppm"),
@@ -2610,10 +2634,10 @@ object SparkEntry {
     // result row driver-free.
     "dataset_card" -> ((s, d) => {
       val q = TA.qualityScore(col("text"))
-      val host = regexp_extract(
-        graft.llm.Url.canonical(
-          graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))),
-        "^([^/]*)", 1)
+      // one owner for the host definition: Url.canonicalHost (its DuckDB
+      // twin sqlCanonicalHost feeds the oracle below)
+      val host = graft.llm.Url.canonicalHost(
+        graft.llm.Url.syntheticUrl(col("doc_id"), col("source")))
       val pd = docs(s, d).select(
           size(TA.tokens(col("text"))).cast("long").as("n_tok"),
           col("n_chars"), col("lang"), host.as("host"),
@@ -2631,10 +2655,15 @@ object SparkEntry {
       base.crossJoin(broadcast(langs)).crossJoin(broadcast(hosts))
         .crossJoin(broadcast(uniq))
         .select(expr(
+          // empty-corpus guard: Spark `div` NULLs on a 0 divisor where
+          // DuckDB `//` raises — an engine divergence, so both sides pin
+          // the empty case to 0 (SparkEntry engine-divergence registry)
           """stack(9,
             |  'dup_docs', n_docs - n_unique,
-            |  'dup_ppm', ((n_docs - n_unique) * 1000000) div n_docs,
-            |  'mean_quality_ppm', q_sum div n_docs,
+            |  'dup_ppm', CASE WHEN n_docs = 0 THEN 0L
+            |    ELSE ((n_docs - n_unique) * 1000000) div n_docs END,
+            |  'mean_quality_ppm', CASE WHEN n_docs = 0 THEN 0L
+            |    ELSE q_sum div n_docs END,
             |  'n_chars', n_chars,
             |  'n_docs', n_docs,
             |  'n_hosts', n_hosts,
@@ -4143,6 +4172,12 @@ object SparkEntry {
   /** `domain_caps` per-domain keep limit (docs per canonical host). */
   private val DomainCap = 10L
 
+  /** `rholoss_select` holdout split: doc_id % mod == 0 is the holdout the
+    * irreducible-loss model trains on (10% of the corpus), the rest is the
+    * candidate train pool. Shared with the oracle.
+    */
+  private val RholossHoldoutMod = 10L
+
   /** `mix_epochs` budget multiple (×corpus tokens) and the max-epochs cap
     * (the data-constrained-scaling ~4-epoch usefulness limit), shared with
     * the oracle.
@@ -5304,6 +5339,20 @@ object SparkEntry {
       "lm_score" ->
         (graft.llm.NgramModel.sqlLmScore + "\nORDER BY 1"),
 
+      "rholoss_select" -> {
+        val pm = graft.llm.NgramModel.sqlLmScoreAgainst(
+          s"doc_id % $RholossHoldoutMod <> 0", s"doc_id % $RholossHoldoutMod <> 0")
+        val hm = graft.llm.NgramModel.sqlLmScoreAgainst(
+          s"doc_id % $RholossHoldoutMod = 0", s"doc_id % $RholossHoldoutMod <> 0")
+        s"""WITH pm AS ($pm),
+           |hm AS ($hm)
+           |SELECT pm.doc_id, pm.n_bigrams,
+           |  pm.lm_ppm AS lm_pool_ppm, hm.lm_ppm AS lm_holdout_ppm,
+           |  (hm.lm_ppm - pm.lm_ppm)::BIGINT AS rho_ppm,
+           |  (hm.lm_ppm - pm.lm_ppm) > 0 AS keep
+           |FROM pm JOIN hm USING (doc_id) ORDER BY 1""".stripMargin
+      },
+
       "bpe_pairs" -> {
         val toks = TA.sqlTokens("text")
         s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
@@ -5401,9 +5450,9 @@ object SparkEntry {
            |FROM w, tt ORDER BY 1""".stripMargin,
 
       "domain_caps" -> {
-        val canon = graft.llm.Url.sqlCanonical(graft.llm.Url.sqlSyntheticUrl)
+        val host = graft.llm.Url.sqlCanonicalHost(graft.llm.Url.sqlSyntheticUrl)
         s"""WITH h AS (SELECT doc_id,
-           |  regexp_extract($canon, '^([^/]*)', 1) AS host FROM documents),
+           |  $host AS host FROM documents),
            |r AS (SELECT doc_id, host,
            |  row_number() OVER (PARTITION BY host ORDER BY doc_id)::BIGINT
            |    AS rank_in_domain FROM h),
@@ -5414,9 +5463,9 @@ object SparkEntry {
       },
 
       "quality_by_domain" -> {
-        val canon = graft.llm.Url.sqlCanonical(graft.llm.Url.sqlSyntheticUrl)
+        val host = graft.llm.Url.sqlCanonicalHost(graft.llm.Url.sqlSyntheticUrl)
         s"""WITH h AS (SELECT doc_id,
-           |  regexp_extract($canon, '^([^/]*)', 1) AS host,
+           |  $host AS host,
            |  $toks AS toksv FROM documents),
            |q AS (SELECT host, len(toksv)::BIGINT AS n_tok,
            |  CAST(round(${TA.sqlQualityScore("toksv")} * $SamplePpmScale)
@@ -5463,7 +5512,8 @@ object SparkEntry {
            |        sum(n_bigrams)::BIGINT AS n_bigrams,
            |        (sum(loss_mass) // sum(n_bigrams))::BIGINT AS loss_ppm
            |      FROM j GROUP BY 1),
-           |tt AS (SELECT (sum(loss_mass) // sum(n_bigrams))::BIGINT AS ref_ppm
+           |tt AS (SELECT (CASE WHEN coalesce(sum(n_bigrams), 0) = 0 THEN 0
+           |         ELSE sum(loss_mass) // sum(n_bigrams) END)::BIGINT AS ref_ppm
            |       FROM j)
            |SELECT lang, n_docs, n_bigrams, loss_ppm, ref_ppm,
            |  greatest(0, loss_ppm - ref_ppm)::BIGINT AS excess_ppm,
@@ -5472,9 +5522,9 @@ object SparkEntry {
            |FROM a, tt ORDER BY lang""".stripMargin,
 
       "dataset_card" -> {
-        val canon = graft.llm.Url.sqlCanonical(graft.llm.Url.sqlSyntheticUrl)
+        val host = graft.llm.Url.sqlCanonicalHost(graft.llm.Url.sqlSyntheticUrl)
         s"""WITH t AS (SELECT doc_id, text, lang, n_chars,
-           |  regexp_extract($canon, '^([^/]*)', 1) AS host,
+           |  $host AS host,
            |  ${TA.sqlTokens("text")} AS toksv FROM documents),
            |p AS (SELECT len(toksv)::BIGINT AS n_tok, n_chars, lang, host,
            |  ${graft.llm.Dedup.sqlFingerprint("text")} AS fp,
@@ -5495,8 +5545,11 @@ object SparkEntry {
            |SELECT metric, value FROM (
            |  SELECT 'dup_docs' AS metric, (n_docs - n_unique)::BIGINT AS value FROM a
            |  UNION ALL SELECT 'dup_ppm',
-           |    (((n_docs - n_unique) * 1000000) // n_docs)::BIGINT FROM a
-           |  UNION ALL SELECT 'mean_quality_ppm', (q_sum // n_docs)::BIGINT FROM a
+           |    (CASE WHEN n_docs = 0 THEN 0
+           |     ELSE ((n_docs - n_unique) * 1000000) // n_docs END)::BIGINT FROM a
+           |  UNION ALL SELECT 'mean_quality_ppm',
+           |    (CASE WHEN n_docs = 0 THEN 0
+           |     ELSE q_sum // n_docs END)::BIGINT FROM a
            |  UNION ALL SELECT 'n_chars', n_chars FROM a
            |  UNION ALL SELECT 'n_docs', n_docs FROM a
            |  UNION ALL SELECT 'n_hosts', n_hosts FROM a

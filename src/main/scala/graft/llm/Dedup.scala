@@ -595,10 +595,26 @@ object Dedup {
     * One row out: sample size, true pairs (jac ≥ thrPpm), LSH candidate
     * pairs, hits (true ∩ candidate), recall and precision in ppm.
     */
+  /** Hard cap on the audit-sample size `recallAudit` accepts. The exact
+    * ground-truth side is an all-pairs self-join — quadratic BY DESIGN —
+    * and is only affordable because `recallModFor` pins call-site samples
+    * to ~100 docs at any corpus size. 10k docs = ~50M pairs is the largest
+    * audit that stays interactive on local[32]; past it the quadratic
+    * reintroduces the measured 10-minute stall (BASELINE.md round 5), so
+    * fail loudly instead of silently running it.
+    */
+  val MaxRecallAuditDocs = 10000L
+
   def recallAudit(docs: DataFrame, shingleSize: Int, numPerms: Int,
                   numBands: Int, thrPpm: Long): DataFrame = {
     val idx = signatureIndex(docs, shingleSize, numPerms, numBands)
     val sets = idx.sets.filter(size(col("sh")) > 0).localCheckpoint()
+    // cheap: sets is already materialized by the localCheckpoint above
+    val nSample = sets.count()
+    require(nSample <= MaxRecallAuditDocs,
+      s"recallAudit sample has $nSample docs (max $MaxRecallAuditDocs): " +
+        "the exact ground-truth side is all-pairs quadratic — pass a " +
+        "bounded sample (see Dedup.recallModFor), never the corpus")
     val exact = sets.as("l")
       .join(sets.as("r"), col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),

@@ -69,10 +69,14 @@ object Pyramid {
     * property that matters most at 100 TB. Keep Catalyst's default plan.
     */
   def pixelCounts(input: DataFrame, proj: Projection, zoom: Int, tileSize: Int): DataFrame =
+    pixelCountsPath(input, proj, zoom, tileSize, useLong = zoom > IntZoomCap)
+
+  private[graft] def pixelCountsPath(input: DataFrame, proj: Projection, zoom: Int,
+      tileSize: Int, useLong: Boolean): DataFrame =
     input
       .select(
         col("mapKey"),
-        (if (zoom <= IntZoomCap) proj.globalPixel(col("lat"), col("lng"), zoom, tileSize)
+        (if (!useLong) proj.globalPixel(col("lat"), col("lng"), zoom, tileSize)
          else proj.globalPixelLong(col("lat"), col("lng"), zoom, tileSize)).as("xy"),
         col("borYear"), col("occCount"))
       .groupBy("mapKey", "xy", "borYear")
@@ -91,10 +95,14 @@ object Pyramid {
     * salted tile key (`TileMapBuilder.java:139-156`).
     */
   def tiles(t2: DataFrame, addressing: TileAddressing, zoom: Int, saltModulo: Int): DataFrame =
+    tilesPath(t2, addressing, zoom, saltModulo, useLong = zoom > IntZoomCap)
+
+  private[graft] def tilesPath(t2: DataFrame, addressing: TileAddressing, zoom: Int,
+      saltModulo: Int, useLong: Boolean): DataFrame =
     t2.select(
         col("mapKey"),
         explode(
-          if (zoom <= IntZoomCap) addressing.addresses(zoom, col("xy.x"), col("xy.y"))
+          if (!useLong) addressing.addresses(zoom, col("xy.x"), col("xy.y"))
           else addressing.addressesLong(zoom, col("xy.x"), col("xy.y"))).as("tile"),
         col("features"))
       .select(
@@ -121,5 +129,23 @@ object Pyramid {
     val t1 = pixelCounts(input, proj, zoom, tileSize)
     val t2 = pixelFeatures(t1)
     tiles(t2, TileAddressing(proj, tileSize, bufferSize), zoom, saltModulo)
+  }
+
+  /** Test seam: the full cascade FORCED down the exact-BIGINT path at any
+    * zoom, so specs can pin pipeline-OUTPUT parity (salted keys, sorted
+    * collected tiles — not just per-address equality) between the int and
+    * long paths at a shared zoom ≤ [[IntZoomCap]]. Production callers use
+    * [[build]], which switches automatically at the cap.
+    */
+  private[graft] def buildLongPath(
+      input: DataFrame,
+      proj: Projection,
+      zoom: Int,
+      tileSize: Int,
+      bufferSize: Int,
+      saltModulo: Int): DataFrame = {
+    val t1 = pixelCountsPath(input, proj, zoom, tileSize, useLong = true)
+    val t2 = pixelFeatures(t1)
+    tilesPath(t2, TileAddressing(proj, tileSize, bufferSize), zoom, saltModulo, useLong = true)
   }
 }

@@ -61,4 +61,19 @@ class LshSweepSpec extends SparkSpec {
     val sig = Dedup.signatureFrame(Dedup.tokenHashFrame(df), 3, 16)
     assert(sig.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
+
+  test("recallAudit refuses an unsampled (oversized) frame") {
+    import org.apache.spark.sql.functions._
+    // the exact ground-truth side is all-pairs quadratic: the in-function
+    // cap must fail loudly on a corpus-sized frame BEFORE the self-join
+    // runs, so a future call-site cannot reintroduce the 10-minute stall
+    val big = spark.range(0, Dedup.MaxRecallAuditDocs + 1)
+      .select(col("id").as("doc_id"),
+        concat(lit("alpha beta gamma delta epsilon zeta eta theta doc "),
+          col("id").cast("string")).as("text"))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.recallAudit(big, 3, 16, 4, 500000L).collect()
+    }
+    assert(ex.getMessage.contains("bounded sample"))
+  }
 }

@@ -160,4 +160,29 @@ class TileAddressSpec extends SparkSpec {
       }
     }
   }
+
+  test("pipeline OUTPUT parity: full cascade int path == forced long path (z4/z8)") {
+    // per-address equality (above) does not by itself prove the composed
+    // cascade agrees: the salted keys, per-pixel sums and sorted collected
+    // tiles all flow THROUGH the typed coordinates. Run Pyramid.build (int
+    // path at z<=16) and Pyramid.buildLongPath (the z17+ machinery forced
+    // on at the same zoom) over one occurrence fixture and require
+    // byte-identical output rows.
+    val rnd = new scala.util.Random(23)
+    val occ = Seq.tabulate(300) { i =>
+      (if (i % 3 == 0) "0:0" else s"1:${i % 4}",
+        rnd.nextDouble() * 160 - 80,   // lat in [-80, 80)
+        rnd.nextDouble() * 360 - 180,  // lng in [-180, 180)
+        (i % 5) * 1000 + 2000,         // borYear-ish code
+        (i % 7 + 1).toLong)
+    }.toDF("mapKey", "lat", "lng", "borYear", "occCount")
+    for (proj <- Seq(Mercator3857, PlateCarree4326); zoom <- Seq(4, 8)) {
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("key").collect().map(_.toString).toSeq
+      val intRows = rowsOf(Pyramid.build(occ, proj, zoom, tileSize, buffer, 4))
+      val longRows = rowsOf(Pyramid.buildLongPath(occ, proj, zoom, tileSize, buffer, 4))
+      assert(intRows.nonEmpty, s"${proj.epsg} z$zoom produced no tiles")
+      assert(intRows == longRows, s"${proj.epsg} z$zoom: int/long pipeline outputs differ")
+    }
+  }
 }
