@@ -2461,6 +2461,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprint budget (Schleimer et al. 2003, the MOSS
+    // selection): per doc, how many window-min fingerprints the winnow
+    // index keeps and at what density — expected 2/(w+1) of the k-gram
+    // count, the sizing diagnostic for the guaranteed-span-detection
+    // index the minhash family cannot provide (llm.Winnow for the
+    // guarantee and the one-shuffle window-min plan shape).
+    "winnow_fingerprint" -> ((s, d) =>
+      graft.llm.Winnow.docStats(docs(s, d)).orderBy("doc_id")),
+
+    // Winnowed-fingerprint overlap pairs: docs sharing ≥ MinShared
+    // selected fingerprints after the boilerplate df cap, with
+    // containment ppm against the smaller doc — the provenance/plagiarism
+    // detector with the MOSS guarantee (any shared run of ≥ w+k−1 tokens
+    // is caught). The df cap bounds pair fan-out at ≤ maxDf² per
+    // fingerprint — no quadratic cell at any corpus size.
+    "winnow_overlap" -> ((s, d) =>
+      graft.llm.Winnow.overlap(docs(s, d)).orderBy("a", "b")),
+
     // Temperature-weighted mixing rates (α = 0.5): the multilingual-LM
     // sampling scheme (sample language l ∝ mass_l^α) as exact integer
     // arithmetic — weight = floor(1000·√tokens) is deterministic across
@@ -5420,6 +5438,10 @@ object SparkEntry {
             |  (n_common * 1000000) // n_a AS contain_a_ppm,
             |  (n_common * 1000000) // n_b AS contain_b_ppm
             |FROM c ORDER BY 1, 2""".stripMargin),
+
+      "winnow_fingerprint" -> graft.llm.Winnow.sqlDocStats(),
+
+      "winnow_overlap" -> graft.llm.Winnow.sqlOverlap(),
 
       "corpus_novelty" -> {
         import graft.llm.{Dedup, TextAnalysis => TA}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.Winnow
+
+/** Winnowing fingerprints: MOSS selection guarantee, density, edge cases,
+  * and an INDEPENDENT plain-Scala replay of the window-min selection
+  * (loops over locally recomputed hashes — no Spark expressions), so the
+  * engine's posexplode + sliding-window-min plan is checked against the
+  * published algorithm, not against itself.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def words(range: Range, p: String = "w") = range.map(i => s"$p$i").mkString(" ")
+
+  /** Local (non-Spark) replay: tokenHashes → hashedShingles → winnow set. */
+  private def localWinnow(text: String, k: Int, w: Int): Set[Long] = {
+    import graft.expr.PortableHash.phashLocal
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val th = toks.map(phashLocal)
+    if (th.length < k) return Set.empty
+    val cs = graft.llm.Dedup.comboConstants(k)
+    val P = graft.llm.Dedup.MinhashPrime
+    val sh = (0 to th.length - k).map { i =>
+      val s = cs.zipWithIndex.map { case (c, j) => c * th(i + j) }.sum + th(i + k - 1)
+      ((s % P) + P) % P
+    }
+    if (sh.length < w) Set(sh.min)
+    else (0 to sh.length - w).map(i => sh.slice(i, i + w).min).toSet
+  }
+
+  test("engine fingerprint set equals the independent local winnow replay") {
+    val texts = Seq(
+      1L -> words(1 to 30),
+      2L -> (words(1 to 6, "a") + " " + words(1 to 12) + " " + words(1 to 6, "z")),
+      3L -> words(1 to 7, "q"))
+    val got = Winnow.fingerprints(docsDf(texts)).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(2)).toSet }
+    texts.foreach { case (id, t) =>
+      assert(got(id) == localWinnow(t, Winnow.K, Winnow.W), s"doc $id")
+    }
+  }
+
+  test("MOSS guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
+    // guarantee threshold = W + K - 1 = 7 tokens; embed the same 7-token
+    // run in two otherwise-disjoint docs at different offsets
+    val run = words(1 to 7, "s")
+    val df = docsDf(Seq(
+      (1L, words(1 to 9, "a") + " " + run + " " + words(1 to 5, "b")),
+      (2L, words(1 to 3, "x") + " " + run + " " + words(1 to 11, "y"))))
+    val fp = Winnow.fingerprints(df).collect()
+      .groupBy(_.getLong(0)).map { case (id, r) => id -> r.map(_.getLong(2)).toSet }
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared >= w+k-1 run must share a fingerprint")
+  }
+
+  test("edges: <k tokens absent; k<=tokens<k+w-1 selects exactly one") {
+    val df = docsDf(Seq(
+      (1L, words(1 to 3)),  // 3 < K=4 tokens: no k-grams at all
+      (2L, words(1 to 5)))) // 2 k-grams < W: one clipped window
+    val st = Winnow.docStats(df).collect()
+    assert(!st.exists(_.getLong(0) == 1L))
+    val d2 = st.find(_.getLong(0) == 2L).get
+    assert(d2.getLong(1) == 2L && d2.getLong(2) == 1L) // n_kgrams=2, n_fp=1
+  }
+
+  test("density: 1 <= n_fp <= n_kgrams, and near 2/(w+1) on long random-ish text") {
+    val df = docsDf(Seq((1L, words(1 to 400))))
+    val r = Winnow.docStats(df).collect().head
+    val (nk, nf) = (r.getLong(1), r.getLong(2))
+    assert(nf >= 1 && nf <= nk)
+    // expected density 2/(W+1) = 0.4; allow wide slack for hash luck
+    assert(nf.toDouble / nk > 0.15 && nf.toDouble / nk < 0.75)
+  }
+
+  test("overlap: df cap excludes boilerplate; containment over the smaller doc") {
+    val shared = words(1 to 12, "s")
+    val df = docsDf(Seq(
+      (1L, shared + " " + words(1 to 20, "a")),
+      (2L, shared + " " + words(1 to 4, "b")),
+      (3L, words(1 to 24, "c"))))
+    val ov = Winnow.overlap(df, minShared = 1).collect()
+    assert(ov.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val row = ov.head
+    // containment denominator is the SMALLER (doc 2) kept set
+    val stats = Winnow.docStats(df).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(row.getLong(3) == row.getLong(2) * 1000000L / math.min(stats(1L), stats(2L)))
+    // a df cap of 1 kills every cross-doc fingerprint -> no pairs
+    assert(Winnow.overlap(df, maxDf = 1, minShared = 1).count() == 0L)
+  }
+}
