@@ -62,12 +62,21 @@ object Winnow {
     * the degenerate `n < w` doc, whose single clipped window at pos 0 IS
     * the spec's "one window over everything" case.
     */
-  def fingerprints(docs: DataFrame, k: Int = K, w: Int = W): DataFrame = {
-    val sh = docs
+  def fingerprints(docs: DataFrame, k: Int = K, w: Int = W,
+                   cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
+    // The (doc_id, sh) shingle frame is CHECKPOINTED before the explode —
+    // the signatureIndex discipline, and here it is load-bearing twice
+    // over: InferFiltersFromGenerate plants a `size(sh) > 0` predicate
+    // below the posexplode, and predicate pushdown then substitutes the
+    // alias chain into it — without the cut, the predicate embeds ~7
+    // copies of the tokenize+md5+shingle tree whose element_at calls
+    // re-evaluate the whole token-hash transform PER SHINGLE (measured
+    // 142-270 s at sf0.1 vs ~4 s with the cut). Past the cut, `sh` is a
+    // stored attribute and the inferred filter is a cheap size() probe.
+    val sh = cp.cut(docs
       .select(col("doc_id"), Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
       .select(col("doc_id"), Dedup.hashedShingles(col("th"), k).as("sh"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_kgrams"))
-      .filter(col("n_kgrams") > 0)
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_kgrams")))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     sh.select(col("doc_id"), col("n_kgrams"), posexplode(col("sh")).as(Seq("pos", "h")))
@@ -75,6 +84,28 @@ object Winnow {
       .filter(col("pos") <= greatest(col("n_kgrams") - w, lit(0L)))
       .select(col("doc_id"), col("n_kgrams"), col("m").as("fp"))
       .distinct()
+  }
+
+  /** Per-ROW twin of [[fingerprints]] — the whole winnow selection as
+    * narrow array expressions (no window function, no aggregate), for
+    * STREAMING sides where a doc_id-partitioned window is stateful and
+    * illegal in append mode (the [[Dedup.bandedRowwise]] pattern). Values
+    * are identical to [[fingerprints]] (pinned in WinnowSpec); the
+    * interpreted higher-order-function cost that rules this shape out for
+    * whole-corpus scans is irrelevant on a micro-batch.
+    */
+  def fingerprintsRowwise(docs: DataFrame, k: Int = K, w: Int = W): DataFrame = {
+    val sel = docs
+      .select(col("doc_id"), Dedup.tokenHashes(TextAnalysis.tokens(col("text"))).as("th"))
+      .select(col("doc_id"), Dedup.hashedShingles(col("th"), k).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_kgrams"),
+        when(size(col("sh")) === 0, array().cast("array<bigint>"))
+          .when(size(col("sh")) < w, array(array_min(col("sh"))))
+          .otherwise(array_distinct(transform(sequence(lit(0), size(col("sh")) - w),
+            i => array_min(slice(col("sh"), i + 1, lit(w)))))).as("fps"))
+    // no row filter (the pushdown-inlining trap above); explode of the
+    // empty fps array drops 0-kgram docs for free
+    sel.select(col("doc_id"), col("n_kgrams"), explode(col("fps")).as("fp"))
   }
 
   /** Per-doc fingerprint budget: `(doc_id, n_kgrams, n_fp, density_ppm)` —

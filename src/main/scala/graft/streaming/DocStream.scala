@@ -95,6 +95,37 @@ object DocStream {
       .filter(col("jac_r") >= threshold)
   }
 
+  /** Streaming winnow-provenance probe — [[graft.llm.Winnow]]'s overlap
+    * join half as a stream: each incoming doc's winnow-selected
+    * fingerprints (computed PER ROW, [[graft.llm.Winnow.fingerprintsRowwise]]
+    * — the doc_id-window shape is stateful and illegal in append mode)
+    * probe the static corpus's df-capped fingerprint index, emitting one
+    * `(doc_id, near_id, fp)` row per shared selected fingerprint. The MOSS
+    * guarantee carries over verbatim: an incoming doc sharing a run of
+    * ≥ w+k−1 tokens with any corpus doc emits at least one row. Per-pair
+    * n_shared scoring is a grouped aggregate — stateful on a stream — so
+    * thresholding stays batch-side (foreachBatch over this frame), the
+    * same split [[nearDupProbe]] and [[spanProbe]] make.
+    *
+    * 100 TB posture: the static index is built once through the
+    * checkpoint seam and df-capped (boilerplate fingerprints dropped
+    * before any join), so per-fp fan-out is bounded and per-micro-batch
+    * planning re-reads stored blocks; the stream side is batch-linear.
+    */
+  def winnowProbe(newDocs: DataFrame, index: DataFrame,
+                  k: Int = graft.llm.Winnow.K, w: Int = graft.llm.Winnow.W,
+                  maxDf: Int = graft.llm.Winnow.MaxDf,
+                  cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
+    import graft.llm.Winnow
+    val fp = Winnow.fingerprints(index, k, w).select("doc_id", "fp")
+    val dfq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+    val idx = cp.cut(fp.join(dfq.filter(col("df") <= maxDf), "fp")
+      .select(col("fp"), col("doc_id").as("near_id")))
+    Winnow.fingerprintsRowwise(newDocs, k, w)
+      .join(idx, Seq("fp"))
+      .select(col("doc_id"), col("near_id"), col("fp"))
+  }
+
   /** Streaming DSIR scoring probe — [[graft.llm.Dsir]]'s apply half
     * against a FROZEN corpus-trained ratio table: each micro-batch's docs
     * score without touching the corpus (the ratio table is

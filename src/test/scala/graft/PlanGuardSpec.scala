@@ -468,4 +468,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pairing must stay keyed on doc_id:\n$plan")
   }
+
+  test("winnow_fingerprint: window is doc_id-partitioned; no generator-filter inlining") {
+    val df = SparkEntry.queries("winnow_fingerprint")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"winnow selection must never funnel rows through one partition:\n$plan")
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"sliding-min window must partition by doc_id:\n$plan")
+    // the shingle frame is cut before the explode, so the final plan reads
+    // stored blocks — a parquet scan HERE means the checkpoint seam broke
+    // and InferFiltersFromGenerate's size() probe is again free to inline
+    // the tokenize+md5 tree (the 142 s -> 1.2 s regression this guards)
+    assert(!plan.contains("Scan parquet"),
+      s"winnow must read the checkpointed shingle frame, not re-scan:\n$plan")
+    assert(!plan.contains("regexp_replace"),
+      s"no tokenize tree may survive into the post-cut plan:\n$plan")
+  }
+
+  test("winnow_overlap: pair join is fp-keyed — never cartesian, no row funnel") {
+    val plan = SparkEntry.queries("winnow_overlap")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pairing must stay keyed on the winnow fingerprint:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no single-partition row stage in the overlap pipeline:\n$plan")
+  }
 }

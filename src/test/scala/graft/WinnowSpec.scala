@@ -92,4 +92,53 @@ class WinnowSpec extends SparkSpec {
     // a df cap of 1 kills every cross-doc fingerprint -> no pairs
     assert(Winnow.overlap(df, maxDf = 1, minShared = 1).count() == 0L)
   }
+
+  test("rowwise (streaming-legal) fingerprints == window-min fingerprints") {
+    val df = docsDf(Seq(
+      (1L, words(1 to 40)),
+      (2L, words(1 to 5)),                                  // n_kgrams < W
+      (3L, words(1 to 3)),                                  // < K tokens: absent
+      (4L, words(1 to 8, "p") + " " + words(1 to 8, "p")))) // internal repeat
+    def collect(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(collect(Winnow.fingerprintsRowwise(df)) == collect(Winnow.fingerprints(df)))
+  }
+
+  test("streaming winnowProbe == batch overlap join over the same static index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val run = words(1 to 7, "s") // exactly the w+k-1 guarantee threshold
+    val index = docsDf(Seq(
+      (0L, words(1 to 10, "a") + " " + run),
+      (1L, words(1 to 16, "b"))))
+    val incoming = Seq(
+      (9L, run + " " + words(1 to 9, "x")), // shares the run with doc 0
+      (19L, words(1 to 12, "n")),           // novel
+      (29L, "one two"))                     // below k-gram width
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.winnowProbe(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("winnow_probe").outputMode("append").start()
+    try {
+      in.addData(incoming.take(1): _*); q.processAllAvailable()
+      in.addData(incoming.drop(1): _*); q.processAllAvailable()
+      val streamed = spark.table("winnow_probe").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch replica: rowwise fingerprints against the df-capped index
+      val fp = Winnow.fingerprints(index).select("doc_id", "fp")
+      val dfq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      val idx = fp.join(dfq.filter(col("df") <= Winnow.MaxDf), "fp")
+        .select(col("fp"), col("doc_id").as("near_id"))
+      val expected = Winnow.fingerprintsRowwise(incoming.toDF("doc_id", "text"))
+        .join(idx, Seq("fp"))
+        .select(col("doc_id"), col("near_id"), col("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == expected, s"streamed $streamed != batch $expected")
+      // MOSS guarantee across the stream boundary: the planted run hits doc 0
+      assert(streamed.exists(t => t._1 == 9L && t._2 == 0L))
+      assert(!streamed.exists(_._1 == 19L) && !streamed.exists(_._1 == 29L))
+    } finally q.stop()
+  }
 }
