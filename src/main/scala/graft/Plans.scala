@@ -97,7 +97,11 @@ object Plans {
       "pack_sweep", "export_balance", "dedup_keep_best",
       "semantic_keep_diverse", "dedup_bloom_gate",
       // round 7 (cont.): domain review list, cluster-label purity
-      "quality_by_domain", "semantic_purity")
+      "quality_by_domain", "semantic_purity",
+      // round 8: RHO-LOSS selection, DoReMi reweighting, release card,
+      // winnowing fingerprints + overlap
+      "rholoss_select", "mix_doremi", "dataset_card",
+      "winnow_fingerprint", "winnow_overlap")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")
