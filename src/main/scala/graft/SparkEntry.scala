@@ -2486,6 +2486,17 @@ object SparkEntry {
     "winnow_overlap" -> ((s, d) =>
       graft.llm.Winnow.overlap(docs(s, d)).orderBy("a", "b")),
 
+    // Incremental winnow admission: new-batch docs (doc_id % 10 = 9)
+    // probe the frozen index side's df-capped winnow fingerprints — the
+    // guaranteed-span member of the incremental family (dedup_incremental
+    // catches near-whole-doc dups, substring_incremental exact spans at
+    // fixed w, this catches ≥ w+k−1-token overlaps with provenance).
+    // Containment is over the BATCH doc (the admission direction); the
+    // df cap is index-side only so verdicts are batch-composition-free.
+    "winnow_incremental" -> ((s, d) =>
+      graft.llm.Winnow.incremental(docs(s, d), col("doc_id") % 10 === 9)
+        .orderBy("doc_id", "near_id")),
+
     // Temperature-weighted mixing rates (α = 0.5): the multilingual-LM
     // sampling scheme (sample language l ∝ mass_l^α) as exact integer
     // arithmetic — weight = floor(1000·√tokens) is deterministic across
@@ -5449,6 +5460,8 @@ object SparkEntry {
       "winnow_fingerprint" -> graft.llm.Winnow.sqlDocStats(),
 
       "winnow_overlap" -> graft.llm.Winnow.sqlOverlap(),
+
+      "winnow_incremental" -> graft.llm.Winnow.sqlIncremental("doc_id % 10 = 9"),
 
       "corpus_novelty" -> {
         import graft.llm.{Dedup, TextAnalysis => TA}

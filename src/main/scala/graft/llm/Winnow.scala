@@ -144,6 +144,36 @@ object Winnow {
         expr(s"(n_shared * $Ppm) div least(nf_a, nf_b)").as("containment_ppm"))
   }
 
+  /** Batch-vs-index admission variant — the incremental member the rest of
+    * the dedup family ships ([[Dedup.incremental]], [[Substring]]'s
+    * `incremental`): ONE fingerprint pass over the combined corpus, split
+    * by `isBatch` AFTER selection (the shared-tokenize discipline), then
+    * batch fingerprints probe the index side only. The df cap is computed
+    * on the INDEX side alone (frozen-index semantics: admission verdicts
+    * must not depend on what else arrived in the batch). Containment is
+    * over the BATCH doc's fingerprint count — "how much of the new doc is
+    * already in the corpus", the admission direction.
+    */
+  def incremental(docs: DataFrame, isBatch: Column, k: Int = K, w: Int = W,
+                  maxDf: Int = MaxDf, minShared: Int = MinShared): DataFrame = {
+    val fp = fingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp"), isBatch.as("is_batch"))
+      .localCheckpoint() // batch side, index side, df table, batch sizes
+    val idxFp = fp.filter(!col("is_batch"))
+    val dfq = idxFp.groupBy("fp").agg(count(lit(1)).as("df"))
+    val kept = idxFp.join(dfq.filter(col("df") <= maxDf), "fp")
+      .select(col("fp"), col("doc_id").as("near_id"))
+    val batchFp = fp.filter(col("is_batch")).select("doc_id", "fp")
+    val nb = batchFp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    batchFp.join(kept, "fp")
+      .groupBy("doc_id", "near_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nb, "doc_id")
+      .select(col("doc_id"), col("near_id"), col("n_shared"),
+        expr(s"(n_shared * $Ppm) div n_fp").as("containment_ppm"))
+  }
+
   // ------------------------------------------------------------- oracle
 
   /** DuckDB CTE chain ending in `fp(doc_id, n_kgrams, fp)` — the literal
@@ -170,6 +200,26 @@ object Winnow {
        |  count(*)::BIGINT AS n_fp,
        |  (count(*) * $Ppm) // any_value(n_kgrams) AS density_ppm
        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[incremental]]; `isBatchSql` is a predicate over `doc_id`
+    * (e.g. `doc_id % 10 = 9`).
+    */
+  def sqlIncremental(isBatchSql: String, k: Int = K, w: Int = W,
+                     maxDf: Int = MaxDf, minShared: Int = MinShared): String =
+    s"""WITH ${sqlFingerprintCtes(k, w)},
+       |ifp AS (SELECT doc_id, fp FROM fp WHERE NOT ($isBatchSql)),
+       |dfq AS (SELECT fp, count(*) AS df FROM ifp GROUP BY fp),
+       |kept AS (SELECT f.fp, f.doc_id AS near_id FROM ifp f JOIN dfq USING (fp)
+       |  WHERE df <= $maxDf),
+       |bfp AS (SELECT doc_id, fp FROM fp WHERE $isBatchSql),
+       |nb AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM bfp GROUP BY doc_id),
+       |pairs AS (SELECT b.doc_id, kept.near_id, count(*)::BIGINT AS n_shared
+       |  FROM bfp b JOIN kept USING (fp)
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared)
+       |SELECT p.doc_id, p.near_id, p.n_shared,
+       |  (p.n_shared * $Ppm) // nb.n_fp AS containment_ppm
+       |FROM pairs p JOIN nb USING (doc_id)
+       |ORDER BY p.doc_id, p.near_id""".stripMargin
 
   /** Oracle for [[overlap]]. */
   def sqlOverlap(k: Int = K, w: Int = W,

@@ -93,6 +93,27 @@ class WinnowSpec extends SparkSpec {
     assert(Winnow.overlap(df, maxDf = 1, minShared = 1).count() == 0L)
   }
 
+  test("incremental: batch probes the frozen index only; containment over the batch doc") {
+    import org.apache.spark.sql.functions.col
+    val run = words(1 to 12, "s")
+    val df = docsDf(Seq(
+      (0L, run + " " + words(1 to 10, "a")),   // index: owns the run
+      (1L, words(1 to 20, "b")),               // index: unrelated
+      (9L, run + " " + words(1 to 4, "x")),    // batch: quotes the run
+      (19L, run + " " + words(1 to 4, "x"))))  // batch: near-dup OF DOC 9
+    val inc = Winnow.incremental(df, col("doc_id") >= 9, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // both batch docs hit index doc 0; batch-batch pairs (9,19) NEVER appear
+    assert(inc.map(t => (t._1, t._2)).toSet == Set((9L, 0L), (19L, 0L)), inc.toSeq.toString)
+    // identical batch docs get identical verdicts (batch-composition-free)
+    val v9 = inc.filter(_._1 == 9L).map(t => (t._3, t._4)).toSet
+    val v19 = inc.filter(_._1 == 19L).map(t => (t._3, t._4)).toSet
+    assert(v9 == v19)
+    // containment denominator is the batch doc's own fingerprint count
+    val nb = Winnow.fingerprints(df).filter(col("doc_id") === 9L).count()
+    assert(inc.find(_._1 == 9L).get._4 == inc.find(_._1 == 9L).get._3 * 1000000L / nb)
+  }
+
   test("rowwise (streaming-legal) fingerprints == window-min fingerprints") {
     val df = docsDf(Seq(
       (1L, words(1 to 40)),
