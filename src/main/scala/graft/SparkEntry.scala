@@ -3313,6 +3313,42 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Integer double-exponential smoothing (Holt's method, α = β = ½) over
+    // per-type hourly counts — the forecasting sibling of the seasonal
+    // baseline below. The recurrence is inherently SEQUENTIAL (level_k
+    // depends on level_{k-1}), which no window frame expresses; the
+    // distributed shape is: hourly rollup (map-side combinable — the only
+    // corpus-sized stage), then ONE bounded array per type (hours per
+    // type, ~10⁴ for a year — the events_top_paths collect class) folded
+    // by the codegen'd `aggregate` HOF. α = ½ keeps every step in exact
+    // BIGINT `div` arithmetic, and Spark's `div` and DuckDB's `//` agree
+    // on negatives (both truncate toward zero — verified; trend goes
+    // negative on any decline), so DuckDB's list_reduce replays the fold
+    // bit-for-bit: its seed-with-first-element semantics is mirrored by
+    // aggregate(slice(arr, 2, n-1), arr[1], ...). Forecast = level+trend.
+    "events_ewma" -> ((s, d) => {
+      val h = events(s, d)
+        .select(col("event_type"),
+          IntMath.floorDiv(col("ts"), NanosPerHour).as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+      h.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sort_array(collect_list(struct(col("hr"),
+            (col("c") * 1000000L).as("l")))).as("sh"))
+        .select(col("event_type"), col("n_hours"), expr(
+          """aggregate(
+            |  slice(transform(sh, e -> struct(e.l AS l, CAST(0 AS BIGINT) AS t)),
+            |        2, size(sh) - 1),
+            |  struct(element_at(sh, 1).l AS l, CAST(0 AS BIGINT) AS t),
+            |  (a, x) -> struct((a.l + x.l) div 2 AS l,
+            |                   (a.t + ((a.l + x.l) div 2 - a.l)) div 2 AS t))"""
+            .stripMargin.replace("\n", " ")).as("r"))
+        .select(col("event_type"), col("n_hours"),
+          col("r.l").as("level_ppm"), col("r.t").as("trend_ppm"),
+          (col("r.l") + col("r.t")).as("forecast_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal-naive baseline + last-day residuals: per (event_type,
     // hour-of-day) mean hourly count over all training days (every day
     // before the last), compared against the last day's actuals. Exact
@@ -6030,6 +6066,32 @@ object SparkEntry {
              |  JOIN sp sb ON ndp.b = sb.vec_id
              |WHERE sa.split <> sb.split
              |ORDER BY 1, 2""".stripMargin),
+
+      // Recursive CTE, NOT list_reduce: DuckDB v1.0.0 struct-lambda
+      // fields evaluate sequentially and REBIND the accumulator field by
+      // field (a.l inside the 't' expression sees the freshly computed
+      // 'l'), silently halving the trend — probed and pinned in round 8.
+      // The recursive step is standard SQL with one lambda-free
+      // expression per field, replaying Spark's aggregate() fold exactly.
+      "events_ewma" ->
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |  epoch_us(ts) // 3600000000 AS hr,
+          |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY hr) AS k,
+          |  c * 1000000 AS v FROM h),
+          |n AS (SELECT event_type, count(*)::BIGINT AS n_hours FROM s GROUP BY 1),
+          |r AS (
+          |  SELECT event_type, 1::BIGINT AS k, v AS l, 0::BIGINT AS t
+          |  FROM s WHERE k = 1
+          |  UNION ALL
+          |  SELECT r.event_type, r.k + 1, (r.l + s.v) // 2,
+          |         (r.t + ((r.l + s.v) // 2 - r.l)) // 2
+          |  FROM r JOIN s ON s.event_type = r.event_type AND s.k = r.k + 1)
+          |SELECT r.event_type, n.n_hours, r.l AS level_ppm, r.t AS trend_ppm,
+          |  r.l + r.t AS forecast_ppm
+          |FROM r JOIN n USING (event_type) WHERE r.k = n.n_hours
+          |ORDER BY event_type""".stripMargin,
 
       "events_seasonal" ->
         """WITH e AS (SELECT event_type,

@@ -160,4 +160,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(b.map(_._4).toSeq == Seq("edge", "obs", "edge", "edge"))
     assert(b(1)._3 == 750L && b(0)._3 == null && b(3)._3 == null)
   }
+
+  test("events_ewma: fold replays the hand-computed Holt recurrence in hour order") {
+    val hr = 3600L * 1000000000L
+    // type A: hourly counts 10, 20, 6 (hours 0, 1, 2) -> fold over ppm:
+    //   seed (10e6, 0)
+    //   +20e6: l=(10e6+20e6)/2=15e6, t=(0+(15e6-10e6))/2=2.5e6
+    //   + 6e6: l=(15e6+6e6) div 2=10.5e6, t=(2.5e6+(10.5e6-15e6)) div 2=-1e6
+    // type B: one hour -> level=count*1e6, trend=0
+    val rows = (1L to 10L).map(i => (i, i, "A", 0L * hr + i, 1.0)) ++
+      (11L to 30L).map(i => (i, i, "A", 1L * hr + i, 1.0)) ++
+      (31L to 36L).map(i => (i, i, "A", 2L * hr + i, 1.0)) ++
+      Seq((40L, 40L, "B", 5L * hr + 7L, 1.0))
+    val out = run("events_ewma", ev(rows: _*))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("A", 3L, 10500000L, -1000000L, 9500000L),
+      ("B", 1L, 1000000L, 0L, 1000000L)))
+  }
+
+  test("events_ewma: constant series converges to level=count, trend=0") {
+    val hr = 3600L * 1000000000L
+    val rows = for (h <- 0L to 9L; i <- 1L to 4L)
+      yield (h * 10 + i, h * 10 + i, "C", h * hr + i, 1.0)
+    val out = run("events_ewma", ev(rows: _*)).head
+    assert(out.getLong(1) == 10L)            // n_hours
+    assert(out.getLong(2) == 4000000L)       // level locks to 4e6
+    assert(out.getLong(3) == 0L)             // trend decays to 0
+    assert(out.getLong(4) == 4000000L)
+  }
 }
