@@ -351,6 +351,71 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  // ---- streaming integer Holt smoothing --------------------------------
+
+  /** Per-type EWMA model state: the (level, trend) pair in exact ppm
+    * BIGINTs, pending not-yet-final hour counts (bounded by the watermark
+    * horizon in hours), and the fold cursor for idempotence.
+    */
+  case class EwmaState(pending: Map[Long, Long], level: Long, trend: Long,
+                       seeded: Boolean, nHours: Long)
+  case class EwmaPoint(event_type: String, hour_epoch: Long, n_hours: Long,
+                       level_ppm: Long, trend_ppm: Long, forecast_ppm: Long)
+
+  /** Streaming twin of the `events_ewma` batch key: per event_type, the
+    * integer Holt recurrence (α = β = ½, exact BIGINT truncating division
+    * — the JVM's `/` on longs, identical to Spark SQL `div` and DuckDB
+    * `//`) folded over finalized OBSERVED hours in hour order. Hour H is
+    * final once the watermark reaches H+3600 (any later in-watermark
+    * arrival for H would be late beyond the watermark and is dropped
+    * upstream by Spark, so a folded hour can never receive more data —
+    * the same finality argument as gapfill, minus the zero rows: the
+    * batch key folds only observed hours, so silent hours advance
+    * nothing here either). Each finalized hour emits one trajectory
+    * point; the LAST point per type equals the batch key run over the
+    * same finalized prefix (pinned in StreamingSpec). An event-time
+    * TIMER finalizes buffered hours through silence, the gapfill −1 ms
+    * boundary rule.
+    */
+  def ewma(events: Dataset[EvG], watermark: String = "2 hours")
+          (implicit spark: SparkSession): Dataset[EwmaPoint] = {
+    import spark.implicits._
+
+    def update(tpe: String, batch: Iterator[EvG],
+               state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+      val st0 = state.getOption.getOrElse(EwmaState(Map.empty, 0L, 0L, false, 0L))
+      val pending = batch.foldLeft(st0.pending) { (m, e) =>
+        val h = Math.floorDiv(e.ts.getTime, 3600000L) * 3600L
+        m.updated(h, m.getOrElse(h, 0L) + 1L)
+      }
+      val wmSec = state.getCurrentWatermarkMs / 1000L
+      val (ripe, rest) = pending.partition { case (h, _) => h + 3600L <= wmSec }
+      var (level, trend, seeded, n) = (st0.level, st0.trend, st0.seeded, st0.nHours)
+      val out = Vector.newBuilder[EwmaPoint]
+      ripe.toVector.sortBy(_._1).foreach { case (h, cnt) =>
+        val v = cnt * 1000000L
+        if (!seeded) { level = v; trend = 0L; seeded = true }
+        else {
+          val nl = (level + v) / 2
+          trend = (trend + (nl - level)) / 2
+          level = nl
+        }
+        n += 1
+        out += EwmaPoint(tpe, h, n, level, trend, level + trend)
+      }
+      state.update(EwmaState(rest, level, trend, seeded, n))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max((rest.keys.min + 3600L) * 1000L - 1L,
+          state.getCurrentWatermarkMs + 1))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   // ---- hourly value interpolation --------------------------------------
 
   case class EvI(ts: java.sql.Timestamp, event_type: String, value: Double)

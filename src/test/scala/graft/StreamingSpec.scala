@@ -1067,4 +1067,53 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming ewma: trajectory folds finalized hours; last point == batch key") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvG
+    // type A: hourly counts 10, 20, 6 at hours 10-12 (the hand-verified
+    // fold: level 10.5e6, trend -1e6); type B: one hour of 3
+    val evs =
+      (1 to 10).map(i => (s"2024-01-01 10:${10 + i}:00", "A")) ++
+      (1 to 20).map(i => (s"2024-01-01 11:${10 + i}:00", "A")) ++
+      (1 to 6).map(i => (s"2024-01-01 12:${10 + i}:00", "A")) ++
+      (1 to 3).map(i => (s"2024-01-01 10:${30 + i}:00", "B"))
+    val in = MemoryStream[EvG]
+    val q = EventStream.ewma(in.toDS(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("ewma_twin")
+      .outputMode("append").start()
+    try {
+      // two in-watermark batches, then flush timers past every hour
+      val (b1, b2) = evs.splitAt(25)
+      in.addData(b1.map { case (t, e) => EvG(ts(t), e) }: _*); q.processAllAvailable()
+      in.addData(b2.map { case (t, e) => EvG(ts(t), e) }: _*); q.processAllAvailable()
+      in.addData(EvG(ts("2024-01-02 09:00:00"), "q")); q.processAllAvailable()
+      in.addData(EvG(ts("2024-01-02 09:30:00"), "q")); q.processAllAvailable()
+      val rows = spark.table("ewma_twin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+        .filter(r => Set("A", "B")(r._1))
+      // full trajectory for A: seed, then two recurrence steps
+      val a = rows.filter(_._1 == "A").sortBy(_._2)
+      assert(a.map(p => (p._3, p._4, p._5)).toSeq == Seq(
+        (1L, 10000000L, 0L), (2L, 15000000L, 2500000L),
+        (3L, 10500000L, -1000000L)))
+      assert(a.last._6 == 9500000L)
+      // last point per type == the batch key over the same events
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val raw = evs.zipWithIndex.map { case ((t, e), i) =>
+        (i.toLong, i.toLong, e, ts(t).getTime * 1000000L, 1.0)
+      }.toDF("event_id", "user_id", "event_type", "ts", "value")
+      val dir = java.nio.file.Files.createTempDirectory("ewma").toString
+      raw.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("events_ewma")(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val streamedLast = rows.groupBy(_._1).values.map(_.maxBy(_._2))
+        .map(p => (p._1, p._3, p._4, p._5, p._6)).toSet
+      assert(streamedLast == batch, s"streamed $streamedLast != batch $batch")
+    } finally q.stop()
+  }
 }
