@@ -3349,6 +3349,46 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Rolling-origin backtest of the Holt smoother: per type, the
+    // one-step-ahead absolute forecast error accumulated INSIDE the same
+    // integer fold (error terms read the PRE-update accumulator — Spark's
+    // aggregate() evaluates every struct field from the old state, unlike
+    // the DuckDB list_reduce rebinding quirk events_ewma documents), vs
+    // the naive last-value forecaster on the same series. The report a
+    // pipeline reads before trusting forecast_ppm: holt_wins says whether
+    // smoothing beats persistence per type, in exact integer MAE ppm.
+    // Same scale shape as events_ewma: hourly rollup, bounded fold.
+    "events_ewma_backtest" -> ((s, d) => {
+      val h = events(s, d)
+        .select(col("event_type"),
+          IntMath.floorDiv(col("ts"), NanosPerHour).as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+      h.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sort_array(collect_list(struct(col("hr"),
+            (col("c") * 1000000L).as("l")))).as("sh"))
+        .select(col("event_type"), col("n_hours"), expr(
+          """aggregate(
+            |  slice(transform(sh, e -> struct(e.l AS l, CAST(0 AS BIGINT) AS t)),
+            |        2, size(sh) - 1),
+            |  struct(element_at(sh, 1).l AS l, CAST(0 AS BIGINT) AS t,
+            |         element_at(sh, 1).l AS p, CAST(0 AS BIGINT) AS eh,
+            |         CAST(0 AS BIGINT) AS en),
+            |  (a, x) -> struct((a.l + x.l) div 2 AS l,
+            |                   (a.t + ((a.l + x.l) div 2 - a.l)) div 2 AS t,
+            |                   x.l AS p,
+            |                   a.eh + abs(a.l + a.t - x.l) AS eh,
+            |                   a.en + abs(a.p - x.l) AS en))"""
+            .stripMargin.replace("\n", " ")).as("r"))
+        .select(col("event_type"), col("n_hours"),
+          expr("CASE WHEN n_hours <= 1 THEN 0L ELSE r.eh div (n_hours - 1) END")
+            .as("mae_holt_ppm"),
+          expr("CASE WHEN n_hours <= 1 THEN 0L ELSE r.en div (n_hours - 1) END")
+            .as("mae_naive_ppm"))
+        .withColumn("holt_wins", col("mae_holt_ppm") < col("mae_naive_ppm"))
+        .orderBy("event_type")
+    }),
+
     // Seasonal-naive baseline + last-day residuals: per (event_type,
     // hour-of-day) mean hourly count over all training days (every day
     // before the last), compared against the last day's actuals. Exact
@@ -6090,6 +6130,34 @@ object SparkEntry {
           |  FROM r JOIN s ON s.event_type = r.event_type AND s.k = r.k + 1)
           |SELECT r.event_type, n.n_hours, r.l AS level_ppm, r.t AS trend_ppm,
           |  r.l + r.t AS forecast_ppm
+          |FROM r JOIN n USING (event_type) WHERE r.k = n.n_hours
+          |ORDER BY event_type""".stripMargin,
+
+      "events_ewma_backtest" ->
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |  epoch_us(ts) // 3600000000 AS hr,
+          |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY hr) AS k,
+          |  c * 1000000 AS v FROM h),
+          |n AS (SELECT event_type, count(*)::BIGINT AS n_hours FROM s GROUP BY 1),
+          |r AS (
+          |  SELECT event_type, 1::BIGINT AS k, v AS l, 0::BIGINT AS t,
+          |         v AS p, 0::BIGINT AS eh, 0::BIGINT AS en
+          |  FROM s WHERE k = 1
+          |  UNION ALL
+          |  SELECT r.event_type, r.k + 1, (r.l + s.v) // 2,
+          |         (r.t + ((r.l + s.v) // 2 - r.l)) // 2,
+          |         s.v, r.eh + abs(r.l + r.t - s.v), r.en + abs(r.p - s.v)
+          |  FROM r JOIN s ON s.event_type = r.event_type AND s.k = r.k + 1)
+          |SELECT r.event_type, n.n_hours,
+          |  CASE WHEN n.n_hours <= 1 THEN 0 ELSE r.eh // (n.n_hours - 1) END
+          |    AS mae_holt_ppm,
+          |  CASE WHEN n.n_hours <= 1 THEN 0 ELSE r.en // (n.n_hours - 1) END
+          |    AS mae_naive_ppm,
+          |  CASE WHEN n.n_hours <= 1 THEN 0 ELSE r.eh // (n.n_hours - 1) END <
+          |  CASE WHEN n.n_hours <= 1 THEN 0 ELSE r.en // (n.n_hours - 1) END
+          |    AS holt_wins
           |FROM r JOIN n USING (event_type) WHERE r.k = n.n_hours
           |ORDER BY event_type""".stripMargin,
 

@@ -179,6 +179,25 @@ class EventAnalyticsSpec extends SparkSpec {
       ("B", 1L, 1000000L, 0L, 1000000L)))
   }
 
+  test("events_ewma_backtest: hand-computed one-step errors; naive wins on white noise") {
+    val hr = 3600L * 1000000000L
+    // type A counts 10, 20, 6:
+    //   step to 20e6: holt err |10e6+0-20e6|=10e6; naive err |10e6-20e6|=10e6
+    //     -> l=15e6, t=2.5e6, p=20e6
+    //   step to  6e6: holt err |15e6+2.5e6-6e6|=11.5e6; naive |20e6-6e6|=14e6
+    // mae_holt=(10e6+11.5e6)/2=10.75e6; mae_naive=(10e6+14e6)/2=12e6 -> holt wins
+    val rows = (1L to 10L).map(i => (i, i, "A", 0L * hr + i, 1.0)) ++
+      (11L to 30L).map(i => (i, i, "A", 1L * hr + i, 1.0)) ++
+      (31L to 36L).map(i => (i, i, "A", 2L * hr + i, 1.0))
+    val out = run("events_ewma_backtest", ev(rows: _*)).head
+    assert(out.getLong(1) == 3L)
+    assert(out.getLong(2) == 10750000L && out.getLong(3) == 12000000L)
+    assert(out.getBoolean(4))
+    // single-hour type: both MAEs pin to 0 (no steps), no div-by-zero
+    val one = run("events_ewma_backtest", ev((1L, 1L, "B", 7L, 1.0))).head
+    assert(one.getLong(2) == 0L && one.getLong(3) == 0L && !one.getBoolean(4))
+  }
+
   test("events_ewma: constant series converges to level=count, trend=0") {
     val hr = 3600L * 1000000000L
     val rows = for (h <- 0L to 9L; i <- 1L to 4L)
