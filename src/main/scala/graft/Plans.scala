@@ -102,7 +102,7 @@ object Plans {
       // winnowing fingerprints + overlap
       "rholoss_select", "mix_doremi", "dataset_card",
       "winnow_fingerprint", "winnow_overlap", "winnow_incremental",
-      "events_ewma")
+      "events_ewma", "events_ewma_backtest")
     val sb = new StringBuilder
     sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")
