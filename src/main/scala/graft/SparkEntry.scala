@@ -1839,6 +1839,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The published Gopher quality gates (Rae et al. 2021 App. A1.1) as
+    // exact integer-rational verdicts — the industry-standard web filter a
+    // migrating pipeline expects to keep running. Map-only stage (no
+    // shuffle before the sort); line view + decorations documented on
+    // graft.llm.Gopher.
+    "quality_gopher" -> ((s, d) =>
+      graft.llm.Gopher.gates(docs(s, d)).orderBy("doc_id")),
+
     // Composed FineWeb-style cleaning pass: redact → quality + repetition
     // gates → exact-dedup keeper, one admission verdict per document.
     "corpus_clean" -> ((s, d) =>
@@ -3572,6 +3580,16 @@ object SparkEntry {
             6).as("corr_r"))
         .orderBy("xcol", "ycol")
     }),
+
+    // Per-type OLS trend of event value (cents) against event hour: the
+    // closed-form regression every metrics pipeline runs for drift lines.
+    // Same exactness contract as stats_corr: all five sums accumulate in
+    // DECIMAL over scaled integers (order-independent, map-side
+    // combinable), and slope/intercept are single correctly-rounded double
+    // divisions of exact integer numerators/denominators — bit-equal to
+    // the oracle. x is hours since 2024-01-01 so the sums stay far from
+    // the 2^53 double-cast edge. One hash aggregate; no shuffle beyond it.
+    "stats_linreg" -> ((s, d) => graft.ops.Stats.linreg(events(s, d))),
 
     // Suppression-gated release: per coarse QID cell, publish exact stats
     // only when the cell clears the k threshold; suppressed cells ship -1
@@ -5341,6 +5359,8 @@ object SparkEntry {
            |       WHEN quality >= 0.4 THEN 'mid' ELSE 'low' END AS quality_class
            |FROM q ORDER BY doc_id""".stripMargin,
 
+      "quality_gopher" -> graft.llm.Gopher.sqlGates,
+
       "corpus_clean" -> Scrub.sqlCleanCorpus(minQuality = 0.4, maxTop2 = 0.6),
 
       "vocab_topk" ->
@@ -5916,6 +5936,20 @@ object SparkEntry {
            |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
            |    6) AS corr_r
            |FROM a ORDER BY 1, 2""".stripMargin,
+
+      "stats_linreg" ->
+        s"""WITH m AS (SELECT event_type,
+           |  (epoch_us(ts) // 3600000000 - ${1704067200L / 3600L}) AS x,
+           |  CAST(round(value * 100) AS HUGEINT) AS y FROM events),
+           |a AS (SELECT event_type, count(*)::HUGEINT AS n,
+           |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+           |  FROM m GROUP BY 1)
+           |SELECT event_type, n::BIGINT AS n,
+           |  round((n * sxy - sx * sy)::DOUBLE /
+           |        (n * sxx - sx * sx)::DOUBLE, 6) AS slope_cents_per_hour,
+           |  round((sy * sxx - sx * sxy)::DOUBLE /
+           |        (n * sxx - sx * sx)::DOUBLE, 6) AS icept_cents
+           |FROM a ORDER BY event_type""".stripMargin,
 
       "k_anonymity_release" ->
         s"""WITH g AS (SELECT c_nationkey, c_mktsegment,

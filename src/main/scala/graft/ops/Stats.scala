@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Closed-form distributed statistics over the events stream. */
+object Stats {
+
+  /** Epoch hours at 2024-01-01T00:00Z — the x-origin for [[linreg]], kept
+    * small so the moment sums stay far from the 2^53 double-cast edge.
+    */
+  val LinregHour0: Long = 1704067200L / 3600L
+
+  /** Per-type OLS of event value (cents) against event hour: slope and
+    * intercept from the five classic moment sums. Exactness contract
+    * (shared with `stats_corr`): sums accumulate in DECIMAL(38,0) over
+    * scaled integers — order-independent and map-side combinable — and
+    * each coefficient is ONE correctly-rounded double division of exact
+    * integer numerator/denominator, so the rounded output is bit-equal
+    * across engines. Scale shape: one hash aggregate (5 cells here; any
+    * group count shuffles on the group key), nothing else.
+    *
+    * Input needs `event_type`, `ts` (nanos long), `value` (double).
+    */
+  def linreg(events: DataFrame): DataFrame = {
+    val e = events.select(
+      col("event_type"),
+      (graft.expr.IntMath.floorDiv(col("ts"), 3600L * 1000000000L) - LinregHour0)
+        .cast("decimal(38,0)").as("x"),
+      expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    e.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / den,
+          6).as("slope_cents_per_hour"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den,
+          6).as("icept_cents"))
+      .orderBy("event_type")
+  }
+}

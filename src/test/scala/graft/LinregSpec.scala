@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions.lit
+import graft.ops.Stats
+
+class LinregSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linreg: recovers exact synthetic lines per group") {
+    // Group "lin": y_cents = 200x + 500 on hours x = 0..3 (ts nanos at
+    // exact hour boundaries after 2024-01-01); group "flat": constant
+    // 100 cents. Both recoverable exactly, so round(…, 6) is the identity.
+    val hour0 = 1704067200L
+    val rows =
+      (0 to 3).map { x =>
+        ((hour0 + x * 3600L) * 1000000000L, "lin", (200 * x + 500) / 100.0)
+      } ++ (0 to 2).map { x =>
+        ((hour0 + x * 3600L) * 1000000000L, "flat", 1.0)
+      }
+    val df = rows.toDF("ts", "event_type", "value")
+    val out = Stats.linreg(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out("lin") == ((4L, 200.0, 500.0)))
+    assert(out("flat") == ((3L, 0.0, 100.0)))
+  }
+
+  test("linreg: mid-hour timestamps floor to their hour bucket") {
+    // Two points in hours 0 and 1, each 30 min past the boundary — x must
+    // floor to 0 and 1, giving slope = y1 - y0 exactly.
+    val hour0ns = 1704067200L * 1000000000L
+    val df = Seq(
+      (hour0ns + 1800L * 1000000000L, "t", 3.00),
+      (hour0ns + 5400L * 1000000000L, "t", 7.50)
+    ).toDF("ts", "event_type", "value")
+    val r = Stats.linreg(df).collect().head
+    assert(r.getDouble(2) == 450.0 && r.getDouble(3) == 300.0)
+  }
+
+  test("linreg: result is partitioning-invariant (decimal sums)") {
+    val hour0ns = 1704067200L * 1000000000L
+    val base = (0 until 97).map { i =>
+      (hour0ns + (i % 13).toLong * 3600L * 1000000000L, "g", (i % 7) * 1.37)
+    }
+    val a = Stats.linreg(base.toDF("ts", "event_type", "value").repartition(1))
+      .collect().head
+    val b = Stats.linreg(base.toDF("ts", "event_type", "value").repartition(17))
+      .collect().head
+    assert(a == b)
+  }
+}
