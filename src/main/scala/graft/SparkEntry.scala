@@ -3591,6 +3591,14 @@ object SparkEntry {
     // the 2^53 double-cast edge. One hash aggregate; no shuffle beyond it.
     "stats_linreg" -> ((s, d) => graft.ops.Stats.linreg(events(s, d))),
 
+    // Entity resolution over the relational customer table: deterministic
+    // dirty-variant synthesis -> (nation, name-suffix) blocking ->
+    // in-block levenshtein verify, with same_entity ground truth so the
+    // key audits the rule's precision. Block-bounded equi-join, never
+    // all-pairs (graft.ops.Linkage).
+    "er_blocking" -> ((s, d) =>
+      graft.ops.Linkage.blockedPairs(Tables.customer(s, d))),
+
     // Suppression-gated release: per coarse QID cell, publish exact stats
     // only when the cell clears the k threshold; suppressed cells ship -1
     // sentinels (never their true size — publishing the size IS the
@@ -5950,6 +5958,8 @@ object SparkEntry {
            |  round((sy * sxx - sx * sxy)::DOUBLE /
            |        (n * sxx - sx * sx)::DOUBLE, 6) AS icept_cents
            |FROM a ORDER BY event_type""".stripMargin,
+
+      "er_blocking" -> graft.ops.Linkage.sqlBlockedPairs,
 
       "k_anonymity_release" ->
         s"""WITH g AS (SELECT c_nationkey, c_mktsegment,

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage) over a relational entity table:
+  * deterministic blocking + in-block edit-distance verification — the
+  * classic MDM/dedup workload (Fellegi-Sunter style pipeline with a
+  * deterministic comparison rule).
+  *
+  * Fixture note: TPC-H customers are clean, so [[withVariants]] first
+  * synthesizes a "dirty" twin for every 10th customer (key + 10⁷, name
+  * carrying one deterministic typo class per `custkey mod 3`) — precedent:
+  * `pii_redact`'s synthesized contact strings. The output carries
+  * `same_entity` ground truth (variant keys are originals + 10⁷), so the
+  * key doubles as a precision audit of the blocking + distance rule:
+  * `is_match` without `same_entity` is exactly the false-positive a
+  * suffix-block + edit-2 rule produces on near-identical serial names.
+  *
+  * Scale shape: blocking is an equi-key self-join on
+  * (nation, name-suffix-4) — block occupancy is bounded by the key's
+  * cardinality (nation × 10⁴ suffixes), the LSH-bucket posture, never
+  * all-pairs; the verify is a per-row levenshtein on ≤18-char strings.
+  * At 100 TB both sides shuffle on the same block key; no broadcast
+  * assumption, no skew cell (serial names spread suffixes uniformly).
+  */
+object Linkage {
+
+  val VariantOffset = 10000000L
+  val MatchMaxDist = 2
+
+  /** Originals ∪ deterministic dirty variants (every 10th customer). */
+  def withVariants(customers: DataFrame): DataFrame = {
+    val typo = when(pmod(col("c_custkey"), lit(3)) === 0,
+        expr("replace(c_name, 'Customer#', 'Custmer#')"))   // deletion
+      .when(pmod(col("c_custkey"), lit(3)) === 1,
+        expr("replace(c_name, '#', '@')"))                  // substitution
+      .otherwise(expr("replace(c_name, 'Customer', 'Customerr')")) // insertion
+    val variants = customers.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select((col("c_custkey") + VariantOffset).as("c_custkey"),
+        typo.as("c_name"), col("c_nationkey"))
+    customers.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .unionByName(variants)
+  }
+
+  /** Blocked candidate pairs with the edit verdict and ground truth. */
+  def blockedPairs(customers: DataFrame): DataFrame = {
+    val e = withVariants(customers)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        substring(col("c_name"), -4, 4).as("blk_suffix"))
+    val a = e.select(col("c_custkey").as("a"), col("c_name").as("name_a"),
+      col("c_nationkey"), col("blk_suffix"))
+    val b = e.select(col("c_custkey").as("b"), col("c_name").as("name_b"),
+      col("c_nationkey"), col("blk_suffix"))
+    a.join(b, Seq("c_nationkey", "blk_suffix"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("c_nationkey"), col("blk_suffix"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+      .withColumn("is_match", col("edit_dist") <= MatchMaxDist)
+      .withColumn("same_entity", col("b") - col("a") === VariantOffset)
+      .orderBy("a", "b")
+  }
+
+  /** DuckDB mirror of [[blockedPairs]] over the `customer` view. */
+  def sqlBlockedPairs: String =
+    s"""WITH v AS (
+       |  SELECT c_custkey, c_name, c_nationkey FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + $VariantOffset,
+       |    CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, 'Customer#', 'Custmer#')
+       |         WHEN c_custkey % 3 = 1 THEN replace(c_name, '#', '@')
+       |         ELSE replace(c_name, 'Customer', 'Customerr') END,
+       |    c_nationkey
+       |  FROM customer WHERE c_custkey % 10 = 0),
+       |e AS (SELECT c_custkey, c_name, c_nationkey,
+       |        right(c_name, 4) AS blk_suffix FROM v)
+       |SELECT x.c_custkey AS a, y.c_custkey AS b,
+       |  x.c_nationkey, x.blk_suffix,
+       |  levenshtein(x.c_name, y.c_name)::INTEGER AS edit_dist,
+       |  (levenshtein(x.c_name, y.c_name) <= $MatchMaxDist) AS is_match,
+       |  (y.c_custkey - x.c_custkey = $VariantOffset) AS same_entity
+       |FROM e x JOIN e y
+       |  ON x.c_nationkey = y.c_nationkey AND x.blk_suffix = y.blk_suffix
+       | AND x.c_custkey < y.c_custkey
+       |ORDER BY a, b""".stripMargin
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Linkage
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cust(rows: (Long, String, Int)*) =
+    rows.toSeq.toDF("c_custkey", "c_name", "c_nationkey")
+
+  test("withVariants: one deterministic typo class per custkey mod 3") {
+    val base = cust(
+      (30L, "Customer#000000030", 1), // 30 % 3 = 0 -> deletion
+      (40L, "Customer#000000040", 1), // 40 % 3 = 1 -> substitution
+      (50L, "Customer#000000050", 1), // 50 % 3 = 2 -> insertion
+      (31L, "Customer#000000031", 1)) // not a 10th key -> no variant
+    val v = Linkage.withVariants(base).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v.size == 7)
+    assert(v(10000030L) == "Custmer#000000030")
+    assert(v(10000040L) == "Customer@000000040")
+    assert(v(10000050L) == "Customerr#000000050")
+    assert(!v.contains(10000031L))
+  }
+
+  test("blockedPairs: variants match their originals at distance 1") {
+    val out = Linkage.blockedPairs(cust(
+        (30L, "Customer#000000030", 1),
+        (40L, "Customer#000000040", 2),
+        (50L, "Customer#000000050", 3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    assert(out.toSet == Set(
+      (30L, 10000030L, 1, true, true),
+      (40L, 10000040L, 1, true, true),
+      (50L, 10000050L, 1, true, true)))
+  }
+
+  test("blockedPairs: suffix collision surfaces as an is_match false positive") {
+    // 13 and 10013 share nation + suffix "0013"; serial names differ by one
+    // substitution -> the rule calls it a match, ground truth says no.
+    val out = Linkage.blockedPairs(cust(
+        (13L, "Customer#000000013", 5),
+        (10013L, "Customer#000010013", 5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4),
+        r.getBoolean(5), r.getBoolean(6)))
+    assert(out.toSet == Set((13L, 10013L, 1, true, false)))
+  }
+
+  test("blockedPairs: different blocks never pair") {
+    val out = Linkage.blockedPairs(cust(
+      (1L, "Customer#000000001", 1),
+      (2L, "Customer#000000002", 1),   // same nation, different suffix
+      (10001L, "Customer#000010001", 2))) // same suffix as 1, other nation
+    assert(out.count() == 0)
+  }
+}
