@@ -3599,6 +3599,12 @@ object SparkEntry {
     "er_blocking" -> ((s, d) =>
       graft.ops.Linkage.blockedPairs(Tables.customer(s, d))),
 
+    // ER consolidation: match pairs -> distributed star-CC -> one entity
+    // id per record (unmatched records stand alone). Completes the
+    // linkage pipeline: block -> verify -> consolidate.
+    "er_entities" -> ((s, d) =>
+      graft.ops.Linkage.entities(Tables.customer(s, d))),
+
     // Suppression-gated release: per coarse QID cell, publish exact stats
     // only when the cell clears the k threshold; suppressed cells ship -1
     // sentinels (never their true size — publishing the size IS the
@@ -5960,6 +5966,8 @@ object SparkEntry {
            |FROM a ORDER BY event_type""".stripMargin,
 
       "er_blocking" -> graft.ops.Linkage.sqlBlockedPairs,
+
+      "er_entities" -> graft.ops.Linkage.sqlEntities,
 
       "k_anonymity_release" ->
         s"""WITH g AS (SELECT c_nationkey, c_mktsegment,

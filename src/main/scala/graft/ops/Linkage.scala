@@ -61,9 +61,11 @@ object Linkage {
       .orderBy("a", "b")
   }
 
-  /** DuckDB mirror of [[blockedPairs]] over the `customer` view. */
-  def sqlBlockedPairs: String =
-    s"""WITH v AS (
+  /** CTE bodies shared by the `er_blocking` / `er_entities` oracles:
+    * `lkv` = originals ∪ variants, `lkp` = blocked verified pairs.
+    */
+  def sqlPairsCtes: String =
+    s"""lkv AS (
        |  SELECT c_custkey, c_name, c_nationkey FROM customer
        |  UNION ALL
        |  SELECT c_custkey + $VariantOffset,
@@ -72,15 +74,55 @@ object Linkage {
        |         ELSE replace(c_name, 'Customer', 'Customerr') END,
        |    c_nationkey
        |  FROM customer WHERE c_custkey % 10 = 0),
-       |e AS (SELECT c_custkey, c_name, c_nationkey,
-       |        right(c_name, 4) AS blk_suffix FROM v)
-       |SELECT x.c_custkey AS a, y.c_custkey AS b,
+       |lke AS (SELECT c_custkey, c_name, c_nationkey,
+       |        right(c_name, 4) AS blk_suffix FROM lkv),
+       |lkp AS (SELECT x.c_custkey AS a, y.c_custkey AS b,
        |  x.c_nationkey, x.blk_suffix,
        |  levenshtein(x.c_name, y.c_name)::INTEGER AS edit_dist,
        |  (levenshtein(x.c_name, y.c_name) <= $MatchMaxDist) AS is_match,
        |  (y.c_custkey - x.c_custkey = $VariantOffset) AS same_entity
-       |FROM e x JOIN e y
+       |FROM lke x JOIN lke y
        |  ON x.c_nationkey = y.c_nationkey AND x.blk_suffix = y.blk_suffix
-       | AND x.c_custkey < y.c_custkey
-       |ORDER BY a, b""".stripMargin
+       | AND x.c_custkey < y.c_custkey)""".stripMargin
+
+  /** DuckDB mirror of [[blockedPairs]] over the `customer` view. */
+  def sqlBlockedPairs: String =
+    s"WITH $sqlPairsCtes\nSELECT * FROM lkp ORDER BY a, b"
+
+  /** Consolidated entities: every record (original or variant) labeled
+    * with its entity id — the minimum custkey reachable through is_match
+    * pairs (connected components over the match graph; unmatched records
+    * are their own entity). Engine side rides [[graft.llm.Dedup.clusters]]'
+    * alternating large/small-star CC — iteration count is log(diameter),
+    * per-round cost edge-proportional, no driver state.
+    */
+  def entities(customers: DataFrame): DataFrame = {
+    val pairs = blockedPairs(customers).filter(col("is_match")).select("a", "b")
+    val cl = graft.llm.Dedup.clusters(pairs)
+      .select(col("doc_id").as("rec_id"), col("cluster_id").as("ent"))
+    withVariants(customers).select(col("c_custkey").as("rec_id"))
+      .join(cl, Seq("rec_id"), "left")
+      .select(col("rec_id"),
+        coalesce(col("ent"), col("rec_id")).as("entity_id"))
+      .withColumn("is_canonical", col("rec_id") === col("entity_id"))
+      .orderBy("rec_id")
+  }
+
+  /** DuckDB mirror of [[entities]] (recursive-CTE connected components —
+    * fine at oracle scale, the engine side is the distributed CC).
+    */
+  def sqlEntities: String =
+    s"""WITH RECURSIVE $sqlPairsCtes,
+       |me AS (SELECT a, b FROM lkp WHERE is_match
+       |       UNION ALL SELECT b, a FROM lkp WHERE is_match),
+       |reach AS (
+       |  SELECT a AS id, b AS r FROM me
+       |  UNION
+       |  SELECT reach.id, me.b FROM reach JOIN me ON reach.r = me.a),
+       |cl AS (SELECT id, least(id, min(r)) AS ent FROM reach GROUP BY id)
+       |SELECT lkv.c_custkey AS rec_id,
+       |  COALESCE(cl.ent, lkv.c_custkey) AS entity_id,
+       |  (COALESCE(cl.ent, lkv.c_custkey) = lkv.c_custkey) AS is_canonical
+       |FROM lkv LEFT JOIN cl ON lkv.c_custkey = cl.id
+       |ORDER BY rec_id""".stripMargin
 }

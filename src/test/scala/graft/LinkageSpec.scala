@@ -47,6 +47,23 @@ class LinkageSpec extends SparkSpec {
     assert(out.toSet == Set((13L, 10013L, 1, true, false)))
   }
 
+  test("entities: chains merge to one entity id; unmatched stand alone") {
+    // 10 and 10010 share block (nation 1, suffix "0010") and both spawn
+    // variants -> {10, 10010, 10000010, 10010010} consolidate to entity 10.
+    // 77 matches nothing -> its own entity.
+    val out = Linkage.entities(cust(
+        (10L, "Customer#000000010", 1),
+        (10010L, "Customer#000010010", 1),
+        (77L, "Customer#000000077", 1)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(10L) == ((10L, true)))
+    assert(out(10010L) == ((10L, false)))
+    assert(out(10000010L) == ((10L, false)))
+    assert(out(10010010L) == ((10L, false)))
+    assert(out(77L) == ((77L, true)))
+    assert(out.size == 5)
+  }
+
   test("blockedPairs: different blocks never pair") {
     val out = Linkage.blockedPairs(cust(
       (1L, "Customer#000000001", 1),
