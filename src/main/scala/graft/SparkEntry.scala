@@ -3712,6 +3712,19 @@ object SparkEntry {
         .orderBy("deg")
     }),
 
+    // Top-k most-similar customer pairs by neighborhood Jaccard over the
+    // customer→part purchase relation (witness = part), hub witnesses
+    // excluded (the quadratic cell) — see graft.ops.Jaccard for the cap
+    // semantics.
+    "graph_jaccard" -> ((s, d) => {
+      val adj = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("w"))
+        .distinct()
+      graft.ops.Jaccard.similarPairs(adj)
+    }),
+
     // l-diversity audit: k-anonymity's complement — a cell can be large
     // (k-safe) yet expose everyone's sensitive value if that value is
     // CONSTANT within the cell. Per QID cell, count distinct sensitive
@@ -6036,6 +6049,8 @@ object SparkEntry {
           |  GROUP BY 1)
           |SELECT deg, count(*)::BIGINT AS n_nodes FROM dg
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "graph_jaccard" -> graft.ops.Jaccard.sqlSimilarPairs(),
 
       "l_diversity" ->
         s"""WITH q AS (SELECT c_nationkey,
