@@ -36,9 +36,14 @@ object Jaccard {
                    maxWitnessDeg: Int = MaxWitnessDeg,
                    minCommon: Int = MinCommon,
                    topK: Int = TopK): DataFrame = {
-    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg_w"))
-    val witness = adj.join(deg, Seq("w")).filter(col("deg_w") <= maxWitnessDeg)
-      .select("u", "w")
+    // adj feeds the degree count AND the witness filter; witness feeds the
+    // self-join (both sides) AND the neighborhood sizes — without the
+    // checkpoints Spark re-derives the upstream join once per consumer
+    // (measured: 29 exchanges / 16 scans in the executed plan vs 7 / 2).
+    val adjCk = adj.localCheckpoint()
+    val deg = adjCk.groupBy(col("w")).agg(count(lit(1)).as("deg_w"))
+    val witness = adjCk.join(deg, Seq("w")).filter(col("deg_w") <= maxWitnessDeg)
+      .select("u", "w").localCheckpoint()
     val nprime = witness.groupBy("u").agg(count(lit(1)).as("degp"))
     witness.as("l")
       .join(witness.as("r"), col("l.w") === col("r.w") && col("l.u") < col("r.u"))
