@@ -54,6 +54,7 @@ object Gopher {
     */
   def gates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val id = col(idCol)
+    val norm = TextAnalysis.normText(col(textCol))
     val toks = TextAnalysis.tokens(col(textCol))
     val n = size(toks).cast("long")
     val nLines = ((n + LineWidth - 1) / LineWidth).cast("long")
@@ -65,17 +66,26 @@ object Gopher {
     val injStops = transform(filter(lineIds, i => deco(i) === 3),
       i => element_at(typedLit(GopherStops), (pmod(id + i, lit(8L)) + 1).cast("int")))
 
-    df.select(id, toks.as("toks"), n.as("n"), nLines.as("n_lines"),
+    // base token-length sum without a fold: the normalized text joins n
+    // tokens with n-1 single spaces, so Σ|tok| = |norm| − (n − 1).
+    val baseSumLen = when(n === 0, 0L)
+      .otherwise(length(norm).cast("long") - (n - 1))
+    // alphabetic check without a per-token regex: stripping a-z changes
+    // the length iff the token contains at least one letter.
+    val isAlpha = (t: Column) =>
+      length(translate(t, "abcdefghijklmnopqrstuvwxyz", "")) < length(t)
+    df.select(id, toks.as("toks"), n.as("n"), baseSumLen.as("base_sum_len"),
+        nLines.as("n_lines"),
         countDeco(0).as("n_bullet"), countDeco(1).as("n_ellipsis"),
         countDeco(2).as("n_sym"), injStops.as("inj_stops"))
       .select(
         id,
         (col("n") + col("n_sym") + size(col("inj_stops"))).as("n_words"),
         col("n_lines"), col("n_bullet"), col("n_ellipsis"), col("n_sym"),
-        (aggregate(col("toks"), lit(0L), (a, x) => a + length(x)) +
+        (col("base_sum_len") +
           col("n_sym") * 3 +
           aggregate(col("inj_stops"), lit(0L), (a, x) => a + length(x))).as("sum_len"),
-        (size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long") +
+        (size(filter(col("toks"), isAlpha)).cast("long") +
           size(col("inj_stops"))).as("n_alpha"),
         size(array_distinct(concat(
           filter(col("toks"), t => t.isInCollection(GopherStops)),
@@ -102,13 +112,17 @@ object Gopher {
   def sqlGates: String = {
     val toks = TextAnalysis.sqlTokens("text")
     val stops = GopherStops.map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, $toks AS toks,
+       |        ${TextAnalysis.sqlNormText("text")} AS norm FROM documents),
        |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+       |        (CASE WHEN len(toks) = 0 THEN 0
+       |              ELSE length(norm) - (len(toks) - 1) END)::BIGINT
+       |          AS base_sum_len,
        |        ((len(toks) + ${LineWidth - 1}) // $LineWidth)::BIGINT AS n_lines
        |      FROM t),
-       |l AS (SELECT doc_id, toks, n, n_lines,
+       |l AS (SELECT doc_id, toks, n, base_sum_len, n_lines,
        |        range(n_lines) AS line_ids FROM n),
-       |c AS (SELECT doc_id, toks, n, n_lines,
+       |c AS (SELECT doc_id, toks, n, base_sum_len, n_lines,
        |        len([i for i in line_ids if (doc_id*31 + i) % 5 = 0])::BIGINT AS n_bullet,
        |        len([i for i in line_ids if (doc_id*31 + i) % 5 = 1])::BIGINT AS n_ellipsis,
        |        len([i for i in line_ids if (doc_id*31 + i) % 5 = 2])::BIGINT AS n_sym,
@@ -117,11 +131,12 @@ object Gopher {
        |      FROM l),
        |m AS (SELECT doc_id, n_lines, n_bullet, n_ellipsis, n_sym,
        |        (n + n_sym + len(inj_stops))::BIGINT AS n_words,
-       |        (coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+       |        (base_sum_len
        |          + n_sym * 3
        |          + coalesce(list_sum(list_transform(inj_stops, x -> length(x))), 0)
        |        )::BIGINT AS sum_len,
-       |        (len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+       |        (len(list_filter(toks, t ->
+       |           length(translate(t, 'abcdefghijklmnopqrstuvwxyz', '')) < length(t)))
        |          + len(inj_stops))::BIGINT AS n_alpha,
        |        len(list_distinct(list_concat(
        |          list_filter(toks, t -> t IN ($stops)), inj_stops)))::BIGINT AS n_stop
