@@ -30,6 +30,16 @@ object DocStream {
       .filter(col("known").isNull)
       .select("doc_id", "text", "fp")
 
+  /** Streaming Gopher quality gate — `quality_gopher`'s published-rule
+    * verdicts ([[graft.llm.Gopher.gates]]) evaluated per arriving doc.
+    * The gate is a pure per-row projection (no window, no state), so it is
+    * append-mode legal and sits naturally as the FIRST stage of streaming
+    * ingest: rule-failing docs drop before any dedup join spends a shuffle
+    * on them. Emits the full counter + verdict row per doc.
+    */
+  def gopherProbe(newDocs: DataFrame): DataFrame =
+    graft.llm.Gopher.gates(newDocs)
+
   /** Streaming Bloom admission gate — `dedup_bloom_gate`'s filter as the
     * stream-side fast path in front of [[admit]]/[[nearDupProbe]]. The
     * static side is the corpus's set-bit table (K seeded portable hashes

@@ -63,6 +63,29 @@ class GopherSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("gopher_pass"))
   }
 
+  test("streaming gopherProbe == batch gates over the same docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff gg hh ii jj kk ll"),
+      (1L, (Seq.fill(59)("word") ++ Seq("the", "have")).mkString(" ")),
+      (5L, ""))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.gopherProbe(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_probe")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(1): _*); q.processAllAvailable()
+      in.addData(docs.drop(1): _*); q.processAllAvailable()
+      val streamed = spark.table("gopher_probe").collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val batch = Gopher.gates(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(streamed == batch)
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("gates: stopword distinctness — repeats of one stopword count once") {
     // 4 tokens, 1 line, deco(0) = (7*31) % 5 = 217 % 5 = 2 → symbol line,
     // no injected stopword; "the the the" collapses to one distinct stop.
