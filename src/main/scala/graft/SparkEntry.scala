@@ -1847,6 +1847,12 @@ object SparkEntry {
     "quality_gopher" -> ((s, d) =>
       graft.llm.Gopher.gates(docs(s, d)).orderBy("doc_id")),
 
+    // The published C4 cleaning heuristics (Raffel et al. 2020 §2.2) —
+    // line-keep rules + page gates as exact integer verdicts; map-only
+    // like quality_gopher (see graft.llm.C4).
+    "quality_c4" -> ((s, d) =>
+      graft.llm.C4.gates(docs(s, d)).orderBy("doc_id")),
+
     // Composed FineWeb-style cleaning pass: redact → quality + repetition
     // gates → exact-dedup keeper, one admission verdict per document.
     "corpus_clean" -> ((s, d) =>
@@ -5387,6 +5393,8 @@ object SparkEntry {
            |FROM q ORDER BY doc_id""".stripMargin,
 
       "quality_gopher" -> graft.llm.Gopher.sqlGates,
+
+      "quality_c4" -> graft.llm.C4.sqlGates,
 
       "corpus_clean" -> Scrub.sqlCleanCorpus(minQuality = 0.4, maxTop2 = 0.6),
 
