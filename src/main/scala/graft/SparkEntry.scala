@@ -3793,6 +3793,39 @@ object SparkEntry {
     // is checkable in-row (Σ n_domains = domains_total). One scan: the
     // tokenize + URL-regex pass is checkpointed and feeds both the split
     // aggregate and the 1-row total broadcast.
+    // Temporal train/test split + user-leak audit: cutoff at 80% of the
+    // observed hour span (two scalar aggregates broadcast back — no
+    // quantile pass), then per-split exact stats and the count of users
+    // appearing on BOTH sides (the leakage a user-level forecasting eval
+    // must know about). Scale shape: one min/max aggregate, one
+    // user-keyed aggregate for the overlap, one split aggregate; the
+    // 1-row totals ride broadcast cross joins.
+    "split_temporal" -> ((s, d) => {
+      val hr = graft.expr.IntMath.floorDiv(col("ts"), 3600L * 1000000000L)
+      val e = events(s, d).select(col("user_id"), col("event_type"),
+        hr.as("hr"), expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("cents"))
+      val span = e.agg(min("hr").as("h0"), max("hr").as("h1"))
+        .select(expr("h0 + (h1 - h0) * 8 DIV 10").as("cut"))
+      val tagged = e.crossJoin(broadcast(span))
+        .select(col("user_id"), col("cents"),
+          when(col("hr") <= col("cut"), "train").otherwise("test").as("split"))
+        .localCheckpoint() // feeds the split stats AND the overlap audit
+      val overlap = tagged.groupBy("user_id")
+        .agg(max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+          max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+        .agg(count(lit(1)).as("users_total"),
+          sum(expr("in_train * in_test")).cast("long").as("users_both"))
+        .select(col("users_total"), col("users_both"),
+          expr("CAST(users_both * 1000000 DIV users_total AS BIGINT)")
+            .as("overlap_ppm"))
+      tagged.groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .crossJoin(broadcast(overlap)) // 1-row audit totals
+        .orderBy("split")
+    }),
+
     "split_domain_disjoint" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"),
           size(TA.tokens(col("text"))).cast("long").as("n_tok"),
@@ -5971,6 +6004,29 @@ object SparkEntry {
            |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
            |    6) AS corr_r
            |FROM a ORDER BY 1, 2""".stripMargin,
+
+      "split_temporal" ->
+        """WITH e AS (SELECT user_id,
+          |  (epoch_us(ts) // 3600000000) AS hr,
+          |  CAST(round(value * 100) AS HUGEINT) AS cents FROM events),
+          |c AS (SELECT min(hr) + (max(hr) - min(hr)) * 8 // 10 AS cut FROM e),
+          |t AS (SELECT user_id, cents,
+          |  CASE WHEN hr <= (SELECT cut FROM c) THEN 'train' ELSE 'test' END
+          |    AS split FROM e),
+          |u AS (SELECT user_id,
+          |  max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+          |  max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+          |  FROM t GROUP BY 1),
+          |o AS (SELECT count(*)::BIGINT AS users_total,
+          |  sum(in_train * in_test)::BIGINT AS users_both FROM u)
+          |SELECT split, count(*)::BIGINT AS n_events,
+          |  count(DISTINCT user_id)::BIGINT AS n_users,
+          |  sum(cents)::BIGINT AS sum_cents,
+          |  o.users_total, o.users_both,
+          |  (o.users_both * 1000000 // o.users_total)::BIGINT AS overlap_ppm
+          |FROM t CROSS JOIN o
+          |GROUP BY split, o.users_total, o.users_both
+          |ORDER BY split""".stripMargin,
 
       "stats_linreg" ->
         s"""WITH m AS (SELECT event_type,
