@@ -22,7 +22,16 @@ object Stats {
     *
     * Input needs `event_type`, `ts` (nanos long), `value` (double).
     */
-  def linreg(events: DataFrame): DataFrame = {
+  def linreg(events: DataFrame): DataFrame =
+    linregRaw(events).orderBy("event_type")
+
+  /** [[linreg]] without the final sort — the same plan is STREAM-legal:
+    * the moment sums are an ordinary (map-side-combinable) aggregation, so
+    * the identical code runs under `readStream` in complete/update mode as
+    * the online-regression twin; `StatsStreamParity` in LinregSpec pins
+    * stream == batch on the same data.
+    */
+  def linregRaw(events: DataFrame): DataFrame = {
     val e = events.select(
       col("event_type"),
       (graft.expr.IntMath.floorDiv(col("ts"), 3600L * 1000000000L) - LinregHour0)
@@ -39,6 +48,5 @@ object Stats {
           6).as("slope_cents_per_hour"),
         round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den,
           6).as("icept_cents"))
-      .orderBy("event_type")
   }
 }

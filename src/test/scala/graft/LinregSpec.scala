@@ -37,6 +37,32 @@ class LinregSpec extends SparkSpec {
     assert(r.getDouble(2) == 450.0 && r.getDouble(3) == 300.0)
   }
 
+  test("streaming linregRaw (complete mode) == batch linreg on the same data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val hour0ns = 1704067200L * 1000000000L
+    val rows = (0 until 60).map { i =>
+      (hour0ns + (i % 9).toLong * 3600L * 1000000000L,
+        if (i % 2 == 0) "a" else "b", (i % 11) * 0.73)
+    }
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Stats.linregRaw(in.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("linreg_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(25): _*); q.processAllAvailable()
+      in.addData(rows.drop(25): _*); q.processAllAvailable()
+      val streamed = spark.table("linreg_stream").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      val batch = Stats.linreg(rows.toDF("ts", "event_type", "value")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set("a", "b"))
+    } finally q.stop()
+  }
+
   test("linreg: result is partitioning-invariant (decimal sums)") {
     val hour0ns = 1704067200L * 1000000000L
     val base = (0 until 97).map { i =>
