@@ -3597,6 +3597,40 @@ object SparkEntry {
     // the 2^53 double-cast edge. One hash aggregate; no shuffle beyond it.
     "stats_linreg" -> ((s, d) => graft.ops.Stats.linreg(events(s, d))),
 
+    // Exact distributed AUC (Mann-Whitney U with tie-averaged ranks):
+    // does the cheap composite quality score rank documents the way the
+    // full published Gopher gate decides them? — the ranking-eval
+    // primitive every model/filter score needs at corpus scale, posed as
+    // the real pipeline question ("can I threshold the proxy and skip the
+    // gate?"). No window, no theta join: GlobalRank assigns distributed
+    // row numbers ordered by (score, doc_id); ties are contiguous, so the
+    // tie-averaged rank sum is Σ pos(s)·(min_rnk + max_rnk) / 2, kept as
+    // the INTEGER 2U until one final correctly-rounded division.
+    "eval_auc" -> ((s, d) => {
+      val labels = graft.llm.Gopher.gates(docs(s, d))
+        .select(col("doc_id"),
+          when(col("gopher_pass"), 1L).otherwise(0L).as("label"))
+      val withQ = docs(s, d)
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"),
+          expr("CAST(round(q * 1000000) AS BIGINT)").as("score_ppm"))
+        .join(labels, Seq("doc_id"))
+      val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
+        withQ.withColumn("g", lit("all")), "g", "score_ppm", Seq("doc_id"),
+        buckets = 32, out = "rnk", outN = "n_all")
+      ranked.groupBy("score_ppm")
+        .agg(sum(col("label")).as("pos"), count(lit(1)).as("cnt"),
+          min(col("rnk")).as("lo"), max(col("rnk")).as("hi"))
+        .agg(sum(col("pos")).as("n_pos"),
+          sum(col("cnt") - col("pos")).as("n_neg"),
+          sum(col("pos") * (col("lo") + col("hi"))).as("r2"))
+        .select(col("n_pos"), col("n_neg"),
+          (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          round(col("u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc_r"))
+    }),
+
     // Entity resolution over the relational customer table: deterministic
     // dirty-variant synthesis -> (nation, name-suffix) blocking ->
     // in-block levenshtein verify, with same_entity ground truth so the
@@ -6004,6 +6038,27 @@ object SparkEntry {
            |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE),
            |    6) AS corr_r
            |FROM a ORDER BY 1, 2""".stripMargin,
+
+      "eval_auc" ->
+        s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
+           |t AS (SELECT doc_id, ${TA.sqlTokens("text")} AS toks FROM documents),
+           |s AS (SELECT t.doc_id,
+           |  CASE WHEN gg.gopher_pass THEN 1 ELSE 0 END AS label,
+           |  CAST(round(${TA.sqlQualityScore("toks")} * 1000000) AS BIGINT)
+           |    AS score_ppm
+           |  FROM t JOIN gg ON t.doc_id = gg.doc_id),
+           |r AS (SELECT label, score_ppm,
+           |  row_number() OVER (ORDER BY score_ppm, doc_id) AS rnk FROM s),
+           |g AS (SELECT score_ppm, sum(label) AS pos, count(*) AS cnt,
+           |  min(rnk) AS lo, max(rnk) AS hi FROM r GROUP BY 1),
+           |a AS (SELECT sum(pos)::BIGINT AS n_pos,
+           |  sum(cnt - pos)::BIGINT AS n_neg,
+           |  sum(pos * (lo + hi))::BIGINT AS r2 FROM g)
+           |SELECT n_pos, n_neg,
+           |  (r2 - n_pos * (n_pos + 1))::BIGINT AS u2,
+           |  round((r2 - n_pos * (n_pos + 1))::DOUBLE /
+           |        (n_pos * n_neg * 2)::DOUBLE, 6) AS auc_r
+           |FROM a""".stripMargin,
 
       "split_temporal" ->
         """WITH e AS (SELECT user_id,
