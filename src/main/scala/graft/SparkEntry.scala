@@ -3765,6 +3765,35 @@ object SparkEntry {
       graft.ops.Jaccard.similarPairs(adj)
     }),
 
+    // Reliability table + ECE for the same proxy-vs-gate pair as
+    // eval_auc: decile bins of the quality score vs the observed Gopher
+    // pass rate, every cell exact-integer (mean/rate in ppm via DIV), and
+    // the expected calibration error as the n-weighted |rate − mean|
+    // attached through a 1-row broadcast. One doc-keyed join + two
+    // bounded aggregates — nothing corpus-sized past the first shuffle.
+    "eval_calibration" -> ((s, d) => {
+      val labels = graft.llm.Gopher.gates(docs(s, d))
+        .select(col("doc_id"),
+          when(col("gopher_pass"), 1L).otherwise(0L).as("label"))
+      val t = docs(s, d)
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"),
+          expr("CAST(round(q * 1000000) AS BIGINT)").as("score_ppm"))
+        .join(labels, Seq("doc_id"))
+      val bins = t.groupBy(expr("score_ppm DIV 100000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+          sum(col("score_ppm")).as("s_sum"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("s_sum DIV n").as("mean_score_ppm"),
+          expr("n_pos * 1000000 DIV n").as("pos_rate_ppm"))
+        .withColumn("dev",
+          col("n") * abs(col("pos_rate_ppm") - col("mean_score_ppm")))
+      val ece = bins.agg(sum("n").as("nt"), sum("dev").as("dt"))
+        .select(expr("dt DIV nt").as("ece_ppm"))
+      bins.drop("dev").crossJoin(broadcast(ece)) // 1-row summary
+        .orderBy("bin")
+    }),
+
     // l-diversity audit: k-anonymity's complement — a cell can be large
     // (k-safe) yet expose everyone's sensitive value if that value is
     // CONSTANT within the cell. Per QID cell, count distinct sensitive
@@ -6059,6 +6088,26 @@ object SparkEntry {
            |  round((r2 - n_pos * (n_pos + 1))::DOUBLE /
            |        (n_pos * n_neg * 2)::DOUBLE, 6) AS auc_r
            |FROM a""".stripMargin,
+
+      "eval_calibration" ->
+        s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
+           |t AS (SELECT doc_id, ${TA.sqlTokens("text")} AS toks FROM documents),
+           |s AS (SELECT t.doc_id,
+           |  CASE WHEN gg.gopher_pass THEN 1 ELSE 0 END AS label,
+           |  CAST(round(${TA.sqlQualityScore("toks")} * 1000000) AS BIGINT)
+           |    AS score_ppm
+           |  FROM t JOIN gg ON t.doc_id = gg.doc_id),
+           |b AS (SELECT score_ppm // 100000 AS bin, count(*)::BIGINT AS n,
+           |  sum(label)::BIGINT AS n_pos, sum(score_ppm)::BIGINT AS s_sum
+           |  FROM s GROUP BY 1),
+           |c AS (SELECT bin, n, n_pos,
+           |  (s_sum // n)::BIGINT AS mean_score_ppm,
+           |  (n_pos * 1000000 // n)::BIGINT AS pos_rate_ppm FROM b),
+           |e AS (SELECT (sum(n * abs(pos_rate_ppm - mean_score_ppm))
+           |              // sum(n))::BIGINT AS ece_ppm FROM c)
+           |SELECT c.bin, c.n, c.n_pos, c.mean_score_ppm, c.pos_rate_ppm,
+           |  e.ece_ppm
+           |FROM c CROSS JOIN e ORDER BY bin""".stripMargin,
 
       "split_temporal" ->
         """WITH e AS (SELECT user_id,
