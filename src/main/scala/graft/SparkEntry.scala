@@ -3597,6 +3597,16 @@ object SparkEntry {
     // the 2^53 double-cast edge. One hash aggregate; no shuffle beyond it.
     "stats_linreg" -> ((s, d) => graft.ops.Stats.linreg(events(s, d))),
 
+    // Deterministic Poisson-bootstrap CI of the per-type mean value: the
+    // error bars a metrics pipeline should publish next to every mean,
+    // with the resample draw a portable hash so the interval is a pure
+    // function of the data (graft.ops.Bootstrap).
+    "stats_bootstrap" -> ((s, d) =>
+      graft.ops.Bootstrap.meanCi(
+        events(s, d).select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents")),
+        "event_type", "event_id")),
+
     // Exact distributed AUC (Mann-Whitney U with tie-averaged ranks):
     // does the cheap composite quality score rank documents the way the
     // full published Gopher gate decides them? — the ranking-eval
@@ -6088,6 +6098,8 @@ object SparkEntry {
            |  round((r2 - n_pos * (n_pos + 1))::DOUBLE /
            |        (n_pos * n_neg * 2)::DOUBLE, 6) AS auc_r
            |FROM a""".stripMargin,
+
+      "stats_bootstrap" -> graft.ops.Bootstrap.sqlMeanCi(),
 
       "eval_calibration" ->
         s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
