@@ -3363,6 +3363,43 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // One-sided upper CUSUM change-point monitor (Page 1954) per event
+    // type: s_i = max(0, s_{i-1} + x_i − μ − k) over the hourly series,
+    // slack k = μ/10, alarm when s exceeds H = 5μ — the sustained-shift
+    // detector that complements events_anomaly's per-point z-scores.
+    // Exact integers throughout (milli-count units, DIV); same scale
+    // shape as events_ewma: hourly rollup is the only corpus-sized stage,
+    // then one bounded per-type fold over the calendar-bounded series.
+    "events_cusum" -> ((s, d) => {
+      val h = events(s, d)
+        .select(col("event_type"),
+          IntMath.floorDiv(col("ts"), NanosPerHour).as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+      h.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("tot"),
+          sort_array(collect_list(struct(col("hr"),
+            (col("c") * 1000L).as("v")))).as("sh"))
+        .select(col("event_type"), col("n_hours"),
+          expr("tot * 1000 DIV n_hours").as("mu_milli"), col("sh"))
+        .select(col("event_type"), col("n_hours"), col("mu_milli"), expr(
+          """aggregate(sh,
+            |  struct(CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS mx,
+            |         CAST(0 AS BIGINT) AS na),
+            |  (a, x) -> struct(
+            |    greatest(CAST(0 AS BIGINT),
+            |             a.s + x.v - mu_milli - mu_milli DIV 10) AS s,
+            |    greatest(a.mx, greatest(CAST(0 AS BIGINT),
+            |             a.s + x.v - mu_milli - mu_milli DIV 10)) AS mx,
+            |    a.na + (CASE WHEN greatest(CAST(0 AS BIGINT),
+            |             a.s + x.v - mu_milli - mu_milli DIV 10)
+            |            > mu_milli * 5 THEN 1 ELSE 0 END) AS na))"""
+            .stripMargin.replace("\n", " ")).as("r"))
+        .select(col("event_type"), col("n_hours"), col("mu_milli"),
+          col("r.s").as("cusum_final"), col("r.mx").as("cusum_max"),
+          col("r.na").as("n_alarms"))
+        .orderBy("event_type")
+    }),
+
     // Rolling-origin backtest of the Holt smoother: per type, the
     // one-step-ahead absolute forecast error accumulated INSIDE the same
     // integer fold (error terms read the PRE-update accumulator — Spark's
@@ -6378,6 +6415,35 @@ object SparkEntry {
           |SELECT r.event_type, n.n_hours, r.l AS level_ppm, r.t AS trend_ppm,
           |  r.l + r.t AS forecast_ppm
           |FROM r JOIN n USING (event_type) WHERE r.k = n.n_hours
+          |ORDER BY event_type""".stripMargin,
+
+      "events_cusum" ->
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |  epoch_us(ts) // 3600000000 AS hr,
+          |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY hr) AS k,
+          |  c * 1000 AS v FROM h),
+          |m AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+          |  (sum(c) * 1000 // count(*))::BIGINT AS mu_milli FROM h GROUP BY 1),
+          |r AS (
+          |  SELECT event_type, 0::BIGINT AS k, 0::BIGINT AS s,
+          |         0::BIGINT AS mx, 0::BIGINT AS na
+          |  FROM m
+          |  UNION ALL
+          |  SELECT r.event_type, r.k + 1,
+          |    greatest(0, r.s + s.v - m.mu_milli - m.mu_milli // 10),
+          |    greatest(r.mx,
+          |      greatest(0, r.s + s.v - m.mu_milli - m.mu_milli // 10)),
+          |    r.na + (CASE WHEN
+          |      greatest(0, r.s + s.v - m.mu_milli - m.mu_milli // 10)
+          |      > m.mu_milli * 5 THEN 1 ELSE 0 END)
+          |  FROM r JOIN s ON s.event_type = r.event_type AND s.k = r.k + 1
+          |       JOIN m ON m.event_type = r.event_type)
+          |SELECT r.event_type, m.n_hours, m.mu_milli,
+          |  r.s::BIGINT AS cusum_final, r.mx::BIGINT AS cusum_max,
+          |  r.na::BIGINT AS n_alarms
+          |FROM r JOIN m USING (event_type) WHERE r.k = m.n_hours
           |ORDER BY event_type""".stripMargin,
 
       "events_ewma_backtest" ->

@@ -117,6 +117,22 @@ class PlanGuardSpec extends SparkSpec {
       s"no join/agg belongs in a redaction pass:\n$plan")
   }
 
+  test("quality_gopher / quality_c4: map-only gates — one scan, one tokenize, sort exchange only") {
+    Seq("quality_gopher", "quality_c4").foreach { key =>
+      val plan = SparkEntry.queries(key)(spark, d)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"$key must stay narrow; found $exchanges:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+        s"$key is a per-row projection; no join/agg belongs:\n$plan")
+      // the staging contract: tokenization computed once per row, never
+      // re-inlined per reference / per line-lambda element (the round-8
+      // 5.7s->0.8s lesson)
+      val splits = "split\\(".r.findAllIn(plan).length
+      assert(splits <= 1, s"$key must tokenize once, found $splits split() calls:\n$plan")
+    }
+  }
+
   test("signatureIndex: both members derive from the stored token hashes — no md5 re-derivation") {
     import graft.llm.Dedup
     val idx = Dedup.signatureIndex(Tables.documents(spark, d), 3, 16, 4)
