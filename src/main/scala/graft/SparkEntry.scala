@@ -3799,6 +3799,26 @@ object SparkEntry {
         .orderBy("deg")
     }),
 
+    // Multi-source BFS blast radius over the co-purchase graph: hop
+    // distance from the deterministic "recalled part" set (p_partkey %
+    // 997 == 0) to every reachable part, reported as the layer histogram.
+    // Level-synchronous frontier expansion, per-round checkpoint cuts,
+    // bounded maxHops in the contract (graft.ops.Bfs).
+    "graph_bfs" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint()
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+        .localCheckpoint()
+      val sources = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(997L)) === 0)
+        .select(col("p_partkey").as("node"))
+      graft.ops.Bfs.layerHistogram(canon, sources, maxHops = 4)
+    }),
+
     // Top-k most-similar customer pairs by neighborhood Jaccard over the
     // customer→part purchase relation (witness = part), hub witnesses
     // excluded (the quadratic cell) — see graft.ops.Jaccard for the cap
@@ -6266,6 +6286,14 @@ object SparkEntry {
           |  GROUP BY 1)
           |SELECT deg, count(*)::BIGINT AS n_nodes FROM dg
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "graph_bfs" ->
+        s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+           |  l_partkey AS pk FROM lineitem),
+           |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+           |src AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 997 = 0),
+           |${graft.ops.Bfs.sqlLayerHistogram(4)}""".stripMargin,
 
       "graph_jaccard" -> graft.ops.Jaccard.sqlSimilarPairs(),
 
