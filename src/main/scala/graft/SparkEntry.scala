@@ -3855,6 +3855,7 @@ object SparkEntry {
           expr("n_pos * 1000000 DIV n").as("pos_rate_ppm"))
         .withColumn("dev",
           col("n") * abs(col("pos_rate_ppm") - col("mean_score_ppm")))
+        .localCheckpoint() // ~10 rows feed BOTH the ECE and the output
       val ece = bins.agg(sum("n").as("nt"), sum("dev").as("dt"))
         .select(expr("dt DIV nt").as("ece_ppm"))
       bins.drop("dev").crossJoin(broadcast(ece)) // 1-row summary

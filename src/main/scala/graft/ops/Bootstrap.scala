@@ -67,8 +67,9 @@ object Bootstrap {
     * bootstrap interval. `df` needs `groupCol`, `idCol` (the resample
     * unit) and an integer `cents` column.
     */
-  def meanCi(df: DataFrame, groupCol: String, idCol: String,
+  def meanCi(df0: DataFrame, groupCol: String, idCol: String,
              b: Int = B): DataFrame = {
+    val df = df0.localCheckpoint() // feeds the replica fan-out AND the full mean
     val rep = df.select(col(groupCol), col(idCol), col("cents"),
         explode(sequence(lit(0), lit(b - 1))).as("rep"))
       .withColumn("w", weight(col(idCol), col("rep")))
@@ -80,6 +81,7 @@ object Bootstrap {
     val ranked = means.withColumn("rnk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol).orderBy(col("mean_milli"))).cast("long"))
+      .localCheckpoint() // groups×B rows feed the lo AND hi picks
     val lo = ranked.filter(col("rnk") === lowRank(b))
       .select(col(groupCol), col("mean_milli").as("lo95_milli"))
     val hi = ranked.filter(col("rnk") === highRank(b))
