@@ -362,6 +362,58 @@ object EventStream {
   case class EwmaPoint(event_type: String, hour_epoch: Long, n_hours: Long,
                        level_ppm: Long, trend_ppm: Long, forecast_ppm: Long)
 
+  case class CusumState(pending: Map[Long, Long], s: Long, mx: Long, na: Long)
+  case class CusumPoint(event_type: String, hour_epoch: Long, s_milli: Long,
+                        mx_milli: Long, n_alarms: Long, alarm: Boolean)
+
+  /** Streaming twin of the `events_cusum` batch key: the one-sided CUSUM
+    * recurrence `s ← max(0, s + v − μ − μ/10)` (milli-count units, JVM
+    * long division ≡ Spark `div` ≡ DuckDB `//` on nonnegatives) advanced
+    * per watermark-finalized OBSERVED hour, alarming when s > 5μ. The
+    * reference μ per type is a FROZEN input — the monitoring deployment
+    * shape, where the batch key (which derives μ from the full window) is
+    * the trainer and the stream replays its recurrence against that
+    * reference. Hour-finality argument identical to [[ewma]]; last point
+    * per type equals the batch fold over the same finalized prefix with
+    * the same μ (pinned in StreamingSpec).
+    */
+  def cusum(events: Dataset[EvG], refMilli: Map[String, Long],
+            watermark: String = "2 hours")
+           (implicit spark: SparkSession): Dataset[CusumPoint] = {
+    import spark.implicits._
+
+    def update(tpe: String, batch: Iterator[EvG],
+               state: GroupState[CusumState]): Iterator[CusumPoint] = {
+      val st0 = state.getOption.getOrElse(CusumState(Map.empty, 0L, 0L, 0L))
+      val pending = batch.foldLeft(st0.pending) { (m, e) =>
+        val h = Math.floorDiv(e.ts.getTime, 3600000L) * 3600L
+        m.updated(h, m.getOrElse(h, 0L) + 1L)
+      }
+      val wmSec = state.getCurrentWatermarkMs / 1000L
+      val (ripe, rest) = pending.partition { case (h, _) => h + 3600L <= wmSec }
+      val mu = refMilli.getOrElse(tpe, 0L)
+      var (s, mx, na) = (st0.s, st0.mx, st0.na)
+      val out = Vector.newBuilder[CusumPoint]
+      ripe.toVector.sortBy(_._1).foreach { case (h, cnt) =>
+        s = math.max(0L, s + cnt * 1000L - mu - mu / 10L)
+        mx = math.max(mx, s)
+        val alarm = s > mu * 5L
+        if (alarm) na += 1
+        out += CusumPoint(tpe, h, s, mx, na, alarm)
+      }
+      state.update(CusumState(rest, s, mx, na))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(math.max((rest.keys.min + 3600L) * 1000L - 1L,
+          state.getCurrentWatermarkMs + 1))
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming twin of the `events_ewma` batch key: per event_type, the
     * integer Holt recurrence (α = β = ½, exact BIGINT truncating division
     * — the JVM's `/` on longs, identical to Spark SQL `div` and DuckDB

@@ -1116,4 +1116,55 @@ class StreamingSpec extends SparkSpec {
       assert(streamedLast == batch, s"streamed $streamedLast != batch $batch")
     } finally q.stop()
   }
+
+  test("streaming cusum: frozen-reference monitor; last point == batch fold") {
+    implicit val s = spark
+    implicit val sql = spark.sqlContext
+    import graft.streaming.EventStream.EvG
+    // type A: hourly counts 2, 2, 14 at hours 10-12; type B: one hour of 3.
+    // Batch-derived references: mu_A = 18000/3 = 6000, mu_B = 3000.
+    val evs =
+      (1 to 2).map(i => (s"2024-01-01 10:${10 + i}:00", "A")) ++
+      (1 to 2).map(i => (s"2024-01-01 11:${10 + i}:00", "A")) ++
+      (1 to 14).map(i => (s"2024-01-01 12:${10 + i}:00", "A")) ++
+      (1 to 3).map(i => (s"2024-01-01 10:${30 + i}:00", "B"))
+    def run(ref: Map[String, Long], name: String) = {
+      val in = MemoryStream[EvG]
+      val q = EventStream.cusum(in.toDS(), ref, watermark = "2 hours")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(evs.map { case (t, e) => EvG(ts(t), e) }: _*); q.processAllAvailable()
+        in.addData(EvG(ts("2024-01-02 09:00:00"), "q")); q.processAllAvailable()
+        in.addData(EvG(ts("2024-01-02 09:30:00"), "q")); q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getBoolean(5)))
+          .filter(r => Set("A", "B")(r._1))
+      } finally q.stop()
+    }
+    // 1) batch-derived reference: hand-verified trajectory, no alarms
+    val rows = run(Map("A" -> 6000L, "B" -> 3000L), "cusum_twin")
+    val a = rows.filter(_._1 == "A").sortBy(_._2)
+    assert(a.map(p => (p._3, p._4, p._5, p._6)).toSeq == Seq(
+      (0L, 0L, 0L, false), (0L, 0L, 0L, false), (7400L, 7400L, 0L, false)))
+    // last streamed point per type == the batch key over the same events
+    import spark.implicits._
+    val raw = evs.zipWithIndex.map { case ((t, e), i) =>
+      (i.toLong, i.toLong, e, ts(t).getTime * 1000000L, 1.0)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    raw.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = SparkEntry.queries("events_cusum")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val streamedLast = rows.groupBy(_._1).values.map(_.maxBy(_._2))
+      .map(p => (p._1, p._3, p._4, p._5)).toSet
+    assert(streamedLast == batch, s"streamed $streamedLast != batch $batch")
+    // 2) monitoring shape: a clean-period (small) frozen mu DOES alarm on
+    // the burst the batch-derived mu absorbs
+    val alarmed = run(Map("A" -> 500L, "B" -> 3000L), "cusum_twin_alarm")
+    val aa = alarmed.filter(_._1 == "A").sortBy(_._2)
+    assert(aa.map(p => (p._3, p._5, p._6)).toSeq == Seq(
+      (1450L, 0L, false), (2900L, 1L, true), (16350L, 2L, true)))
+  }
 }
