@@ -1847,6 +1847,13 @@ object SparkEntry {
     "quality_gopher" -> ((s, d) =>
       graft.llm.Gopher.gates(docs(s, d)).orderBy("doc_id")),
 
+    // The published Gopher REPETITION gates (Rae et al. 2021 App. A1.1,
+    // repetitious-text table): char-exact dup-line and top/dup n-gram
+    // fractions for n = 2..10 with the paper's thresholds, one generate +
+    // two hash aggregates (graft.llm.GopherRep).
+    "quality_gopher_rep" -> ((s, d) =>
+      graft.llm.GopherRep.gates(docs(s, d)).orderBy("doc_id")),
+
     // The published C4 cleaning heuristics (Raffel et al. 2020 §2.2) —
     // line-keep rules + page gates as exact integer verdicts; map-only
     // like quality_gopher (see graft.llm.C4).
@@ -5559,6 +5566,8 @@ object SparkEntry {
       "quality_gopher" -> graft.llm.Gopher.sqlGates,
 
       "quality_c4" -> graft.llm.C4.sqlGates,
+
+      "quality_gopher_rep" -> graft.llm.GopherRep.sqlGates,
 
       "corpus_clean" -> Scrub.sqlCleanCorpus(minQuality = 0.4, maxTop2 = 0.6),
 

@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The published Gopher REPETITION gates (Rae et al. 2021, Appendix A1.1,
+  * "repetitious text" table) — [[Gopher]]'s companion filter, char-exact:
+  *
+  *   - duplicate-line fraction ≤ 0.30; duplicate-line CHAR fraction ≤ 0.20
+  *   - most-frequent 2/3/4-gram char fraction ≤ 0.20 / 0.18 / 0.16
+  *   - duplicated (count > 1) 5..10-gram char fraction ≤ 0.15 .. 0.10
+  *
+  * Definitions (the public dedup implementations' convention): a line is
+  * the [[Gopher.LineWidth]]-token wrap of the flat fixture text (its own
+  * lines on a real corpus); an n-gram's char length is its joined form
+  * (token chars + n−1 spaces); fractions are char-mass ratios —
+  * `top_n = max_g count(g)·len(g) / Σ_g count(g)·len(g)` and
+  * `dup_n = Σ_{count>1} count(g)·len(g) / Σ_g count(g)·len(g)` over all
+  * (overlapping) position grams; dup-line fractions count every occurrence
+  * of a line whose content appears more than once. All emitted as exact
+  * ppm integers (x·10⁶ DIV mass), gates as integer comparisons.
+  *
+  * Scale shape: ONE generate of (doc, n, gram-hash, len) rows — gram rows
+  * ≈ 10× token mass, the published filter's intrinsic cost — then two
+  * hash aggregates (per-(doc, n, gram) counts, per-(doc, n) masses) and a
+  * 10-rows-per-doc pivot. Grams travel as 64-bit hashes + char lengths,
+  * never strings, so shuffle width is constant per row.
+  */
+object GopherRep {
+
+  /** (n, threshold-ppm) for every gate; n = 1 encodes the line rules. */
+  val TopThresholdsPpm: Map[Int, Long] =
+    Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L)
+  val DupThresholdsPpm: Map[Int, Long] =
+    Map(1 -> 300000L, 5 -> 150000L, 6 -> 140000L, 7 -> 130000L,
+      8 -> 120000L, 9 -> 110000L, 10 -> 100000L)
+  val DupLineCharPpm = 200000L
+
+  val Ns: Seq[Int] = 2 to 10
+
+  def gates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val id = col(idCol)
+    val staged = df.select(id,
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(id, col("toks"), size(col("toks")).as("ntok"))
+    val w = Gopher.LineWidth
+    // lines ride as n = 1: joined slice of LineWidth tokens
+    val lineGrams = expr(
+      s"""transform(
+         |  CASE WHEN ntok = 0 THEN array() ELSE sequence(0, (ntok - 1) div $w) END,
+         |  i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"""
+        .stripMargin.replace("\n", " "))
+    val gramRows = staged.select(id, explode(array(
+      struct(lit(1).as("n"), lineGrams.as("gs")) +:
+        Ns.map(n => struct(lit(n).as("n"),
+          TextAnalysis.shingles(col("toks"), n).as("gs"))): _*)).as("e"))
+      .select(id, col("e.n").as("n"), explode(col("e.gs")).as("g"))
+      .select(id, col("n"), xxhash64(col("g")).as("gh"),
+        length(col("g")).cast("long").as("len"))
+    val counts = gramRows.groupBy(id, col("n"), col("gh"))
+      .agg(count(lit(1)).as("c"), min(col("len")).as("len"))
+    val masses = counts.groupBy(id, col("n"))
+      .agg(sum(col("c") * col("len")).as("mass"),
+        sum(when(col("c") > 1, col("c") * col("len")).otherwise(0L)).as("dup_mass"),
+        max(col("c") * col("len")).as("top_mass"),
+        sum(col("c")).as("cnt"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_cnt"))
+      .select(id, col("n"),
+        expr("dup_mass * 1000000 DIV mass").as("dup_ppm"),
+        expr("top_mass * 1000000 DIV mass").as("top_ppm"),
+        expr("dup_cnt * 1000000 DIV cnt").as("dup_cnt_ppm"))
+    // pivot the ≤10 rows per doc to one verdict row
+    val agg = masses.groupBy(id).agg(
+      max(when(col("n") === 1, col("dup_cnt_ppm"))).as("dup_line_ppm"),
+      max(when(col("n") === 1, col("dup_ppm"))).as("dup_line_char_ppm"),
+      max(when(col("n") === 2, col("top_ppm"))).as("top2_ppm"),
+      max(when(col("n") === 3, col("top_ppm"))).as("top3_ppm"),
+      max(when(col("n") === 4, col("top_ppm"))).as("top4_ppm"),
+      max(when(col("n") === 5, col("dup_ppm"))).as("dup5_ppm"),
+      max(when(col("n") === 6, col("dup_ppm"))).as("dup6_ppm"),
+      max(when(col("n") === 7, col("dup_ppm"))).as("dup7_ppm"),
+      max(when(col("n") === 8, col("dup_ppm"))).as("dup8_ppm"),
+      max(when(col("n") === 9, col("dup_ppm"))).as("dup9_ppm"),
+      max(when(col("n") === 10, col("dup_ppm"))).as("dup10_ppm"))
+    // a doc too short for gram size n has no n rows -> the gate passes
+    // vacuously (coalesce to 0), matching the paper's intent
+    val z = (c: String) => coalesce(col(c), lit(0L))
+    agg.select((id +: agg.columns.tail.map(c => z(c).as(c))): _*)
+      .withColumn("rep_pass",
+        z("dup_line_ppm") <= DupThresholdsPpm(1) &&
+          z("dup_line_char_ppm") <= DupLineCharPpm &&
+          z("top2_ppm") <= TopThresholdsPpm(2) &&
+          z("top3_ppm") <= TopThresholdsPpm(3) &&
+          z("top4_ppm") <= TopThresholdsPpm(4) &&
+          z("dup5_ppm") <= DupThresholdsPpm(5) &&
+          z("dup6_ppm") <= DupThresholdsPpm(6) &&
+          z("dup7_ppm") <= DupThresholdsPpm(7) &&
+          z("dup8_ppm") <= DupThresholdsPpm(8) &&
+          z("dup9_ppm") <= DupThresholdsPpm(9) &&
+          z("dup10_ppm") <= DupThresholdsPpm(10))
+  }
+
+  /** DuckDB mirror of [[gates]] over the `documents` view. DuckDB's hash()
+    * differs from xxhash64, but both sides only GROUP by the hash, so
+    * grouping by the gram STRING here is value-identical.
+    */
+  def sqlGates: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    val w = Gopher.LineWidth
+    val perN = Ns.map { n =>
+      s"SELECT doc_id, $n AS n, unnest(${TextAnalysis.sqlShingles("toks", n)}) AS g FROM t"
+    }.mkString("\n  UNION ALL ")
+    def thr(c: String, t: Long) = s"coalesce($c, 0) <= $t"
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |lines AS (SELECT doc_id, 1 AS n,
+       |  unnest([array_to_string(toks[i*$w+1 : i*$w+$w], ' ')
+       |          for i in range((len(toks) + ${w - 1}) // $w)]) AS g FROM t),
+       |grams AS ($perN UNION ALL SELECT * FROM lines),
+       |counts AS (SELECT doc_id, n, g, count(*)::BIGINT AS c,
+       |  length(g)::BIGINT AS len FROM grams GROUP BY 1, 2, 3),
+       |masses AS (SELECT doc_id, n,
+       |  (sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) * 1000000
+       |     // sum(c * len))::BIGINT AS dup_ppm,
+       |  (max(c * len) * 1000000 // sum(c * len))::BIGINT AS top_ppm,
+       |  (sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000
+       |     // sum(c))::BIGINT AS dup_cnt_ppm
+       |  FROM counts GROUP BY 1, 2),
+       |p AS (SELECT doc_id,
+       |  max(CASE WHEN n = 1 THEN dup_cnt_ppm END) AS dup_line_ppm,
+       |  max(CASE WHEN n = 1 THEN dup_ppm END) AS dup_line_char_ppm,
+       |  max(CASE WHEN n = 2 THEN top_ppm END) AS top2_ppm,
+       |  max(CASE WHEN n = 3 THEN top_ppm END) AS top3_ppm,
+       |  max(CASE WHEN n = 4 THEN top_ppm END) AS top4_ppm,
+       |  max(CASE WHEN n = 5 THEN dup_ppm END) AS dup5_ppm,
+       |  max(CASE WHEN n = 6 THEN dup_ppm END) AS dup6_ppm,
+       |  max(CASE WHEN n = 7 THEN dup_ppm END) AS dup7_ppm,
+       |  max(CASE WHEN n = 8 THEN dup_ppm END) AS dup8_ppm,
+       |  max(CASE WHEN n = 9 THEN dup_ppm END) AS dup9_ppm,
+       |  max(CASE WHEN n = 10 THEN dup_ppm END) AS dup10_ppm
+       |  FROM masses GROUP BY 1)
+       |SELECT doc_id,
+       |  coalesce(dup_line_ppm, 0)::BIGINT AS dup_line_ppm,
+       |  coalesce(dup_line_char_ppm, 0)::BIGINT AS dup_line_char_ppm,
+       |  coalesce(top2_ppm, 0)::BIGINT AS top2_ppm,
+       |  coalesce(top3_ppm, 0)::BIGINT AS top3_ppm,
+       |  coalesce(top4_ppm, 0)::BIGINT AS top4_ppm,
+       |  coalesce(dup5_ppm, 0)::BIGINT AS dup5_ppm,
+       |  coalesce(dup6_ppm, 0)::BIGINT AS dup6_ppm,
+       |  coalesce(dup7_ppm, 0)::BIGINT AS dup7_ppm,
+       |  coalesce(dup8_ppm, 0)::BIGINT AS dup8_ppm,
+       |  coalesce(dup9_ppm, 0)::BIGINT AS dup9_ppm,
+       |  coalesce(dup10_ppm, 0)::BIGINT AS dup10_ppm,
+       |  (${thr("dup_line_ppm", DupThresholdsPpm(1))}
+       |   AND ${thr("dup_line_char_ppm", DupLineCharPpm)}
+       |   AND ${thr("top2_ppm", TopThresholdsPpm(2))}
+       |   AND ${thr("top3_ppm", TopThresholdsPpm(3))}
+       |   AND ${thr("top4_ppm", TopThresholdsPpm(4))}
+       |   AND ${thr("dup5_ppm", DupThresholdsPpm(5))}
+       |   AND ${thr("dup6_ppm", DupThresholdsPpm(6))}
+       |   AND ${thr("dup7_ppm", DupThresholdsPpm(7))}
+       |   AND ${thr("dup8_ppm", DupThresholdsPpm(8))}
+       |   AND ${thr("dup9_ppm", DupThresholdsPpm(9))}
+       |   AND ${thr("dup10_ppm", DupThresholdsPpm(10))}) AS rep_pass
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+}
