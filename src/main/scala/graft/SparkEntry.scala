@@ -1860,6 +1860,25 @@ object SparkEntry {
     "quality_c4" -> ((s, d) =>
       graft.llm.C4.gates(docs(s, d)).orderBy("doc_id")),
 
+    // The FineWeb-style composed admission: a document enters the corpus
+    // iff it clears ALL THREE published filters — Gopher quality, Gopher
+    // repetition, and C4 — the verdict a migrating curation pipeline
+    // actually ships. Three doc-keyed frames (two map-only, one
+    // gram-aggregate) joined on doc_id; at 100 TB each side shuffles on
+    // the same key and the join is the only exchange the gates add.
+    "corpus_admit_published" -> ((s, d) => {
+      val g = graft.llm.Gopher.gates(docs(s, d))
+        .select(col("doc_id"), col("gopher_pass"))
+      val r = graft.llm.GopherRep.gates(docs(s, d))
+        .select(col("doc_id"), col("rep_pass"))
+      val c = graft.llm.C4.gates(docs(s, d))
+        .select(col("doc_id"), col("c4_pass"))
+      g.join(r, Seq("doc_id")).join(c, Seq("doc_id"))
+        .withColumn("admit",
+          col("gopher_pass") && col("rep_pass") && col("c4_pass"))
+        .orderBy("doc_id")
+    }),
+
     // Composed FineWeb-style cleaning pass: redact → quality + repetition
     // gates → exact-dedup keeper, one admission verdict per document.
     "corpus_clean" -> ((s, d) =>
@@ -5568,6 +5587,16 @@ object SparkEntry {
       "quality_c4" -> graft.llm.C4.sqlGates,
 
       "quality_gopher_rep" -> graft.llm.GopherRep.sqlGates,
+
+      "corpus_admit_published" ->
+        s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
+           |rr AS (${graft.llm.GopherRep.sqlGates.replace("ORDER BY doc_id", "")}),
+           |cc AS (${graft.llm.C4.sqlGates.replace("ORDER BY doc_id", "")})
+           |SELECT gg.doc_id, gg.gopher_pass, rr.rep_pass, cc.c4_pass,
+           |  (gg.gopher_pass AND rr.rep_pass AND cc.c4_pass) AS admit
+           |FROM gg JOIN rr ON gg.doc_id = rr.doc_id
+           |        JOIN cc ON gg.doc_id = cc.doc_id
+           |ORDER BY gg.doc_id""".stripMargin,
 
       "corpus_clean" -> Scrub.sqlCleanCorpus(minQuality = 0.4, maxTop2 = 0.6),
 
