@@ -35,16 +35,18 @@ object C4 {
   val MinLineWords = 3
   val MinSentences = 5
 
-  def gates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def gates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            carry: Seq[String] = Nil): DataFrame = {
     val id = col(idCol)
+    val cc = carry.map(col)
     val w = Gopher.LineWidth
     // Materialize the token count FIRST: the line lambdas below reference
     // it per array element, and an inlined size(split(regexp…)) would
     // re-tokenize the document once per line per lambda (measured 5.7 s vs
     // 1.0 s at sf0.1). CollapseProject keeps a non-cheap multi-referenced
     // projection as a real attribute, so `n` is computed once per row.
-    val staged = df.select(id,
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
+    val staged = df.select(id +: cc :+
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"): _*)
     val n = col("n")
     val nLines = ((n + w - 1) / w).cast("long")
     val lineIds = when(nLines === 0, array().cast("array<long>"))
@@ -56,10 +58,10 @@ object C4 {
       pmod(id * 31 + i, lit(4L)) < 3 && lineWords(i) >= MinLineWords)
     val hasLorem = pmod(id, lit(17L)) === 0
     val hasBrace = pmod(id, lit(23L)) === 3
-    staged.select(id, n.as("n_words"), nLines.as("n_lines"),
-        size(keptIds).cast("long").as("n_kept"),
-        aggregate(keptIds, lit(0L), (a, i) => a + lineWords(i)).as("kept_words"),
-        hasLorem.as("has_lorem"), hasBrace.as("has_brace"))
+    staged.select(id +: cc :+ n.as("n_words") :+ nLines.as("n_lines") :+
+        size(keptIds).cast("long").as("n_kept") :+
+        aggregate(keptIds, lit(0L), (a, i) => a + lineWords(i)).as("kept_words") :+
+        hasLorem.as("has_lorem") :+ hasBrace.as("has_brace"): _*)
       .withColumn("c4_pass",
         col("n_kept") >= MinSentences && !col("has_lorem") && !col("has_brace"))
   }

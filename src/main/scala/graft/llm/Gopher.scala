@@ -52,16 +52,19 @@ object Gopher {
     * Input: `idCol` (BIGINT), `textCol` (free text). Output is one row per
     * input row; callers sort.
     */
-  def gates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def gates(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            carry: Seq[String] = Nil): DataFrame = {
     val id = col(idCol)
+    val cc = carry.map(col)
     // Stage normalization + tokenization as real attributes: every
     // downstream counter references them, and CollapseProject would
     // otherwise re-inline the regexp+split once per reference (the
     // quality_c4 lesson — 5.7 s vs 0.8 s at sf0.1).
-    val stagedNorm = df.select(id, TextAnalysis.normText(col(textCol)).as("gnorm"))
-    val staged = stagedNorm.select(id, col("gnorm"),
-      when(length(col("gnorm")) === 0, array().cast("array<string>"))
-        .otherwise(split(col("gnorm"), " ")).as("gtoks"))
+    val stagedNorm = df.select(id +: cc :+
+      TextAnalysis.normText(col(textCol)).as("gnorm"): _*)
+    val staged = stagedNorm.select(id +: cc :+ col("gnorm") :+
+      (when(length(col("gnorm")) === 0, array().cast("array<string>"))
+        .otherwise(split(col("gnorm"), " ")).as("gtoks")): _*)
     val norm = col("gnorm")
     val toks = col("gtoks")
     val n = size(toks).cast("long")
@@ -82,34 +85,33 @@ object Gopher {
     // the length iff the token contains at least one letter.
     val isAlpha = (t: Column) =>
       length(translate(t, "abcdefghijklmnopqrstuvwxyz", "")) < length(t)
-    staged.select(id, toks.as("toks"), n.as("n"), baseSumLen.as("base_sum_len"),
-        nLines.as("n_lines"),
-        countDeco(0).as("n_bullet"), countDeco(1).as("n_ellipsis"),
-        countDeco(2).as("n_sym"), injStops.as("inj_stops"))
-      .select(
-        id,
-        (col("n") + col("n_sym") + size(col("inj_stops"))).as("n_words"),
-        col("n_lines"), col("n_bullet"), col("n_ellipsis"), col("n_sym"),
+    staged.select(id +: cc :+ toks.as("toks") :+ n.as("n") :+
+        baseSumLen.as("base_sum_len") :+ nLines.as("n_lines") :+
+        countDeco(0).as("n_bullet") :+ countDeco(1).as("n_ellipsis") :+
+        countDeco(2).as("n_sym") :+ injStops.as("inj_stops"): _*)
+      .select(id +: cc :+
+        (col("n") + col("n_sym") + size(col("inj_stops"))).as("n_words") :+
+        col("n_lines") :+ col("n_bullet") :+ col("n_ellipsis") :+ col("n_sym") :+
         (col("base_sum_len") +
           col("n_sym") * 3 +
-          aggregate(col("inj_stops"), lit(0L), (a, x) => a + length(x))).as("sum_len"),
+          aggregate(col("inj_stops"), lit(0L), (a, x) => a + length(x))).as("sum_len") :+
         (size(filter(col("toks"), isAlpha)).cast("long") +
-          size(col("inj_stops"))).as("n_alpha"),
+          size(col("inj_stops"))).as("n_alpha") :+
         size(array_distinct(concat(
           filter(col("toks"), t => t.isInCollection(GopherStops)),
-          col("inj_stops")))).cast("long").as("n_stop"))
-      .select(
-        id, col("n_words"), col("n_lines"), col("n_bullet"),
-        col("n_ellipsis"), col("n_sym"), col("sum_len"), col("n_alpha"),
-        col("n_stop"),
-        (col("n_words") >= MinWords && col("n_words") <= MaxWords).as("ok_words"),
+          col("inj_stops")))).cast("long").as("n_stop"): _*)
+      .select(id +: cc :+
+        col("n_words") :+ col("n_lines") :+ col("n_bullet") :+
+        col("n_ellipsis") :+ col("n_sym") :+ col("sum_len") :+ col("n_alpha") :+
+        col("n_stop") :+
+        (col("n_words") >= MinWords && col("n_words") <= MaxWords).as("ok_words") :+
         (col("sum_len") >= col("n_words") * 3 &&
-          col("sum_len") <= col("n_words") * 10).as("ok_meanlen"),
-        (col("n_sym") * 10 <= col("n_words")).as("ok_sym"),
-        (col("n_bullet") * 10 <= col("n_lines") * 9).as("ok_bullet"),
-        (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("ok_ellipsis"),
-        (col("n_alpha") * 5 >= col("n_words") * 4).as("ok_alpha"),
-        (col("n_stop") >= 2).as("ok_stop"))
+          col("sum_len") <= col("n_words") * 10).as("ok_meanlen") :+
+        (col("n_sym") * 10 <= col("n_words")).as("ok_sym") :+
+        (col("n_bullet") * 10 <= col("n_lines") * 9).as("ok_bullet") :+
+        (col("n_ellipsis") * 10 <= col("n_lines") * 3).as("ok_ellipsis") :+
+        (col("n_alpha") * 5 >= col("n_words") * 4).as("ok_alpha") :+
+        (col("n_stop") >= 2).as("ok_stop"): _*)
       .withColumn("gopher_pass",
         col("ok_words") && col("ok_meanlen") && col("ok_sym") &&
           col("ok_bullet") && col("ok_ellipsis") && col("ok_alpha") &&

@@ -100,6 +100,80 @@ object GopherRep {
           z("dup10_ppm") <= DupThresholdsPpm(10))
   }
 
+  /** Per-ROW form of [[gates]]: the same counters computed entirely with
+    * higher-order functions inside one projection — no explode, no
+    * shuffle, no state — so the full repetition filter is legal in an
+    * append-mode stream (the winnow pattern: the aggregate shape for the
+    * corpus, the per-row shape for ingest). Cost is O(L²) per document
+    * per n (first-occurrence multiset counting), the right trade for
+    * ingest-sized documents; the batch key keeps the aggregate shape,
+    * which is what you want when single documents can be huge.
+    * Output schema identical to [[gates]]; parity pinned in GopherRepSpec.
+    */
+  def rowwiseGates(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
+    val id = col(idCol)
+    val cc = carry.map(col)
+    val w = Gopher.LineWidth
+    val staged = df.select(id +: cc :+
+        TextAnalysis.tokens(col(textCol)).as("toks"): _*)
+      .select(id +: cc :+ col("toks") :+ size(col("toks")).as("ntok"): _*)
+    // For gram array g: first-occurrence mask via array_position; counts
+    // via filter-size; masses as integer folds. All one expression per n.
+    def massTriple(gramsE: String): (String, String, String) = {
+      val firstIdx =
+        s"filter(sequence(1, size($gramsE)), i -> array_position($gramsE, element_at($gramsE, i)) = i)"
+      val cnt = (iE: String) =>
+        s"size(filter($gramsE, x -> x = element_at($gramsE, $iE)))"
+      val mass =
+        s"aggregate($gramsE, 0L, (a, x) -> a + length(x))"
+      val dup =
+        s"aggregate($firstIdx, 0L, (a, i) -> a + (CASE WHEN ${cnt("i")} > 1 THEN ${cnt("i")} * length(element_at($gramsE, i)) ELSE 0L END))"
+      val top =
+        s"aggregate($firstIdx, 0L, (a, i) -> greatest(a, ${cnt("i")} * length(element_at($gramsE, i))))"
+      (mass, dup, top)
+    }
+    def ppm(numE: String, denE: String): String =
+      s"(CASE WHEN $denE = 0 THEN 0L ELSE $numE * 1000000L DIV $denE END)"
+    val lineGramsE =
+      s"transform(CASE WHEN ntok = 0 THEN array() ELSE sequence(0, (ntok - 1) div $w) END," +
+        s" i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"
+    val lineCntE = s"size(filter(LG, x -> x = element_at(LG, i)))"
+    val dupLineCnt =
+      s"aggregate(filter(sequence(1, size(LG)), i -> array_position(LG, element_at(LG, i)) = i)," +
+        s" 0L, (a, i) -> a + (CASE WHEN $lineCntE > 1 THEN $lineCntE ELSE 0L END))"
+    val (lm, ld, _) = massTriple("LG")
+    val withLines = staged.withColumn("LG", expr(lineGramsE))
+      .withColumn("dup_line_ppm",
+        expr(ppm(dupLineCnt, "size(LG)")))
+      .withColumn("dup_line_char_ppm", expr(ppm(ld, lm)))
+    val withGrams = Ns.foldLeft(withLines) { (acc, n) =>
+      val g = acc.withColumn(s"G$n", TextAnalysis.shingles(col("toks"), n))
+      val (m, d, t) = massTriple(s"G$n")
+      val g2 =
+        if (n <= 4) g.withColumn(s"top${n}_ppm", expr(ppm(t, m)))
+        else g.withColumn(s"dup${n}_ppm", expr(ppm(d, m)))
+      g2.drop(s"G$n")
+    }
+    withGrams.select(id +: cc :+ col("dup_line_ppm") :+
+        col("dup_line_char_ppm") :+
+        col("top2_ppm") :+ col("top3_ppm") :+ col("top4_ppm") :+
+        col("dup5_ppm") :+ col("dup6_ppm") :+ col("dup7_ppm") :+
+        col("dup8_ppm") :+ col("dup9_ppm") :+ col("dup10_ppm"): _*)
+      .withColumn("rep_pass",
+        col("dup_line_ppm") <= DupThresholdsPpm(1) &&
+          col("dup_line_char_ppm") <= DupLineCharPpm &&
+          col("top2_ppm") <= TopThresholdsPpm(2) &&
+          col("top3_ppm") <= TopThresholdsPpm(3) &&
+          col("top4_ppm") <= TopThresholdsPpm(4) &&
+          col("dup5_ppm") <= DupThresholdsPpm(5) &&
+          col("dup6_ppm") <= DupThresholdsPpm(6) &&
+          col("dup7_ppm") <= DupThresholdsPpm(7) &&
+          col("dup8_ppm") <= DupThresholdsPpm(8) &&
+          col("dup9_ppm") <= DupThresholdsPpm(9) &&
+          col("dup10_ppm") <= DupThresholdsPpm(10))
+  }
+
   /** DuckDB mirror of [[gates]] over the `documents` view. DuckDB's hash()
     * differs from xxhash64, but both sides only GROUP by the hash, so
     * grouping by the gram STRING here is value-identical.

@@ -40,6 +40,30 @@ object DocStream {
   def gopherProbe(newDocs: DataFrame): DataFrame =
     graft.llm.Gopher.gates(newDocs)
 
+  /** Streaming twin of `corpus_admit_published`: the FULL published
+    * filter stack — Gopher quality, Gopher repetition, C4 — as one
+    * chained per-row projection (stream-stream joins on doc_id are
+    * append-illegal, so each gate CARRIES the text and prior verdicts to
+    * the next; the repetition member runs [[graft.llm.GopherRep
+    * .rowwiseGates]], the O(L²)-per-doc HOF form that needs no explode or
+    * shuffle — right for ingest-sized docs, while the batch key keeps the
+    * aggregate shape for arbitrarily large ones). Emits (doc_id,
+    * gopher_pass, rep_pass, c4_pass, admit); batch parity pinned in
+    * GopherRepSpec.
+    */
+  def publishedProbe(newDocs: DataFrame): DataFrame = {
+    val base = newDocs.select(col("doc_id"), col("text"))
+    val g = graft.llm.Gopher.gates(base, carry = Seq("text"))
+      .select(col("doc_id"), col("text"), col("gopher_pass"))
+    val gr = graft.llm.GopherRep.rowwiseGates(g, carry = Seq("text", "gopher_pass"))
+      .select(col("doc_id"), col("text"), col("gopher_pass"), col("rep_pass"))
+    graft.llm.C4.gates(gr, carry = Seq("gopher_pass", "rep_pass"))
+      .select(col("doc_id"), col("gopher_pass"), col("rep_pass"),
+        col("c4_pass"))
+      .withColumn("admit",
+        col("gopher_pass") && col("rep_pass") && col("c4_pass"))
+  }
+
   /** Streaming Bloom admission gate — `dedup_bloom_gate`'s filter as the
     * stream-side fast path in front of [[admit]]/[[nearDupProbe]]. The
     * static side is the corpus's set-bit table (K seeded portable hashes

@@ -43,6 +43,52 @@ class GopherRepSpec extends SparkSpec {
     assert(r.getAs[Boolean]("rep_pass"))
   }
 
+  test("rowwiseGates == gates on a mixed fixture (the streaming form)") {
+    val line = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, s"$line $line"),
+      (3L, (1 to 30).map(i => s"word$i").mkString(" ")),
+      (4L, "x y z"),
+      (5L, "r r r r r r r r r r r r")).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(key(GopherRep.rowwiseGates(docs)) == key(GopherRep.gates(docs)))
+  }
+
+  test("streaming publishedProbe == batch three-filter admission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sql = spark.sqlContext
+    val line = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, "a a a b"),
+      (2L, s"$line $line"),
+      (3L, (Seq.fill(59)("word") ++ Seq("the", "have")).mkString(" ")),
+      (4L, (1 to 70).map(i => s"w$i").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream
+      .publishedProbe(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pub_probe")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("pub_probe").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4)))).toMap
+      val df = docs.toDF("doc_id", "text")
+      val batch = graft.llm.Gopher.gates(df).select("doc_id", "gopher_pass")
+        .join(GopherRep.gates(df).select("doc_id", "rep_pass"), "doc_id")
+        .join(graft.llm.C4.gates(df).select("doc_id", "c4_pass"), "doc_id")
+        .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3),
+          r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)))).toMap
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+    } finally q.stop()
+  }
+
   test("gates: a doc shorter than a gram size passes that gate vacuously") {
     // 3 tokens: no 5..10-grams at all -> dup5..dup10 coalesce to 0
     val r = row(GopherRep.gates(Seq((4L, "x y z")).toDF("doc_id", "text")), 4L)
