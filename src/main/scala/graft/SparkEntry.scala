@@ -2460,19 +2460,18 @@ object SparkEntry {
     // for the orientation argument. Edge derivation is per-order pairing,
     // bounded by order width (~4 items), not corpus size.
     "graph_triangles" -> ((s, d) => {
-      // per-order pairing WITHOUT a self-join: one shuffle to the order
-      // key, then in-array pair expansion — order width is ~4 items
-      // (bounded by the schema, not the corpus), so the quadratic is
-      // per-group-constant and the self-join's second shuffle + the
-      // distinct + checkpoint of the (ok, pk) frame all disappear
-      // (measured 11.8 s → isolated re-bench below at sf0.1)
-      val edges = lineitem(s, d)
+      // per-order pairing via the codegen self-join: an A/B against the
+      // collect_set + nested-transform pair expansion (same session, same
+      // host) measured the HOF form 14-19 s vs 8-12 s for this one — the
+      // array expansion runs interpreted struct allocation per pair,
+      // while the equi-self-join stays inside whole-stage codegen. Order
+      // width ~4 bounds the pairing either way.
+      val li = lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .groupBy("ok").agg(collect_set("pk").as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, x -> transform(filter(ps, y -> y > x), " +
-            "y -> struct(x AS src, y AS dst))))")).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
       val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
         .localCheckpoint() // consumed by degrees, orientation, and the closing probe
       graft.ops.Triangles.perNode(canon).orderBy("node")
