@@ -3659,6 +3659,11 @@ object SparkEntry {
     // the 2^53 double-cast edge. One hash aggregate; no shuffle beyond it.
     "stats_linreg" -> ((s, d) => graft.ops.Stats.linreg(events(s, d))),
 
+    // Welch's t for every type pair — the A/B-test primitive on exact
+    // DECIMAL moments (graft.ops.Stats.welchPairs); one corpus aggregate,
+    // then a #types^2 join of a #types-row frame.
+    "stats_ttest" -> ((s, d) => graft.ops.Stats.welchPairs(events(s, d))),
+
     // Deterministic Poisson-bootstrap CI of the per-type mean value: the
     // error bars a metrics pipeline should publish next to every mean,
     // with the resample draw a portable hash so the interval is a pure
@@ -6195,6 +6200,24 @@ object SparkEntry {
            |FROM a""".stripMargin,
 
       "stats_bootstrap" -> graft.ops.Bootstrap.sqlMeanCi(),
+
+      "stats_ttest" ->
+        """WITH m AS (SELECT event_type,
+          |  count(*)::HUGEINT AS n,
+          |  sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+          |  sum(CAST(round(value * 100) AS HUGEINT)
+          |      * CAST(round(value * 100) AS HUGEINT)) AS ss
+          |  FROM events GROUP BY 1)
+          |SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |  a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+          |  round(
+          |    (a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE) /
+          |    sqrt(((a.n * a.ss - a.s * a.s)::DOUBLE
+          |            / (a.n * (a.n - 1))::DOUBLE) / a.n::DOUBLE +
+          |         ((b.n * b.ss - b.s * b.s)::DOUBLE
+          |            / (b.n * (b.n - 1))::DOUBLE) / b.n::DOUBLE), 6) AS t_r
+          |FROM m a JOIN m b ON a.event_type < b.event_type
+          |ORDER BY type_a, type_b""".stripMargin,
 
       "eval_calibration" ->
         s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),

@@ -25,6 +25,42 @@ object Stats {
   def linreg(events: DataFrame): DataFrame =
     linregRaw(events).orderBy("event_type")
 
+  /** Welch's unequal-variance t statistic for every PAIR of event types —
+    * "is the mean value of `purchase` really different from `view`?", the
+    * A/B primitive. Exactness contract: per-type moments (n, Σ, Σ²)
+    * accumulate exactly in DECIMAL over cents; the t statistic is then a
+    * short chain of correctly-rounded IEEE ops (casts of exact integers,
+    * -, *, /, sqrt — all correctly rounded, no libm transcendentals), so
+    * round(t, 6) is bit-equal across engines. Sample variance uses the
+    * n−1 denominator. Scale shape: ONE hash aggregate over the corpus,
+    * then a #types² self-join of a #types-row frame.
+    */
+  def welchPairs(events: DataFrame): DataFrame = {
+    val m = events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+      .localCheckpoint() // #types rows feed both sides of the pair join
+    def side(tag: String) = m.select(
+      col("event_type").as(s"type_$tag"), col("n").as(s"n_$tag"),
+      col("s").as(s"s_$tag"), col("ss").as(s"ss_$tag"))
+    // mean = s/n; var = (n·ss − s²) / (n·(n−1)) — all exact DECIMAL
+    // numerators/denominators, divided once in double precision.
+    def mean(t: String) = col(s"s_$t").cast("double") / col(s"n_$t").cast("double")
+    def vr(t: String) =
+      (col(s"n_$t") * col(s"ss_$t") - col(s"s_$t") * col(s"s_$t")).cast("double") /
+        (col(s"n_$t") * (col(s"n_$t") - 1)).cast("double")
+    side("a").join(side("b"), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round((mean("a") - mean("b")) /
+          sqrt(vr("a") / col("n_a").cast("double") +
+            vr("b") / col("n_b").cast("double")), 6).as("t_r"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** [[linreg]] without the final sort — the same plan is STREAM-legal:
     * the moment sums are an ordinary (map-side-combinable) aggregation, so
     * the identical code runs under `readStream` in complete/update mode as

@@ -428,6 +428,9 @@ class PlanGuardSpec extends SparkSpec {
       // O(G^2) pairs over per-source/per-group AGGREGATE frames (G = number
       // of sources/groups — metadata-sized at any corpus scale):
       "corpus_divergence", "sketch_kmv_overlap", "sketch_kmv_union",
+      // O(T^2) pairs over the per-event-type MOMENT frame (T = enum-bounded
+      // type count; the corpus collapses in one hash aggregate first):
+      "stats_ttest",
       // constant-size threshold / percentile / k grids joined against an
       // aggregate frame (|grid| is a query literal):
       "dedup_threshold_sweep", "semantic_sweep", "quality_sweep",
