@@ -3664,6 +3664,11 @@ object SparkEntry {
     // then a #types^2 join of a #types-row frame.
     "stats_ttest" -> ((s, d) => graft.ops.Stats.welchPairs(events(s, d))),
 
+    // Pearson chi-square independence of event_type x hour-of-day (exact
+    // integer chi-square-micro with per-cell truncation so the sum is
+    // partition-order-free; graft.ops.Stats.chisqTypeHour).
+    "stats_chisq" -> ((s, d) => graft.ops.Stats.chisqTypeHour(events(s, d))),
+
     // Deterministic Poisson-bootstrap CI of the per-type mean value: the
     // error bars a metrics pipeline should publish next to every mean,
     // with the resample draw a portable hash so the interval is a pure
@@ -6200,6 +6205,23 @@ object SparkEntry {
            |FROM a""".stripMargin,
 
       "stats_bootstrap" -> graft.ops.Bootstrap.sqlMeanCi(),
+
+      "stats_chisq" ->
+        """WITH c AS (SELECT event_type,
+          |  (epoch_us(ts) // 3600000000) % 24 AS hod,
+          |  count(*)::HUGEINT AS o FROM events GROUP BY 1, 2),
+          |rt AS (SELECT event_type, sum(o) AS rt FROM c GROUP BY 1),
+          |ct AS (SELECT hod, sum(o) AS ct FROM c GROUP BY 1),
+          |n1 AS (SELECT sum(o) AS nn,
+          |  count(DISTINCT event_type)::BIGINT AS n_types,
+          |  count(DISTINCT hod)::BIGINT AS n_hods FROM c)
+          |SELECT nn::BIGINT AS n,
+          |  ((n_types - 1) * (n_hods - 1))::BIGINT AS dof,
+          |  sum((c.o * nn - rt.rt * ct.ct) * (c.o * nn - rt.rt * ct.ct)
+          |      * 1000000 // (nn * rt.rt * ct.ct))::BIGINT AS chisq_micro
+          |FROM c JOIN rt USING (event_type) JOIN ct USING (hod)
+          |     CROSS JOIN n1
+          |GROUP BY nn, n_types, n_hods""".stripMargin,
 
       "stats_ttest" ->
         """WITH m AS (SELECT event_type,

@@ -61,6 +61,42 @@ object Stats {
       .orderBy("type_a", "type_b")
   }
 
+  /** Pearson χ² independence statistic for event_type × hour-of-day —
+    * "does traffic mix shift by hour?", the seasonality-vs-type screen.
+    * Exactness contract: a DOUBLE Σ(O−E)²/E would depend on partition
+    * summation order, so each cell's term is computed as the exact
+    * integer `(O·N − rt·ct)² · 10⁶ DIV (N·rt·ct)` in DECIMAL(38,0)
+    * (χ²·10⁶ with per-cell truncation — a deterministic, documented
+    * definition both engines share), and the cell terms sum exactly.
+    * Scale shape: one (type, hour) hash aggregate (≤ types×24 cells),
+    * two marginal re-aggregates of that cell frame, equi-joins back on
+    * type / hour, a 1-row N broadcast — nothing corpus-sized after the
+    * first aggregate.
+    */
+  def chisqTypeHour(events: DataFrame): DataFrame = {
+    val cells = events.select(col("event_type"),
+        pmod(graft.expr.IntMath.floorDiv(col("ts"), 3600L * 1000000000L),
+          lit(24L)).as("hod"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("o"))
+      .localCheckpoint() // feeds both marginals and the term sum
+    val rt = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("hod").agg(sum(col("o")).as("ct"))
+    val n1 = cells.agg(sum(col("o")).as("nn"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("hod")).as("n_hods"))
+    cells.join(rt, Seq("event_type")).join(ct, Seq("hod"))
+      .crossJoin(broadcast(n1)) // 1-row totals
+      .select(col("nn"), col("n_types"), col("n_hods"),
+        expr("(o * nn - rt * ct) * (o * nn - rt * ct) * 1000000").as("num"),
+        (col("nn") * col("rt") * col("ct")).as("den"))
+      .groupBy("nn", "n_types", "n_hods")
+      .agg(sum(expr("num DIV den")).cast("long").as("chisq_micro"))
+      .select(col("nn").cast("long").as("n"),
+        ((col("n_types") - 1) * (col("n_hods") - 1)).cast("long").as("dof"),
+        col("chisq_micro"))
+  }
+
   /** [[linreg]] without the final sort — the same plan is STREAM-legal:
     * the moment sums are an ordinary (map-side-combinable) aggregation, so
     * the identical code runs under `readStream` in complete/update mode as
