@@ -3727,6 +3727,25 @@ object SparkEntry {
     "er_entities" -> ((s, d) =>
       graft.ops.Linkage.entities(Tables.customer(s, d))),
 
+    // ER rule quality: precision/recall of the blocking + edit-2 rule
+    // against the synthesized ground truth, in exact ppm. Recall's
+    // denominator is the true variant count from the base table (a
+    // blocking MISS never produces a pair row, so it must be counted
+    // from the source, not from the candidate set).
+    "er_quality" -> ((s, d) => {
+      val pairs = graft.ops.Linkage.blockedPairs(Tables.customer(s, d))
+        .agg(sum(when(col("is_match") && col("same_entity"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("is_match") && !col("same_entity"), 1L).otherwise(0L)).as("fp"))
+      val truth = Tables.customer(s, d)
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .agg(count(lit(1)).as("n_true"))
+      pairs.crossJoin(broadcast(truth)) // 1-row totals
+        .select(col("tp"), col("fp"),
+          (col("n_true") - col("tp")).as("fn"), col("n_true"),
+          expr("tp * 1000000 DIV (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000 DIV n_true").as("recall_ppm"))
+    }),
+
     // Suppression-gated release: per coarse QID cell, publish exact stats
     // only when the cell clears the k threshold; suppressed cells ship -1
     // sentinels (never their true size — publishing the size IS the
@@ -6301,6 +6320,19 @@ object SparkEntry {
       "er_blocking" -> graft.ops.Linkage.sqlBlockedPairs,
 
       "er_entities" -> graft.ops.Linkage.sqlEntities,
+
+      "er_quality" ->
+        s"""WITH ${graft.ops.Linkage.sqlPairsCtes},
+           |p AS (SELECT
+           |  sum(CASE WHEN is_match AND same_entity THEN 1 ELSE 0 END)::BIGINT AS tp,
+           |  sum(CASE WHEN is_match AND NOT same_entity THEN 1 ELSE 0 END)::BIGINT AS fp
+           |  FROM lkp),
+           |t AS (SELECT count(*)::BIGINT AS n_true FROM customer
+           |      WHERE c_custkey % 10 = 0)
+           |SELECT tp, fp, (n_true - tp)::BIGINT AS fn, n_true,
+           |  (tp * 1000000 // (tp + fp))::BIGINT AS precision_ppm,
+           |  (tp * 1000000 // n_true)::BIGINT AS recall_ppm
+           |FROM p CROSS JOIN t""".stripMargin,
 
       "k_anonymity_release" ->
         s"""WITH g AS (SELECT c_nationkey, c_mktsegment,
