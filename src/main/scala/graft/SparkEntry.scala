@@ -3737,13 +3737,17 @@ object SparkEntry {
         .agg(sum(when(col("is_match") && col("same_entity"), 1L).otherwise(0L)).as("tp"),
           sum(when(col("is_match") && !col("same_entity"), 1L).otherwise(0L)).as("fp"))
       val truth = Tables.customer(s, d)
-        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .filter(pmod(col("c_custkey"), lit(graft.ops.Linkage.VariantMod)) === 0)
         .agg(count(lit(1)).as("n_true"))
+      // guarded ppm divisions: Spark div-by-zero nulls where DuckDB //
+      // errors (the events_seasonal engine-divergence note)
       pairs.crossJoin(broadcast(truth)) // 1-row totals
         .select(col("tp"), col("fp"),
           (col("n_true") - col("tp")).as("fn"), col("n_true"),
-          expr("tp * 1000000 DIV (tp + fp)").as("precision_ppm"),
-          expr("tp * 1000000 DIV n_true").as("recall_ppm"))
+          when(col("tp") + col("fp") === 0, 0L)
+            .otherwise(expr("tp * 1000000 DIV (tp + fp)")).as("precision_ppm"),
+          when(col("n_true") === 0, 0L)
+            .otherwise(expr("tp * 1000000 DIV n_true")).as("recall_ppm"))
     }),
 
     // Suppression-gated release: per coarse QID cell, publish exact stats
@@ -6236,8 +6240,8 @@ object SparkEntry {
           |  count(DISTINCT hod)::BIGINT AS n_hods FROM c)
           |SELECT nn::BIGINT AS n,
           |  ((n_types - 1) * (n_hods - 1))::BIGINT AS dof,
-          |  sum((c.o * nn - rt.rt * ct.ct) * (c.o * nn - rt.rt * ct.ct)
-          |      * 1000000 // (nn * rt.rt * ct.ct))::BIGINT AS chisq_micro
+          |  (sum((c.o * c.o * nn * 1000000) // (rt.rt * ct.ct))
+          |   - nn * 1000000)::BIGINT AS chisq_micro
           |FROM c JOIN rt USING (event_type) JOIN ct USING (hod)
           |     CROSS JOIN n1
           |GROUP BY nn, n_types, n_hods""".stripMargin,
@@ -6328,10 +6332,12 @@ object SparkEntry {
            |  sum(CASE WHEN is_match AND NOT same_entity THEN 1 ELSE 0 END)::BIGINT AS fp
            |  FROM lkp),
            |t AS (SELECT count(*)::BIGINT AS n_true FROM customer
-           |      WHERE c_custkey % 10 = 0)
+           |      WHERE c_custkey % ${graft.ops.Linkage.VariantMod} = 0)
            |SELECT tp, fp, (n_true - tp)::BIGINT AS fn, n_true,
-           |  (tp * 1000000 // (tp + fp))::BIGINT AS precision_ppm,
-           |  (tp * 1000000 // n_true)::BIGINT AS recall_ppm
+           |  (CASE WHEN tp + fp = 0 THEN 0
+           |        ELSE tp * 1000000 // (tp + fp) END)::BIGINT AS precision_ppm,
+           |  (CASE WHEN n_true = 0 THEN 0
+           |        ELSE tp * 1000000 // n_true END)::BIGINT AS recall_ppm
            |FROM p CROSS JOIN t""".stripMargin,
 
       "k_anonymity_release" ->

@@ -28,6 +28,10 @@ object Linkage {
 
   val VariantOffset = 10000000L
   val MatchMaxDist = 2
+  /** Every `VariantMod`-th customer spawns a dirty twin — the ONE owner of
+    * the ground-truth rule; er_quality's recall denominator counts with it.
+    */
+  val VariantMod = 10
 
   /** Originals ∪ deterministic dirty variants (every 10th customer). */
   def withVariants(customers: DataFrame): DataFrame = {
@@ -36,7 +40,7 @@ object Linkage {
       .when(pmod(col("c_custkey"), lit(3)) === 1,
         expr("replace(c_name, '#', '@')"))                  // substitution
       .otherwise(expr("replace(c_name, 'Customer', 'Customerr')")) // insertion
-    val variants = customers.filter(pmod(col("c_custkey"), lit(10)) === 0)
+    val variants = customers.filter(pmod(col("c_custkey"), lit(VariantMod)) === 0)
       .select((col("c_custkey") + VariantOffset).as("c_custkey"),
         typo.as("c_name"), col("c_nationkey"))
     customers.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
@@ -73,7 +77,7 @@ object Linkage {
        |         WHEN c_custkey % 3 = 1 THEN replace(c_name, '#', '@')
        |         ELSE replace(c_name, 'Customer', 'Customerr') END,
        |    c_nationkey
-       |  FROM customer WHERE c_custkey % 10 = 0),
+       |  FROM customer WHERE c_custkey % $VariantMod = 0),
        |lke AS (SELECT c_custkey, c_name, c_nationkey,
        |        right(c_name, 4) AS blk_suffix FROM lkv),
        |lkp AS (SELECT x.c_custkey AS a, y.c_custkey AS b,

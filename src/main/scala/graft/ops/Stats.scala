@@ -63,15 +63,19 @@ object Stats {
 
   /** Pearson χ² independence statistic for event_type × hour-of-day —
     * "does traffic mix shift by hour?", the seasonality-vs-type screen.
-    * Exactness contract: a DOUBLE Σ(O−E)²/E would depend on partition
-    * summation order, so each cell's term is computed as the exact
-    * integer `(O·N − rt·ct)² · 10⁶ DIV (N·rt·ct)` in DECIMAL(38,0)
-    * (χ²·10⁶ with per-cell truncation — a deterministic, documented
-    * definition both engines share), and the cell terms sum exactly.
-    * Scale shape: one (type, hour) hash aggregate (≤ types×24 cells),
-    * two marginal re-aggregates of that cell frame, equi-joins back on
-    * type / hour, a 1-row N broadcast — nothing corpus-sized after the
-    * first aggregate.
+    * Identity: χ² = N·Σ O²/(rt·ct) − N, which is EXACT when summed over
+    * observed cells only — unlike Σ(O−E)²/E, where every EMPTY
+    * contingency cell still contributes rt·ct/N and a cells-frame sum
+    * would silently drop it (review finding, round 8). Exactness
+    * contract: a DOUBLE sum would depend on partition order, so each
+    * cell's term is the exact integer `O²·N·10⁶ DIV (rt·ct)` in
+    * DECIMAL(38,0) (χ²·10⁶ with per-cell truncation, both engines share
+    * the definition); terms sum exactly, then subtract N·10⁶. Term bound
+    * ~N³·10⁶ → DECIMAL(38) headroom to ~10¹⁰ events per run.
+    * dof counts OBSERVED type/hour levels. Scale shape: one (type, hour)
+    * hash aggregate (≤ types×24 cells), two marginal re-aggregates of
+    * that cell frame, equi-joins back on type / hour, a 1-row N
+    * broadcast — nothing corpus-sized after the first aggregate.
     */
   def chisqTypeHour(events: DataFrame): DataFrame = {
     val cells = events.select(col("event_type"),
@@ -88,13 +92,12 @@ object Stats {
     cells.join(rt, Seq("event_type")).join(ct, Seq("hod"))
       .crossJoin(broadcast(n1)) // 1-row totals
       .select(col("nn"), col("n_types"), col("n_hods"),
-        expr("(o * nn - rt * ct) * (o * nn - rt * ct) * 1000000").as("num"),
-        (col("nn") * col("rt") * col("ct")).as("den"))
+        expr("(o * o * nn * 1000000) DIV (rt * ct)").as("term"))
       .groupBy("nn", "n_types", "n_hods")
-      .agg(sum(expr("num DIV den")).cast("long").as("chisq_micro"))
+      .agg(sum(col("term")).as("tsum"))
       .select(col("nn").cast("long").as("n"),
         ((col("n_types") - 1) * (col("n_hods") - 1)).cast("long").as("dof"),
-        col("chisq_micro"))
+        (col("tsum") - col("nn") * 1000000).cast("long").as("chisq_micro"))
   }
 
   /** [[linreg]] without the final sort — the same plan is STREAM-legal:

@@ -63,6 +63,20 @@ class LinregSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chisq: identity form captures empty-cell mass exactly") {
+    // A: hod0 x3, hod1 x1; B: hod0 x1, (B, hod1) EMPTY. Full Pearson:
+    // 0.0125 + 0.05 + 0.05 + (0-0.2)^2/0.2 = 0.3125 — the last term is the
+    // empty cell's, which N*sum(O^2/(rt*ct)) - N recovers from observed
+    // cells alone: 5*(9/16 + 1/4 + 1/4) - 5 = 0.3125. Integer micro form:
+    // 2812500 + 1250000 + 1250000 - 5000000 = 312500.
+    val h = 1704067200L * 1000000000L
+    val rows = Seq.fill(3)((h, "A")) ++ Seq((h + 3600L * 1000000000L, "A")) ++
+      Seq((h, "B"))
+    val df = rows.toDF("ts", "event_type")
+    val r = Stats.chisqTypeHour(df).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 1L, 312500L)))
+  }
+
   test("linreg: result is partitioning-invariant (decimal sums)") {
     val hour0ns = 1704067200L * 1000000000L
     val base = (0 until 97).map { i =>
