@@ -3708,9 +3708,11 @@ object SparkEntry {
           sum(col("pos") * (col("lo") + col("hi"))).as("r2"))
         .select(col("n_pos"), col("n_neg"),
           (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("u2"))
+        // one-class corpus guard (n_pos or n_neg 0): AUC undefined -> 0
         .select(col("n_pos"), col("n_neg"), col("u2"),
-          round(col("u2").cast("double") /
-            (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc_r"))
+          when(col("n_pos") * col("n_neg") === 0, 0.0)
+            .otherwise(round(col("u2").cast("double") /
+              (col("n_pos") * col("n_neg") * 2).cast("double"), 6)).as("auc_r"))
     }),
 
     // Entity resolution over the relational customer table: deterministic
@@ -4005,7 +4007,8 @@ object SparkEntry {
         .agg(count(lit(1)).as("users_total"),
           sum(expr("in_train * in_test")).cast("long").as("users_both"))
         .select(col("users_total"), col("users_both"),
-          expr("CAST(users_both * 1000000 DIV users_total AS BIGINT)")
+          when(col("users_total") === 0, 0L)
+            .otherwise(expr("CAST(users_both * 1000000 DIV users_total AS BIGINT)"))
             .as("overlap_ppm"))
       tagged.groupBy("split")
         .agg(count(lit(1)).as("n_events"),
@@ -6223,8 +6226,9 @@ object SparkEntry {
            |  sum(pos * (lo + hi))::BIGINT AS r2 FROM g)
            |SELECT n_pos, n_neg,
            |  (r2 - n_pos * (n_pos + 1))::BIGINT AS u2,
-           |  round((r2 - n_pos * (n_pos + 1))::DOUBLE /
-           |        (n_pos * n_neg * 2)::DOUBLE, 6) AS auc_r
+           |  CASE WHEN n_pos * n_neg = 0 THEN 0.0
+           |       ELSE round((r2 - n_pos * (n_pos + 1))::DOUBLE /
+           |                  (n_pos * n_neg * 2)::DOUBLE, 6) END AS auc_r
            |FROM a""".stripMargin,
 
       "stats_bootstrap" -> graft.ops.Bootstrap.sqlMeanCi(),
@@ -6253,16 +6257,17 @@ object SparkEntry {
           |  sum(CAST(round(value * 100) AS HUGEINT)
           |      * CAST(round(value * 100) AS HUGEINT)) AS ss
           |  FROM events GROUP BY 1)
-          |SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |, p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
           |  a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
-          |  round(
-          |    (a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE) /
-          |    sqrt(((a.n * a.ss - a.s * a.s)::DOUBLE
-          |            / (a.n * (a.n - 1))::DOUBLE) / a.n::DOUBLE +
-          |         ((b.n * b.ss - b.s * b.s)::DOUBLE
-          |            / (b.n * (b.n - 1))::DOUBLE) / b.n::DOUBLE), 6) AS t_r
-          |FROM m a JOIN m b ON a.event_type < b.event_type
-          |ORDER BY type_a, type_b""".stripMargin,
+          |  (a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE) AS md,
+          |  ((a.n * a.ss - a.s * a.s)::DOUBLE
+          |     / (a.n * (a.n - 1))::DOUBLE) / a.n::DOUBLE +
+          |  ((b.n * b.ss - b.s * b.s)::DOUBLE
+          |     / (b.n * (b.n - 1))::DOUBLE) / b.n::DOUBLE AS se2
+          |  FROM m a JOIN m b ON a.event_type < b.event_type)
+          |SELECT type_a, type_b, n_a, n_b,
+          |  CASE WHEN se2 = 0 THEN 0.0 ELSE round(md / sqrt(se2), 6) END AS t_r
+          |FROM p ORDER BY type_a, type_b""".stripMargin,
 
       "eval_calibration" ->
         s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
@@ -6302,7 +6307,9 @@ object SparkEntry {
           |  count(DISTINCT user_id)::BIGINT AS n_users,
           |  sum(cents)::BIGINT AS sum_cents,
           |  o.users_total, o.users_both,
-          |  (o.users_both * 1000000 // o.users_total)::BIGINT AS overlap_ppm
+          |  (CASE WHEN o.users_total = 0 THEN 0
+          |        ELSE o.users_both * 1000000 // o.users_total END)::BIGINT
+          |    AS overlap_ppm
           |FROM t CROSS JOIN o
           |GROUP BY split, o.users_total, o.users_both
           |ORDER BY split""".stripMargin,
@@ -6315,10 +6322,14 @@ object SparkEntry {
            |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
            |  FROM m GROUP BY 1)
            |SELECT event_type, n::BIGINT AS n,
-           |  round((n * sxy - sx * sy)::DOUBLE /
-           |        (n * sxx - sx * sx)::DOUBLE, 6) AS slope_cents_per_hour,
-           |  round((sy * sxx - sx * sxy)::DOUBLE /
-           |        (n * sxx - sx * sx)::DOUBLE, 6) AS icept_cents
+           |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+           |       ELSE round((n * sxy - sx * sy)::DOUBLE /
+           |                  (n * sxx - sx * sx)::DOUBLE, 6) END
+           |    AS slope_cents_per_hour,
+           |  CASE WHEN n * sxx - sx * sx = 0
+           |       THEN round(sy::DOUBLE / n::DOUBLE, 6)
+           |       ELSE round((sy * sxx - sx * sxy)::DOUBLE /
+           |                  (n * sxx - sx * sx)::DOUBLE, 6) END AS icept_cents
            |FROM a ORDER BY event_type""".stripMargin,
 
       "er_blocking" -> graft.ops.Linkage.sqlBlockedPairs,

@@ -52,12 +52,16 @@ object Stats {
     def vr(t: String) =
       (col(s"n_$t") * col(s"ss_$t") - col(s"s_$t") * col(s"s_$t")).cast("double") /
         (col(s"n_$t") * (col(s"n_$t") - 1)).cast("double")
+    // degenerate guard: both variances zero (all values constant) makes
+    // the denominator 0 — define t = 0 there (Spark double/0 is Inf,
+    // DuckDB NULL; neither is comparable)
+    val se2 = vr("a") / col("n_a").cast("double") +
+      vr("b") / col("n_b").cast("double")
     side("a").join(side("b"), col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"),
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
-        round((mean("a") - mean("b")) /
-          sqrt(vr("a") / col("n_a").cast("double") +
-            vr("b") / col("n_b").cast("double")), 6).as("t_r"))
+        when(se2 === 0.0, 0.0)
+          .otherwise(round((mean("a") - mean("b")) / sqrt(se2), 6)).as("t_r"))
       .orderBy("type_a", "type_b")
   }
 
@@ -118,10 +122,17 @@ object Stats {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      // den = 0 iff every event of the type shares one hour: slope is
+      // undefined there, so the convention is slope 0 / icept = mean —
+      // guarded explicitly because Spark double/0 is Inf where DuckDB
+      // yields NULL (the engine-divergence class)
       .select(col("event_type"), col("n").cast("long").as("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / den,
-          6).as("slope_cents_per_hour"),
-        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den,
-          6).as("icept_cents"))
+        when(den === 0.0, 0.0)
+          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / den, 6)).as("slope_cents_per_hour"),
+        when(den === 0.0,
+            round(col("sy").cast("double") / col("n").cast("double"), 6))
+          .otherwise(round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+            .cast("double") / den, 6)).as("icept_cents"))
   }
 }
