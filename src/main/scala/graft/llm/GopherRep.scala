@@ -50,11 +50,18 @@ object GopherRep {
          |  CASE WHEN ntok = 0 THEN array() ELSE sequence(0, (ntok - 1) div $w) END,
          |  i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"""
         .stripMargin.replace("\n", " "))
-    val gramRows = staged.select(id, explode(array(
-      struct(lit(1).as("n"), lineGrams.as("gs")) +:
-        Ns.map(n => struct(lit(n).as("n"),
-          TextAnalysis.shingles(col("toks"), n).as("gs"))): _*)).as("e"))
-      .select(id, col("e.n").as("n"), explode(col("e.gs")).as("g"))
+    // explode the n INDEX first, then build only that n's gram array per
+    // (doc, n) row — building all 10 arrays inside one struct-array value
+    // would transiently hold ~10x the document text in a single row
+    // (review finding, round 8: executor OOM risk on huge docs, the exact
+    // case this aggregate shape exists for)
+    val gramsOfN = Ns.foldLeft(when(col("n") === 1, lineGrams)) { (acc, n) =>
+      acc.when(col("n") === n, TextAnalysis.shingles(col("toks"), n))
+    }
+    val gramRows = staged
+      .select(id, col("toks"), col("ntok"),
+        explode(typedLit((1 +: Ns).toSeq)).as("n"))
+      .select(id, col("n"), explode(gramsOfN).as("g"))
       .select(id, col("n"), xxhash64(col("g")).as("gh"),
         length(col("g")).cast("long").as("len"))
     val counts = gramRows.groupBy(id, col("n"), col("gh"))
@@ -82,10 +89,15 @@ object GopherRep {
       max(when(col("n") === 8, col("dup_ppm"))).as("dup8_ppm"),
       max(when(col("n") === 9, col("dup_ppm"))).as("dup9_ppm"),
       max(when(col("n") === 10, col("dup_ppm"))).as("dup10_ppm"))
-    // a doc too short for gram size n has no n rows -> the gate passes
-    // vacuously (coalesce to 0), matching the paper's intent
+    // re-anchor on the FULL doc list: a zero-token doc generates no gram
+    // rows at all and would otherwise vanish from the verdict (review
+    // finding, round 8 — rowwiseGates and Gopher/C4 emit one row per doc,
+    // and corpus_admit_published's join must not silently drop docs).
+    // A doc too short for gram size n has no n rows -> the gate passes
+    // vacuously (coalesce to 0), matching the paper's intent.
     val z = (c: String) => coalesce(col(c), lit(0L))
-    agg.select((id +: agg.columns.tail.map(c => z(c).as(c))): _*)
+    df.select(id).join(agg, Seq(idCol), "left")
+      .select((id +: agg.columns.tail.map(c => z(c).as(c))): _*)
       .withColumn("rep_pass",
         z("dup_line_ppm") <= DupThresholdsPpm(1) &&
           z("dup_line_char_ppm") <= DupLineCharPpm &&
@@ -121,16 +133,19 @@ object GopherRep {
     // For gram array g: first-occurrence mask via array_position; counts
     // via filter-size; masses as integer folds. All one expression per n.
     def massTriple(gramsE: String): (String, String, String) = {
-      val firstIdx =
-        s"filter(sequence(1, size($gramsE)), i -> array_position($gramsE, element_at($gramsE, i)) = i)"
-      val cnt = (iE: String) =>
-        s"size(filter($gramsE, x -> x = element_at($gramsE, $iE)))"
+      // one (count·len) struct per FIRST-OCCURRENCE gram, computed once —
+      // inlining the O(L) count into both the predicate and the product
+      // would double the quadratic scan (review finding, round 8)
+      val cl =
+        s"transform(filter(sequence(1, size($gramsE)), i -> array_position($gramsE, element_at($gramsE, i)) = i), " +
+          s"i -> struct(size(filter($gramsE, x -> x = element_at($gramsE, i))) AS c, " +
+          s"length(element_at($gramsE, i)) AS l))"
       val mass =
         s"aggregate($gramsE, 0L, (a, x) -> a + length(x))"
       val dup =
-        s"aggregate($firstIdx, 0L, (a, i) -> a + (CASE WHEN ${cnt("i")} > 1 THEN ${cnt("i")} * length(element_at($gramsE, i)) ELSE 0L END))"
+        s"aggregate($cl, 0L, (a, e) -> a + (CASE WHEN e.c > 1 THEN CAST(e.c AS BIGINT) * e.l ELSE 0L END))"
       val top =
-        s"aggregate($firstIdx, 0L, (a, i) -> greatest(a, ${cnt("i")} * length(element_at($gramsE, i))))"
+        s"aggregate($cl, 0L, (a, e) -> greatest(a, CAST(e.c AS BIGINT) * e.l))"
       (mass, dup, top)
     }
     def ppm(numE: String, denE: String): String =
@@ -138,10 +153,11 @@ object GopherRep {
     val lineGramsE =
       s"transform(CASE WHEN ntok = 0 THEN array() ELSE sequence(0, (ntok - 1) div $w) END," +
         s" i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"
-    val lineCntE = s"size(filter(LG, x -> x = element_at(LG, i)))"
     val dupLineCnt =
-      s"aggregate(filter(sequence(1, size(LG)), i -> array_position(LG, element_at(LG, i)) = i)," +
-        s" 0L, (a, i) -> a + (CASE WHEN $lineCntE > 1 THEN $lineCntE ELSE 0L END))"
+      s"aggregate(transform(filter(sequence(1, size(LG)), " +
+        s"i -> array_position(LG, element_at(LG, i)) = i), " +
+        s"i -> size(filter(LG, x -> x = element_at(LG, i)))), " +
+        s"0L, (a, c) -> a + (CASE WHEN c > 1 THEN CAST(c AS BIGINT) ELSE 0L END))"
     val (lm, ld, _) = massTriple("LG")
     val withLines = staged.withColumn("LG", expr(lineGramsE))
       .withColumn("dup_line_ppm",
@@ -212,7 +228,7 @@ object GopherRep {
        |  max(CASE WHEN n = 9 THEN dup_ppm END) AS dup9_ppm,
        |  max(CASE WHEN n = 10 THEN dup_ppm END) AS dup10_ppm
        |  FROM masses GROUP BY 1)
-       |SELECT doc_id,
+       |SELECT d.doc_id,
        |  coalesce(dup_line_ppm, 0)::BIGINT AS dup_line_ppm,
        |  coalesce(dup_line_char_ppm, 0)::BIGINT AS dup_line_char_ppm,
        |  coalesce(top2_ppm, 0)::BIGINT AS top2_ppm,
@@ -235,6 +251,7 @@ object GopherRep {
        |   AND ${thr("dup8_ppm", DupThresholdsPpm(8))}
        |   AND ${thr("dup9_ppm", DupThresholdsPpm(9))}
        |   AND ${thr("dup10_ppm", DupThresholdsPpm(10))}) AS rep_pass
-       |FROM p ORDER BY doc_id""".stripMargin
+       |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

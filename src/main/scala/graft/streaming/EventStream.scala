@@ -373,9 +373,13 @@ object EventStream {
     * reference μ per type is a FROZEN input — the monitoring deployment
     * shape, where the batch key (which derives μ from the full window) is
     * the trainer and the stream replays its recurrence against that
-    * reference. Hour-finality argument identical to [[ewma]]; last point
-    * per type equals the batch fold over the same finalized prefix with
-    * the same μ (pinned in StreamingSpec).
+    * reference. Types ABSENT from the reference are not monitored: their
+    * events are consumed without state or emission (a μ = 0 default would
+    * alarm on every observed hour of any type the trainer never saw — a
+    * permanent alarm flood, not a signal). Hour-finality argument
+    * identical to [[ewma]]; last point per type equals the batch fold
+    * over the same finalized prefix with the same μ (pinned in
+    * StreamingSpec).
     */
   def cusum(events: Dataset[EvG], refMilli: Map[String, Long],
             watermark: String = "2 hours")
@@ -384,6 +388,7 @@ object EventStream {
 
     def update(tpe: String, batch: Iterator[EvG],
                state: GroupState[CusumState]): Iterator[CusumPoint] = {
+      if (!refMilli.contains(tpe)) return Iterator.empty // unmonitored type
       val st0 = state.getOption.getOrElse(CusumState(Map.empty, 0L, 0L, 0L))
       val pending = batch.foldLeft(st0.pending) { (m, e) =>
         val h = Math.floorDiv(e.ts.getTime, 3600000L) * 3600L
@@ -391,7 +396,7 @@ object EventStream {
       }
       val wmSec = state.getCurrentWatermarkMs / 1000L
       val (ripe, rest) = pending.partition { case (h, _) => h + 3600L <= wmSec }
-      val mu = refMilli.getOrElse(tpe, 0L)
+      val mu = refMilli(tpe)
       var (s, mx, na) = (st0.s, st0.mx, st0.na)
       val out = Vector.newBuilder[CusumPoint]
       ripe.toVector.sortBy(_._1).foreach { case (h, cnt) =>

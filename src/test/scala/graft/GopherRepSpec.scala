@@ -50,10 +50,14 @@ class GopherRepSpec extends SparkSpec {
       (2L, s"$line $line"),
       (3L, (1 to 30).map(i => s"word$i").mkString(" ")),
       (4L, "x y z"),
-      (5L, "r r r r r r r r r r r r")).toDF("doc_id", "text")
+      (5L, "r r r r r r r r r r r r"),
+      (6L, "")).toDF("doc_id", "text") // zero-token doc MUST keep its row
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
-    assert(key(GopherRep.rowwiseGates(docs)) == key(GopherRep.gates(docs)))
+    val (row, agg) = (key(GopherRep.rowwiseGates(docs)), key(GopherRep.gates(docs)))
+    assert(row == agg)
+    assert(agg.size == 6, "one verdict row per doc, empty docs included")
+    assert(agg(6L).last == true, "empty doc has nothing repetitious -> passes")
   }
 
   test("streaming publishedProbe == batch three-filter admission") {
