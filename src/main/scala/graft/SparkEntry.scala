@@ -3984,6 +3984,22 @@ object SparkEntry {
     // is checkable in-row (Σ n_domains = domains_total). One scan: the
     // tokenize + URL-regex pass is checkpointed and feeds both the split
     // aggregate and the 1-row total broadcast.
+    "split_domain_disjoint" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+          size(TA.tokens(col("text"))).cast("long").as("n_tok"),
+          graft.llm.Url.canonicalHost(
+            graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))).as("domain"))
+        .withColumn("split", splitOfKey(col("domain")))
+        .localCheckpoint()
+      val tot = base.agg(countDistinct("domain").as("domains_total"))
+      base.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("domain").as("n_domains"),
+          sum("n_tok").as("n_tokens"))
+        .crossJoin(broadcast(tot)) // 1-row totals broadcast
+        .orderBy("split")
+    }),
+
     // Temporal train/test split + user-leak audit: cutoff at 80% of the
     // observed hour span (two scalar aggregates broadcast back — no
     // quantile pass), then per-split exact stats and the count of users
@@ -3993,8 +4009,8 @@ object SparkEntry {
     // 1-row totals ride broadcast cross joins.
     "split_temporal" -> ((s, d) => {
       val hr = graft.expr.IntMath.floorDiv(col("ts"), 3600L * 1000000000L)
-      val e = events(s, d).select(col("user_id"), col("event_type"),
-        hr.as("hr"), expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("cents"))
+      val e = events(s, d).select(col("user_id"), hr.as("hr"),
+        expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("cents"))
       val span = e.agg(min("hr").as("h0"), max("hr").as("h1"))
         .select(expr("h0 + (h1 - h0) * 8 DIV 10").as("cut"))
       val tagged = e.crossJoin(broadcast(span))
@@ -4015,22 +4031,6 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("cents")).cast("long").as("sum_cents"))
         .crossJoin(broadcast(overlap)) // 1-row audit totals
-        .orderBy("split")
-    }),
-
-    "split_domain_disjoint" -> ((s, d) => {
-      val base = docs(s, d).select(col("doc_id"),
-          size(TA.tokens(col("text"))).cast("long").as("n_tok"),
-          graft.llm.Url.canonicalHost(
-            graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))).as("domain"))
-        .withColumn("split", splitOfKey(col("domain")))
-        .localCheckpoint()
-      val tot = base.agg(countDistinct("domain").as("domains_total"))
-      base.groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct("domain").as("n_domains"),
-          sum("n_tok").as("n_tokens"))
-        .crossJoin(broadcast(tot)) // 1-row totals broadcast
         .orderBy("split")
     }),
 

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   *   - drop pages containing "lorem ipsum" or a curly brace
   *   - drop pages with fewer than 5 surviving sentences/lines
   *
-  * (The paper's remaining rule — three-sentence-span dedup across the
-  * corpus — is `substring_dedup`.)
+  * Of the paper's remaining rules: three-sentence-span dedup across the
+  * corpus is `substring_dedup`; the bad-word-list page filter and the
+  * langdetect-English page filter are NOT implemented here (the list is
+  * an external artifact and the fixture has no real language signal —
+  * `pii_redact`/`lang_id` hold the machinery either would plug into).
   *
   * Line view: the synthetic fixture is flat, so lines derive exactly as in
   * [[Gopher]] (wrap at [[Gopher.LineWidth]] tokens) and the line/page

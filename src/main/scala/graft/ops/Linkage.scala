@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * deterministic comparison rule).
   *
   * Fixture note: TPC-H customers are clean, so [[withVariants]] first
-  * synthesizes a "dirty" twin for every 10th customer (key + 10⁷, name
-  * carrying one deterministic typo class per `custkey mod 3`) — precedent:
-  * `pii_redact`'s synthesized contact strings. The output carries
-  * `same_entity` ground truth (variant keys are originals + 10⁷), so the
+  * synthesizes a "dirty" twin for every 10th customer (variant key
+  * −(k+1) — a fixed offset would collide with real custkeys at large
+  * SF, and plain −k collides with itself at k = 0; −(k+1) ≤ −1 is
+  * collision-free at any scale — name carrying one deterministic typo
+  * class per `custkey mod 3`) — precedent: `pii_redact`'s synthesized
+  * contact strings. The output carries `same_entity` ground truth
+  * (a variant pairs its original iff a + b = −1), so the
   * key doubles as a precision audit of the blocking + distance rule:
   * `is_match` without `same_entity` is exactly the false-positive a
   * suffix-block + edit-2 rule produces on near-identical serial names.
@@ -26,7 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  val VariantOffset = 10000000L
   val MatchMaxDist = 2
   /** Every `VariantMod`-th customer spawns a dirty twin — the ONE owner of
     * the ground-truth rule; er_quality's recall denominator counts with it.
@@ -41,7 +43,7 @@ object Linkage {
         expr("replace(c_name, '#', '@')"))                  // substitution
       .otherwise(expr("replace(c_name, 'Customer', 'Customerr')")) // insertion
     val variants = customers.filter(pmod(col("c_custkey"), lit(VariantMod)) === 0)
-      .select((col("c_custkey") + VariantOffset).as("c_custkey"),
+      .select((-col("c_custkey") - 1).as("c_custkey"),
         typo.as("c_name"), col("c_nationkey"))
     customers.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .unionByName(variants)
@@ -61,7 +63,7 @@ object Linkage {
       .select(col("a"), col("b"), col("c_nationkey"), col("blk_suffix"),
         levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
       .withColumn("is_match", col("edit_dist") <= MatchMaxDist)
-      .withColumn("same_entity", col("b") - col("a") === VariantOffset)
+      .withColumn("same_entity", col("a") + col("b") === -1)
       .orderBy("a", "b")
   }
 
@@ -72,7 +74,7 @@ object Linkage {
     s"""lkv AS (
        |  SELECT c_custkey, c_name, c_nationkey FROM customer
        |  UNION ALL
-       |  SELECT c_custkey + $VariantOffset,
+       |  SELECT -c_custkey - 1,
        |    CASE WHEN c_custkey % 3 = 0 THEN replace(c_name, 'Customer#', 'Custmer#')
        |         WHEN c_custkey % 3 = 1 THEN replace(c_name, '#', '@')
        |         ELSE replace(c_name, 'Customer', 'Customerr') END,
@@ -84,7 +86,7 @@ object Linkage {
        |  x.c_nationkey, x.blk_suffix,
        |  levenshtein(x.c_name, y.c_name)::INTEGER AS edit_dist,
        |  (levenshtein(x.c_name, y.c_name) <= $MatchMaxDist) AS is_match,
-       |  (y.c_custkey - x.c_custkey = $VariantOffset) AS same_entity
+       |  (x.c_custkey + y.c_custkey = -1) AS same_entity
        |FROM lke x JOIN lke y
        |  ON x.c_nationkey = y.c_nationkey AND x.blk_suffix = y.blk_suffix
        | AND x.c_custkey < y.c_custkey)""".stripMargin

@@ -17,10 +17,10 @@ class LinkageSpec extends SparkSpec {
     val v = Linkage.withVariants(base).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(v.size == 7)
-    assert(v(10000030L) == "Custmer#000000030")
-    assert(v(10000040L) == "Customer@000000040")
-    assert(v(10000050L) == "Customerr#000000050")
-    assert(!v.contains(10000031L))
+    assert(v(-31L) == "Custmer#000000030")
+    assert(v(-41L) == "Customer@000000040")
+    assert(v(-51L) == "Customerr#000000050")
+    assert(!v.contains(-32L))
   }
 
   test("blockedPairs: variants match their originals at distance 1") {
@@ -31,9 +31,9 @@ class LinkageSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4),
         r.getBoolean(5), r.getBoolean(6)))
     assert(out.toSet == Set(
-      (30L, 10000030L, 1, true, true),
-      (40L, 10000040L, 1, true, true),
-      (50L, 10000050L, 1, true, true)))
+      (-31L, 30L, 1, true, true),
+      (-41L, 40L, 1, true, true),
+      (-51L, 50L, 1, true, true)))
   }
 
   test("blockedPairs: suffix collision surfaces as an is_match false positive") {
@@ -49,17 +49,17 @@ class LinkageSpec extends SparkSpec {
 
   test("entities: chains merge to one entity id; unmatched stand alone") {
     // 10 and 10010 share block (nation 1, suffix "0010") and both spawn
-    // variants -> {10, 10010, 10000010, 10010010} consolidate to entity 10.
-    // 77 matches nothing -> its own entity.
+    // variants -> {10, 10010, -11, -10011} consolidate to one entity id,
+    // the component minimum -10011. 77 matches nothing -> its own entity.
     val out = Linkage.entities(cust(
         (10L, "Customer#000000010", 1),
         (10010L, "Customer#000010010", 1),
         (77L, "Customer#000000077", 1)))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
-    assert(out(10L) == ((10L, true)))
-    assert(out(10010L) == ((10L, false)))
-    assert(out(10000010L) == ((10L, false)))
-    assert(out(10010010L) == ((10L, false)))
+    assert(out(10L) == ((-10011L, false)))
+    assert(out(10010L) == ((-10011L, false)))
+    assert(out(-11L) == ((-10011L, false)))
+    assert(out(-10011L) == ((-10011L, true)))
     assert(out(77L) == ((77L, true)))
     assert(out.size == 5)
   }
