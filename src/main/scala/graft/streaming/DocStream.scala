@@ -197,6 +197,27 @@ object DocStream {
       .select(col("doc_id"), col("pos"), col("wh"))
   }
 
+  /** Streaming CCNet line probe — [[graft.llm.Lines]]' postings join half
+    * as a stream: each incoming doc's ALIGNED line hashes (a stateless
+    * generator, append-legal) probe the static corpus's DISTINCT line set,
+    * emitting one `(doc_id, line_no, lh)` row per line the corpus already
+    * carries — the boilerplate detector at ingest, at tokens/w rows where
+    * [[spanProbe]] pays tokens×1 (run lineProbe on everything, spanProbe
+    * on what it flags — the batch family's staging argument). Per-doc
+    * scoring / the drop decision is a grouped aggregate — stateful on a
+    * raw stream — so it stays batch-side (foreachBatch), the [[spanProbe]]
+    * split. Batch parity is pinned in StreamingSpec.
+    */
+  def lineProbe(newDocs: DataFrame, index: DataFrame,
+                w: Int = graft.llm.Lines.LineWidthTok,
+                cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
+    import graft.llm.Lines
+    val oldSet = cp.cut(Lines.lineFrame(index, w).select("lh").distinct())
+    Lines.lineFrame(newDocs, w)
+      .join(oldSet, Seq("lh"))
+      .select(col("doc_id"), col("line_no"), col("lh"))
+  }
+
   // ---------------------------------------------- intra-batch completeness
   //
   // nearDupProbe is stream-STATIC by construction, so two near-duplicate

@@ -645,6 +645,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lineProbe matches the batch line-hit join; unaligned copies miss") {
+    implicit val sql = spark.sqlContext
+    def w(range: Range, p: String) = range.map(i => s"$p$i").mkString(" ")
+    val index = Seq((1L, w(1 to 10, "o") + " " + w(1 to 10, "x")))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (9L, w(1 to 10, "o")),                      // line 0 of doc 1 -> hit
+      (19L, w(1 to 10, "n")),                     // novel -> miss
+      (29L, w(1 to 5, "p") + " " + w(1 to 10, "o"))) // o-run offset 5: unaligned -> miss
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.lineProbe(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("lineprobe")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals.take(1): _*); q.processAllAvailable()
+      in.addData(arrivals.drop(1): _*); q.processAllAvailable()
+      val streamed = spark.table("lineprobe")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val batch = graft.llm.Lines.lineFrame(arrivals.toDF("doc_id", "text"))
+        .join(graft.llm.Lines.lineFrame(index).select("lh").distinct(), Seq("lh"))
+        .select(col("doc_id"), col("line_no"), col("lh"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch, s"$streamed != $batch")
+      assert(streamed.map(_._1) == Set(9L), "only the aligned re-crawl hits")
+    } finally q.stop()
+  }
+
   test("streaming gapfill: silent hours emit zero rows via the event-time timer") {
     implicit val s = spark
     implicit val sql = spark.sqlContext
