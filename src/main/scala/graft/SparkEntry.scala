@@ -2183,6 +2183,52 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // Cluster-balanced resampling: cap each semantic cluster's
+    // contribution at ceil(√n) members (DataComp-style head-flattening —
+    // a mega-cluster of near-identical pages contributes √n docs, the
+    // tail keeps everything), members chosen by the reservoir family's
+    // deterministic hash rank. Rank rides GlobalRank.withGroupedRowNumber
+    // so a pathological giant cluster never becomes one sort task; √ is
+    // IEEE-correctly-rounded in both engines (the mix_temperature
+    // argument), so target and keep replay bit-for-bit.
+    "sample_cluster_balanced" -> ((s, d) => {
+      val edges = Similarity.nearDupPairs(emb(s, d), 0.4,
+        bitsPerBand = lshBitsFor(s, d)).select("a", "b")
+      val clusters = Dedup.clusters(edges)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val m = emb(s, d).select(col("vec_id"))
+        .join(clusters, Seq("vec_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+        .withColumn("hv", graft.expr.PortableHash.phash(
+          concat(lit("cbal-v1:"), col("vec_id").cast("string"))))
+      graft.ops.GlobalRank
+        .withGroupedRowNumber(m, "cluster_id", "hv", Seq("vec_id"),
+          buckets = 32, out = "rnk", outN = "n_members")
+        .withColumn("target", ceil(sqrt(col("n_members").cast("double"))).cast("long"))
+        .select(col("vec_id"), col("cluster_id"), col("n_members"), col("rnk"),
+          col("target"), (col("rnk") <= col("target")).as("keep"))
+        .orderBy("vec_id")
+    }),
+
+    // Greedy k-center coreset selection (Gonzalez farthest-point — the
+    // diversity-coverage objective of the data-selection literature, the
+    // complement of SemDeDup's near-dup REMOVAL): k rounds, each one
+    // narrow KMeansAssign codegen pass + one 1-row struct-max aggregate;
+    // driver holds k quantized centers (the codebook-collect precedent).
+    // Output is the coverage curve (round, center, max-min-d2) a pipeline
+    // reads to size k. Exact integer squared-L2 → replayed round-for-round
+    // by the oracle's unrolled CTEs.
+    "coreset_kcenter" -> ((s, d) =>
+      graft.llm.Coreset.kcenter(s, emb(s, d))),
+
+    // Full-corpus assignment to the k selected centers — the partition
+    // into diversity cells that per-cell sampling consumes downstream.
+    // One codegen pass (KMeansAssign + centroid-LUT distance), ties to
+    // the earlier-selected center; selection replayed as in
+    // coreset_kcenter.
+    "coreset_assign" -> ((s, d) =>
+      graft.llm.Coreset.kcenterAssign(emb(s, d)).orderBy("vec_id")),
+
     // Token-length distribution in power-of-2 buckets — the profile a
     // packing stage consults to pick seqLen and outlier cutoffs. Bucket
     // edges are literal comparisons (a CASE chain, identical text in the
@@ -2392,6 +2438,13 @@ object SparkEntry {
     "bpe_fertility" -> ((s, d) =>
       graft.llm.Bpe.fertility(docs(s, d), k = BpeMergeRounds)
         .orderBy("doc_id")),
+
+    // Vocab-size elbow: corpus-level fertility at merge-count PREFIXES of
+    // one training run. Totals come from Σ freq·n_sym over the Zipf-small
+    // vocab frame, so no per-k corpus join — the whole sweep pays the
+    // word count once (graft.llm.Bpe.fertilitySweep).
+    "bpe_sweep" -> ((s, d) =>
+      graft.llm.Bpe.fertilitySweep(docs(s, d), BpeSweepKs)),
 
     // Deterministic seeded corpus shuffle: every doc gets a global shuffle
     // position 1..N by (phash(seed:doc_id), doc_id) — what a training job
@@ -3106,6 +3159,23 @@ object SparkEntry {
     "substring_scrub" -> ((s, d) =>
       graft.llm.Substring.scrub(docs(s, d), SubstrWinTok).orderBy("doc_id")),
 
+    // CCNet stage-1 line-level dedup (Wenzek et al. 2019 §4.2): duplicated
+    // ALIGNED-line postings across the corpus — the boilerplate
+    // (menus/banners) detector run on everything BEFORE lang-id and
+    // quality, at tokens/w rows where the rolling-window family pays
+    // tokens×1. Same counter-only aggregate posture: a mega-duplicated
+    // banner line is one cell, never a fat group.
+    "line_dedup" -> ((s, d) =>
+      graft.llm.Lines.postings(docs(s, d)).orderBy("lh")),
+
+    // CCNet's drop step as an emitter: every doc rebuilt with its
+    // cross-doc duplicated lines removed (keep-one ownership, min-id doc
+    // keeps its copy). Line mass conserved (n_kept + n_removed = n_lines);
+    // unlike the rolling-window scrub, aligned-line removal can't mint new
+    // duplicates, so one pass IS the fixpoint (LinesSpec pins it).
+    "line_scrub" -> ((s, d) =>
+      graft.llm.Lines.scrub(docs(s, d)).orderBy("doc_id")),
+
     // Pairwise total-variation distance between source token distributions
     // (ppm) — the mixing diagnostic read before choosing mix_rates. TV, not
     // KL/JS: rational in the empirical probabilities, so exact decimal
@@ -3663,6 +3733,13 @@ object SparkEntry {
     // DECIMAL moments (graft.ops.Stats.welchPairs); one corpus aggregate,
     // then a #types^2 join of a #types-row frame.
     "stats_ttest" -> ((s, d) => graft.ops.Stats.welchPairs(events(s, d))),
+
+    // One-way ANOVA F across all event types — the k-group screen run
+    // BEFORE stats_ttest's k² pairwise tests. Per-type between-group terms
+    // are per-group-truncated integer micro-units (the stats_chisq trick),
+    // so both sums of squares are exact and F is one correctly-rounded
+    // double division (graft.ops.Stats.anovaTypes).
+    "stats_anova" -> ((s, d) => graft.ops.Stats.anovaTypes(events(s, d))),
 
     // Pearson chi-square independence of event_type x hour-of-day (exact
     // integer chi-square-micro with per-cell truncation so the sum is
@@ -4541,6 +4618,9 @@ object SparkEntry {
 
   /** Merge rounds for `bpe_merges`/`bpe_apply` (shared with oracles). */
   private val BpeMergeRounds = 5
+
+  /** `bpe_sweep` merge-count prefixes (0 = character baseline). */
+  private val BpeSweepKs = Seq(0, 1, 3, BpeMergeRounds)
 
   /** Boilerplate-flag parameters, shared by the query and its oracle:
     * 5-gram shingles, boilerplate = in ≥2 docs, drop docs ≥30% exposed.
@@ -5775,6 +5855,10 @@ object SparkEntry {
 
       "bpe_fertility" -> graft.llm.Bpe.sqlFertility(BpeMergeRounds),
 
+      "bpe_sweep" -> graft.llm.Bpe.sqlFertilitySweep(BpeSweepKs),
+
+      "stats_anova" -> graft.ops.Stats.sqlAnovaTypes,
+
       "corpus_shuffle" ->
         s"""SELECT doc_id, row_number() OVER (
            |    ORDER BY ${graft.expr.PortableHash.sqlPhash(s"('$ShuffleSeed:' || doc_id::VARCHAR)")},
@@ -6072,6 +6156,35 @@ object SparkEntry {
         graft.llm.Substring.sqlIncremental("doc_id % 10 = 9", SubstrWinTok),
 
       "substring_scrub" -> graft.llm.Substring.sqlScrub(SubstrWinTok),
+
+      "line_dedup" -> graft.llm.Lines.sqlPostings(),
+
+      "sample_cluster_balanced" ->
+        (s"WITH RECURSIVE ${sqlNearDupCte(0.4)},\n" +
+          s"""e AS (SELECT a, b FROM ndp UNION ALL SELECT b, a FROM ndp),
+            |reach AS (
+            |  SELECT a AS id, b AS r FROM e
+            |  UNION
+            |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+            |cl AS (SELECT id AS vec_id, least(id, min(r)) AS cluster_id
+            |       FROM reach GROUP BY id),
+            |m AS (SELECT v.vec_id,
+            |        COALESCE(cl.cluster_id, v.vec_id) AS cluster_id,
+            |        ${graft.expr.PortableHash.sqlPhash("('cbal-v1:' || v.vec_id::VARCHAR)")} AS hv
+            |      FROM embeddings v LEFT JOIN cl ON v.vec_id = cl.vec_id),
+            |r AS (SELECT vec_id, cluster_id, hv,
+            |        row_number() OVER (PARTITION BY cluster_id ORDER BY hv, vec_id) AS rnk,
+            |        count(*) OVER (PARTITION BY cluster_id) AS n_members FROM m)
+            |SELECT vec_id, cluster_id, n_members::BIGINT AS n_members,
+            |  rnk::BIGINT AS rnk, ceil(sqrt(n_members::DOUBLE))::BIGINT AS target,
+            |  (rnk <= ceil(sqrt(n_members::DOUBLE))) AS keep
+            |FROM r ORDER BY vec_id""".stripMargin),
+
+      "coreset_kcenter" -> graft.llm.Coreset.sqlKcenter(),
+
+      "coreset_assign" -> graft.llm.Coreset.sqlAssign(),
+
+      "line_scrub" -> graft.llm.Lines.sqlScrub(),
 
       "corpus_divergence" -> graft.llm.Divergence.sqlPairwiseTV,
 

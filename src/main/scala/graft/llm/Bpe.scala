@@ -110,6 +110,68 @@ object Bpe {
           .otherwise(call_function("div", col("n_bpe_tokens") * lit(1000000L),
             col("n_words"))).as("fertility_ppm"))
 
+  /** Corpus-level fertility at several merge-count PREFIXES of one
+    * training run — the vocab-size elbow curve ("how many merges before
+    * pieces-per-word flattens?") a tokenizer deployment reads to size its
+    * vocabulary. One row per requested k: (k_merges, n_words,
+    * n_bpe_tokens, fertility_ppm), n_words constant across rows by
+    * construction (merges change segmentation, never word count).
+    *
+    * Cost shape: the whole sweep is ONE corpus word-count aggregate +
+    * max(ks) vocab-frame merge rounds + |ks| aggregates of the Zipf-small
+    * vocab frame — corpus totals come from Σ freq·n_sym over the VOCAB
+    * (each word's occurrences share a segmentation), so no per-k corpus
+    * join and no doc-level explode at any k. A 100 TB corpus pays the
+    * word count once; everything after is vocabulary-sized.
+    */
+  def fertilitySweep(docs: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.head >= 0,
+      s"ks must be ascending non-negative, got $ks")
+    var v = vocab(docs).localCheckpoint()
+    def totals(k: Int, vk: DataFrame): DataFrame =
+      vk.select(col("freq"),
+          size(split(col("w"), " ")).cast("long").as("n_sym"))
+        .agg(lit(k.toLong).as("k_merges"),
+          sum(col("freq")).as("n_words"),
+          sum(col("freq") * col("n_sym")).as("n_bpe_tokens"))
+    val rows = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    if (ks.head == 0) rows += totals(0, v)
+    for (r <- 1 to ks.max) {
+      val tp = topPair(v)
+        .withColumn("m", regexp_replace(col("pair"), " ", ""))
+        .localCheckpoint()
+      v = v.crossJoin(broadcast(tp.select("pair", "m")))
+        .select(trim(expr(
+          "replace(' ' || w || ' ', ' ' || pair || ' ', ' ' || m || ' ')")).as("w"),
+          col("freq"))
+        .localCheckpoint()
+      if (ks.contains(r)) rows += totals(r, v)
+    }
+    rows.reduce(_ union _)
+      .select(col("k_merges"), col("n_words"), col("n_bpe_tokens"),
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(call_function("div", col("n_bpe_tokens") * lit(1000000L),
+            col("n_words"))).as("fertility_ppm"))
+      .orderBy("k_merges")
+  }
+
+  /** DuckDB mirror of [[fertilitySweep]]: the shared training chain, one
+    * vocab-level total per requested prefix.
+    */
+  def sqlFertilitySweep(ks: Seq[Int]): String = {
+    val rows = ks.map { k =>
+      s"""SELECT ${k}::BIGINT AS k_merges, sum(freq)::BIGINT AS n_words,
+         |  sum(freq * len(string_split(w, ' ')))::BIGINT AS n_bpe_tokens
+         |FROM v$k""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"""${sqlTrainCtes(ks.max)},
+       |sw AS ($rows)
+       |SELECT k_merges, n_words, n_bpe_tokens,
+       |  (CASE WHEN n_words = 0 THEN 0
+       |        ELSE (n_bpe_tokens * 1000000) // n_words END)::BIGINT AS fertility_ppm
+       |FROM sw ORDER BY k_merges""".stripMargin
+  }
+
   /** DuckDB mirror of [[fertility]] (nested WITH — legal in DuckDB). */
   def sqlFertility(k: Int): String =
     s"""WITH ap AS (${sqlApply(k)})

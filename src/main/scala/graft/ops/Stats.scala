@@ -135,4 +135,65 @@ object Stats {
           .otherwise(round((col("sy") * col("sxx") - col("sx") * col("sxy"))
             .cast("double") / den, 6)).as("icept_cents"))
   }
+
+  /** One-way ANOVA F across event types ("do the k type means differ at
+    * all?" — the k-group generalization of [[welchPairs]], the screen run
+    * BEFORE k² pairwise tests). Exactness contract: per-type moments (n,
+    * Σ, Σ²) accumulate exactly in DECIMAL over cents; each type's
+    * between-group term S_g²·10⁶ DIV n_g is per-group TRUNCATED integer
+    * micro-units (the [[chisqTypeHour]] trick — a double Σ S_g²/n_g would
+    * depend on partition/engine summation order), so both sums are exact:
+    * ssb_micro = Σ term_g − S²·10⁶ DIV N (clamped at 0: truncation can
+    * push an exactly-zero SSB a few µunits negative), ssw_micro = Q·10⁶ −
+    * Σ term_g (≥ 0 by construction: every term is truncated down). F is
+    * then ONE correctly-rounded double division of two exact DECIMAL
+    * products — bit-equal across engines at round(6). Headroom:
+    * S_g²·10⁶·N ≲ 10³⁸ holds to ~10¹⁰ events of 10⁶ cents. Scale shape:
+    * one hash aggregate over the corpus, one k-row re-aggregate.
+    */
+  def anovaTypes(events: DataFrame): DataFrame = {
+    val m = events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("y")).as("s"), sum(col("y") * col("y")).as("q"))
+      .select(col("n"), col("s"), col("q"),
+        expr("(s * s * 1000000) DIV n").as("term"))
+    val f = (col("ssb_micro") * (col("nn") - col("k"))).cast("double") /
+      (col("ssw_micro") * (col("k") - 1)).cast("double")
+    m.agg(sum(col("n")).as("nn"), count(lit(1)).cast("decimal(38,0)").as("k"),
+        sum(col("s")).as("ss"), sum(col("q")).as("qq"),
+        sum(col("term")).as("t"))
+      .select(col("nn"), col("k"),
+        greatest(lit(0L).cast("decimal(38,0)"),
+          col("t") - expr("(ss * ss * 1000000) DIV nn")).as("ssb_micro"),
+        (col("qq") * 1000000 - col("t")).as("ssw_micro"))
+      .select(col("nn").cast("long").as("n"), col("k").cast("long").as("k_types"),
+        col("ssb_micro").cast("long").as("ssb_micro"),
+        col("ssw_micro").cast("long").as("ssw_micro"),
+        when(col("ssw_micro") === 0 || col("k") < 2 || col("nn") <= col("k"), 0.0)
+          .otherwise(round(f, 6)).as("f_r"))
+  }
+
+  /** DuckDB mirror of [[anovaTypes]]. */
+  def sqlAnovaTypes: String =
+    """WITH m AS (SELECT event_type,
+      |  count(*)::HUGEINT AS n,
+      |  sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+      |  sum(CAST(round(value * 100) AS HUGEINT)
+      |      * CAST(round(value * 100) AS HUGEINT)) AS q
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT n, s, q, (s * s * 1000000) // n AS term FROM m),
+      |a AS (SELECT sum(n) AS nn, count(*)::HUGEINT AS k,
+      |        sum(s) AS ss, sum(q) AS qq, sum(term) AS t FROM t),
+      |b AS (SELECT nn, k,
+      |        greatest(0::HUGEINT, t - (ss * ss * 1000000) // nn) AS ssb_micro,
+      |        qq * 1000000 - t AS ssw_micro FROM a)
+      |SELECT nn::BIGINT AS n, k::BIGINT AS k_types,
+      |  ssb_micro::BIGINT AS ssb_micro, ssw_micro::BIGINT AS ssw_micro,
+      |  CASE WHEN ssw_micro = 0 OR k < 2 OR nn <= k THEN 0.0
+      |       ELSE round((ssb_micro * (nn - k))::DOUBLE
+      |              / (ssw_micro * (k - 1))::DOUBLE, 6) END AS f_r
+      |FROM b""".stripMargin
 }

@@ -44,6 +44,22 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((0L, 3L, 5L, 1666666L), (1L, 0L, 0L, 0L)), got.toString)
   }
 
+  test("fertilitySweep: char baseline at k=0, non-increasing in k, constant word mass") {
+    val docs = Seq((0L, "aaab aaab ab"), (1L, "ab ab")).toDF("doc_id", "text")
+    // 5 words, 14 chars -> k=0 fertility = 14e6 div 5 = 2_800_000 ppm
+    val rows = Bpe.fertilitySweep(docs, Seq(0, 1, 2, 3))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L, 3L), "one row per requested k")
+    assert(rows.forall(_._2 == 5L), "merges never change word count")
+    assert(rows.head == ((0L, 5L, 14L, 2800000L)), rows.head.toString)
+    val ferts = rows.map(_._4)
+    assert(ferts.zip(ferts.tail).forall { case (a, b) => a >= b },
+      s"fertility must not increase with merges: $ferts")
+    // k=2 totals agree with applyTokenizer's corpus sum (2+2+1 per 'aaab
+    // aaab ab' + 1+1 for 'ab ab' = 7 pieces)
+    assert(rows(2)._3 == 7L, rows(2).toString)
+  }
+
   test("vocab: symbol segmentation is lossless (spaces removed == word)") {
     val docs = Seq((0L, "hello world hello")).toDF("doc_id", "text")
     val v = Bpe.vocab(docs)

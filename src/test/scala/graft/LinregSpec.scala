@@ -25,6 +25,30 @@ class LinregSpec extends SparkSpec {
     assert(out("flat") == ((3L, 0.0, 100.0)))
   }
 
+  test("anovaTypes: hand-checkable F on two balanced groups; equal means read F=0") {
+    // A = {0, 2} dollars (0, 200 cents), B = {4, 6} (400, 600): group
+    // means 100/500, grand 300 -> SSB = 2·200² + 2·200² = 160000 cents²,
+    // SSW = 4·100² = 40000 -> F = (160000/1) / (40000/2) = 8 exactly.
+    val df = Seq(("A", 0.0), ("A", 2.0), ("B", 4.0), ("B", 6.0))
+      .toDF("event_type", "value")
+    val r = Stats.anovaTypes(df).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 160000L * 1000000L, s"ssb_micro ${r.getLong(2)}")
+    assert(r.getLong(3) == 40000L * 1000000L, s"ssw_micro ${r.getLong(3)}")
+    assert(r.getDouble(4) == 8.0, s"F ${r.getDouble(4)}")
+
+    // identical group means: SSB truncation may leave a few negative
+    // µunits — the clamp pins 0, and F reads 0
+    val eq = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0))
+      .toDF("event_type", "value")
+    val r2 = Stats.anovaTypes(eq).collect().head
+    assert(r2.getLong(2) == 0L && r2.getDouble(4) == 0.0)
+
+    // degenerate: one group -> F defined as 0, never a division blowup
+    val one = Seq(("A", 1.0), ("A", 5.0)).toDF("event_type", "value")
+    assert(Stats.anovaTypes(one).collect().head.getDouble(4) == 0.0)
+  }
+
   test("linreg: mid-hour timestamps floor to their hour bucket") {
     // Two points in hours 0 and 1, each 30 min past the boundary — x must
     // floor to 0 and 1, giving slope = y1 - y0 exactly.
