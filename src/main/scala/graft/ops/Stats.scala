@@ -140,16 +140,21 @@ object Stats {
     * all?" — the k-group generalization of [[welchPairs]], the screen run
     * BEFORE k² pairwise tests). Exactness contract: per-type moments (n,
     * Σ, Σ²) accumulate exactly in DECIMAL over cents; each type's
-    * between-group term S_g²·10⁶ DIV n_g is per-group TRUNCATED integer
-    * micro-units (the [[chisqTypeHour]] trick — a double Σ S_g²/n_g would
-    * depend on partition/engine summation order), so both sums are exact:
-    * ssb_micro = Σ term_g − S²·10⁶ DIV N (clamped at 0: truncation can
-    * push an exactly-zero SSB a few µunits negative), ssw_micro = Q·10⁶ −
-    * Σ term_g (≥ 0 by construction: every term is truncated down). F is
-    * then ONE correctly-rounded double division of two exact DECIMAL
-    * products — bit-equal across engines at round(6). Headroom:
-    * S_g²·10⁶·N ≲ 10³⁸ holds to ~10¹⁰ events of 10⁶ cents. Scale shape:
-    * one hash aggregate over the corpus, one k-row re-aggregate.
+    * between-group term S_g² DIV n_g is per-group TRUNCATED to whole
+    * cents² (the [[chisqTypeHour]] trick — a double Σ S_g²/n_g would
+    * depend on partition/engine summation order; truncating at cents²
+    * rather than micro-units keeps every DIV result inside BIGINT —
+    * the µ-scaled variant overflowed at only ~10⁷ events of 10⁴-cent
+    * values, measured on the 10× replica — at the cost of ≤ 1 cents²
+    * truncation per group, noise against corpus-scale sums of squares
+    * and identical in both engines). ssb_c2 = Σ term_g − S² DIV N
+    * (clamped at 0: truncation can push an exactly-zero SSB slightly
+    * negative), ssw_c2 = Q − Σ term_g (≥ 0: terms truncate down). F is
+    * ONE correctly-rounded double division of exact integer products —
+    * bit-equal across engines at round(6). Headroom: S_g² ≲ 10³⁸ holds
+    * to ~10¹⁵ cent-mass per type; outputs fit BIGINT to ~10¹⁰ events.
+    * Scale shape: one hash aggregate over the corpus, one k-row
+    * re-aggregate.
     */
   def anovaTypes(events: DataFrame): DataFrame = {
     val m = events
@@ -159,20 +164,20 @@ object Stats {
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("y")).as("s"), sum(col("y") * col("y")).as("q"))
       .select(col("n"), col("s"), col("q"),
-        expr("(s * s * 1000000) DIV n").as("term"))
-    val f = (col("ssb_micro") * (col("nn") - col("k"))).cast("double") /
-      (col("ssw_micro") * (col("k") - 1)).cast("double")
+        expr("CAST((s * s) DIV n AS DECIMAL(38,0))").as("term"))
+    val f = (col("ssb_c2") * (col("nn") - col("k"))).cast("double") /
+      (col("ssw_c2") * (col("k") - 1)).cast("double")
     m.agg(sum(col("n")).as("nn"), count(lit(1)).cast("decimal(38,0)").as("k"),
         sum(col("s")).as("ss"), sum(col("q")).as("qq"),
         sum(col("term")).as("t"))
       .select(col("nn"), col("k"),
         greatest(lit(0L).cast("decimal(38,0)"),
-          col("t") - expr("(ss * ss * 1000000) DIV nn")).as("ssb_micro"),
-        (col("qq") * 1000000 - col("t")).as("ssw_micro"))
+          col("t") - expr("CAST((ss * ss) DIV nn AS DECIMAL(38,0))")).as("ssb_c2"),
+        (col("qq") - col("t")).as("ssw_c2"))
       .select(col("nn").cast("long").as("n"), col("k").cast("long").as("k_types"),
-        col("ssb_micro").cast("long").as("ssb_micro"),
-        col("ssw_micro").cast("long").as("ssw_micro"),
-        when(col("ssw_micro") === 0 || col("k") < 2 || col("nn") <= col("k"), 0.0)
+        col("ssb_c2").cast("long").as("ssb_c2"),
+        col("ssw_c2").cast("long").as("ssw_c2"),
+        when(col("ssw_c2") === 0 || col("k") < 2 || col("nn") <= col("k"), 0.0)
           .otherwise(round(f, 6)).as("f_r"))
   }
 
@@ -184,16 +189,16 @@ object Stats {
       |  sum(CAST(round(value * 100) AS HUGEINT)
       |      * CAST(round(value * 100) AS HUGEINT)) AS q
       |  FROM events GROUP BY 1),
-      |t AS (SELECT n, s, q, (s * s * 1000000) // n AS term FROM m),
+      |t AS (SELECT n, s, q, (s * s) // n AS term FROM m),
       |a AS (SELECT sum(n) AS nn, count(*)::HUGEINT AS k,
       |        sum(s) AS ss, sum(q) AS qq, sum(term) AS t FROM t),
       |b AS (SELECT nn, k,
-      |        greatest(0::HUGEINT, t - (ss * ss * 1000000) // nn) AS ssb_micro,
-      |        qq * 1000000 - t AS ssw_micro FROM a)
+      |        greatest(0::HUGEINT, t - (ss * ss) // nn) AS ssb_c2,
+      |        qq - t AS ssw_c2 FROM a)
       |SELECT nn::BIGINT AS n, k::BIGINT AS k_types,
-      |  ssb_micro::BIGINT AS ssb_micro, ssw_micro::BIGINT AS ssw_micro,
-      |  CASE WHEN ssw_micro = 0 OR k < 2 OR nn <= k THEN 0.0
-      |       ELSE round((ssb_micro * (nn - k))::DOUBLE
-      |              / (ssw_micro * (k - 1))::DOUBLE, 6) END AS f_r
+      |  ssb_c2::BIGINT AS ssb_c2, ssw_c2::BIGINT AS ssw_c2,
+      |  CASE WHEN ssw_c2 = 0 OR k < 2 OR nn <= k THEN 0.0
+      |       ELSE round((ssb_c2 * (nn - k))::DOUBLE
+      |              / (ssw_c2 * (k - 1))::DOUBLE, 6) END AS f_r
       |FROM b""".stripMargin
 }

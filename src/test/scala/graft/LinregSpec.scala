@@ -33,8 +33,8 @@ class LinregSpec extends SparkSpec {
       .toDF("event_type", "value")
     val r = Stats.anovaTypes(df).collect().head
     assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
-    assert(r.getLong(2) == 160000L * 1000000L, s"ssb_micro ${r.getLong(2)}")
-    assert(r.getLong(3) == 40000L * 1000000L, s"ssw_micro ${r.getLong(3)}")
+    assert(r.getLong(2) == 160000L, s"ssb_c2 ${r.getLong(2)}")
+    assert(r.getLong(3) == 40000L, s"ssw_c2 ${r.getLong(3)}")
     assert(r.getDouble(4) == 8.0, s"F ${r.getDouble(4)}")
 
     // identical group means: SSB truncation may leave a few negative
