@@ -3159,6 +3159,16 @@ object SparkEntry {
     "substring_scrub" -> ((s, d) =>
       graft.llm.Substring.scrub(docs(s, d), SubstrWinTok).orderBy("doc_id")),
 
+    // Content-defined chunk dedup: the shift-robust dedup granularity —
+    // boundaries fall where a TOKEN's hash lands in the cut class
+    // (phash % D == 0, the gear-CDC idea reduced to a per-token
+    // predicate), so an injected prefix shifts positions but moves no
+    // downstream boundary — the exact miss mode of aligned lines. ~tokens/D
+    // rows where substring postings pay tokens×1; min/max clamps are
+    // deliberately absent (they'd make boundaries a sequential fold).
+    "dedup_cdc" -> ((s, d) =>
+      graft.llm.Chunks.postings(docs(s, d)).orderBy("ch")),
+
     // CCNet stage-1 line-level dedup (Wenzek et al. 2019 §4.2): duplicated
     // ALIGNED-line postings across the corpus — the boilerplate
     // (menus/banners) detector run on everything BEFORE lang-id and
@@ -3997,6 +4007,43 @@ object SparkEntry {
         .select(expr("dt DIV nt").as("ece_ppm"))
       bins.drop("dev").crossJoin(broadcast(ece)) // 1-row summary
         .orderBy("bin")
+    }),
+
+    // Exact precision/recall curve of the proxy score against the Gopher
+    // gate (eval_auc's pair): one point per DISTINCT score threshold t —
+    // predict positive iff score ≥ t, tp/n_pred from cumulative sums over
+    // the DISTINCT-SCORE frame, which is value-bounded (score_ppm ∈
+    // [0, 10⁶]) so the partition-less cumulative window runs over ≤ 10⁶+1
+    // rows at ANY corpus size (the vocab_growth bounded-axis precedent).
+    // The curve is what picks the production threshold; AUC compresses it
+    // to one number, calibration bins it — this is the full object.
+    "eval_pr_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = graft.llm.Gopher.gates(docs(s, d))
+        .select(col("doc_id"),
+          when(col("gopher_pass"), 1L).otherwise(0L).as("label"))
+      val cells = docs(s, d)
+        .select(col("doc_id"), TA.qualityScore(col("text")).as("q"))
+        .select(col("doc_id"),
+          expr("CAST(round(q * 1000000) AS BIGINT)").as("score_ppm"))
+        .join(labels, Seq("doc_id"))
+        .groupBy("score_ppm")
+        .agg(sum(col("label")).as("pos"), count(lit(1)).as("cnt"))
+        .localCheckpoint() // bounded frame feeds the window AND the total
+      val w = Window.orderBy(col("score_ppm").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = cells.agg(sum("pos").as("p_all"))
+      cells
+        .withColumn("tp", sum("pos").over(w))
+        .withColumn("n_pred", sum("cnt").over(w))
+        .crossJoin(broadcast(tot)) // 1-row total
+        .select(col("score_ppm"), col("n_pred"), col("tp"),
+          expr("tp * 1000000 DIV n_pred").as("precision_ppm"), // n_pred ≥ 1
+          // one-class guard: no positives -> recall pinned 0 (Spark div
+          // NULLs on 0 where DuckDB // errors — the divergence registry)
+          when(col("p_all") === 0, 0L)
+            .otherwise(expr("tp * 1000000 DIV p_all")).as("recall_ppm"))
+        .orderBy(col("score_ppm").desc)
     }),
 
     // l-diversity audit: k-anonymity's complement — a cell can be large
@@ -6381,6 +6428,31 @@ object SparkEntry {
           |SELECT type_a, type_b, n_a, n_b,
           |  CASE WHEN se2 = 0 THEN 0.0 ELSE round(md / sqrt(se2), 6) END AS t_r
           |FROM p ORDER BY type_a, type_b""".stripMargin,
+
+      "eval_pr_curve" ->
+        s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
+           |t AS (SELECT doc_id, ${TA.sqlTokens("text")} AS toks FROM documents),
+           |s AS (SELECT t.doc_id,
+           |  CASE WHEN gg.gopher_pass THEN 1 ELSE 0 END AS label,
+           |  CAST(round(${TA.sqlQualityScore("toks")} * 1000000) AS BIGINT)
+           |    AS score_ppm
+           |  FROM t JOIN gg ON t.doc_id = gg.doc_id),
+           |c AS (SELECT score_ppm, sum(label)::BIGINT AS pos,
+           |        count(*)::BIGINT AS cnt FROM s GROUP BY 1),
+           |cum AS (SELECT score_ppm,
+           |  sum(pos) OVER (ORDER BY score_ppm DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+           |  sum(cnt) OVER (ORDER BY score_ppm DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_pred
+           |  FROM c),
+           |p AS (SELECT sum(pos)::BIGINT AS p_all FROM c)
+           |SELECT score_ppm, n_pred, tp,
+           |  (tp * 1000000 // n_pred)::BIGINT AS precision_ppm,
+           |  (CASE WHEN p_all = 0 THEN 0
+           |        ELSE tp * 1000000 // p_all END)::BIGINT AS recall_ppm
+           |FROM cum, p ORDER BY score_ppm DESC""".stripMargin,
+
+      "dedup_cdc" -> graft.llm.Chunks.sqlPostings,
 
       "eval_calibration" ->
         s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
