@@ -37,7 +37,11 @@ object BenchCorpus {
     GraftConf.ensure(spark)
 
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // SPARK_GRAFT_LINE_W > 0 enables the CCNet line-dedup stage (0.5) at
+    // that derived-line width — the BENCH_corpus_lines.json variant
+    val lineW = sys.env.getOrElse("SPARK_GRAFT_LINE_W", "0").toInt
     val cfg = CorpusPipeline.Config(
+      lineWidthTok = lineW,
       onStage = (name, sec) => stages.synchronized { stages(name) = sec })
 
     import org.apache.spark.sql.functions.col

@@ -17,6 +17,10 @@ import graft.expr.PortableHash
   *       exact-dedup on the canonical URL before any content hashing
   *       ([[Url.dedupUrlOn]] — the CCNet/FineWeb ordering: re-crawls die
   *       on a string groupBy, not on MinHash)                  [barrier]
+  *     → line dedup (stage 0.5, opt-in `lineWidthTok`): cross-doc
+  *       duplicated ALIGNED lines rewritten out ([[Lines.scrub]] — the
+  *       CCNet §4.2 paragraph-hash pass, run BEFORE quality gates which
+  *       boilerplate would otherwise poison)                   [barrier]
   *     → hygiene: PII redaction + quality/repetition gates + exact dedup
   *       keeper (`Scrub.cleanCorpus`)                        [barrier]
   *     → near-dup dedup: MinHash/LSH candidates, exact-jaccard verify,
@@ -57,10 +61,18 @@ object CorpusPipeline {
       urlCol: Option[String] = None,
       // 0 disables the span-scrub stage; ≥1 is the window length in tokens
       scrubWindowTok: Int = 16,
+      // 0 disables the CCNet line-dedup stage (stage 0.5, between URL
+      // dedup and hygiene — the CCNet §4.2 ordering: duplicated
+      // menus/banners are removed BEFORE quality scoring, which they
+      // would otherwise poison); ≥1 is the derived-line width in tokens
+      // (Lines.LineWidthTok is the convention). Off by default: the
+      // aligned-line granularity is a corpus-shape decision, and the
+      // pinned delta fixtures derive their verdicts from the span stage.
+      lineWidthTok: Int = 0,
       onStage: (String, Double) => Unit = (_, _) => ())
 
-  case class Result(urlKept: DataFrame, clean: DataFrame, deduped: DataFrame,
-                    scrubbed: DataFrame, mixed: DataFrame,
+  case class Result(urlKept: DataFrame, lineClean: DataFrame, clean: DataFrame,
+                    deduped: DataFrame, scrubbed: DataFrame, mixed: DataFrame,
                     shardSeqs: DataFrame, report: DataFrame)
 
   private def timed[T](cfg: Config, name: String)(body: => T): T = {
@@ -92,11 +104,29 @@ object CorpusPipeline {
       }
     }
 
+    // ---- stage 0.5: CCNet line dedup ---------------------------------
+    // Cross-doc duplicated ALIGNED lines (menus/banners) are rewritten
+    // out BEFORE quality gates (CCNet §4.2 ordering — boilerplate poisons
+    // quality scoring); docs scrubbed to zero lines drop.
+    val lineClean = timed(cfg, "line_dedup") {
+      if (cfg.lineWidthTok <= 0) urlKept
+      else {
+        val lc = Lines.scrub(urlKept, cfg.lineWidthTok)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text"))
+        barrier.materialize(spark,
+          urlKept.join(lc, Seq("doc_id"))
+            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
+          "corpus_lineclean")
+      }
+    }
+
     // ---- stage 1: hygiene --------------------------------------------
     val clean = timed(cfg, "hygiene") {
-      val verdicts = Scrub.cleanCorpus(urlKept, cfg.minQuality, cfg.maxTop2)
+      val verdicts = Scrub.cleanCorpus(lineClean, cfg.minQuality, cfg.maxTop2)
       barrier.materialize(spark,
-        urlKept.join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id")),
+        lineClean.join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id")),
         "corpus_clean")
     }
 
@@ -141,17 +171,18 @@ object CorpusPipeline {
     // these aggregates are cheap re-reads, never stage recomputes) ------
     val packed = shardSeqs
       .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
-      .select(lit(6).as("stage_idx"), lit("packed_seq_slices").as("stage"),
+      .select(lit(7).as("stage_idx"), lit("packed_seq_slices").as("stage"),
         col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val report = Seq(
       docStat(0, "input", docs), docStat(1, "url_kept", urlKept),
-      docStat(2, "clean", clean), docStat(3, "deduped", deduped),
-      docStat(4, "scrubbed", scrubbed), docStat(5, "mixed", mixed))
+      docStat(2, "line_clean", lineClean),
+      docStat(3, "clean", clean), docStat(4, "deduped", deduped),
+      docStat(5, "scrubbed", scrubbed), docStat(6, "mixed", mixed))
       .reduce(_ union _)
       .union(packed)
       .orderBy("stage_idx")
 
-    Result(urlKept, clean, deduped, scrubbed, mixed, shardSeqs, report)
+    Result(urlKept, lineClean, clean, deduped, scrubbed, mixed, shardSeqs, report)
   }
 
   /** Stages 3-4 — the CORPUS-GLOBAL tail of the pipeline (per-language
@@ -212,10 +243,10 @@ object CorpusPipeline {
     val (mixed, shardSeqs) = mixAndPack(spark, state.scrubbed, barrier, cfg)
     val packed = shardSeqs
       .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
-      .select(lit(6).as("stage_idx"), lit("packed_seq_slices").as("stage"),
+      .select(lit(7).as("stage_idx"), lit("packed_seq_slices").as("stage"),
         col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val report = Seq(
-      docStat(4, "scrubbed", state.scrubbed), docStat(5, "mixed", mixed))
+      docStat(5, "scrubbed", state.scrubbed), docStat(6, "mixed", mixed))
       .reduce(_ union _)
       .union(packed)
       .orderBy("stage_idx")
@@ -232,7 +263,8 @@ object CorpusPipeline {
     */
   case class DeltaResult(admitted: DataFrame, verdicts: DataFrame,
                          report: DataFrame, urlKept: DataFrame,
-                         clean: DataFrame, deduped: DataFrame)
+                         lineClean: DataFrame, clean: DataFrame,
+                         deduped: DataFrame)
 
   /** Incremental admission — the production daily-crawl shape: run a NEW
     * delta batch through the same gates as [[run]] against the FROZEN
@@ -252,11 +284,17 @@ object CorpusPipeline {
     *     the KEPT corpus canon set is exact — the url stage keeps a
     *     representative per raw canon group) and it is the min delta doc
     *     of its canon group.
+    *   - line dedup: [[Lines.scrubAgainst]] the frozen corpus line set
+    *     (lines of state.urlKept — the stage INPUT, mirroring the span
+    *     stage's pre-stage convention). Corpus line verdicts are
+    *     D-independent (a corpus doc is min-id against any delta copy,
+    *     so it owns and keeps), hence the frozen index is exact.
     *   - hygiene: per-doc gates are corpus-independent; the union exact
     *     keeper is the min id per REDACTED fingerprint over the union
-    *     hygiene INPUT, so the probe side is the corpus urlKept frame
-    *     (a quality-REJECTED corpus doc still blocks an identical delta
-    *     doc, exactly as in the union run).
+    *     hygiene INPUT (= lineClean when the line stage is on, = urlKept
+    *     otherwise — state.lineClean aliases urlKept then), so the probe
+    *     side is state.lineClean (a quality-REJECTED corpus doc still
+    *     blocks an identical delta doc, exactly as in the union run).
     *   - near-dup: ONE signature pass over corpus-clean ∪ delta-clean
     *     (at production scale the persisted signatureIndex replaces the
     *     corpus side); all candidate pairs touching the delta are
@@ -304,19 +342,45 @@ object CorpusPipeline {
       }
     }
 
+    // ---- stage 0.5: line dedup vs frozen corpus lines ----------------
+    // Ownership mirrors the union run under monotonic ids: a batch line
+    // present in the corpus's line-stage INPUT is always non-owner (the
+    // corpus carrier keeps its copy and is never rewritten — corpus line
+    // verdicts are D-independent because a corpus doc is min-id against
+    // any delta copy); index = lines of state.urlKept (pre-line-scrub),
+    // the Substring.scrubAgainst pre-stage convention.
+    val lineClean = timed(cfg, "line_dedup") {
+      if (cfg.lineWidthTok <= 0) urlKept
+      else {
+        val idxLh = Lines.lineFrame(state.urlKept, cfg.lineWidthTok).select("lh")
+        val lc = Lines.scrubAgainst(urlKept, idxLh, cfg.lineWidthTok)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text"))
+        barrier.materialize(spark,
+          urlKept.join(lc, Seq("doc_id"))
+            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
+          "delta_lineclean")
+      }
+    }
+
     // ---- stage 1: hygiene + frozen-corpus exact probe ----------------
+    // probe side = corpus lineClean: the union run's exact keeper is the
+    // min id per redacted fingerprint over the HYGIENE INPUT, which with
+    // the line stage on is lineClean(C ∪ D) — and = urlKept when off
+    // (lineClean aliases urlKept then, so this is one unconditional rule)
     val clean = timed(cfg, "hygiene") {
-      val corpusFps = state.urlKept
+      val corpusFps = state.lineClean
         .select(Dedup.fingerprint(Scrub.redact(col("text"))).as("fp"))
         .distinct()
-      val verdicts = Scrub.cleanCorpus(urlKept, cfg.minQuality, cfg.maxTop2)
-      val known = urlKept
+      val verdicts = Scrub.cleanCorpus(lineClean, cfg.minQuality, cfg.maxTop2)
+      val known = lineClean
         .select(col("doc_id"),
           Dedup.fingerprint(Scrub.redact(col("text"))).as("fp"))
         .join(corpusFps, Seq("fp"), "left_semi")
         .select("doc_id")
       barrier.materialize(spark,
-        urlKept
+        lineClean
           .join(verdicts.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
           .join(known, Seq("doc_id"), "left_anti"),
         "delta_clean")
@@ -377,23 +441,26 @@ object CorpusPipeline {
       df.select(col("doc_id")).withColumn(name, lit(true))
     val verdicts = delta.select(col("doc_id"))
       .join(has(urlKept, "url_ok"), Seq("doc_id"), "left")
+      .join(has(lineClean, "line_ok"), Seq("doc_id"), "left")
       .join(has(clean, "clean_ok"), Seq("doc_id"), "left")
       .join(has(deduped, "dedup_ok"), Seq("doc_id"), "left")
       .join(has(scrubbed, "scrub_ok"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("url_ok").isNull, "url_dup")
+          .when(col("line_ok").isNull, "line_empty")
           .when(col("clean_ok").isNull, "hygiene")
           .when(col("dedup_ok").isNull, "neardup")
           .when(col("scrub_ok").isNull, "scrubbed_empty")
           .as("dropped_at"))
     val report = Seq(
       docStat(0, "delta_input", delta), docStat(1, "url_kept", urlKept),
-      docStat(2, "clean", clean), docStat(3, "deduped", deduped),
-      docStat(4, "scrubbed", scrubbed))
+      docStat(2, "line_clean", lineClean),
+      docStat(3, "clean", clean), docStat(4, "deduped", deduped),
+      docStat(5, "scrubbed", scrubbed))
       .reduce(_ union _)
       .orderBy("stage_idx")
 
-    DeltaResult(scrubbed, verdicts, report, urlKept, clean, deduped)
+    DeltaResult(scrubbed, verdicts, report, urlKept, lineClean, clean, deduped)
   }
 
   /** Fold an admitted delta into the frozen corpus state, producing the
@@ -433,10 +500,11 @@ object CorpusPipeline {
     */
   def mergeDelta(state: Result, d: DeltaResult): Result =
     state.copy(
-      urlKept  = state.urlKept.unionByName(d.urlKept),
-      clean    = state.clean.unionByName(d.clean),
-      deduped  = state.deduped.unionByName(d.deduped),
-      scrubbed = state.scrubbed.unionByName(d.admitted))
+      urlKept   = state.urlKept.unionByName(d.urlKept),
+      lineClean = state.lineClean.unionByName(d.lineClean),
+      clean     = state.clean.unionByName(d.clean),
+      deduped   = state.deduped.unionByName(d.deduped),
+      scrubbed  = state.scrubbed.unionByName(d.admitted))
 
   /** Re-materialize the four probe-state frames through `barrier`,
     * collapsing a k-way scan-union back to one scan each (see
@@ -445,8 +513,9 @@ object CorpusPipeline {
   def compactState(spark: SparkSession, state: Result, barrier: Barrier,
                    prefix: String): Result =
     state.copy(
-      urlKept  = barrier.materialize(spark, state.urlKept, s"${prefix}_url"),
-      clean    = barrier.materialize(spark, state.clean, s"${prefix}_clean"),
-      deduped  = barrier.materialize(spark, state.deduped, s"${prefix}_dedup"),
-      scrubbed = barrier.materialize(spark, state.scrubbed, s"${prefix}_scrubbed"))
+      urlKept   = barrier.materialize(spark, state.urlKept, s"${prefix}_url"),
+      lineClean = barrier.materialize(spark, state.lineClean, s"${prefix}_lineclean"),
+      clean     = barrier.materialize(spark, state.clean, s"${prefix}_clean"),
+      deduped   = barrier.materialize(spark, state.deduped, s"${prefix}_dedup"),
+      scrubbed  = barrier.materialize(spark, state.scrubbed, s"${prefix}_scrubbed"))
 }

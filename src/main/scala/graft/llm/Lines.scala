@@ -104,8 +104,40 @@ object Lines {
       .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
       .filter(col("nd") >= 2)
       .select("lh", "owner")
-    val rem = lf.join(own, Seq("lh")).filter(col("doc_id") =!= col("owner"))
+    rebuild(docs,
+      lf.join(own, Seq("lh")).filter(col("doc_id") =!= col("owner"))
+        .select(col("doc_id"), col("line_no")), w)
+  }
+
+  /** [[scrub]] of a NEW batch against a FROZEN corpus line set (`indexLh`:
+    * a `lh` column — [[lineFrame]] of the corpus's line-stage INPUT,
+    * reduced to DISTINCT here). Ownership mirrors the union-run scrub
+    * under monotonic doc ids: a batch line present in the corpus is
+    * always non-owner (the corpus carrier is the min id and keeps its
+    * copy — which it already has, so the corpus is never rewritten);
+    * lines absent from the corpus fall back to keep-one within the batch.
+    * The [[Substring.scrubAgainst]] contract at line granularity; batch
+    * cost is linear plus one distinct-reduce probe of the index.
+    */
+  def scrubAgainst(newDocs: DataFrame, indexLh: DataFrame,
+                   w: Int = LineWidthTok): DataFrame = {
+    val lf = lineFrame(newDocs, w).localCheckpoint()
+    val inIdx = indexLh.select(col("lh")).distinct()
+      .withColumn("in_idx", lit(true))
+    val own = lf.groupBy("lh")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+    val marked = lf.join(inIdx, Seq("lh"), "left").join(own, Seq("lh"))
+      .filter(coalesce(col("in_idx"), lit(false)) ||
+        (col("nd") >= 2 && col("doc_id") =!= col("owner")))
       .select(col("doc_id"), col("line_no"))
+    rebuild(newDocs, marked, w)
+  }
+
+  /** Rebuild every doc minus the `(doc_id, line_no)` removal rows —
+    * shared by [[scrub]] and [[scrubAgainst]].
+    */
+  private def rebuild(docs: DataFrame, remLines: DataFrame, w: Int): DataFrame = {
+    val rem = remLines
       .distinct() // a doc repeating a foreign line yields one removal per line_no
       .groupBy("doc_id")
       .agg(collect_list(col("line_no")).as("rem")) // set semantics only:

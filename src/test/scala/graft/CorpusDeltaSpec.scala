@@ -106,6 +106,48 @@ class CorpusDeltaSpec extends SparkSpec {
       "the union run must leave the (bridge-free) corpus side unchanged")
   }
 
+  // ---- line-dedup stage (lineWidthTok on) -------------------------------
+
+  test("line stage: admitDelta == run(C ∪ D) at line granularity; corpus lines frozen") {
+    val banner = uniq("banner", 10) // exactly one 10-token derived line
+    val dsh = uniq("dsh", 10)
+    def lc = Seq( // corpus: 1 owns the banner line, 2 is clean
+      (1L, banner + " " + uniq("cone", 30), ""),
+      (2L, uniq("ctwo", 40), ""))
+    def ld = Seq(
+      (201L, banner + " " + uniq("done", 30), ""), // banner owned by corpus -> stripped
+      (202L, banner, ""),                          // only line removed -> line_empty
+      (203L, dsh + " " + uniq("dthree", 30), ""),  // within-delta owner keeps
+      (204L, dsh + " " + uniq("dfour", 30), ""),   // within-delta loser stripped
+      (205L, uniq("dfive", 40), ""))               // untouched
+    val lcfg = CorpusPipeline.Config(lineWidthTok = graft.llm.Lines.LineWidthTok)
+    val cState = CorpusPipeline.run(spark, toDf(lc),
+      MapPipeline.PathBarrier(tmp("cl_c")), lcfg)
+    val d = CorpusPipeline.admitDelta(spark, cState, toDf(ld),
+      MapPipeline.PathBarrier(tmp("cl_d")), lcfg)
+    val v = d.verdicts.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("admitted")).toMap
+    assert(v == Map(201L -> "admitted", 202L -> "line_empty",
+      203L -> "admitted", 204L -> "admitted", 205L -> "admitted"), s"$v")
+    val texts = d.admitted.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(201L) == uniq("done", 30), "corpus-owned banner line stripped")
+    assert(texts(203L) == dsh + " " + uniq("dthree", 30), "delta owner keeps its line")
+    assert(texts(204L) == uniq("dfour", 30), "delta loser loses the shared line")
+    assert(texts(205L) == uniq("dfive", 40), "clean doc untouched")
+    // union-run parity, both sides
+    val full = CorpusPipeline.run(spark, toDf(lc).unionByName(toDf(ld)),
+      MapPipeline.PathBarrier(tmp("cl_f")), lcfg)
+    def rows(df: DataFrame) = df
+      .select("doc_id", "text").collect().map(_.toSeq).toSet
+    assert(rows(full.scrubbed.filter(col("doc_id") >= 201L)) == rows(d.admitted))
+    assert(rows(full.scrubbed.filter(col("doc_id") < 201L)) ==
+      rows(cState.scrubbed), "corpus line verdicts must be delta-independent")
+    // the owner keeps the banner: no content is globally lost
+    val corpusTexts = cState.scrubbed.select("text").collect().map(_.getString(0))
+    assert(corpusTexts.exists(_.startsWith(banner)), "owner copy survives")
+  }
+
   // ---- chained admission (DocStream.CorpusAdmitter / mergeDelta) --------
 
   private def oneShot: (Map[Long, String], Map[Long, String]) = {
