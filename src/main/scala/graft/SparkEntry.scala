@@ -2675,6 +2675,38 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // Temperature sweep: mix_temperature's whole α grid from ONE token
+    // aggregate — the knob-choosing report (α = 0 is the uniform planner,
+    // 1 is proportional, 1/4 and 1/2 the standard multilingual middles).
+    // Every weight is exact cross-engine: α ∈ {0, 1} are identities, 1/2
+    // is one IEEE sqrt, 1/4 is sqrt∘sqrt (correctly-rounded composition).
+    // |langs|×4 rows after the one corpus pass — nothing corpus-sized
+    // downstream.
+    "mix_temperature_sweep" -> ((s, d) => {
+      val t = docs(s, d).select(col("lang"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+      val agg = t.groupBy("lang").agg(sum("n_tok").as("n_tokens"))
+        .localCheckpoint() // |langs| rows; the α explode + totals read it
+      val e = agg.select(col("lang"), col("n_tokens"),
+          explode(typedlit(MixAlphaPpms)).as("alpha_ppm"))
+        .withColumn("w",
+          when(col("alpha_ppm") === 0L, lit(1L))
+            .when(col("alpha_ppm") === 250000L,
+              floor(sqrt(sqrt(col("n_tokens").cast("double") * 1e12))).cast("long"))
+            .when(col("alpha_ppm") === 500000L,
+              floor(sqrt(col("n_tokens").cast("double") * 1e6)).cast("long"))
+            .otherwise(col("n_tokens")))
+      val tot = e.groupBy("alpha_ppm")
+        .agg(sum("w").as("sum_w"), sum("n_tokens").as("tot"))
+      e.join(broadcast(tot), Seq("alpha_ppm")) // 4-row totals
+        .select(col("alpha_ppm"), col("lang"), col("n_tokens"), col("w"),
+          expr("(w * 1000000) div sum_w").as("share_ppm"),
+          least(lit(1000000L),
+            expr("(((w * tot) div sum_w) * 1000000) div n_tokens"))
+            .as("rate_ppm"))
+        .orderBy("alpha_ppm", "lang")
+    }),
+
     // Data-constrained epoch planning (the "how many epochs is each
     // source worth" step after mix_temperature): a token budget of
     // EpochBudgetX × corpus allocates per-language targets by the same
@@ -3966,6 +3998,29 @@ object SparkEntry {
       graft.ops.Bfs.layerHistogram(canon, sources, maxHops = 4)
     }),
 
+    // Bounded-radius harmonic centrality of the 4 smallest recall seeds
+    // over the co-purchase graph — "how central is this part within 4
+    // hops", the disconnected-safe centrality (unreachable nodes score 0
+    // instead of degenerating closeness). One multi-source-TAGGED BFS:
+    // the frontier carries the seed id, so k seeds cost one distributed
+    // join per round, never k driver BFS runs; the seed cap and radius
+    // are the contract (graft.ops.Bfs.harmonic).
+    "graph_closeness" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint()
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+        .localCheckpoint()
+      val sources = Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(997L)) === 0)
+        .select(col("p_partkey").as("node"))
+        .orderBy("node").limit(ClosenessSeeds) // k-bounded seed contract
+      graft.ops.Bfs.harmonic(canon, sources, maxHops = 4)
+    }),
+
     // Top-k most-similar customer pairs by neighborhood Jaccard over the
     // customer→part purchase relation (witness = part), hub witnesses
     // excluded (the quadratic cell) — see graft.ops.Jaccard for the cap
@@ -4668,6 +4723,16 @@ object SparkEntry {
 
   /** `bpe_sweep` merge-count prefixes (0 = character baseline). */
   private val BpeSweepKs = Seq(0, 1, 3, BpeMergeRounds)
+
+  /** `graph_closeness` seed cap (the per-source BFS is k × edges/round). */
+  private val ClosenessSeeds = 4
+
+  /** `mix_temperature_sweep` α grid in ppm — each exactly computable
+    * cross-engine (1 and 0 are identities; 1/2 is one IEEE sqrt; 1/4 is
+    * sqrt∘sqrt, a composition of correctly-rounded ops both engines
+    * evaluate identically).
+    */
+  private val MixAlphaPpms = Seq(0L, 250000L, 500000L, 1000000L)
 
   /** Boilerplate-flag parameters, shared by the query and its oracle:
     * 5-gram shingles, boilerplate = in ≥2 docs, drop docs ≥30% exposed.
@@ -5990,6 +6055,27 @@ object SparkEntry {
            |  least(1000000, (((w * tot) // sum_w) * 1000000) // n_tokens) AS rate_ppm
            |FROM w, tt ORDER BY 1""".stripMargin,
 
+      "mix_temperature_sweep" ->
+        s"""WITH t AS (SELECT lang, len(${graft.llm.TextAnalysis.sqlTokens("text")})::BIGINT AS n_tok
+           |  FROM documents),
+           |a AS (SELECT lang, sum(n_tok)::BIGINT AS n_tokens FROM t GROUP BY 1),
+           |al(alpha_ppm) AS (VALUES ${MixAlphaPpms.map(a => s"(${a}::BIGINT)").mkString(", ")}),
+           |w AS (SELECT al.alpha_ppm, a.lang, a.n_tokens,
+           |  CASE WHEN al.alpha_ppm = 0 THEN 1
+           |       WHEN al.alpha_ppm = 250000
+           |         THEN floor(sqrt(sqrt(a.n_tokens::DOUBLE * 1e12)))::BIGINT
+           |       WHEN al.alpha_ppm = 500000
+           |         THEN floor(sqrt(a.n_tokens::DOUBLE * 1e6))::BIGINT
+           |       ELSE a.n_tokens END AS w
+           |  FROM a CROSS JOIN al),
+           |tt AS (SELECT alpha_ppm, sum(w)::BIGINT AS sum_w,
+           |         sum(n_tokens)::BIGINT AS tot FROM w GROUP BY 1)
+           |SELECT w.alpha_ppm, w.lang, w.n_tokens, w.w,
+           |  (w.w * 1000000) // tt.sum_w AS share_ppm,
+           |  least(1000000, (((w.w * tt.tot) // tt.sum_w) * 1000000) // w.n_tokens)
+           |    AS rate_ppm
+           |FROM w JOIN tt USING (alpha_ppm) ORDER BY 1, 2""".stripMargin,
+
       "domain_caps" -> {
         val host = graft.llm.Url.sqlCanonicalHost(graft.llm.Url.sqlSyntheticUrl)
         s"""WITH h AS (SELECT doc_id,
@@ -6611,6 +6697,15 @@ object SparkEntry {
            |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
            |src AS (SELECT p_partkey AS node FROM part WHERE p_partkey % 997 = 0),
            |${graft.ops.Bfs.sqlLayerHistogram(4)}""".stripMargin,
+
+      "graph_closeness" ->
+        s"""WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+           |  l_partkey AS pk FROM lineitem),
+           |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+           |src AS (SELECT p_partkey AS node FROM part
+           |        WHERE p_partkey % 997 = 0 ORDER BY 1 LIMIT $ClosenessSeeds),
+           |${graft.ops.Bfs.sqlHarmonic(4)}""".stripMargin,
 
       "graph_jaccard" -> graft.ops.Jaccard.sqlSimilarPairs(),
 
