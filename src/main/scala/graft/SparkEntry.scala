@@ -3210,6 +3210,16 @@ object SparkEntry {
     "line_dedup" -> ((s, d) =>
       graft.llm.Lines.postings(docs(s, d)).orderBy("lh")),
 
+    // Incremental line admission: the NEW batch's aligned lines probe the
+    // EXISTING corpus's distinct line set — the stage-0.5 ingest score,
+    // linear in the batch at tokens/w rows (substring_incremental's
+    // contract at the cheap granularity; the incremental-family member
+    // for llm.Lines).
+    "line_incremental" -> ((s, d) =>
+      graft.llm.Lines.incremental(docs(s, d),
+          pmod(col("doc_id"), lit(10)) === 9)
+        .orderBy("doc_id")),
+
     // CCNet's drop step as an emitter: every doc rebuilt with its
     // cross-doc duplicated lines removed (keep-one ownership, min-id doc
     // keeps its copy). Line mass conserved (n_kept + n_removed = n_lines);
@@ -6318,6 +6328,9 @@ object SparkEntry {
       "coreset_assign" -> graft.llm.Coreset.sqlAssign(),
 
       "line_scrub" -> graft.llm.Lines.sqlScrub(),
+
+      "line_incremental" ->
+        graft.llm.Lines.sqlIncremental("doc_id % 10 = 9"),
 
       "corpus_divergence" -> graft.llm.Divergence.sqlPairwiseTV,
 

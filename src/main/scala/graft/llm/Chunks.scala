@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,28 @@ object Chunks {
         min(col("n_tok")).as("n_tok"),
         min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") >= 2)
+
+  /** The doc's chunk hashes as ONE per-row array — [[chunkFrame]] without
+    * the per-doc window (windows are stateful and append-illegal on a
+    * stream; the [[graft.llm.Winnow]] `fingerprintsRowwise` split).
+    * Interpreted HOF per row, acceptable on the ingest path where each
+    * doc is touched once. Equality with [[chunkFrame]]'s per-doc multiset
+    * is pinned in ChunksSpec.
+    */
+  def chunkHashesRowwise(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    // cut AFTER token i (a trailing cut at the last token closes the final
+    // chunk and opens nothing — excluded, mirroring chunkFrame's grouping)
+    val cuts = filter(sequence(lit(0), n - 1),
+      i => pmod(PortableHash.phashSeed(CutSeed,
+        element_at(toks, i + 1)), lit(D.toLong)) === 0 && i < n - 1)
+    val starts = concat(array(lit(0)), transform(cuts, c => c + 1))
+    val ends = concat(cuts, array(n - 1))
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(zip_with(starts, ends, (s, e) =>
+        md5(array_join(slice(toks, s + 1, e - s + 1), " ").cast("binary"))))
+  }
 
   // ------------------------------------------------------------- oracles
 

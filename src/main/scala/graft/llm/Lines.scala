@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CCNet-style line-level (paragraph-level) cross-corpus deduplication
@@ -162,6 +162,32 @@ object Lines {
           " ").as("clean_text"))
   }
 
+  /** Incremental line admission: per NEW doc (`isNew`), how many of its
+    * aligned lines the EXISTING corpus already carries — the stage-0.5
+    * ingest score ([[Substring.incremental]]'s contract at line
+    * granularity, at tokens/w the rows). The old side reduces to DISTINCT
+    * line hashes (Zipf-bounded) before the join; batch cost is linear.
+    */
+  def incremental(docs: DataFrame, isNew: Column,
+                  w: Int = LineWidthTok): DataFrame = {
+    val oldSet = lineFrame(docs.filter(!isNew), w)
+      .select("lh").distinct()
+      .select(col("lh"), lit(1L).as("hit"))
+    val perDoc = lineFrame(docs.filter(isNew), w)
+      .join(oldSet, Seq("lh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.filter(isNew).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("hit_ppm",
+        when(col("n_lines") === 0, 0L)
+          .otherwise(expr("(n_hit * 1000000) div n_lines")))
+  }
+
   // ------------------------------------------------------------- oracles
 
   /** DuckDB mirror of [[lineFrame]] as a CTE body (named `lns`). */
@@ -183,6 +209,32 @@ object Lines {
        |  count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS min_doc
        |FROM lns GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
        |ORDER BY lh""".stripMargin
+
+  /** DuckDB mirror of [[incremental]]. `isNewE`: SQL predicate over the
+    * documents columns.
+    */
+  def sqlIncremental(isNewE: String, w: Int = LineWidthTok): String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks, ($isNewE) AS isn FROM documents),
+       |f AS (SELECT doc_id, toks, isn FROM t WHERE len(toks) > 0),
+       |p AS (SELECT doc_id, toks, isn,
+       |        unnest(range((len(toks) + ${w - 1}) // $w)) AS line_no FROM f),
+       |lns AS (SELECT doc_id, isn,
+       |  md5(array_to_string(toks[(line_no * $w + 1)::INT : (line_no * $w + $w)::INT], ' ')) AS lh
+       |  FROM p),
+       |olds AS (SELECT DISTINCT lh FROM lns WHERE NOT isn),
+       |pd AS (SELECT lns.doc_id, count(*)::BIGINT AS n_lines,
+       |         sum(CASE WHEN olds.lh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+       |       FROM lns LEFT JOIN olds ON lns.lh = olds.lh
+       |       WHERE lns.isn GROUP BY 1)
+       |SELECT d.doc_id AS doc_id, coalesce(pd.n_lines, 0)::BIGINT AS n_lines,
+       |  coalesce(pd.n_hit, 0)::BIGINT AS n_hit,
+       |  (CASE WHEN coalesce(pd.n_lines, 0) = 0 THEN 0
+       |        ELSE (pd.n_hit * 1000000) // pd.n_lines END)::BIGINT AS hit_ppm
+       |FROM (SELECT doc_id FROM documents WHERE $isNewE) d
+       |LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[scrub]]: the same ownership index, kept lines
     * re-sliced from the token list and re-joined in line order.

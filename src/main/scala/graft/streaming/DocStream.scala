@@ -160,6 +160,26 @@ object DocStream {
       .select(col("doc_id"), col("near_id"), col("fp"))
   }
 
+  /** Streaming CDC-chunk probe — [[graft.llm.Chunks]]' postings join half
+    * as a stream: each incoming doc's content-defined chunk hashes
+    * (computed ROWWISE — the per-doc prefix-sum window of `chunkFrame` is
+    * stateful and append-illegal, the winnowProbe split) probe the static
+    * corpus's DISTINCT chunk set — the shift-robust re-crawl detector at
+    * ingest ([[lineProbe]] misses offset copies by design). Emits one
+    * `(doc_id, ch)` row per corpus-known chunk; per-doc scoring stays
+    * batch-side (foreachBatch). Batch parity pinned in StreamingSpec.
+    */
+  def cdcProbe(newDocs: DataFrame, index: DataFrame,
+               cp: graft.ops.Checkpointer = graft.ops.Checkpointer.Local): DataFrame = {
+    import graft.llm.Chunks
+    val oldSet = cp.cut(Chunks.chunkFrame(index).select("ch").distinct())
+    newDocs
+      .select(col("doc_id"),
+        explode(Chunks.chunkHashesRowwise(col("text"))).as("ch"))
+      .join(oldSet, Seq("ch"))
+      .select(col("doc_id"), col("ch"))
+  }
+
   /** Streaming DSIR scoring probe — [[graft.llm.Dsir]]'s apply half
     * against a FROZEN corpus-trained ratio table: each micro-batch's docs
     * score without touching the corpus (the ratio table is

@@ -48,6 +48,19 @@ class ChunksSpec extends SparkSpec {
     assert((la intersect lb).size < la.size, "line view should break under shift")
   }
 
+  test("chunkHashesRowwise == chunkFrame per-doc multiset (the streaming split)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fromFrame = Chunks.chunkFrame(docs)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("ch"))).as("hs"))
+    val fromRow = docs
+      .select(col("doc_id"), sort_array(Chunks.chunkHashesRowwise(col("text"))).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val diff = fromFrame.as("a").join(fromRow.as("b"), Seq("doc_id"))
+      .filter(col("a.hs") =!= col("b.hs")).count()
+    assert(diff == 0, s"$diff docs diverge between rowwise and frame chunking")
+    assert(fromFrame.count() == fromRow.count())
+  }
+
   test("postings: cross-doc chunks only, owner = min doc; the spectrum story holds on the fixture") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val posts = Chunks.postings(docs).collect()

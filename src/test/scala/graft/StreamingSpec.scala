@@ -673,6 +673,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming cdcProbe matches the batch chunk-hit join; shift-robust where lineProbe misses") {
+    implicit val sql = spark.sqlContext
+    def w(range: Range, p: String) = range.map(i => s"$p$i").mkString(" ")
+    val body = w(1 to 40, "o")
+    val index = Seq((1L, body)).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (9L, body),                                // verbatim re-crawl
+      (19L, "inject one two three " + body),     // shifted re-crawl
+      (29L, w(1 to 20, "n")))                    // novel
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStream.cdcProbe(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("cdcprobe")
+      .outputMode("append").start()
+    try {
+      in.addData(arrivals: _*); q.processAllAvailable()
+      val streamed = spark.table("cdcprobe")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = graft.llm.Chunks.chunkFrame(arrivals.toDF("doc_id", "text"))
+        .join(graft.llm.Chunks.chunkFrame(index).select("ch").distinct(), Seq("ch"))
+        .select(col("doc_id"), col("ch"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch, s"$streamed != $batch")
+      assert(streamed.exists(_._1 == 9L), "verbatim re-crawl hits")
+      assert(streamed.exists(_._1 == 19L),
+        "SHIFTED re-crawl still hits at chunk granularity")
+      assert(!streamed.exists(_._1 == 29L), "novel doc misses")
+    } finally q.stop()
+  }
+
   test("streaming gapfill: silent hours emit zero rows via the event-time timer") {
     implicit val s = spark
     implicit val sql = spark.sqlContext
