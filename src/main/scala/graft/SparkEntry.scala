@@ -1982,6 +1982,17 @@ object SparkEntry {
           buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))
         .orderBy("bucket", "seq", "doc_id")),
 
+    // Attention-mask sidecar for the packed sequences: per (bucket, seq)
+    // the ordered within-sequence doc boundaries (s_start:len:doc_id) a
+    // training loader uses to BLOCK cross-document attention — the
+    // packing papers' document masking, shipped as metadata next to the
+    // payload. Group payload bounded by seqLen slices (the payloads
+    // argument).
+    "pack_boundaries" -> ((s, d) =>
+      graft.llm.Pack.boundaries(docs(s, d),
+          buckets = graft.llm.Pack.autoBuckets(docs(s, d).count()))
+        .orderBy("bucket", "seq")),
+
     // Incremental corpus update: the NEW batch (doc_id % 10 == 9) probes the
     // EXISTING index on exact fingerprints + LSH bands — linear in the
     // batch, never re-clustering the corpus.
@@ -5865,6 +5876,8 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin,
 
       "pack_sequences" -> graft.llm.Pack.sqlSequences(),
+
+      "pack_boundaries" -> graft.llm.Pack.sqlBoundaries(),
 
       "dedup_incremental" -> sqlIncremental(e => s"(($e % 10) = 9)",
         shingleSize = 3, numPerms = 16, numBands = 4, thr = 0.5),

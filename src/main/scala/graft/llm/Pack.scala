@@ -57,7 +57,15 @@ object Pack {
     pmod(PortableHash.phash(concat(lit("pack:"), docId.cast("string"))), lit(buckets))
 
   def sequences(docs: DataFrame, seqLen: Int = SeqLen,
-                buckets: Int = Buckets): DataFrame = {
+                buckets: Int = Buckets): DataFrame =
+    slices(docs, seqLen, buckets)
+      .select("bucket", "seq", "doc_id", "tok_start", "tok_len")
+
+  /** The slice chain shared by [[sequences]] and [[boundaries]]:
+    * additionally carries `s_start`, the slice's offset WITHIN its
+    * sequence (what an attention mask is written in).
+    */
+  private def slices(docs: DataFrame, seqLen: Int, buckets: Int): DataFrame = {
     require(seqLen > 0 && (seqLen & (seqLen - 1)) == 0, "seqLen must be a power of two")
     val base = docs
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
@@ -79,8 +87,30 @@ object Pack {
       .withColumn("o_end", least(col("end_off"), (col("seq") + 1) * seqLen))
       .select(col("bucket"), col("seq"), col("doc_id"),
         (col("o_start") - col("start_off")).as("tok_start"),
-        (col("o_end") - col("o_start")).as("tok_len"))
+        (col("o_end") - col("o_start")).as("tok_len"),
+        (col("o_start") - col("seq") * seqLen).as("s_start"))
   }
+
+  /** Attention-mask boundary metadata per packed sequence — the sidecar a
+    * training loader needs to BLOCK cross-document attention inside a
+    * packed window (the packing papers' "document masking"): per (bucket,
+    * seq), the doc count, filled token count, and the ordered boundary
+    * list `s_start:len:doc_id` (offsets WITHIN the sequence). The group
+    * payload is ≤ seqLen slices by construction, so the sorted-collect is
+    * bounded like [[payloads]]'.
+    */
+  def boundaries(docs: DataFrame, seqLen: Int = SeqLen,
+                 buckets: Int = Buckets): DataFrame =
+    slices(docs, seqLen, buckets)
+      .groupBy("bucket", "seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_len")).as("n_tok"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("s_start"), col("tok_len"), col("doc_id")))),
+            s => concat_ws(":", s.getField("s_start"), s.getField("tok_len"),
+              s.getField("doc_id"))),
+          ",").as("boundaries"))
 
   /** Shared oracle CTE body: `pk` = (bucket, seq, doc_id, tok_start,
     * tok_len), the [[sequences]] output.
@@ -117,6 +147,24 @@ object Pack {
     s"""WITH ${sqlPackCtes(seqLen, bucketsE)}
        |SELECT bucket, seq, doc_id, tok_start, tok_len FROM pk
        |ORDER BY bucket, seq, doc_id""".stripMargin
+
+  /** DuckDB mirror of [[boundaries]]: `pk` extended with the within-seq
+    * offset, aggregated in slice order.
+    */
+  def sqlBoundaries(seqLen: Int = SeqLen, bucketsE: String = sqlAutoBuckets): String =
+    s"""WITH ${sqlPackCtes(seqLen, bucketsE)},
+       |pb AS (
+       |  SELECT bucket, seq, doc_id,
+       |         (least(end_off, (seq + 1) * $seqLen)
+       |           - greatest(start_off, seq * $seqLen))::BIGINT AS tok_len,
+       |         (greatest(start_off, seq * $seqLen) - seq * $seqLen)::BIGINT AS s_start
+       |  FROM x
+       |)
+       |SELECT bucket, seq, count(*)::BIGINT AS n_docs,
+       |  sum(tok_len)::BIGINT AS n_tok,
+       |  string_agg(s_start::VARCHAR || ':' || tok_len::VARCHAR || ':' || doc_id::VARCHAR,
+       |             ',' ORDER BY s_start, tok_len, doc_id) AS boundaries
+       |FROM pb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Materialized packed sequences: for each (bucket, seq), the actual
     * token payload — doc slices concatenated in pack order — plus doc and

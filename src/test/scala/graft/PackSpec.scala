@@ -28,6 +28,33 @@ class PackSpec extends SparkSpec {
     ))
   }
 
+  test("boundaries: within-seq offsets tile each sequence exactly, in doc order") {
+    val docs = Seq(
+      (10L, "a b c"), (11L, "d e f"), (12L, "g h i j")
+    ).toDF("doc_id", "text")
+    val out = Pack.boundaries(docs, seqLen = 4, buckets = 1)
+      .orderBy("seq").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 4L, "0:3:10,3:1:11"), // doc 10 then doc 11's head
+      (1L, 2L, 4L, "0:2:11,2:2:12"), // doc 11's tail then doc 12's head
+      (2L, 1L, 2L, "0:2:12")         // the ragged final window
+    ), out.toSeq.toString)
+    // tiling invariant on the real fixture: slices are contiguous from 0
+    // and sum to n_tok within every sequence
+    val fx = Pack.boundaries(Tables.documents(spark, "/root/testdata/sf0.001"),
+      seqLen = 64, buckets = 4).collect()
+    fx.foreach { r =>
+      val parts = r.getString(4).split(",").map(_.split(":").map(_.toLong))
+      var off = 0L
+      parts.foreach { case Array(s, len, _) =>
+        assert(s == off, s"gap at $off in ${r.getString(4)}"); off += len
+      }
+      assert(off == r.getLong(3), "boundary lens sum to the filled count")
+      assert(parts.length == r.getLong(2).toInt)
+    }
+  }
+
   test("token mass is conserved and every sequence but the last is full") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Pack.sequences(docs, seqLen = 64, buckets = 4).cache()
