@@ -2621,8 +2621,11 @@ object SparkEntry {
         .select(col("lang"), col("n_tokens"), col("w"),
           expr("(w * 1000000) div sum_w").as("share_ppm"),
           expr("(w * tot) div sum_w").as("target_tokens"),
-          least(lit(1000000L),
-            expr("(((w * tot) div sum_w) * 1000000) div n_tokens"))
+          // zero-token language: no rate to compute — pin 0 (Spark div
+          // NULLs on 0 where DuckDB // errors; review finding, round 8)
+          when(col("n_tokens") === 0L, 0L)
+            .otherwise(least(lit(1000000L),
+              expr("(((w * tot) div sum_w) * 1000000) div n_tokens")))
             .as("rate_ppm"))
         .orderBy("lang")
     }),
@@ -2712,8 +2715,12 @@ object SparkEntry {
       e.join(broadcast(tot), Seq("alpha_ppm")) // 4-row totals
         .select(col("alpha_ppm"), col("lang"), col("n_tokens"), col("w"),
           expr("(w * 1000000) div sum_w").as("share_ppm"),
-          least(lit(1000000L),
-            expr("(((w * tot) div sum_w) * 1000000) div n_tokens"))
+          // zero-token language guard: Spark div NULLs where DuckDB //
+          // errors (the engine-divergence registry); an empty language
+          // needs no sampling rate -> pin 0
+          when(col("n_tokens") === 0L, 0L)
+            .otherwise(least(lit(1000000L),
+              expr("(((w * tot) div sum_w) * 1000000) div n_tokens")))
             .as("rate_ppm"))
         .orderBy("alpha_ppm", "lang")
     }),
@@ -6075,7 +6082,9 @@ object SparkEntry {
            |SELECT lang, n_tokens, w,
            |  (w * 1000000) // sum_w AS share_ppm,
            |  (w * tot) // sum_w AS target_tokens,
-           |  least(1000000, (((w * tot) // sum_w) * 1000000) // n_tokens) AS rate_ppm
+           |  CASE WHEN n_tokens = 0 THEN 0 ELSE
+           |    least(1000000, (((w * tot) // sum_w) * 1000000) // n_tokens)
+           |  END AS rate_ppm
            |FROM w, tt ORDER BY 1""".stripMargin,
 
       "mix_temperature_sweep" ->
@@ -6095,8 +6104,9 @@ object SparkEntry {
            |         sum(n_tokens)::BIGINT AS tot FROM w GROUP BY 1)
            |SELECT w.alpha_ppm, w.lang, w.n_tokens, w.w,
            |  (w.w * 1000000) // tt.sum_w AS share_ppm,
-           |  least(1000000, (((w.w * tt.tot) // tt.sum_w) * 1000000) // w.n_tokens)
-           |    AS rate_ppm
+           |  CASE WHEN w.n_tokens = 0 THEN 0 ELSE
+           |    least(1000000, (((w.w * tt.tot) // tt.sum_w) * 1000000) // w.n_tokens)
+           |  END AS rate_ppm
            |FROM w JOIN tt USING (alpha_ppm) ORDER BY 1, 2""".stripMargin,
 
       "domain_caps" -> {

@@ -125,8 +125,9 @@ object Bpe {
     * word count once; everything after is vocabulary-sized.
     */
   def fertilitySweep(docs: DataFrame, ks: Seq[Int]): DataFrame = {
-    require(ks.nonEmpty && ks == ks.sorted && ks.head >= 0,
-      s"ks must be ascending non-negative, got $ks")
+    require(ks.nonEmpty && ks == ks.sorted && ks.head >= 0 &&
+        ks.distinct == ks, // dup prefixes would emit once here, twice in SQL
+      s"ks must be strictly ascending non-negative, got $ks")
     var v = vocab(docs).localCheckpoint()
     def totals(k: Int, vk: DataFrame): DataFrame =
       vk.select(col("freq"),

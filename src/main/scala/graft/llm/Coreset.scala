@@ -83,7 +83,12 @@ object Coreset {
     val embq = emb.select(col("vec_id"), Quantizer.quantize(col("embedding")).as("ei"))
     def fetch(id: Long): Array[Long] =
       embq.filter(col("vec_id") === id).collect().head.getSeq[Long](1).toArray
-    val first = emb.agg(min("vec_id")).collect().head.getLong(0)
+    // fail loudly, not with an NPE, on an empty corpus (review finding):
+    // min() over zero rows is a NULL aggregate
+    val firstRow = emb.agg(min("vec_id")).collect().head
+    require(!firstRow.isNullAt(0),
+      "k-center selection needs at least one embedding row")
+    val first = firstRow.getLong(0)
     var ids = Vector(first)
     var centers = Vector(fetch(first))
     val out = Vector.newBuilder[(Long, Long, Long)]
@@ -91,6 +96,10 @@ object Coreset {
       val m = nearest(emb, centers.toArray)
         .agg(max(struct(col("d2"), (-col("vec_id")).as("nv"))).as("m"))
         .select(col("m.d2"), col("m.nv")).collect().head
+      // all-malformed corpora leave nearest() empty -> a NULL struct-max
+      require(!m.isNullAt(0),
+        "k-center selection needs at least one WELL-FORMED vector " +
+          s"(dim ${Quantizer.Dim}, no null elements)")
       val coverage = m.getLong(0)
       val witness = -m.getLong(1)
       out += ((r.toLong, ids(r - 1), coverage))

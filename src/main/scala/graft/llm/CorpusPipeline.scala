@@ -82,6 +82,20 @@ object CorpusPipeline {
     r
   }
 
+  /** Rebuild a text-rewriting stage's frame PRESERVING every caller
+    * column (review finding: the fixed 5-column select silently dropped
+    * e.g. the urlCol column when a rewrite stage was enabled, changing
+    * Result field shapes with an unrelated config knob): all columns but
+    * text/n_chars carry through; those two are re-derived from the
+    * rewritten text.
+    */
+  private def rewriteText(src: DataFrame, cleaned: DataFrame): DataFrame = {
+    val keep = src.columns.filterNot(c => c == "text" || c == "n_chars").map(col)
+    src.join(cleaned, Seq("doc_id"))
+      .select(keep :+ col("clean_text").as("text") :+
+        length(col("clean_text")).cast("long").as("n_chars"): _*)
+  }
+
   private def docStat(stage: Int, name: String, df: DataFrame): DataFrame =
     df.agg(count(lit(1)).as("n_docs"),
         sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens"))
@@ -114,11 +128,7 @@ object CorpusPipeline {
         val lc = Lines.scrub(urlKept, cfg.lineWidthTok)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text"))
-        barrier.materialize(spark,
-          urlKept.join(lc, Seq("doc_id"))
-            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
-              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
-          "corpus_lineclean")
+        barrier.materialize(spark, rewriteText(urlKept, lc), "corpus_lineclean")
       }
     }
 
@@ -156,11 +166,7 @@ object CorpusPipeline {
         val sc = Substring.scrub(deduped, cfg.scrubWindowTok)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text"))
-        barrier.materialize(spark,
-          deduped.join(sc, Seq("doc_id"))
-            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
-              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
-          "corpus_scrubbed")
+        barrier.materialize(spark, rewriteText(deduped, sc), "corpus_scrubbed")
       }
     }
 
@@ -356,11 +362,7 @@ object CorpusPipeline {
         val lc = Lines.scrubAgainst(urlKept, idxLh, cfg.lineWidthTok)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text"))
-        barrier.materialize(spark,
-          urlKept.join(lc, Seq("doc_id"))
-            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
-              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
-          "delta_lineclean")
+        barrier.materialize(spark, rewriteText(urlKept, lc), "delta_lineclean")
       }
     }
 
@@ -428,11 +430,7 @@ object CorpusPipeline {
         val sc = Substring.scrubAgainst(deduped, idxWh, cfg.scrubWindowTok)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text"))
-        barrier.materialize(spark,
-          deduped.join(sc, Seq("doc_id"))
-            .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
-              col("source"), length(col("clean_text")).cast("long").as("n_chars")),
-          "delta_scrubbed")
+        barrier.materialize(spark, rewriteText(deduped, sc), "delta_scrubbed")
       }
     }
 

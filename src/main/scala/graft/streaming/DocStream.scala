@@ -166,7 +166,9 @@ object DocStream {
     * stateful and append-illegal, the winnowProbe split) probe the static
     * corpus's DISTINCT chunk set — the shift-robust re-crawl detector at
     * ingest ([[lineProbe]] misses offset copies by design). Emits one
-    * `(doc_id, ch)` row per corpus-known chunk; per-doc scoring stays
+    * `(doc_id, ch)` row per corpus-known chunk OCCURRENCE — a doc
+    * repeating a known chunk emits it once per repeat, so containment
+    * scorers count DISTINCT ch per doc; per-doc scoring stays
     * batch-side (foreachBatch). Batch parity pinned in StreamingSpec.
     */
   def cdcProbe(newDocs: DataFrame, index: DataFrame,

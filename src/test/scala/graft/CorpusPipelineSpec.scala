@@ -61,6 +61,24 @@ class CorpusPipelineSpec extends SparkSpec {
       s"canonical re-crawls must collapse to the min doc: $kept")
   }
 
+  test("rewrite stages preserve caller columns: url survives line scrub + span scrub") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"a$i").mkString(" "), "en", "web", 0L, "https://site.com/a"),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" "), "en", "web", 0L, "https://site.com/b"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "url")
+    val dir = java.nio.file.Files.createTempDirectory("corpus_cols").toString
+    val res = CorpusPipeline.run(spark, docs, MapPipeline.PathBarrier(dir),
+      CorpusPipeline.Config(urlCol = Some("url"),
+        lineWidthTok = graft.llm.Lines.LineWidthTok))
+    // the review finding: enabling a rewrite stage must not change the
+    // column shape of downstream Result fields
+    Seq(res.lineClean, res.clean, res.deduped, res.scrubbed).foreach { f =>
+      assert(f.columns.contains("url"), s"url dropped from ${f.columns.toSeq}")
+    }
+    assert(res.scrubbed.select("url").distinct().count() >= 1)
+  }
+
   test("no verified near-dup pair survives the dedup stage") {
     val res = runOnce()
     val surviving = Dedup.verifiedJaccard(res.deduped, 3, 16, 4)
