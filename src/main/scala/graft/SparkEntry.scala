@@ -3209,6 +3209,40 @@ object SparkEntry {
     "substring_scrub" -> ((s, d) =>
       graft.llm.Substring.scrub(docs(s, d), SubstrWinTok).orderBy("doc_id")),
 
+    // The duplication dashboard: all four dedup granularities measured
+    // side by side — whole docs (exact fingerprint), ALIGNED lines,
+    // stride-1 rolling windows, content-defined chunks — as
+    // (granularity, n_units, n_dup_units, dup_ppm) rows. The number a
+    // curation run reads FIRST: which granularity carries this corpus's
+    // duplication decides which (and how expensive a) dedup pass to run.
+    // Four independent count-only aggregates over one corpus; each is the
+    // corresponding family key's posture, nothing new materializes.
+    "dedup_spectrum" -> ((s, d) => {
+      val dd = docs(s, d)
+      def row(g: String, units: org.apache.spark.sql.DataFrame) =
+        units.agg(sum("n").as("n_units"),
+            sum(when(col("nd") >= 2, col("n")).otherwise(0L)).as("n_dup"))
+          .select(lit(g).as("granularity"),
+            coalesce(col("n_units"), lit(0L)).as("n_units"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_units"),
+            when(coalesce(col("n_units"), lit(0L)) === 0, 0L)
+              .otherwise(expr("n_dup * 1000000 div n_units")).as("dup_ppm"))
+      val byDoc = dd.select(Dedup.fingerprint(col("text")).as("h"), col("doc_id"))
+      val docU = byDoc.groupBy("h")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+      val lineU = graft.llm.Lines.lineFrame(dd).groupBy("lh")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+      val winU = graft.llm.Substring.windowFrame(dd, SubstrWinTok).groupBy("wh")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+      val chkU = graft.llm.Chunks.chunkFrame(dd).groupBy("ch")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+      row("1_document", docU)
+        .union(row("2_line", lineU))
+        .union(row("3_window16", winU))
+        .union(row("4_chunk", chkU))
+        .orderBy("granularity")
+    }),
+
     // Content-defined chunk dedup: the shift-robust dedup granularity —
     // boundaries fall where a TOKEN's hash lands in the cut class
     // (phash % D == 0, the gear-CDC idea reduced to a per-token
@@ -6575,6 +6609,36 @@ object SparkEntry {
            |FROM cum, p ORDER BY score_ppm DESC""".stripMargin,
 
       "dedup_cdc" -> graft.llm.Chunks.sqlPostings,
+
+      "dedup_spectrum" -> {
+        // nested WITHs: sqlLineCte / sqlWindowCte / sqlChunkCte each
+        // define their own t/f/p helper CTEs, so they live in separate
+        // derived-table scopes (the sqlFertility nested-WITH precedent)
+        def row(g: String, unitQ: String, hCol: String) =
+          s"""SELECT '$g' AS granularity,
+             |  coalesce(sum(n), 0)::BIGINT AS n_units,
+             |  coalesce(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END), 0)::BIGINT AS n_dup_units,
+             |  (CASE WHEN coalesce(sum(n), 0) = 0 THEN 0
+             |        ELSE sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) * 1000000 // sum(n)
+             |   END)::BIGINT AS dup_ppm
+             |FROM (SELECT $hCol, count(*)::BIGINT AS n,
+             |        count(DISTINCT doc_id)::BIGINT AS nd
+             |      FROM ($unitQ) GROUP BY 1)""".stripMargin
+        val docQ =
+          s"SELECT doc_id, md5(${TA.sqlNormText("text")}) AS h FROM documents"
+        val lineQ =
+          s"WITH ${graft.llm.Lines.sqlLineCte()} SELECT doc_id, lh FROM lns"
+        val winQ =
+          s"WITH ${graft.llm.Substring.sqlWindowCte(SubstrWinTok)} SELECT doc_id, wh FROM wins"
+        val chkQ =
+          s"WITH ${graft.llm.Chunks.sqlChunkCte} SELECT doc_id, ch, n_tok FROM chks"
+        // chunk units are occurrences: chks is one row per (doc, chunk)
+        s"""${row("1_document", docQ, "h")}
+           |UNION ALL ${row("2_line", lineQ, "lh")}
+           |UNION ALL ${row("3_window16", winQ, "wh")}
+           |UNION ALL ${row("4_chunk", chkQ, "ch")}
+           |ORDER BY granularity""".stripMargin
+      },
 
       "eval_calibration" ->
         s"""WITH gg AS (${graft.llm.Gopher.sqlGates.replace("ORDER BY doc_id", "")}),
