@@ -3323,6 +3323,39 @@ object SparkEntry {
     // sizes vocabularies and spots templated sources (head ≈ 1e6 = generated
     // text). Grouped rank runs on GlobalRank's distributed 3-pass shape, so
     // no source funnels its vocab through one task.
+    // Incremental tokenizer health: the NEW batch's out-of-vocabulary
+    // word rate against the EXISTING corpus vocabulary — the first drift
+    // alarm a tokenizer deployment watches (rising OOV on a domain slice
+    // means the vocab under-serves new data; the batch side of
+    // vocab_growth's saturation curve). Corpus side reduces to the
+    // DISTINCT Zipf-bounded word set before the join; batch-linear.
+    // Fixture decoration (the pii_redact/text_normalize precedent): the
+    // closed synthetic vocabulary makes every batch word known, so half
+    // the batch (doc_id % 20 == 9) carries one planted doc-unique token —
+    // both engines synthesize it identically, and the mixed fixture
+    // exercises zero AND nonzero OOV rows.
+    "vocab_oov" -> ((s, d) => {
+      val isNew = pmod(col("doc_id"), lit(10)) === 9
+      val decorated = when(pmod(col("doc_id"), lit(20)) === 9,
+        concat(col("text"), lit(" novel"), col("doc_id").cast("string")))
+        .otherwise(col("text"))
+      val known = docs(s, d).filter(!isNew)
+        .select(explode(TA.tokens(col("text"))).as("word"))
+        .distinct()
+        .withColumn("known", lit(true))
+      docs(s, d).filter(isNew)
+        .select(col("doc_id"), explode_outer(TA.tokens(decorated)).as("word"))
+        .join(known, Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("word")).as("n_words"),
+          sum(when(col("word").isNotNull && col("known").isNull, 1L)
+            .otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm",
+          when(col("n_words") === 0, 0L)
+            .otherwise(expr("(n_oov * 1000000) div n_words")))
+        .orderBy("doc_id")
+    }),
+
     "vocab_coverage" -> ((s, d) => {
       import s.implicits._
       val cnt = docs(s, d)
@@ -6328,6 +6361,27 @@ object SparkEntry {
       "pack_fill" -> graft.llm.Pack.sqlFillStats(),
 
       "pack_sweep" -> graft.llm.Pack.sqlSweep(),
+
+      "vocab_oov" -> {
+        val toks = TA.sqlTokens("text")
+        val deco = "(CASE WHEN doc_id % 20 = 9 THEN text || ' novel' || doc_id::VARCHAR ELSE text END)"
+        val dtoks = TA.sqlTokens(deco)
+        s"""WITH known AS (SELECT DISTINCT unnest($toks) AS word
+           |  FROM documents WHERE doc_id % 10 <> 9),
+           |bw AS (SELECT doc_id, unnest($dtoks) AS word
+           |  FROM documents WHERE doc_id % 10 = 9),
+           |pd AS (SELECT bw.doc_id, count(*)::BIGINT AS n_words,
+           |         sum(CASE WHEN known.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+           |       FROM bw LEFT JOIN known ON bw.word = known.word
+           |       GROUP BY 1)
+           |SELECT d.doc_id AS doc_id, coalesce(pd.n_words, 0)::BIGINT AS n_words,
+           |  coalesce(pd.n_oov, 0)::BIGINT AS n_oov,
+           |  (CASE WHEN coalesce(pd.n_words, 0) = 0 THEN 0
+           |        ELSE (pd.n_oov * 1000000) // pd.n_words END)::BIGINT AS oov_ppm
+           |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+           |LEFT JOIN pd ON d.doc_id = pd.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      },
 
       "vocab_coverage" ->
         s"""WITH i AS (SELECT source, unnest($toks) AS tok FROM documents),
