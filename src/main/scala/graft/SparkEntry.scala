@@ -3878,6 +3878,12 @@ object SparkEntry {
     // double division (graft.ops.Stats.anovaTypes).
     "stats_anova" -> ((s, d) => graft.ops.Stats.anovaTypes(events(s, d))),
 
+    // Kruskal-Wallis H — stats_anova's rank-based twin for heavy-tailed
+    // values: tie-averaged ranks on the distributed prefix sum, the
+    // tie-corrected H folded to ONE exact-decimal division
+    // (graft.ops.Stats.kruskalTypes).
+    "stats_kruskal" -> ((s, d) => graft.ops.Stats.kruskalTypes(events(s, d))),
+
     // Pearson chi-square independence of event_type x hour-of-day (exact
     // integer chi-square-micro with per-cell truncation so the sum is
     // partition-order-free; graft.ops.Stats.chisqTypeHour).
@@ -6067,6 +6073,8 @@ object SparkEntry {
       "bpe_sweep" -> graft.llm.Bpe.sqlFertilitySweep(BpeSweepKs),
 
       "stats_anova" -> graft.ops.Stats.sqlAnovaTypes,
+
+      "stats_kruskal" -> graft.ops.Stats.sqlKruskalTypes,
 
       "corpus_shuffle" ->
         s"""SELECT doc_id, row_number() OVER (

@@ -181,6 +181,76 @@ object Stats {
           .otherwise(round(f, 6)).as("f_r"))
   }
 
+  /** Kruskal–Wallis H across event types — [[anovaTypes]]'s rank-based
+    * (nonparametric) twin, the k-group screen for heavy-tailed values
+    * where the mean-based F is itself dragged by outliers. Exactness:
+    * tie-averaged ranks ride the eval_auc device (2·r̄ = lo + hi is an
+    * integer; lo/hi come from the DISTRIBUTED prefix sum over the
+    * distinct-value frame — `GlobalRank.withGlobalPrefixSum`, never a
+    * partition-less window), per-type terms S₂²DIV n are per-group
+    * truncated integers (the [[anovaTypes]] rule), and the tie-corrected
+    * H folds algebraically to ONE final division:
+    *   H' = 3(N−1)·(ΣT − N(N+1)²) / (N³ − N − Σ(t³−t)),
+    * with T_g = S₂_g² DIV n_g and S₂_g = Σ 2r̄ over the group — both
+    * sides exact DECIMAL until the rounded double division. Guards: one
+    * type, or every value tied (denominator 0), pin H = 0. Headroom:
+    * S₂² ≲ 4N⁴ holds in DECIMAL(38) to ~3·10⁹ events per run. Scale
+    * shape: one (value, type) hash agg, the distributed prefix sum over
+    * distinct values, one k-row re-aggregate.
+    */
+  def kruskalTypes(events: DataFrame): DataFrame = {
+    val tc = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("c", "event_type").agg(count(lit(1)).as("n_tc"))
+      .localCheckpoint() // feeds the value counts AND the per-type sums
+    val vc = tc.groupBy("c").agg(sum(col("n_tc")).as("cnt"))
+    // lo = cum − cnt + 1, hi = cum → 2·r̄ = lo + hi = 2·cum − cnt + 1
+    val ranked = GlobalRank
+      .withGlobalPrefixSum(vc, "c", Seq.empty, "cnt", buckets = 32, out = "cum")
+      .select(col("c"),
+        (col("cum") * 2 - col("cnt") + 1).cast("decimal(38,0)").as("two_rbar"))
+    val g = tc.join(ranked, Seq("c"))
+      .groupBy("event_type")
+      .agg(sum(col("n_tc")).cast("decimal(38,0)").as("n"),
+        sum(col("n_tc").cast("decimal(38,0)") * col("two_rbar")).as("s2"))
+      .select(col("n"), expr("CAST((s2 * s2) DIV n AS DECIMAL(38,0))").as("t"))
+    val ties = vc.agg(coalesce(
+      sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")),
+      lit(0L).cast("decimal(38,0)")).as("tie"))
+    val denom = (col("nn") * col("nn") * col("nn") - col("nn") - col("tie"))
+    val h = (lit(3) * (col("nn") - 1) *
+      (col("tt") - col("nn") * (col("nn") + 1) * (col("nn") + 1))).cast("double") /
+      denom.cast("double")
+    g.agg(sum(col("n")).as("nn"), count(lit(1)).cast("decimal(38,0)").as("k"),
+        sum(col("t")).as("tt"))
+      .crossJoin(broadcast(ties)) // 1-row tie mass
+      .select(col("nn").cast("long").as("n"), col("k").cast("long").as("k_types"),
+        when(col("k") < 2 || denom <= 0, 0.0)
+          .otherwise(round(h, 6)).as("h_r"))
+  }
+
+  /** DuckDB mirror of [[kruskalTypes]]. */
+  def sqlKruskalTypes: String =
+    """WITH e AS (SELECT event_type,
+      |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |tc AS (SELECT c, event_type, count(*)::HUGEINT AS n_tc FROM e GROUP BY 1, 2),
+      |vc AS (SELECT c, sum(n_tc) AS cnt FROM tc GROUP BY 1),
+      |r AS (SELECT c,
+      |  2 * sum(cnt) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS two_rbar
+      |  FROM vc),
+      |g AS (SELECT tc.event_type, sum(tc.n_tc) AS n,
+      |        sum(tc.n_tc * r.two_rbar) AS s2
+      |      FROM tc JOIN r USING (c) GROUP BY 1),
+      |t AS (SELECT n, (s2 * s2) // n AS t FROM g),
+      |a AS (SELECT sum(n) AS nn, count(*)::HUGEINT AS k, sum(t) AS tt FROM t),
+      |tie AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0) AS x FROM vc)
+      |SELECT nn::BIGINT AS n, k::BIGINT AS k_types,
+      |  CASE WHEN k < 2 OR (nn * nn * nn - nn - x) <= 0 THEN 0.0
+      |       ELSE round((3 * (nn - 1) * (tt - nn * (nn + 1) * (nn + 1)))::DOUBLE
+      |              / (nn * nn * nn - nn - x)::DOUBLE, 6) END AS h_r
+      |FROM a, tie""".stripMargin
+
   /** DuckDB mirror of [[anovaTypes]]. */
   def sqlAnovaTypes: String =
     """WITH m AS (SELECT event_type,

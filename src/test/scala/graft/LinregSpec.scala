@@ -49,6 +49,27 @@ class LinregSpec extends SparkSpec {
     assert(Stats.anovaTypes(one).collect().head.getDouble(4) == 0.0)
   }
 
+  test("kruskalTypes: hand-checkable H; symmetric ties read 0; all-tied guard") {
+    // A = {1, 2}, B = {3, 4} dollars, no ties: ranks 1..4, R_A = 3,
+    // R_B = 7 -> H = 12/(4·5)·(9/2 + 49/2) − 3·5 = 17.4 − 15 = 2.4.
+    val df = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("event_type", "value")
+    val r = Stats.kruskalTypes(df).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.4, s"H ${r.getDouble(2)}")
+
+    // identical rank distributions across groups: H = 0 exactly, and the
+    // tie correction (two pairs of ties) must not blow the denominator
+    val sym = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 2.0))
+      .toDF("event_type", "value")
+    assert(Stats.kruskalTypes(sym).collect().head.getDouble(2) == 0.0)
+
+    // every value identical: N³−N == Σ(t³−t) -> denominator 0 -> pinned 0
+    val tied = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0))
+      .toDF("event_type", "value")
+    assert(Stats.kruskalTypes(tied).collect().head.getDouble(2) == 0.0)
+  }
+
   test("linreg: mid-hour timestamps floor to their hour bucket") {
     // Two points in hours 0 and 1, each 30 min past the boundary — x must
     // floor to 0 and 1, giving slope = y1 - y0 exactly.
