@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as compact JSON. Two sbt behaviors break that: forked-run output is logged
+// with an "[info] " prefix, and sbt appends a "[success] Total time ..."
+// footer after the run. Pass forked output through raw and suppress the
+// footer so the JSON line Bench prints last is genuinely last and unprefixed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,11 +58,18 @@ object Bpe {
         .localCheckpoint() // one argmax job per round, read twice below
       val row = tp.select(lit(r).as("rank"), col("pair"), col("pair_freq"))
       out = if (out == null) row else out.union(row)
-      v = v.crossJoin(broadcast(tp.select("pair", "m")))
-        .select(trim(expr(
-          "replace(' ' || w || ' ', ' ' || pair || ' ', ' ' || m || ' ')")).as("w"),
-          col("freq"))
-        .localCheckpoint()
+      // Merge exhaustion (advice finding, round 8): once every word is a
+      // single symbol the top-pair frame is EMPTY, and a crossJoin against
+      // it would silently wipe the vocab. Freeze the segmentation instead
+      // (the SQL mirror's v$r falls back to v$(r-1) the same way); the
+      // merge table just stops growing — parity in both engines.
+      if (!tp.isEmpty) {
+        v = v.crossJoin(broadcast(tp.select("pair", "m")))
+          .select(trim(expr(
+            "replace(' ' || w || ' ', ' ' || pair || ' ', ' ' || m || ' ')")).as("w"),
+            col("freq"))
+          .localCheckpoint()
+      }
     }
     (out, v)
   }
@@ -141,11 +148,16 @@ object Bpe {
       val tp = topPair(v)
         .withColumn("m", regexp_replace(col("pair"), " ", ""))
         .localCheckpoint()
-      v = v.crossJoin(broadcast(tp.select("pair", "m")))
-        .select(trim(expr(
-          "replace(' ' || w || ' ', ' ' || pair || ' ', ' ' || m || ' ')")).as("w"),
-          col("freq"))
-        .localCheckpoint()
+      // merge exhaustion: freeze the segmentation once the top-pair frame
+      // is empty (see train()) — later prefix rows repeat the final vocab
+      // totals instead of emitting NULLs from a wiped frame
+      if (!tp.isEmpty) {
+        v = v.crossJoin(broadcast(tp.select("pair", "m")))
+          .select(trim(expr(
+            "replace(' ' || w || ' ', ' ' || pair || ' ', ' ' || m || ' ')")).as("w"),
+            col("freq"))
+          .localCheckpoint()
+      }
       if (ks.contains(r)) rows += totals(r, v)
     }
     rows.reduce(_ union _)
@@ -205,7 +217,10 @@ object Bpe {
            |v$r AS (
            |  SELECT trim(replace(' ' || w || ' ', ' ' || p$r.pair || ' ',
            |           ' ' || replace(p$r.pair, ' ', '') || ' ')) AS w, freq
-           |  FROM $prev, p$r)""".stripMargin)
+           |  FROM $prev, p$r
+           |  UNION ALL
+           |  SELECT w, freq FROM $prev
+           |  WHERE NOT EXISTS (SELECT 1 FROM p$r))""".stripMargin)
     }
     sb.toString
   }

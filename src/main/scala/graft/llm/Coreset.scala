@@ -46,6 +46,17 @@ object Coreset {
   private def qf: Column =
     transform(Quantizer.quantize(col("embedding")), x => x.cast("float"))
 
+  /** Well-formedness, matching [[KMeansAssign]]'s NULL contract exactly
+    * (non-null, dim [[Quantizer.Dim]], no null element). The first-center
+    * pick and the oracle's `eq` CTE both apply it so that a malformed
+    * min-id row can neither NPE `fetch(first)` nor leave the oracle
+    * counting rows Spark's `nearest()` drops (advice finding, round 8).
+    */
+  private def wellFormed: Column =
+    col("embedding").isNotNull &&
+      size(col("embedding")) === Quantizer.Dim &&
+      forall(col("embedding"), x => x.isNotNull)
+
   /** (vec_id, cid, d2) of every vector against `centers` (selection order
     * = cid): nearest center by exact integer squared-L2, ties toward the
     * earlier-selected center ([[KMeansAssign]]'s strict-< argmin).
@@ -83,11 +94,12 @@ object Coreset {
     val embq = emb.select(col("vec_id"), Quantizer.quantize(col("embedding")).as("ei"))
     def fetch(id: Long): Array[Long] =
       embq.filter(col("vec_id") === id).collect().head.getSeq[Long](1).toArray
-    // fail loudly, not with an NPE, on an empty corpus (review finding):
-    // min() over zero rows is a NULL aggregate
-    val firstRow = emb.agg(min("vec_id")).collect().head
+    // fail loudly, not with an NPE, on an empty/all-malformed corpus
+    // (review finding): min() over zero rows is a NULL aggregate. The min
+    // ranges over WELL-FORMED rows only — the same frame nearest() scores.
+    val firstRow = emb.filter(wellFormed).agg(min("vec_id")).collect().head
     require(!firstRow.isNullAt(0),
-      "k-center selection needs at least one embedding row")
+      "k-center selection needs at least one well-formed embedding row")
     val first = firstRow.getLong(0)
     var ids = Vector(first)
     var centers = Vector(fetch(first))
@@ -156,7 +168,10 @@ object Coreset {
   private def sqlRoundCtes(k: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""eq AS (SELECT vec_id, ${Quantizer.sqlQuantize("embedding")} AS ei
-              |       FROM embeddings),
+              |       FROM embeddings
+              |       WHERE embedding IS NOT NULL
+              |         AND len(embedding) = ${Quantizer.Dim}
+              |         AND list_aggregate(embedding, 'count') = ${Quantizer.Dim}),
               |k1 AS (SELECT vec_id, ei FROM eq
               |       WHERE vec_id = (SELECT min(vec_id) FROM eq)),
               |m1 AS (SELECT eq.vec_id, ${d2("eq.ei", "k1.ei")} AS d FROM eq, k1)""".stripMargin

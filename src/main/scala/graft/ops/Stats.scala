@@ -225,8 +225,18 @@ object Stats {
         sum(col("t")).as("tt"))
       .crossJoin(broadcast(ties)) // 1-row tie mass
       .select(col("nn").cast("long").as("n"), col("k").cast("long").as("k_types"),
-        when(col("k") < 2 || denom <= 0, 0.0)
-          .otherwise(round(h, 6)).as("h_r"))
+        // Out-of-headroom inputs must fail LOUDLY, not silently: past the
+        // documented ~3·10⁹-event bound the S₂² products overflow
+        // DECIMAL(38) to NULL on Spark (non-ANSI) while DuckDB's HUGEINT
+        // still holds — a silent cross-engine divergence. The guard never
+        // fires on in-contract inputs, so oracle parity is untouched.
+        when(col("nn") > 3000000000L,
+            raise_error(concat(lit("stats_kruskal: n="), col("nn").cast("string"),
+              lit(" exceeds the DECIMAL(38,0) rank-sum headroom (~3e9 events)"))))
+          // Per-group truncation (S₂² DIV n) can pull an exactly-zero H a
+          // hair negative — clamp to 0 like anovaTypes clamps ssb_c2.
+          .when(col("k") < 2 || denom <= 0, 0.0)
+          .otherwise(greatest(lit(0.0), round(h, 6))).as("h_r"))
   }
 
   /** DuckDB mirror of [[kruskalTypes]]. */
@@ -247,8 +257,9 @@ object Stats {
       |tie AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0) AS x FROM vc)
       |SELECT nn::BIGINT AS n, k::BIGINT AS k_types,
       |  CASE WHEN k < 2 OR (nn * nn * nn - nn - x) <= 0 THEN 0.0
-      |       ELSE round((3 * (nn - 1) * (tt - nn * (nn + 1) * (nn + 1)))::DOUBLE
-      |              / (nn * nn * nn - nn - x)::DOUBLE, 6) END AS h_r
+      |       ELSE greatest(0.0,
+      |         round((3 * (nn - 1) * (tt - nn * (nn + 1) * (nn + 1)))::DOUBLE
+      |              / (nn * nn * nn - nn - x)::DOUBLE, 6)) END AS h_r
       |FROM a, tie""".stripMargin
 
   /** DuckDB mirror of [[anovaTypes]]. */

@@ -67,4 +67,18 @@ class BpeSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(v == Map("hello" -> 2L, "world" -> 1L), v.toString)
   }
+
+  test("fertilitySweep: merge exhaustion freezes the vocab (advice r8)") {
+    // 'ab' and 'cd' exhaust after 2 merges; rounds 3..6 must reuse the
+    // final segmentation instead of wiping the vocab to NULL totals
+    val docs = Seq((0L, "ab cd"), (1L, "ab")).toDF("doc_id", "text")
+    val rows = Bpe.fertilitySweep(docs, Seq(0, 2, 4, 6))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 2L, 4L, 6L), rows.toString)
+    assert(rows.forall(_._2 == 3L), s"word mass constant, no NULLs: $rows")
+    // post-exhaustion rows repeat the k=2 totals (3 words -> 3 symbols)
+    assert(rows.drop(1).forall(r => r._3 == 3L && r._4 == 1000000L), rows.toString)
+    // the merge table simply stops growing
+    assert(Bpe.merges(docs, k = 6).count() == 2L)
+  }
 }

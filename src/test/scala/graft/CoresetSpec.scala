@@ -63,4 +63,18 @@ class CoresetSpec extends SparkSpec {
       assert(ids(r.getLong(0).toInt) == r.getLong(1))
     }
   }
+
+  test("malformed min-id vector is skipped, not NPE'd (advice r8)") {
+    import spark.implicits._
+    // vec_id 0 is the corpus min but wrong-dim; the first center must be
+    // the smallest WELL-FORMED id (1), matching nearest()'s filter
+    val bad = Seq(0L -> Seq(1.0f)).toDF("vec_id", "embedding")
+    val df = points(1L -> 0f, 2L -> 1f, 3L -> 10f).union(bad)
+    val rows = Coreset.kcenterRows(df, k = 2)
+    assert(rows.map(_._2) == Seq(1L, 3L), rows.toString)
+
+    // all-malformed corpus fails loudly with the well-formed message
+    val e = intercept[IllegalArgumentException](Coreset.kcenterRows(bad, k = 2))
+    assert(e.getMessage.contains("well-formed"), e.getMessage)
+  }
 }
