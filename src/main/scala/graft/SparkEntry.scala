@@ -3884,6 +3884,14 @@ object SparkEntry {
     // (graft.ops.Stats.kruskalTypes).
     "stats_kruskal" -> ((s, d) => graft.ops.Stats.kruskalTypes(events(s, d))),
 
+    // Oracle-drift canary: constants-only probes of every cross-engine
+    // semantic the determinism contracts lean on (integer DIV, DECIMAL/
+    // HUGEINT width, IEEE sqrt, round-half, md5-prefix hash, NFC). Goes
+    // red ONLY when an engine upgrade shifts semantics — the loud alarm
+    // the events_ewma list_reduce quirk motivated (graft.ops.OracleCanary;
+    // the pinned oracle version is recorded in TESTDATA.md).
+    "oracle_canary" -> ((s, _) => graft.ops.OracleCanary.probes(s)),
+
     // Pearson chi-square independence of event_type x hour-of-day (exact
     // integer chi-square-micro with per-cell truncation so the sum is
     // partition-order-free; graft.ops.Stats.chisqTypeHour).
@@ -6075,6 +6083,8 @@ object SparkEntry {
       "stats_anova" -> graft.ops.Stats.sqlAnovaTypes,
 
       "stats_kruskal" -> graft.ops.Stats.sqlKruskalTypes,
+
+      "oracle_canary" -> graft.ops.OracleCanary.sql,
 
       "corpus_shuffle" ->
         s"""SELECT doc_id, row_number() OVER (
