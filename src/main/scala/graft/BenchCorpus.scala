@@ -38,10 +38,17 @@ object BenchCorpus {
 
     val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // SPARK_GRAFT_LINE_W > 0 enables the CCNet line-dedup stage (0.5) at
-    // that derived-line width — the BENCH_corpus_lines.json variant
+    // that derived-line width — the BENCH_corpus_lines.json variant.
+    // SPARK_GRAFT_WINNOW_PPM / SPARK_GRAFT_CDC_PPM > 0 enable the novelty
+    // admission gates (stages 2.2/2.3) at that duplicated-unit ppm
+    // threshold — the BENCH_corpus_gates.json variant.
     val lineW = sys.env.getOrElse("SPARK_GRAFT_LINE_W", "0").toInt
+    val winnowPpm = sys.env.getOrElse("SPARK_GRAFT_WINNOW_PPM", "0").toInt
+    val cdcPpm = sys.env.getOrElse("SPARK_GRAFT_CDC_PPM", "0").toInt
     val cfg = CorpusPipeline.Config(
       lineWidthTok = lineW,
+      winnowMaxDupPpm = winnowPpm,
+      cdcMaxDupPpm = cdcPpm,
       onStage = (name, sec) => stages.synchronized { stages(name) = sec })
 
     import org.apache.spark.sql.functions.col

@@ -3,8 +3,15 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Plans {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SHUFFLE: plan-audit shuffle width. 4 is the committed
+    // PLANS.md baseline; regenerating at a realistic width (e.g. 200) and
+    // diffing the skeleton catches broadcast-vs-SMJ / AQE-coalesce choices
+    // that flip with width (round-8 verdict task). args(0) overrides the
+    // output path so a width-sweep never clobbers the canonical audit.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
+    val outPath = if (args.length > 0) args(0) else "/root/repo/PLANS.md"
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,7 +111,7 @@ object Plans {
       "winnow_fingerprint", "winnow_overlap", "winnow_incremental",
       "events_ewma", "events_ewma_backtest")
     val sb = new StringBuilder
-    sb.append("# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on)\n\n")
+    sb.append(s"# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on, shuffle.partitions=$shuffle)\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")
     sb.append("scan/exchange/codegen skeleton — the things that must stay right at 100 TB\n")
     sb.append("(pushdown + pruning on scans, broadcast where a side is small, no\n")
@@ -114,8 +121,8 @@ object Plans {
     // smell (duplicated subtree) that cost mix_report/tfidf_topk a full
     // corpus re-scan each. localCheckpoint'd stages show 0 scans (the scan
     // ran once, inside the materialization).
-    sb.append("## Summary (all keys): exchanges / parquet scans in the executed plan\n\n")
-    sb.append("| key | exchanges | scans |\n|---|---|---|\n")
+    sb.append("## Summary (all keys): exchanges / broadcasts / parquet scans in the executed plan\n\n")
+    sb.append("| key | exchanges | broadcasts | scans |\n|---|---|---|---|\n")
     // plan strings cached for the detail section below: queries with eager
     // localCheckpoint stages run REAL jobs at construction time, so
     // constructing a key twice would execute its materialization twice
@@ -125,8 +132,9 @@ object Plans {
     for (q <- plans.keys.toSeq.sorted) {
       val plan = plans(q)
       val nEx = "Exchange".r.findAllIn(plan).length
+      val nBc = "BroadcastExchange".r.findAllIn(plan).length
       val nScan = "FileScan parquet".r.findAllIn(plan).length
-      sb.append(s"| $q | $nEx | $nScan |\n")
+      sb.append(s"| $q | $nEx | $nBc | $nScan |\n")
     }
     sb.append("\n")
     for (q <- keys) {
@@ -143,8 +151,8 @@ object Plans {
         .foreach(l => sb.append(l.take(200)).append("\n"))
       sb.append("```\n\n")
     }
-    Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
-    println("[plans] written")
+    Files.writeString(Paths.get(outPath), sb.toString)
+    println(s"[plans] written to $outPath (shuffle=$shuffle)")
     spark.stop()
   }
 }

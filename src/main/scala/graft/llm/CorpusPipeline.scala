@@ -25,6 +25,11 @@ import graft.expr.PortableHash
   *       keeper (`Scrub.cleanCorpus`)                        [barrier]
   *     → near-dup dedup: MinHash/LSH candidates, exact-jaccard verify,
   *       star-CC clusters, keep each cluster's root            [barrier]
+  *     → novelty gates (stages 2.2/2.3, opt-in `winnowMaxDupPpm` /
+  *       `cdcMaxDupPpm`): whole-doc drops when the duplicated-unit
+  *       fraction at the winnow-fingerprint / token-weighted CDC-chunk
+  *       granularity reaches the threshold — min-id ownership over the
+  *       stage input, no pairing                               [barrier]
   *     → span scrub: rewrite survivors with their cross-doc duplicated
   *       spans removed ([[Substring.scrub]], keep-one; docs scrubbed to
   *       zero tokens drop)                                     [barrier]
@@ -69,11 +74,23 @@ object CorpusPipeline {
       // aligned-line granularity is a corpus-shape decision, and the
       // pinned delta fixtures derive their verdicts from the span stage.
       lineWidthTok: Int = 0,
+      // Novelty ADMISSION gates at the two remaining dedup granularities
+      // (0 = off). A doc DROPS when the ppm fraction of its units already
+      // owned by an earlier doc (min-id ownership over the stage INPUT —
+      // the Lines/Substring keep-one convention, so no pairing and no
+      // quadratic cell) reaches the threshold:
+      //  - winnowMaxDupPpm: units = the doc's winnow fingerprints
+      //    (MOSS window-min selection, guaranteed-span granularity)
+      //  - cdcMaxDupPpm: units = content-defined chunks, token-weighted
+      //    (the shift-robust granularity: an injected prefix moves no
+      //    downstream boundary)
+      winnowMaxDupPpm: Int = 0,
+      cdcMaxDupPpm: Int = 0,
       onStage: (String, Double) => Unit = (_, _) => ())
 
   case class Result(urlKept: DataFrame, lineClean: DataFrame, clean: DataFrame,
-                    deduped: DataFrame, scrubbed: DataFrame, mixed: DataFrame,
-                    shardSeqs: DataFrame, report: DataFrame)
+                    deduped: DataFrame, gated: DataFrame, scrubbed: DataFrame,
+                    mixed: DataFrame, shardSeqs: DataFrame, report: DataFrame)
 
   private def timed[T](cfg: Config, name: String)(body: => T): T = {
     val t0 = System.nanoTime()
@@ -94,6 +111,60 @@ object CorpusPipeline {
     src.join(cleaned, Seq("doc_id"))
       .select(keep :+ col("clean_text").as("text") :+
         length(col("clean_text")).cast("long").as("n_chars"): _*)
+  }
+
+  /** Dedup units of `docs` at the winnow granularity: (doc_id, u, wt) —
+    * one row per DISTINCT window-min fingerprint, unit weight.
+    */
+  private def winnowUnits(docs: DataFrame): DataFrame =
+    Winnow.fingerprints(docs).select(col("doc_id"), col("fp").as("u"))
+      .distinct().withColumn("wt", lit(1L))
+
+  /** Dedup units at the CDC granularity: one row per chunk INSTANCE,
+    * token-weighted (CDC chunks vary in length, so the duplicated
+    * fraction must be over tokens, not chunk counts).
+    */
+  private def cdcUnits(docs: DataFrame): DataFrame =
+    Chunks.chunkFrame(docs)
+      .select(col("doc_id"), col("ch").as("u"), col("n_tok").as("wt"))
+
+  /** Doc ids whose duplicated-unit weight fraction ≥ maxDupPpm, with
+    * ownership = min doc_id per unit over `units` (the stage INPUT — the
+    * Lines/Substring keep-one convention lifted to a whole-doc admission
+    * gate). Exact integer ppm, no pairing: cost is two hash aggregates of
+    * the unit stream, never units².
+    */
+  private def noveltyDrops(units: DataFrame, maxDupPpm: Int): DataFrame = {
+    val u = units.localCheckpoint() // owner table + per-doc stats read it
+    val own = u.groupBy("u").agg(min("doc_id").as("owner"))
+    u.join(own, Seq("u"))
+      .groupBy("doc_id")
+      .agg(sum(col("wt")).as("tot"),
+        sum(when(col("owner") < col("doc_id"), col("wt")).otherwise(lit(0L)))
+          .as("dup"))
+      .filter(expr("(dup * 1000000) div tot") >= maxDupPpm)
+      .select("doc_id")
+  }
+
+  /** Frozen-corpus twin of [[noveltyDrops]]: a delta unit is duplicated
+    * iff it exists in the corpus-side stage input (every corpus id is
+    * below the boundary, so the corpus owner always wins) OR an earlier
+    * DELTA doc carries it. Linear in the delta: the corpus side is one
+    * distinct-unit probe of the frozen stage frame, never a recompute.
+    */
+  private def noveltyDropsDelta(corpusUnits: DataFrame, deltaUnits: DataFrame,
+                                maxDupPpm: Int): DataFrame = {
+    val u = deltaUnits.localCheckpoint()
+    val idx = corpusUnits.select("u").distinct().withColumn("in_corpus", lit(true))
+    val own = u.groupBy("u").agg(min("doc_id").as("d_owner"))
+    u.join(idx, Seq("u"), "left").join(own, Seq("u"))
+      .groupBy("doc_id")
+      .agg(sum(col("wt")).as("tot"),
+        sum(when(coalesce(col("in_corpus"), lit(false)) ||
+            col("d_owner") < col("doc_id"), col("wt")).otherwise(lit(0L)))
+          .as("dup"))
+      .filter(expr("(dup * 1000000) div tot") >= maxDupPpm)
+      .select("doc_id")
   }
 
   private def docStat(stage: Int, name: String, df: DataFrame): DataFrame =
@@ -156,17 +227,36 @@ object CorpusPipeline {
         clean.join(losers, Seq("doc_id"), "left_anti"), "corpus_dedup")
     }
 
+    // ---- stages 2.2/2.3: novelty admission gates (opt-in) ------------
+    // Whole-doc drops at the two remaining dedup granularities: winnow
+    // fingerprints (guaranteed-span) then token-weighted CDC chunks
+    // (shift-robust). Ownership is min-id over each gate's INPUT frame,
+    // so verdicts are parallel (no sequential cascade) and the frozen-
+    // corpus delta probe below is exact under monotonic ids.
+    val winnowed = timed(cfg, "winnow_gate") {
+      if (cfg.winnowMaxDupPpm <= 0) deduped
+      else barrier.materialize(spark,
+        deduped.join(noveltyDrops(winnowUnits(deduped), cfg.winnowMaxDupPpm),
+          Seq("doc_id"), "left_anti"), "corpus_winnow")
+    }
+    val gated = timed(cfg, "cdc_gate") {
+      if (cfg.cdcMaxDupPpm <= 0) winnowed
+      else barrier.materialize(spark,
+        winnowed.join(noveltyDrops(cdcUnits(winnowed), cfg.cdcMaxDupPpm),
+          Seq("doc_id"), "left_anti"), "corpus_cdc")
+    }
+
     // ---- stage 2.5: span-level scrub ---------------------------------
     // After doc-level dedup: whole-doc near-dups are gone, but shared
     // boilerplate/quoted spans inside SURVIVING docs remain — rewrite
     // them out (keep-one ownership), drop docs scrubbed to zero tokens.
     val scrubbed = timed(cfg, "span_scrub") {
-      if (cfg.scrubWindowTok <= 0) deduped
+      if (cfg.scrubWindowTok <= 0) gated
       else {
-        val sc = Substring.scrub(deduped, cfg.scrubWindowTok)
+        val sc = Substring.scrub(gated, cfg.scrubWindowTok)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text"))
-        barrier.materialize(spark, rewriteText(deduped, sc), "corpus_scrubbed")
+        barrier.materialize(spark, rewriteText(gated, sc), "corpus_scrubbed")
       }
     }
 
@@ -177,18 +267,22 @@ object CorpusPipeline {
     // these aggregates are cheap re-reads, never stage recomputes) ------
     val packed = shardSeqs
       .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
-      .select(lit(7).as("stage_idx"), lit("packed_seq_slices").as("stage"),
+      .select(lit(8).as("stage_idx"), lit("packed_seq_slices").as("stage"),
         col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    val report = Seq(
+    val gateStat = // only when a gate is on: default-off report unchanged
+      if (cfg.winnowMaxDupPpm > 0 || cfg.cdcMaxDupPpm > 0)
+        Seq(docStat(5, "gated", gated)) else Seq.empty
+    val report = (Seq(
       docStat(0, "input", docs), docStat(1, "url_kept", urlKept),
       docStat(2, "line_clean", lineClean),
-      docStat(3, "clean", clean), docStat(4, "deduped", deduped),
-      docStat(5, "scrubbed", scrubbed), docStat(6, "mixed", mixed))
+      docStat(3, "clean", clean), docStat(4, "deduped", deduped)) ++ gateStat ++
+      Seq(docStat(6, "scrubbed", scrubbed), docStat(7, "mixed", mixed)))
       .reduce(_ union _)
       .union(packed)
       .orderBy("stage_idx")
 
-    Result(urlKept, lineClean, clean, deduped, scrubbed, mixed, shardSeqs, report)
+    Result(urlKept, lineClean, clean, deduped, gated, scrubbed, mixed,
+      shardSeqs, report)
   }
 
   /** Stages 3-4 — the CORPUS-GLOBAL tail of the pipeline (per-language
@@ -249,10 +343,10 @@ object CorpusPipeline {
     val (mixed, shardSeqs) = mixAndPack(spark, state.scrubbed, barrier, cfg)
     val packed = shardSeqs
       .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
-      .select(lit(7).as("stage_idx"), lit("packed_seq_slices").as("stage"),
+      .select(lit(8).as("stage_idx"), lit("packed_seq_slices").as("stage"),
         col("n_docs"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val report = Seq(
-      docStat(5, "scrubbed", state.scrubbed), docStat(6, "mixed", mixed))
+      docStat(6, "scrubbed", state.scrubbed), docStat(7, "mixed", mixed))
       .reduce(_ union _)
       .union(packed)
       .orderBy("stage_idx")
@@ -270,7 +364,7 @@ object CorpusPipeline {
   case class DeltaResult(admitted: DataFrame, verdicts: DataFrame,
                          report: DataFrame, urlKept: DataFrame,
                          lineClean: DataFrame, clean: DataFrame,
-                         deduped: DataFrame)
+                         deduped: DataFrame, gated: DataFrame)
 
   /** Incremental admission — the production daily-crawl shape: run a NEW
     * delta batch through the same gates as [[run]] against the FROZEN
@@ -311,9 +405,15 @@ object CorpusPipeline {
     *     near-dup of a delta doc that near-dups the corpus drops, even
     *     with no direct corpus edge). The occupancy cap is counted over
     *     the same combined frame the union run caps over.
-    *   - span scrub: [[Substring.scrubAgainst]] the frozen DEDUPED-stage
+    *   - novelty gates: a delta unit (winnow fingerprint / CDC chunk) is
+    *     duplicated iff the corpus GATE-INPUT frame carries it (any
+    *     corpus carrier out-ranks every delta doc under monotonic ids)
+    *     or an earlier delta doc does — [[noveltyDropsDelta]]; corpus
+    *     verdicts are D-independent, so the frozen probe is exact.
+    *   - span scrub: [[Substring.scrubAgainst]] the frozen GATED-stage
     *     corpus window fingerprints (pre-scrub text — the union run
-    *     derives ownership from the deduped frame, not the scrubbed one).
+    *     derives ownership from the span stage's input frame, which is
+    *     the novelty-gate output, = the deduped frame when gates are off).
     *
     * Known, accepted divergence (any frozen-corpus admission has it): a
     * delta doc bridging two separate corpus near-dup clusters merges
@@ -421,16 +521,57 @@ object CorpusPipeline {
         clean.join(losers, Seq("doc_id"), "left_anti"), "delta_dedup")
     }
 
-    // ---- stage 2.5: span scrub vs frozen corpus windows --------------
-    val scrubbed = timed(cfg, "span_scrub") {
-      if (cfg.scrubWindowTok <= 0) deduped
+    // ---- stages 2.2/2.3: novelty gates vs frozen corpus units --------
+    // Mirrors run(): a delta unit is duplicated iff the corpus stage
+    // input carries it (corpus ids are all below the boundary, so a
+    // corpus carrier is always the owner) or an earlier delta doc does.
+    // Corpus verdicts are D-independent (no delta doc can out-rank a
+    // corpus owner under monotonic ids), so the frozen probe is exact.
+    val winnowed = timed(cfg, "winnow_gate") {
+      if (cfg.winnowMaxDupPpm <= 0) deduped
+      else barrier.materialize(spark,
+        deduped.join(
+          noveltyDropsDelta(winnowUnits(state.deduped), winnowUnits(deduped),
+            cfg.winnowMaxDupPpm),
+          Seq("doc_id"), "left_anti"), "delta_winnow")
+    }
+    val gated = timed(cfg, "cdc_gate") {
+      if (cfg.cdcMaxDupPpm <= 0) winnowed
       else {
-        val idxWh = Substring.windowFrame(state.deduped, cfg.scrubWindowTok)
+        // the union run's CDC-gate input is gated-winnow(C ∪ D); its
+        // corpus side is state's winnow output — but a corpus doc's
+        // winnow verdict is D-independent, so that side IS state.gated's
+        // stage input... which the state does not retain separately.
+        // state.deduped ∪ (winnow-surviving corpus docs) differ only in
+        // docs the winnow gate dropped — and a dropped corpus doc's
+        // chunks are still owned below the boundary by the SURVIVING
+        // owner when shared, but uniquely-owned chunks of a dropped doc
+        // would wrongly count as duplicated if probed. So the corpus
+        // side must be the corpus CDC-stage input exactly: the winnow
+        // output. With both gates on, state.gated is that frame (the
+        // cdc gate's own input); probing it is exact.
+        val corpusCdcInput =
+          if (cfg.winnowMaxDupPpm <= 0) state.deduped else state.gated
+        barrier.materialize(spark,
+          winnowed.join(
+            noveltyDropsDelta(cdcUnits(corpusCdcInput), cdcUnits(winnowed),
+              cfg.cdcMaxDupPpm),
+            Seq("doc_id"), "left_anti"), "delta_cdc")
+      }
+    }
+
+    // ---- stage 2.5: span scrub vs frozen corpus windows --------------
+    // probe side = state.gated, the corpus span-stage INPUT (aliases
+    // state.deduped when both novelty gates are off)
+    val scrubbed = timed(cfg, "span_scrub") {
+      if (cfg.scrubWindowTok <= 0) gated
+      else {
+        val idxWh = Substring.windowFrame(state.gated, cfg.scrubWindowTok)
           .select("wh")
-        val sc = Substring.scrubAgainst(deduped, idxWh, cfg.scrubWindowTok)
+        val sc = Substring.scrubAgainst(gated, idxWh, cfg.scrubWindowTok)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("clean_text"))
-        barrier.materialize(spark, rewriteText(deduped, sc), "delta_scrubbed")
+        barrier.materialize(spark, rewriteText(gated, sc), "delta_scrubbed")
       }
     }
 
@@ -442,23 +583,29 @@ object CorpusPipeline {
       .join(has(lineClean, "line_ok"), Seq("doc_id"), "left")
       .join(has(clean, "clean_ok"), Seq("doc_id"), "left")
       .join(has(deduped, "dedup_ok"), Seq("doc_id"), "left")
+      .join(has(gated, "gate_ok"), Seq("doc_id"), "left")
       .join(has(scrubbed, "scrub_ok"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("url_ok").isNull, "url_dup")
           .when(col("line_ok").isNull, "line_empty")
           .when(col("clean_ok").isNull, "hygiene")
           .when(col("dedup_ok").isNull, "neardup")
+          .when(col("gate_ok").isNull, "novelty")
           .when(col("scrub_ok").isNull, "scrubbed_empty")
           .as("dropped_at"))
-    val report = Seq(
+    val gateStat =
+      if (cfg.winnowMaxDupPpm > 0 || cfg.cdcMaxDupPpm > 0)
+        Seq(docStat(5, "gated", gated)) else Seq.empty
+    val report = (Seq(
       docStat(0, "delta_input", delta), docStat(1, "url_kept", urlKept),
       docStat(2, "line_clean", lineClean),
-      docStat(3, "clean", clean), docStat(4, "deduped", deduped),
-      docStat(5, "scrubbed", scrubbed))
+      docStat(3, "clean", clean), docStat(4, "deduped", deduped)) ++ gateStat ++
+      Seq(docStat(6, "scrubbed", scrubbed)))
       .reduce(_ union _)
       .orderBy("stage_idx")
 
-    DeltaResult(scrubbed, verdicts, report, urlKept, lineClean, clean, deduped)
+    DeltaResult(scrubbed, verdicts, report, urlKept, lineClean, clean,
+      deduped, gated)
   }
 
   /** Fold an admitted delta into the frozen corpus state, producing the
@@ -476,6 +623,8 @@ object CorpusPipeline {
     *   - `deduped`  += the delta's near-dup survivors with PRE-scrub
     *     text (span ownership in the union run derives from the deduped
     *     frame, not the scrubbed one);
+    *   - `gated`    += the delta's novelty-gate survivors (the span
+    *     stage's input frame; aliases `deduped` when both gates are off);
     *   - `scrubbed` += the admitted (post-scrub) rows — the consumer
     *     output stage.
     *
@@ -496,24 +645,37 @@ object CorpusPipeline {
     * a barrier every N merges ([[compactState]];
     * `DocStream.CorpusAdmitter(compactEvery = N)` automates it).
     */
-  def mergeDelta(state: Result, d: DeltaResult): Result =
+  def mergeDelta(state: Result, d: DeltaResult): Result = {
+    val mergedDeduped = state.deduped.unionByName(d.deduped)
     state.copy(
       urlKept   = state.urlKept.unionByName(d.urlKept),
       lineClean = state.lineClean.unionByName(d.lineClean),
       clean     = state.clean.unionByName(d.clean),
-      deduped   = state.deduped.unionByName(d.deduped),
+      deduped   = mergedDeduped,
+      // preserve the gates-off aliasing through merges so compactState's
+      // reference-equality shortcut keeps holding across the chained loop
+      gated     = if ((state.gated eq state.deduped) && (d.gated eq d.deduped))
+                    mergedDeduped
+                  else state.gated.unionByName(d.gated),
       scrubbed  = state.scrubbed.unionByName(d.admitted))
+  }
 
   /** Re-materialize the four probe-state frames through `barrier`,
     * collapsing a k-way scan-union back to one scan each (see
     * [[mergeDelta]]'s posture note). Names are `<prefix>_<stage>`.
     */
   def compactState(spark: SparkSession, state: Result, barrier: Barrier,
-                   prefix: String): Result =
+                   prefix: String): Result = {
+    val dedupedM = barrier.materialize(spark, state.deduped, s"${prefix}_dedup")
     state.copy(
       urlKept   = barrier.materialize(spark, state.urlKept, s"${prefix}_url"),
       lineClean = barrier.materialize(spark, state.lineClean, s"${prefix}_lineclean"),
       clean     = barrier.materialize(spark, state.clean, s"${prefix}_clean"),
-      deduped   = barrier.materialize(spark, state.deduped, s"${prefix}_dedup"),
+      deduped   = dedupedM,
+      // gates off -> gated aliases deduped (reference-equal out of run());
+      // don't pay a second materialization for the same rows
+      gated     = if (state.gated eq state.deduped) dedupedM
+                  else barrier.materialize(spark, state.gated, s"${prefix}_gated"),
       scrubbed  = barrier.materialize(spark, state.scrubbed, s"${prefix}_scrubbed"))
+  }
 }

@@ -231,6 +231,92 @@ class CorpusDeltaSpec extends SparkSpec {
     assert(t == t1, "compacted-state admitted text diverges")
   }
 
+  // ---- novelty gates (winnowMaxDupPpm / cdcMaxDupPpm on) ----------------
+
+  /** Shared scenario for both gate granularities: a near-copy of a corpus
+    * doc (drops), a within-delta owner/near-copy pair (owner keeps, the
+    * later near-copy drops), and a fresh doc (admits). dupJaccard = 2.0
+    * disables the near-dup stage so the verdicts isolate the gate under
+    * test; scrubWindowTok = 0 isolates it from the span stage.
+    */
+  private def gateScenario(gcfg: CorpusPipeline.Config): Unit = {
+    val gc = Seq((1L, uniq("gone", 40), ""), (2L, uniq("gtwo", 40), ""))
+    val gd = Seq(
+      (301L, uniq("gone", 40) + " " + uniq("tail", 4), ""), // ~corpus copy -> drop
+      (302L, uniq("gnew", 40), ""),                         // delta owner -> keep
+      (303L, uniq("gnew", 40) + " " + uniq("gz", 4), ""),   // ~copy of 302 -> drop
+      (304L, uniq("fresh", 40), ""))                        // novel -> keep
+    val cState = CorpusPipeline.run(spark, toDf(gc),
+      MapPipeline.PathBarrier(tmp("cg_c")), gcfg)
+    val d = CorpusPipeline.admitDelta(spark, cState, toDf(gd),
+      MapPipeline.PathBarrier(tmp("cg_d")), gcfg)
+    val v = d.verdicts.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("admitted")).toMap
+    assert(v == Map(301L -> "novelty", 302L -> "admitted",
+      303L -> "novelty", 304L -> "admitted"), s"$v")
+    // union-run parity, both sides
+    val full = CorpusPipeline.run(spark, toDf(gc).unionByName(toDf(gd)),
+      MapPipeline.PathBarrier(tmp("cg_f")), gcfg)
+    def rows(df: DataFrame) = df.select("doc_id", "text").collect().map(_.toSeq).toSet
+    assert(rows(full.scrubbed.filter(col("doc_id") >= 301L)) == rows(d.admitted),
+      "gate admission must replay the union run's delta verdicts")
+    assert(rows(full.scrubbed.filter(col("doc_id") < 301L)) ==
+      rows(cState.scrubbed), "corpus gate verdicts must be delta-independent")
+  }
+
+  test("winnow novelty gate: admitDelta == run(C ∪ D); corpus frozen") {
+    gateScenario(CorpusPipeline.Config(dupJaccard = 2.0, scrubWindowTok = 0,
+      winnowMaxDupPpm = 600000))
+  }
+
+  test("cdc novelty gate: admitDelta == run(C ∪ D); corpus frozen") {
+    gateScenario(CorpusPipeline.Config(dupJaccard = 2.0, scrubWindowTok = 0,
+      cdcMaxDupPpm = 600000))
+  }
+
+  test("both gates + span scrub composed: chained == one-shot == union run") {
+    val gcfg = CorpusPipeline.Config(dupJaccard = 2.0,
+      winnowMaxDupPpm = 600000, cdcMaxDupPpm = 600000)
+    val gc = Seq((1L, uniq("gone", 40), ""), (2L, shared16 + " " + uniq("gsp", 24), ""))
+    val gd = Seq(
+      (301L, uniq("gone", 40) + " " + uniq("tail", 4), ""),  // novelty drop
+      (302L, uniq("gnew", 40), ""),
+      (303L, uniq("gnew", 40) + " " + uniq("gz", 4), ""),    // novelty drop
+      (304L, shared16 + " " + uniq("dgs", 24), ""))           // span scrub vs corpus
+    val cState = CorpusPipeline.run(spark, toDf(gc),
+      MapPipeline.PathBarrier(tmp("cb_c")), gcfg)
+    val one = CorpusPipeline.admitDelta(spark, cState, toDf(gd),
+      MapPipeline.PathBarrier(tmp("cb_d")), gcfg)
+    def vmap(vf: DataFrame) = vf.collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("admitted")).toMap
+    assert(vmap(one.verdicts) == Map(301L -> "novelty", 302L -> "admitted",
+      303L -> "novelty", 304L -> "admitted"), s"${vmap(one.verdicts)}")
+    val texts = one.admitted.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(304L) == uniq("dgs", 24),
+      "the corpus-owned span is scrubbed from the gate survivor")
+    // chained (mergeDelta folds the gated frame) == one-shot
+    val adm = new graft.streaming.DocStream.CorpusAdmitter(spark, cState,
+      MapPipeline.PathBarrier(tmp("cb_ch")), gcfg)
+    var cv = Map.empty[Long, String]
+    var ct = Map.empty[Long, String]
+    for (b <- gd.grouped(2)) {
+      val s = adm.step(toDf(b))
+      cv ++= vmap(s.verdicts)
+      ct ++= s.admitted.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+    }
+    assert(cv == vmap(one.verdicts), s"chained verdicts diverge: $cv")
+    assert(ct == texts, "chained admitted text diverges")
+    // union-run parity
+    val full = CorpusPipeline.run(spark, toDf(gc).unionByName(toDf(gd)),
+      MapPipeline.PathBarrier(tmp("cb_f")), gcfg)
+    def rows(df: DataFrame) = df.select("doc_id", "text").collect().map(_.toSeq).toSet
+    assert(rows(full.scrubbed.filter(col("doc_id") >= 301L)) == rows(one.admitted))
+    assert(rows(full.scrubbed.filter(col("doc_id") < 301L)) ==
+      rows(cState.scrubbed))
+  }
+
   test("admitDelta: report shrinks monotonically and matches the admitted frame") {
     val rep = deltaRes.report.collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
