@@ -47,7 +47,7 @@ FAMILIES = [
     (r"^(line_|substring_|winnow_)", "dedup-granular"),
     (r"^(similarity_|knn_|embedding_|quantizer_|pq_|coreset_|semantic_|hard_negatives)", "ann/embedding"),
     (r"^(sparse_|bm25_|hybrid_|tfidf_)", "sparse retrieval"),
-    (r"^(text_|lang_|doc_|quality_|corpus_|boilerplate|lm_score|pii_|decontaminate|vocab_|ngram_|pmi_|heavy_hitters|bpe_)", "text/quality"),
+    (r"^(text_|lang_|doc_|quality_|corpus_|boilerplate|lm_score|pii_|decontaminate|vocab_|ngram_|pmi_|heavy_hitters|bpe_|readability_)", "text/quality"),
     (r"^(mix_|dsir_|rholoss_|sample_|curriculum_|export_|pack_|split_|corpus_split)", "selection/mixing/packing"),
     (r"^(multimodal_)", "multimodal"),
     (r"^(events_|stats_|eval_|state_)", "events/stats/eval"),

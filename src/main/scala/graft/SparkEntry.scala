@@ -1471,6 +1471,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Flesch reading-ease + Flesch-Kincaid grade in exact integer
+    // micro-units (vowel-group syllables, terminal-punctuation-run
+    // sentences) — the classic difficulty feature beside the published
+    // quality gates (graft.llm.Readability).
+    "readability_fk" -> ((s, d) => graft.llm.Readability.fk(docs(s, d))),
+
     "lang_id" -> ((s, d) =>
       TA.langIdByKey(docs(s, d), "doc_id", "text", carry = Seq("lang"))
         .select("doc_id", "lang", "pred_lang")
@@ -3356,6 +3362,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Simpson lexical concentration per source — the rational (no-log)
+    // diversity audit beside vocab_coverage's head-mass rows; one exact
+    // integer division per source (graft.llm.Diversity).
+    "vocab_simpson" -> ((s, d) => graft.llm.Diversity.simpson(docs(s, d))),
+
     "vocab_coverage" -> ((s, d) => {
       import s.implicits._
       val cnt = docs(s, d)
@@ -4071,6 +4082,21 @@ object SparkEntry {
     // diagnostic that sizes triangle/wedge work (wedge count is Σdeg²)
     // before graph_triangles commits to it. Same canonical edge build,
     // then two tiny aggs — no wedge join.
+    // Degree assortativity of the co-purchase graph (Newman r over both
+    // edge orientations — symmetric marginals, so the correlation is
+    // sqrt-free): the one-number structure screen beside the degree
+    // histogram (graft.ops.Assortativity).
+    "graph_assortativity" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      graft.ops.Assortativity.degreeCorr(
+        graft.ops.Triangles.canonical(edges, "src", "dst"))
+    }),
+
     "graph_degree_dist" -> ((s, d) => {
       val li = lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -6400,6 +6426,17 @@ object SparkEntry {
            |LEFT JOIN pd ON d.doc_id = pd.doc_id
            |ORDER BY d.doc_id""".stripMargin
       },
+
+      "readability_fk" -> graft.llm.Readability.sqlFk,
+
+      "vocab_simpson" -> graft.llm.Diversity.sqlSimpson,
+
+      "graph_assortativity" ->
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |  FROM lineitem),
+           |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+           |${graft.ops.Assortativity.sqlDegreeCorr}""".stripMargin,
 
       "vocab_coverage" ->
         s"""WITH i AS (SELECT source, unnest($toks) AS tok FROM documents),
