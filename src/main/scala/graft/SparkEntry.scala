@@ -3606,6 +3606,16 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Autocorrelation of the per-type hourly series at the bounded lag
+    // grid — the seasonality diagnostic read before trusting the
+    // seasonal/smoothing forecasters; exact DECIMAL moments + the
+    // correctly-rounded IEEE sqrt chain (graft.ops.Acf).
+    "events_acf" -> ((s, d) =>
+      graft.ops.Acf.acf(events(s, d)
+        .select(col("event_type"),
+          IntMath.floorDiv(col("ts"), NanosPerHour).as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c")))),
+
     // One-sided upper CUSUM change-point monitor (Page 1954) per event
     // type: s_i = max(0, s_{i-1} + x_i − μ − k) over the hourly series,
     // slack k = μ/10, alarm when s exceeds H = 5μ — the sustained-shift
@@ -4094,6 +4104,21 @@ object SparkEntry {
           col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
         .select(col("l.pk").as("src"), col("r.pk").as("dst"))
       graft.ops.Assortativity.degreeCorr(
+        graft.ops.Triangles.canonical(edges, "src", "dst"))
+    }),
+
+    // Rich-club coefficient over the doubling degree-threshold grid —
+    // how completely the hub set is wired, assortativity's structural
+    // complement; exact integer ppm density per threshold, edge stream
+    // multiplied only by the constant grid (graft.ops.RichClub).
+    "graph_rich_club" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      graft.ops.RichClub.richClub(
         graft.ops.Triangles.canonical(edges, "src", "dst"))
     }),
 
@@ -6438,6 +6463,13 @@ object SparkEntry {
            |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
            |${graft.ops.Assortativity.sqlDegreeCorr}""".stripMargin,
 
+      "graph_rich_club" ->
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |  FROM lineitem),
+           |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+           |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+           |${graft.ops.RichClub.sqlRichClub()}""".stripMargin,
+
       "vocab_coverage" ->
         s"""WITH i AS (SELECT source, unnest($toks) AS tok FROM documents),
            |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM i GROUP BY 1, 2),
@@ -7046,6 +7078,12 @@ object SparkEntry {
       // 'l'), silently halving the trend — probed and pinned in round 8.
       // The recursive step is standard SQL with one lambda-free
       // expression per field, replaying Spark's aggregate() fold exactly.
+      "events_acf" ->
+        s"""WITH h AS (SELECT event_type,
+           |  epoch_us(ts) // 3600000000 AS hr,
+           |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+           |${graft.ops.Acf.sqlAcf()}""".stripMargin,
+
       "events_ewma" ->
         """WITH RECURSIVE h AS (SELECT event_type,
           |  epoch_us(ts) // 3600000000 AS hr,
