@@ -113,6 +113,13 @@ object Bench {
             String.valueOf(e.getMessage).take(300))
           -1.0 }
       dropBlocks() // untimed: cleanup belongs to the suite, not the key
+      // immediate SELF-STAMPED per-key stderr record (epoch ms at line
+      // emit): reconstructs each key's wall-clock window for correlation
+      // with GC/vmstat logs. Self-stamped because a downstream pipe
+      // timestamper (awk) buffers its input and stamps whole chunks at
+      // flush time (measured, round-9 burst instrumentation); the
+      // rep-end [bench repN] dump has the same problem by construction.
+      System.err.println(f"[bench key] $name $v%.3f ${System.currentTimeMillis()}")
       v
     }
     def rep(): Seq[(String, Double)] =
