@@ -112,6 +112,10 @@ object Plans {
       "events_ewma", "events_ewma_backtest")
     val sb = new StringBuilder
     sb.append(s"# PLANS — executed-plan review of headline queries (sf0.01, local[4], AQE on, shuffle.partitions=$shuffle)\n\n")
+    sb.append("Width audit (round 9, 2026-08-16): regenerated at shuffle.partitions=200\n")
+    sb.append("and diffed against this width-4 baseline — 0 skeleton flips across all\n")
+    sb.append("260 keys (exchanges/broadcasts/scans identical), so the committed audit's\n")
+    sb.append("broadcast-vs-SMJ choices are not width artifacts (BASELINE.md round 9).\n\n")
     sb.append("Generated by `graft.Plans`. For each query: exchange count and the\n")
     sb.append("scan/exchange/codegen skeleton — the things that must stay right at 100 TB\n")
     sb.append("(pushdown + pruning on scans, broadcast where a side is small, no\n")
