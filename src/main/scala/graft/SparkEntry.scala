@@ -3616,6 +3616,52 @@ object SparkEntry {
           IntMath.floorDiv(col("ts"), NanosPerHour).as("hr"))
         .groupBy("event_type", "hr").agg(count(lit(1)).as("c")))),
 
+    // Index of dispersion (Fano factor) of the hourly series per type —
+    // the burstiness screen beside events_acf: D = Var/Mean of hourly
+    // counts, 1 = Poisson, >1 bursty. Exact integer ppm: the n-1 sample
+    // variance over mean folds to ONE division of exact DECIMAL moments,
+    // D_ppm = (n·Σc² − (Σc)²)·10⁶ DIV ((n−1)·Σc). One corpus-sized
+    // rollup + a type-count-bounded re-aggregate.
+    "events_burstiness" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_type"),
+          IntMath.floorDiv(col("ts"), NanosPerHour).as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("c").cast("decimal(38,0)")).as("sc"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("qc"))
+        .select(col("event_type"), col("n").cast("long").as("n_hours"),
+          when(col("n") < 2 || col("sc") === 0, 0L)
+            .otherwise(expr(
+              "CAST(((n * qc - sc * sc) * 1000000) DIV ((n - 1) * sc) AS BIGINT)"))
+            .as("dispersion_ppm"))
+        .orderBy("event_type")),
+
+    // User-concentration (Pareto) audit: the share of all events held by
+    // the top 1/5/10/50% most-active users — the 80/20 screen an ops
+    // owner reads before per-user capping. Rank and cumulative event
+    // mass ride the DISTRIBUTED GlobalRank machinery (order: count desc,
+    // user_id — never a partition-less window); shares are exact integer
+    // ppm; the percent grid is a constant broadcast.
+    "events_pareto" -> ((s, d) => {
+      import s.implicits._
+      val uc = events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+        .select(col("user_id"), col("c"), (-col("c")).as("negc"))
+      val cum = graft.ops.GlobalRank.withGlobalPrefixSum(
+        uc, "negc", Seq("user_id"), "c", buckets = 32, out = "cumc")
+      val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+        cum, "negc", Seq("user_id"), buckets = 32, out = "rk")
+      val tot = uc.agg(count(lit(1)).as("u"), sum("c").as("tot"))
+      ranked.crossJoin(broadcast(tot)) // 1-row totals
+        .crossJoin(broadcast(Seq(1L, 5L, 10L, 50L).toDF("pct")))
+        .filter(col("rk") === expr("(u * pct + 99) DIV 100"))
+        .select(col("pct"), col("rk").as("n_users"),
+          col("cumc").as("events_cum"),
+          expr("(cumc * 1000000) DIV tot").as("share_ppm"))
+        .orderBy("pct")
+    }),
+
     // One-sided upper CUSUM change-point monitor (Page 1954) per event
     // type: s_i = max(0, s_{i-1} + x_i − μ − k) over the hourly series,
     // slack k = μ/10, alarm when s exceeds H = 5μ — the sustained-shift
@@ -7083,6 +7129,35 @@ object SparkEntry {
            |  epoch_us(ts) // 3600000000 AS hr,
            |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
            |${graft.ops.Acf.sqlAcf()}""".stripMargin,
+
+      "events_burstiness" ->
+        """WITH h AS (SELECT event_type,
+          |  epoch_us(ts) // 3600000000 AS hr,
+          |  count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+          |a AS (SELECT event_type, count(*)::HUGEINT AS n,
+          |        sum(c)::HUGEINT AS sc, sum(c::HUGEINT * c)::HUGEINT AS qc
+          |      FROM h GROUP BY 1)
+          |SELECT event_type, n::BIGINT AS n_hours,
+          |  CASE WHEN n < 2 OR sc = 0 THEN 0
+          |       ELSE ((n * qc - sc * sc) * 1000000) // ((n - 1) * sc)
+          |       END::BIGINT AS dispersion_ppm
+          |FROM a ORDER BY 1""".stripMargin,
+
+      "events_pareto" ->
+        """WITH uc AS (SELECT user_id, count(*)::BIGINT AS c
+          |  FROM events GROUP BY 1),
+          |r AS (SELECT user_id, c,
+          |        row_number() OVER (ORDER BY c DESC, user_id) AS rk,
+          |        sum(c) OVER (ORDER BY c DESC, user_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+          |      FROM uc),
+          |t AS (SELECT count(*)::BIGINT AS u, sum(c)::BIGINT AS tot FROM uc),
+          |g AS (SELECT p FROM (VALUES (1), (5), (10), (50)) v(p))
+          |SELECT g.p::BIGINT AS pct, r.rk::BIGINT AS n_users,
+          |  r.cumc::BIGINT AS events_cum,
+          |  ((r.cumc * 1000000) // t.tot)::BIGINT AS share_ppm
+          |FROM g CROSS JOIN t JOIN r ON r.rk = (t.u * g.p + 99) // 100
+          |ORDER BY pct""".stripMargin,
 
       "events_ewma" ->
         """WITH RECURSIVE h AS (SELECT event_type,
