@@ -3242,10 +3242,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
       val chkU = graft.llm.Chunks.chunkFrame(dd).groupBy("ch")
         .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
+      val winnowU = graft.llm.Winnow.fingerprints(dd).groupBy("fp")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("nd"))
       row("1_document", docU)
         .union(row("2_line", lineU))
         .union(row("3_window16", winU))
         .union(row("4_chunk", chkU))
+        .union(row("5_winnow", winnowU))
         .orderBy("granularity")
     }),
 
@@ -6819,11 +6822,14 @@ object SparkEntry {
           s"WITH ${graft.llm.Substring.sqlWindowCte(SubstrWinTok)} SELECT doc_id, wh FROM wins"
         val chkQ =
           s"WITH ${graft.llm.Chunks.sqlChunkCte} SELECT doc_id, ch, n_tok FROM chks"
+        val winnowQ =
+          s"WITH ${graft.llm.Winnow.sqlFingerprintCtes()} SELECT doc_id, fp FROM fp"
         // chunk units are occurrences: chks is one row per (doc, chunk)
         s"""${row("1_document", docQ, "h")}
            |UNION ALL ${row("2_line", lineQ, "lh")}
            |UNION ALL ${row("3_window16", winQ, "wh")}
            |UNION ALL ${row("4_chunk", chkQ, "ch")}
+           |UNION ALL ${row("5_winnow", winnowQ, "fp")}
            |ORDER BY granularity""".stripMargin
       },
 
