@@ -3370,6 +3370,38 @@ object SparkEntry {
     // integer division per source (graft.llm.Diversity).
     "vocab_simpson" -> ((s, d) => graft.llm.Diversity.simpson(docs(s, d))),
 
+    // Zipf-slope diagnostic: OLS of bit_length(freq) against
+    // bit_length(rank) over the whole vocabulary — slope ≈ −(Zipf
+    // exponent) in exact log2-bucket space. Both axes use the
+    // skew_histogram device (length(bin(x)) − 1: exact integer log2, no
+    // float log anywhere), the rank rides the distributed GlobalRank (no
+    // partition-less window), and the fit is the linreg contract: exact
+    // DECIMAL moments, ONE correctly-rounded division per coefficient.
+    // The "is this corpus Zipf-shaped" screen beside vocab_growth's
+    // Heaps curve; a head-heavy (boilerplate) corpus reads a steeper
+    // slope than the ~−1 natural-language norm.
+    "vocab_zipf_slope" -> ((s, d) => {
+      val vc = docs(s, d).select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .select(col("tok"), col("f"), (-col("f")).as("negf"))
+      val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+        vc, "negf", Seq("tok"), buckets = 32, out = "r")
+      val pts = ranked.select(
+        (length(bin(col("r"))) - 1).cast("decimal(38,0)").as("x"),
+        (length(bin(col("f"))) - 1).cast("decimal(38,0)").as("y"))
+      val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      pts.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast("long").as("n_types"),
+          when(den === 0.0, 0.0)
+            .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") / den, 6)).as("slope_r"),
+          when(den === 0.0, 0.0)
+            .otherwise(round((col("sy") * col("sxx") - col("sx") * col("sxy"))
+              .cast("double") / den, 6)).as("icept_r"))
+    }),
+
     "vocab_coverage" -> ((s, d) => {
       import s.implicits._
       val cnt = docs(s, d)
@@ -6504,6 +6536,24 @@ object SparkEntry {
       "readability_fk" -> graft.llm.Readability.sqlFk,
 
       "vocab_simpson" -> graft.llm.Diversity.sqlSimpson,
+
+      "vocab_zipf_slope" ->
+        s"""WITH vc AS (SELECT tok, count(*)::BIGINT AS f
+           |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+           |r AS (SELECT tok, f,
+           |        row_number() OVER (ORDER BY f DESC, tok) AS r FROM vc),
+           |p AS (SELECT (length(bin(r)) - 1)::HUGEINT AS x,
+           |             (length(bin(f)) - 1)::HUGEINT AS y FROM r),
+           |a AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM p)
+           |SELECT n::BIGINT AS n_types,
+           |  CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+           |       ELSE round((n * sxy - sx * sy)::DOUBLE
+           |              / (n * sxx - sx * sx)::DOUBLE, 6) END AS slope_r,
+           |  CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0
+           |       ELSE round((sy * sxx - sx * sxy)::DOUBLE
+           |              / (n * sxx - sx * sx)::DOUBLE, 6) END AS icept_r
+           |FROM a""".stripMargin,
 
       "graph_assortativity" ->
         s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

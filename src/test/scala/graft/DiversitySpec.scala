@@ -26,6 +26,30 @@ class DiversitySpec extends SparkSpec {
     assert(r.getLong(3) == 1000000L, r.toString)
   }
 
+  test("zipf slope: exact log2-bucket OLS by hand; fixture reads the Zipf regime") {
+    // geometric vocab — freqs 8,4,2,1 at ranks 1..4 — maps to the exact
+    // bit-length points (0,3) (1,2) (1,1) (2,0); hand OLS slope = -1.5
+    val pts = Seq((1L, 8L), (2L, 4L), (3L, 2L), (4L, 1L)).map { case (rk, f) =>
+      (java.lang.Long.toBinaryString(rk).length - 1).toLong ->
+        (java.lang.Long.toBinaryString(f).length - 1).toLong
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(slope - -1.5) < 1e-9, slope.toString)
+    // the synthetic fixture has a small CLOSED vocabulary with
+    // near-uniform frequencies — the slope correctly reads near-flat
+    // (that IS the diagnostic: synthetic text is not Zipf-shaped),
+    // still negative with a positive intercept
+    val got = SparkEntry.queries("vocab_zipf_slope")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(got.getLong(0) > 10L, got.toString)
+    assert(got.getDouble(1) < 0.0 && got.getDouble(1) > -3.0, got.toString)
+    assert(got.getDouble(2) > 0.0, got.toString)
+  }
+
   // ---- degree assortativity (the sibling one-number structure screen) ----
 
   private def edges(es: (Long, Long)*) = es.toDF("a", "b")
