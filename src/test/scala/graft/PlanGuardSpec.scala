@@ -452,7 +452,19 @@ class PlanGuardSpec extends SparkSpec {
       // sources x quality-value axis (axis <= 1e6 distinct ppm values by
       // construction, sources enum-bounded): the events_gapfill dense-grid
       // shape on a value axis instead of a time axis:
-      "quality_ks")
+      "quality_ks",
+      // round-9 constant broadcast grids (|grid| is a query literal, the
+      // CoverageKs device) joined by threshold/arithmetic predicates:
+      // events_acf — 6-lag grid x the calendar-bounded hourly rollup
+      // (the per-lag pairing itself is (event_type, hr) EQUI-joined);
+      // events_pareto — 4-percent grid x 1-row totals x the ranked user
+      // frame (the rank-pick equality rk = ceil(u*pct/100) references the
+      // grid and the totals sides together, so the sweep cannot see it as
+      // an equi-key; both non-user sides are <= 4 rows);
+      // graph_rich_club — 6-threshold grid x degree/edge frames (deg > k
+      // membership is the whole point; edge stream x |grid| is a constant
+      // multiplier, club edges counted from the edge list, never pairs):
+      "events_acf", "events_pareto", "graph_rich_club")
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
