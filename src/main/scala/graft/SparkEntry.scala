@@ -1968,6 +1968,15 @@ object SparkEntry {
       Scrub.contamination(docs(s, d), pmod(col("doc_id"), lit(50)) === 0, shingleSize = 5)
         .orderBy("doc_id")),
 
+    // Winnow-granularity decontamination — the fuzzy complement of the
+    // exact 5-gram key above: benchmark spans are caught through
+    // paraphrase-adjacent edits under the published >= w+k-1-token
+    // guarantee; same broadcast-benchmark posture, one shared fingerprint
+    // pass (graft.llm.Winnow.contamination).
+    "decontaminate_winnow" -> ((s, d) =>
+      graft.llm.Winnow.contamination(docs(s, d),
+        pmod(col("doc_id"), lit(50)) === 0).orderBy("doc_id")),
+
     // Deterministic data mixing: stratified hash-sampling by language —
     // seed + doc_id reproduce the exact corpus slice on any topology.
     "sample_stratified" -> ((s, d) =>
@@ -6089,6 +6098,9 @@ object SparkEntry {
       },
 
       "decontaminate" -> Scrub.sqlContamination(benchMod = 50, shingleSize = 5),
+
+      "decontaminate_winnow" ->
+        graft.llm.Winnow.sqlContamination("doc_id % 50 = 0"),
 
       "sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents

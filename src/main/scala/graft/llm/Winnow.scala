@@ -174,6 +174,47 @@ object Winnow {
         expr(s"(n_shared * $Ppm) div n_fp").as("containment_ppm"))
   }
 
+  /** Benchmark decontamination at the winnow granularity — the FUZZY
+    * complement of [[Scrub.contamination]]'s exact n-gram overlap: a
+    * benchmark span survives paraphrase-adjacent edits and tokenization
+    * shifts as long as ≥ w+k−1 contiguous tokens match (the published
+    * winnowing guarantee), where the exact 5-gram set misses it. Same
+    * posture: the benchmark suite is tiny against a 100 TB corpus, so its
+    * distinct fingerprint set is ONE broadcast; every non-benchmark doc is
+    * scored by the exact integer ppm fraction of its fingerprints found in
+    * the benchmark set. One shared fingerprint pass (tokenize once, split
+    * by `isBench` after — the shared-tokenize discipline); docs with zero
+    * k-grams emit no row in both engines.
+    */
+  def contamination(docs: DataFrame, isBench: Column,
+                    k: Int = K, w: Int = W): DataFrame = {
+    val fp = fingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp"), isBench.as("is_bench"))
+      .localCheckpoint() // bench set + corpus probe read one pass
+    val bench = fp.filter(col("is_bench")).select("fp").distinct()
+    fp.filter(!col("is_bench"))
+      .join(broadcast(bench.withColumn("hit", lit(true))), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("doc_id"), col("n_fp"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_fp").as("contamination_ppm"))
+  }
+
+  /** DuckDB mirror of [[contamination]] with `isBenchSql` as the benchmark
+    * predicate over `doc_id`.
+    */
+  def sqlContamination(isBenchSql: String, k: Int = K, w: Int = W): String =
+    s"""WITH ${sqlFingerprintCtes(k, w)},
+       |b AS (SELECT DISTINCT fp FROM fp WHERE $isBenchSql),
+       |c AS (SELECT f.doc_id, count(*)::BIGINT AS n_fp,
+       |        sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+       |      FROM fp f LEFT JOIN b ON f.fp = b.fp
+       |      WHERE NOT ($isBenchSql) GROUP BY 1)
+       |SELECT doc_id, n_fp, n_hit,
+       |  ((n_hit * 1000000) // n_fp)::BIGINT AS contamination_ppm
+       |FROM c ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- oracle
 
   /** DuckDB CTE chain ending in `fp(doc_id, n_kgrams, fp)` — the literal

@@ -162,4 +162,25 @@ class WinnowSpec extends SparkSpec {
       assert(!streamed.exists(_._1 == 19L) && !streamed.exists(_._1 == 29L))
     } finally q.stop()
   }
+
+  test("contamination: a planted >= w+k-1 benchmark span is caught; clean docs read 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val benchSpan = uniq("bench", 8) // >= w+k-1 = 7 tokens: guaranteed hit
+    val docs = Seq(
+      (0L, benchSpan + " " + uniq("bq", 12)),   // the benchmark doc (id % 50 == 0)
+      (1L, uniq("clean", 20)),                  // clean corpus doc
+      (2L, benchSpan + " " + uniq("cx", 12)),   // contaminated corpus doc
+      (50L, uniq("btwo", 20)))                  // second benchmark doc
+      .toDF("doc_id", "text")
+    val got = Winnow.contamination(docs, pmod(col("doc_id"), lit(50)) === 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(0L) && !got.contains(50L), "benchmark docs are not scored")
+    assert(got(1L)._2 == 0L && got(1L)._3 == 0L, s"clean doc: ${got(1L)}")
+    val (nfp, nhit, ppm) = got(2L)
+    assert(nhit >= 1L, s"planted span must hit: ${got(2L)}")
+    assert(ppm == nhit * 1000000L / nfp, s"exact ppm: ${got(2L)}")
+  }
 }
