@@ -75,6 +75,12 @@ object Bench {
       catch { case _: Throwable => () } // bench must not die on a warm-up
     }
     warmUp()
+    // Locale-safe 3-decimal rendering for BOTH the JSON artifact and the
+    // stderr correlation records (round-10 ADVICE: the f-interpolator's
+    // %.3f uses the JVM default locale — a comma-decimal locale would
+    // break downstream parsers).
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // Suite-contention fix (round-8): most keys localCheckpoint an
     // intermediate frame; those blocks live in the BlockManager until the
     // ContextCleaner happens to GC the referencing RDD. Across 215 keys the
@@ -119,20 +125,24 @@ object Bench {
       // timestamper (awk) buffers its input and stamps whole chunks at
       // flush time (measured, round-9 burst instrumentation); the
       // rep-end [bench repN] dump has the same problem by construction.
-      System.err.println(f"[bench key] $name $v%.3f ${System.currentTimeMillis()}")
+      System.err.println(s"[bench key] $name ${r3(v)} ${System.currentTimeMillis()}")
       v
     }
     def rep(): Seq[(String, Double)] =
       SparkEntry.queries.keys.toSeq.sorted
         .filter(name => only.forall(_.contains(name)))
         .map(name => name -> timeOne(name))
-    // Prior round's per-query record (read BEFORE this run overwrites the
-    // file): keys that regressed >1.5x vs last round get a floor re-run even
-    // if they are not in the top-10 — round 7's embedding_gram-style 1.7x
-    // deltas then ship with their own in-artifact adjudication.
-    val priorTimes: Map[String, Double] = {
+    // Per-query baselines, read BEFORE this run overwrites BENCH_LAST.json.
+    // TWO baselines (round-9 verdict: the prior-DRAW-only trigger let keys
+    // that regressed vs the prior ROUND escape flooring when an intra-round
+    // draw had already absorbed the shift):
+    //  - BENCH_LAST.json: the prior full DRAW (catches intra-round drift)
+    //  - BENCH_ROUND_BASE.json: the prior ROUND's committed full draw —
+    //    refreshed ONCE per round (first action of a session: copy
+    //    BENCH_LAST.json, which the driver committed, over it).
+    def readBenchQueries(file: String): Map[String, Double] = {
       val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_LAST.json")
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), file)
       if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
         val s = java.nio.file.Files.readString(p)
@@ -150,11 +160,13 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     }
+    val priorTimes: Map[String, Double] = readBenchQueries("BENCH_LAST.json")
+    val roundBase: Map[String, Double]  = readBenchQueries("BENCH_ROUND_BASE.json")
     // reps>1: keep the per-query MIN across repetitions (the least-noise
     // estimate on a shared container); failures stay -1 regardless of reps
     val all = (1 to reps).map { i =>
       val r = rep()
-      if (reps > 1) r.foreach { case (k, v) => System.err.println(f"[bench rep$i] $k $v%.3f") }
+      if (reps > 1) r.foreach { case (k, v) => System.err.println(s"[bench rep$i] $k ${r3(v)}") }
       r
     }
     val firstPass = all.transpose.map { timings =>
@@ -180,14 +192,12 @@ object Bench {
           if (!redo(name)) name -> v
           else {
             val again = timeOne(name) match { case x if x >= 0 => x; case _ => v }
-            System.err.println(f"[bench redo] $name first=$v%.3f redo=$again%.3f")
+            System.err.println(s"[bench redo] $name first=${r3(v)} redo=${r3(again)}")
             name -> math.min(v, again)
           }
         }
       }
     }
-    def r3(v: Double): String = // 3 decimals: ms precision, ~40% shorter line
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // failed queries keep their -1 sentinel in `queries` but must not
@@ -207,9 +217,15 @@ object Bench {
     // floors are a full-run artifact feature; a SPARK_GRAFT_QUERIES dev
     // subset already IS a quiet-JVM isolated measurement and re-running it
     // 2 more times per key just doubles the wait
+    // ratio vs a baseline map; 0.0 = key absent (new key / missing file)
+    def ratioVs(base: Map[String, Double])(name: String, v: Double): Double =
+      base.get(name).filter(_ > 0).map(v / _).getOrElse(0.0)
+    // a key floors when it regressed >1.5x vs EITHER baseline; both ratios
+    // ship in the floors entries for triage
     val regressedAll: Seq[(String, Double)] = if (only.nonEmpty) Seq.empty else ok
-      .collect { case (name, v) if priorTimes.get(name).exists(p => p > 0 && v > 1.5 * p) =>
-        name -> (v / priorTimes(name)) }
+      .map { case (name, v) =>
+        name -> math.max(ratioVs(priorTimes)(name, v), ratioVs(roundBase)(name, v)) }
+      .filter(_._2 > 1.5)
       .sortBy(-_._2)
     // EVERY regressed-vs-prior key gets a floor (round-8 verdict: the
     // 15-worst-ratio cap let decontaminate's 1.6x ship unadjudicated), up
@@ -234,7 +250,9 @@ object Bench {
       name -> ((suiteV, if (iso.isEmpty) -1.0 else iso.min))
     }
     val floorsJson = floors.map { case (k, (s, i)) =>
-      s"\"" + k + "\":{\"suite\":" + r3(s) + ",\"isolated\":" + r3(i) + "}"
+      s"\"" + k + "\":{\"suite\":" + r3(s) + ",\"isolated\":" + r3(i) +
+        ",\"vs_draw\":" + r3(ratioVs(priorTimes)(k, s)) +
+        ",\"vs_round\":" + r3(ratioVs(roundBase)(k, s)) + "}"
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failures":$failures,"floors":$floorsJson,"floors_dropped":$floorsDropped,"sf":"$sfDir"}"""

@@ -521,7 +521,7 @@ object SparkEntry {
       graft.ops.GlobalRank.withNtile(
           orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
           rangeCol = "o_totalprice", tieBreak = Seq("o_orderkey"),
-          buckets = 32, tiles = 4, out = "quartile")
+          buckets = graft.ops.GlobalRank.Auto, tiles = 4, out = "quartile")
         .select("o_orderkey", "o_totalprice", "quartile")
         .orderBy("o_orderkey")),
 
@@ -533,7 +533,7 @@ object SparkEntry {
       graft.ops.GlobalRank.withGlobalRowNumber(
           orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
           rangeCol = "o_totalprice", tieBreak = Seq("o_orderkey"),
-          buckets = 32, out = "rn")
+          buckets = graft.ops.GlobalRank.Auto, out = "rn")
         .select("o_orderkey", "o_totalprice", "rn")
         .orderBy("o_orderkey")),
 
@@ -546,7 +546,7 @@ object SparkEntry {
       val (ranked, n) = graft.ops.GlobalRank.withGlobalRowNumberAndCount(
         orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
         rangeCol = "o_totalprice", tieBreak = Seq("o_orderkey"),
-        buckets = 32, out = "rn")
+        buckets = graft.ops.GlobalRank.Auto, out = "rn")
       val peers = ranked.groupBy("o_totalprice")
         .agg(min("rn").as("mn"), max("rn").as("mx"))
       ranked.join(peers, Seq("o_totalprice"))
@@ -990,7 +990,7 @@ object SparkEntry {
       val e = events(s, d).select(col("event_id"), col("event_type"), col("value"))
       graft.ops.GlobalRank
         .withGroupedRowNumber(e, "event_type", "value", Seq("event_id"),
-          buckets = 32, out = "rnk", outN = "n_g")
+          buckets = graft.ops.GlobalRank.Auto, out = "rnk", outN = "n_g")
         .select(col("event_id"), col("event_type"), col("rnk"),
           when(col("n_g") === 1, 0L)
             .otherwise(expr("(rnk - 1) * 1000000 div (n_g - 1)")).as("prank_ppm"))
@@ -1475,7 +1475,10 @@ object SparkEntry {
     // micro-units (vowel-group syllables, terminal-punctuation-run
     // sentences) — the classic difficulty feature beside the published
     // quality gates (graft.llm.Readability).
-    "readability_fk" -> ((s, d) => graft.llm.Readability.fk(docs(s, d))),
+    // The empty-doc probe row rides along on both engines so the oracle
+    // gate exercises the w = 0 path every round (round-10 ADVICE fix).
+    "readability_fk" -> ((s, d) => graft.llm.Readability.fk(
+      graft.llm.Readability.withEmptyDocProbe(docs(s, d)))),
 
     "lang_id" -> ((s, d) =>
       TA.langIdByKey(docs(s, d), "doc_id", "text", carry = Seq("lang"))
@@ -1725,7 +1728,7 @@ object SparkEntry {
         .localCheckpoint()
       val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
         sized.withColumn("neg_tok", -col("n_tok")),
-        "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
+        "neg_tok", Seq("doc_id"), buckets = graft.ops.GlobalRank.Auto, out = "rn")
       ranked
         .withColumn("shard", pmod(col("rn") - 1, lit(shards.toLong)).cast("int"))
         .groupBy("shard")
@@ -1747,7 +1750,7 @@ object SparkEntry {
         size(TA.tokens(col("text"))).cast("long").as("n_tok"))
         .localCheckpoint()
       graft.ops.GlobalRank
-        .withNtile(q, "quality", Seq("doc_id"), buckets = 8, tiles = 4, out = "tier")
+        .withNtile(q, "quality", Seq("doc_id"), buckets = graft.ops.GlobalRank.Auto, tiles = 4, out = "tier")
         .groupBy("tier")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           round(min("quality"), 6).as("min_q"), round(max("quality"), 6).as("max_q"))
@@ -1767,7 +1770,7 @@ object SparkEntry {
         .localCheckpoint()
       graft.ops.GlobalRank.withGlobalRowNumber(
           sized.withColumn("neg_tok", -col("n_tok")),
-          "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
+          "neg_tok", Seq("doc_id"), buckets = graft.ops.GlobalRank.Auto, out = "rn")
         .withColumn("shard", pmod(col("rn") - 1, lit(shards.toLong)).cast("int"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
@@ -1788,7 +1791,7 @@ object SparkEntry {
         .localCheckpoint()
       graft.ops.GlobalRank.withGlobalRowNumber(
           sized.withColumn("neg_tok", -col("n_tok")),
-          "neg_tok", Seq("doc_id"), buckets = 8, out = "rn")
+          "neg_tok", Seq("doc_id"), buckets = graft.ops.GlobalRank.Auto, out = "rn")
         .withColumn("shard", pmod(col("rn") - 1, lit(shards.toLong)).cast("int"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
@@ -2229,7 +2232,7 @@ object SparkEntry {
           concat(lit("cbal-v1:"), col("vec_id").cast("string"))))
       graft.ops.GlobalRank
         .withGroupedRowNumber(m, "cluster_id", "hv", Seq("vec_id"),
-          buckets = 32, out = "rnk", outN = "n_members")
+          buckets = graft.ops.GlobalRank.Auto, out = "rnk", outN = "n_members")
         .withColumn("target", ceil(sqrt(col("n_members").cast("double"))).cast("long"))
         .select(col("vec_id"), col("cluster_id"), col("n_members"), col("rnk"),
           col("target"), (col("rnk") <= col("target")).as("keep"))
@@ -2484,7 +2487,7 @@ object SparkEntry {
           concat(lit(s"$ShuffleSeed:"), col("doc_id").cast("string"))).as("shuffle_key"))
       graft.ops.GlobalRank
         .withGlobalRowNumberAndCount(seeded, "shuffle_key", Seq("doc_id"),
-          buckets = 32, out = "pos")._1
+          buckets = graft.ops.GlobalRank.Auto, out = "pos")._1
         .select(col("doc_id"), col("pos"))
         .orderBy("doc_id")
     }),
@@ -2943,11 +2946,11 @@ object SparkEntry {
         graft.expr.PortableHash.phash(
           concat(lit(s"$InterleaveSeed:"), col("doc_id").cast("string"))).as("hk"))
       val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
-          seeded, "source", "hk", Seq("doc_id"), buckets = 32,
+          seeded, "source", "hk", Seq("doc_id"), buckets = graft.ops.GlobalRank.Auto,
           out = "rnk_src", outN = "__n")
         .drop("__n", "hk")
       graft.ops.GlobalRank.withGlobalRowNumberAndCount(
-          ranked, "rnk_src", Seq("source", "doc_id"), buckets = 32, out = "pos")._1
+          ranked, "rnk_src", Seq("source", "doc_id"), buckets = graft.ops.GlobalRank.Auto, out = "pos")._1
         .select(col("doc_id"), col("source"), col("rnk_src"), col("pos"))
         .orderBy("doc_id")
     }),
@@ -3394,7 +3397,7 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("f"))
         .select(col("tok"), col("f"), (-col("f")).as("negf"))
       val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
-        vc, "negf", Seq("tok"), buckets = 32, out = "r")
+        vc, "negf", Seq("tok"), buckets = graft.ops.GlobalRank.Auto, out = "r")
       val pts = ranked.select(
         (length(bin(col("r"))) - 1).cast("decimal(38,0)").as("x"),
         (length(bin(col("f"))) - 1).cast("decimal(38,0)").as("y"))
@@ -3418,7 +3421,7 @@ object SparkEntry {
         .groupBy("source", "tok").agg(count(lit(1)).as("c"))
         .withColumn("negc", -col("c"))
       val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
-          cnt, "source", "negc", Seq("tok"), buckets = 32,
+          cnt, "source", "negc", Seq("tok"), buckets = graft.ops.GlobalRank.Auto,
           out = "rnk", outN = "__nv")
         .localCheckpoint() // feeds per-source totals AND the k-band join
       val tot = ranked.groupBy("source")
@@ -3444,7 +3447,7 @@ object SparkEntry {
         .select(col("doc_id"), col("source"),
           expr(s"CAST(round(q * $SamplePpmScale, 0) AS BIGINT)").as("q_ppm"))
       val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
-          base, "source", "q_ppm", Seq("doc_id"), buckets = 32,
+          base, "source", "q_ppm", Seq("doc_id"), buckets = graft.ops.GlobalRank.Auto,
           out = "rnk", outN = "n")
         .localCheckpoint() // feeds the target table AND the value lookup
       val targets = ranked.select("source", "n").distinct()
@@ -3546,7 +3549,7 @@ object SparkEntry {
         .select("doc_id", "score_ppm")
       graft.ops.GlobalRank.withNtile(scored,
           rangeCol = "score_ppm", tieBreak = Seq("doc_id"),
-          buckets = 32, tiles = 4, out = "quartile")
+          buckets = graft.ops.GlobalRank.Auto, tiles = 4, out = "quartile")
         .select(col("doc_id"), col("score_ppm"), col("quartile"),
           (col("quartile") === 4).as("keep"))
         .orderBy("doc_id")
@@ -3693,9 +3696,9 @@ object SparkEntry {
       val uc = events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
         .select(col("user_id"), col("c"), (-col("c")).as("negc"))
       val cum = graft.ops.GlobalRank.withGlobalPrefixSum(
-        uc, "negc", Seq("user_id"), "c", buckets = 32, out = "cumc")
+        uc, "negc", Seq("user_id"), "c", buckets = graft.ops.GlobalRank.Auto, out = "cumc")
       val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
-        cum, "negc", Seq("user_id"), buckets = 32, out = "rk")
+        cum, "negc", Seq("user_id"), buckets = graft.ops.GlobalRank.Auto, out = "rk")
       val tot = uc.agg(count(lit(1)).as("u"), sum("c").as("tot"))
       ranked.crossJoin(broadcast(tot)) // 1-row totals
         .crossJoin(broadcast(Seq(1L, 5L, 10L, 50L).toDF("pct")))
@@ -3840,7 +3843,7 @@ object SparkEntry {
         .groupBy("file_id")
         .agg(sum("n_chars").as("size_bytes"), count(lit(1)).as("n_docs"))
       val cum = graft.ops.GlobalRank.withGlobalPrefixSum(
-        files, "file_id", Seq.empty, "size_bytes", buckets = 16, out = "cum")
+        files, "file_id", Seq.empty, "size_bytes", buckets = graft.ops.GlobalRank.Auto, out = "cum")
       cum
         .withColumn("bin",
           IntMath.floorDiv(col("cum") - col("size_bytes"), CompactTargetBytes))
@@ -4038,7 +4041,7 @@ object SparkEntry {
         .join(labels, Seq("doc_id"))
       val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
         withQ.withColumn("g", lit("all")), "g", "score_ppm", Seq("doc_id"),
-        buckets = 32, out = "rnk", outN = "n_all")
+        buckets = graft.ops.GlobalRank.Auto, out = "rnk", outN = "n_all")
       ranked.groupBy("score_ppm")
         .agg(sum(col("label")).as("pos"), count(lit(1)).as("cnt"),
           min(col("rnk")).as("lo"), max(col("rnk")).as("hi"))
@@ -4119,7 +4122,7 @@ object SparkEntry {
       val e = events(s, d).select(col("event_id"), col("event_type"),
         expr("CAST(round(value * 100) AS BIGINT)").as("v"))
       val ranked = graft.ops.GlobalRank.withGroupedRowNumber(
-          e, "event_type", "v", Seq("event_id"), buckets = 32,
+          e, "event_type", "v", Seq("event_id"), buckets = graft.ops.GlobalRank.Auto,
           out = "rnk", outN = "n_g")
         .localCheckpoint() // feeds the bound lookup AND the clamp pass
       // renamed key: targets derives from `ranked`, so a same-name join

@@ -30,6 +30,21 @@ import org.apache.spark.sql.functions._
   */
 object Readability {
 
+  /** doc_id of the synthetic empty-doc probe row the oracle gate appends on
+    * BOTH engines (fixture docs never normalize to empty — verified 0/5000
+    * — so without the probe the oracle never exercises the w = 0 path the
+    * round-10 ADVICE found divergent). Negative: disjoint from fixture ids.
+    */
+  val ProbeDocId: Long = -1L
+
+  /** docs ∪ the empty-doc probe row — what the oracle-gated query runs on.
+    * `docs` needs only (doc_id, text); extra columns are dropped.
+    */
+  def withEmptyDocProbe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.sparkSession.range(1)
+        .select(lit(ProbeDocId).as("doc_id"), lit("").as("text")))
+
   def fk(docs: DataFrame): DataFrame = {
     val sents = docs.select(col("doc_id"),
       greatest(lit(1L),
@@ -61,18 +76,30 @@ object Readability {
       .orderBy("doc_id")
   }
 
-  /** DuckDB mirror of [[fk]], term-for-term. */
+  /** DuckDB mirror of [[fk]], term-for-term.
+    *
+    * NULL-guard (round-10 ADVICE fix): the LEFT JOIN gives an empty doc one
+    * row with `tk.tok = NULL`, and DuckDB 1.0.0 `greatest(1, NULL) = 1`
+    * (NULL-skipping, pinned by the `greatest_ignores_null` canary probe) —
+    * an unguarded `sum(greatest(1, ...))` would count 1 syllable where the
+    * Spark side counts 0. The CASE keeps the NULL row NULL so the sum
+    * coalesces to 0 in both engines.
+    */
   def sqlFk: String = {
     val toks = TextAnalysis.sqlTokens("text")
     val norm = TextAnalysis.sqlNormText("text")
-    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+    s"""WITH docs AS (SELECT doc_id, text FROM documents
+       |              UNION ALL SELECT ${ProbeDocId}, ''),
+       |tk AS (SELECT doc_id, unnest($toks) AS tok FROM docs),
        |ws AS (SELECT d.doc_id, count(tk.tok)::BIGINT AS w,
-       |         coalesce(sum(greatest(1,
-       |           len(regexp_extract_all(tk.tok, '[aeiouy]+')))), 0)::BIGINT AS syl
-       |       FROM documents d LEFT JOIN tk USING (doc_id) GROUP BY 1),
+       |         coalesce(sum(CASE WHEN tk.tok IS NULL THEN NULL
+       |           ELSE greatest(1,
+       |             len(regexp_extract_all(tk.tok, '[aeiouy]+'))) END),
+       |           0)::BIGINT AS syl
+       |       FROM docs d LEFT JOIN tk USING (doc_id) GROUP BY 1),
        |sn AS (SELECT doc_id,
        |         greatest(1, len(regexp_extract_all($norm, '[.!?]+')))::BIGINT AS s
-       |       FROM documents)
+       |       FROM docs)
        |SELECT ws.doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
        |  CASE WHEN w = 0 THEN NULL
        |       ELSE 206835000 - (1015000 * w) // s - (84600000 * syl) // w

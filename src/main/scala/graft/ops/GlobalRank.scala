@@ -29,6 +29,51 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode,
   */
 object GlobalRank {
 
+  /** Sentinel bucket count: derive the count from the input size
+    * ([[autoBuckets]]) instead of pinning a constant. A FIXED bucket count
+    * is a fixed parallelism ceiling on the rank/prefix-sum passes — fine
+    * while the ranked frame is fixture-sized, but once the frame itself
+    * grows with the corpus (users, vocab types, docs) a pinned 32 caps the
+    * per-bucket window at n/32 rows per task (round-9 verdict task #1).
+    * Costs ONE extra cheap action (a zero-column `count()` over the scan or
+    * the checkpointed blocks) before the boundary pass.
+    */
+  val Auto: Int = 0
+
+  /** Floor: matches the session shuffle width, and keeps fixture-scale
+    * plans identical to the historical pinned-32 ones. */
+  val MinBuckets: Int = 32
+
+  /** Ceiling: bounds the driver-side boundary/offset metadata (≤ 4096
+    * doubles + longs) and the broadcast offset table. Past the cap,
+    * per-bucket rows grow linearly again — at [[RowsPerBucket]] = 1 M that
+    * is beyond ~4×10⁹ ranked rows, where 4096-way parallelism and a few-M-row
+    * in-task sort are still healthy. */
+  val MaxBuckets: Int = 4096
+
+  /** Target rows per bucket: one bucket = one window-sort task; 1 M small
+    * rows sort comfortably in-memory per task and give second-scale task
+    * granularity. */
+  val RowsPerBucket: Long = 1000000L
+
+  /** Above this many buckets the literal when-chains (bucket id, offsets)
+    * are replaced by array-literal forms: a nested chain compiles into ONE
+    * janino method and the 64 KB limit trips in the hundreds of terms
+    * (measured at ~620 terms by export_interleave, see
+    * [[withGroupedRowNumber]]). ≤ 64 keeps today's fully-codegen'd plans
+    * byte-identical at fixture scale. */
+  val ChainMax: Int = 64
+
+  /** Corpus-scaled bucket count: `clamp(ceil(n / RowsPerBucket), MinBuckets,
+    * MaxBuckets)` — exact integer math. The bucket count NEVER changes the
+    * ranked output (bucket boundaries are monotone cuts of the same total
+    * order — `GlobalRankSpec` asserts invariance), so this is a pure
+    * parallelism knob and needs no oracle mirror.
+    */
+  def autoBuckets(n: Long): Int =
+    math.min(MaxBuckets.toLong,
+      math.max(MinBuckets.toLong, (n + RowsPerBucket - 1) / RowsPerBucket)).toInt
+
   /** The rank needs three passes over the input (boundary sample, bucket
     * counts, the ranked output itself) and exchange reuse never crosses
     * actions — fine over a bare parquet scan (each pass re-reads pruned
@@ -70,29 +115,56 @@ object GlobalRank {
     val df =
       if (isBareScan(df0.queryExecution.optimizedPlan)) df0
       else cp.cut(df0)
+    // Auto mode pays one zero-column count action to size the grid to the
+    // corpus; at fixture scale it resolves to MinBuckets = the historical 32.
+    val b = if (buckets == Auto) autoBuckets(df.count()) else buckets
     val bounds: Seq[Double] =
-      if (buckets <= 1) Seq.empty // approx_percentile rejects an empty prob array
+      if (b <= 1) Seq.empty // approx_percentile rejects an empty prob array
       else {
-        val probs = (1 until buckets).map(_.toDouble / buckets)
+        val probs = (1 until b).map(_.toDouble / b)
         val bRow = df.agg(
           expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
         if (bRow.isNullAt(0)) Seq.empty
         else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
       }
-    (df, bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col(rangeCol) > lit(b), 1).otherwise(0)
-    })
+    (df, bucketExpr(rangeCol, bounds))
   }
 
-  /** Fold per-bucket totals into the literal `__bkt`-keyed offset chain
-    * (each bucket's offset = sum of totals strictly below it).
+  /** Monotone bucket id = #bounds strictly below the key. Literal
+    * when-chain while it fits in one janino method (fully codegen'd — the
+    * fixture-scale hot path), array-literal filter beyond [[ChainMax]]
+    * (constant codegen size at any bucket count; interpreted HOF eval is
+    * noise next to the shuffle at that scale).
+    */
+  private def bucketExpr(rangeCol: String, bounds: Seq[Double]): Column =
+    if (bounds.size <= ChainMax)
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(rangeCol) > lit(b), 1).otherwise(0)
+      }
+    else
+      size(filter(typedLit(bounds), b => col(rangeCol) > b))
+
+  /** Fold per-bucket totals into the `__bkt`-keyed offset lookup (each
+    * bucket's offset = sum of totals strictly below it): a literal when-chain
+    * while small, an `element_at` over a literal array beyond [[ChainMax]]
+    * (one O(1) expression at any bucket count — never a 4096-deep chain).
     */
   private def offsetExpr(perBucket: Array[(Int, Long)]): Column = {
     val sorted = perBucket.sortBy(_._1)
-    val offsets = sorted.map(_._1).zip(
-      sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
-      when(col("__bkt") === bkt, lit(off)).otherwise(acc)
+    if (sorted.length <= ChainMax) {
+      val offsets = sorted.map(_._1).zip(
+        sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      offsets.foldLeft(lit(0L)) { case (acc, (bkt, off)) =>
+        when(col("__bkt") === bkt, lit(off)).otherwise(acc)
+      }
+    } else {
+      // dense offsets over 0..maxBkt — absent (empty) buckets inherit the
+      // cumulative total below them, which is exactly their rank offset
+      val m = sorted.toMap
+      val maxBkt = sorted.last._1
+      val offsets = (0 to maxBkt).map(i => m.getOrElse(i, 0L))
+        .scanLeft(0L)(_ + _).dropRight(1)
+      element_at(typedLit(offsets), col("__bkt") + 1)
     }
   }
 
@@ -230,7 +302,14 @@ object GlobalRank {
           Window.partitionBy(groupCol).orderBy(sortCols: _*)).cast("long"))
         .withColumn(outN, count(lit(1)).over(Window.partitionBy(groupCol)))
     }
-    val probs = (1 until buckets).map(_.toDouble / buckets)
+    // Auto: size the per-group grid as if the LARGEST group held everything
+    // (the heavy-group regime this branch exists for) — over-bucketing a
+    // light group just yields empty buckets, and the groups × buckets
+    // metadata frame stays ≤ MaxCaseGroups × MaxBuckets rows (tiny). The
+    // bucket id below is already an array fold and the offsets already a
+    // broadcast join, so large counts need no chain/codegen care here.
+    val b = if (buckets == Auto) autoBuckets(df.count()) else buckets
+    val probs = (1 until b).map(_.toDouble / b)
     // Per-group metadata stays in FRAMES broadcast back to the rows — never
     // collected into literal case-chains: a groups × buckets `when`-chain
     // compiles into ONE janino method, and the 64 KB method limit trips at

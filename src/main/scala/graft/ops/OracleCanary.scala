@@ -24,8 +24,16 @@ import graft.expr.{NfcNormalize, PortableHash}
   *    round half away from zero)
   *  - the md5-prefix portable hash ([[PortableHash]])
   *  - Unicode NFC normalization ([[NfcNormalize]] vs `nfc_normalize`)
+  *  - regex RUN counting: `regexp_count(s, '[class]+')` vs
+  *    `len(regexp_extract_all(...))` — [[graft.llm.Readability]]'s
+  *    syllable/sentence contract (round-9 verdict task)
+  *  - `greatest` NULL-skipping: `greatest(1, NULL) = 1` in BOTH engines —
+  *    the semantic whose one-sided use the round-10 ADVICE caught in the
+  *    readability mirror; DuckDB changed it in later versions
+  *  - integer bit width via `length(bin(x))` — exact cross-engine integer
+  *    log2, the [[graft.llm.Surprisal]] contract
   *
-  * Scale: 10 literal rows; cost is plan-constant.
+  * Scale: 13 literal rows; cost is plan-constant.
   */
 object OracleCanary {
 
@@ -54,6 +62,13 @@ object OracleCanary {
       p("md5_prefix_hash", PortableHash.phash(lit("graft-canary")), nul),
       p("nfc_normalize",
         length(NfcNormalize.nfc(concat(lit("e"), lit("\u0301")))), nul),
+      p("regexp_count_runs",
+        regexp_count(lit("banana!! why?? end."), lit("[aeiouy]+")) * 100
+          + regexp_count(lit("banana!! why?? end."), lit("[.!?]+")), nul),
+      p("greatest_ignores_null",
+        greatest(lit(1), lit(null).cast("int")), nul),
+      p("bin_width", length(bin(lit(1023L))) * 100
+        + length(bin(lit(1L))) * 10 + length(bin(lit(0L))), nul),
     ).reduce(_ union _).orderBy("probe")
   }
 
@@ -78,5 +93,14 @@ object OracleCanary {
        |  ${PortableHash.sqlPhash("'graft-canary'")}, NULL
        |UNION ALL SELECT 'nfc_normalize',
        |  length(${NfcNormalize.sqlNfc("'e' || chr(769)")})::BIGINT, NULL
+       |UNION ALL SELECT 'regexp_count_runs',
+       |  (len(regexp_extract_all('banana!! why?? end.', '[aeiouy]+')) * 100
+       |   + len(regexp_extract_all('banana!! why?? end.', '[.!?]+')))::BIGINT,
+       |  NULL
+       |UNION ALL SELECT 'greatest_ignores_null',
+       |  greatest(1, NULL::INTEGER)::BIGINT, NULL
+       |UNION ALL SELECT 'bin_width',
+       |  (length(bin(1023::BIGINT)) * 100 + length(bin(1::BIGINT)) * 10
+       |   + length(bin(0::BIGINT)))::BIGINT, NULL
        |ORDER BY probe""".stripMargin
 }

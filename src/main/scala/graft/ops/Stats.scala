@@ -206,7 +206,7 @@ object Stats {
     val vc = tc.groupBy("c").agg(sum(col("n_tc")).as("cnt"))
     // lo = cum − cnt + 1, hi = cum → 2·r̄ = lo + hi = 2·cum − cnt + 1
     val ranked = GlobalRank
-      .withGlobalPrefixSum(vc, "c", Seq.empty, "cnt", buckets = 32, out = "cum")
+      .withGlobalPrefixSum(vc, "c", Seq.empty, "cnt", buckets = GlobalRank.Auto, out = "cum")
       .select(col("c"),
         (col("cum") * 2 - col("cnt") + 1).cast("decimal(38,0)").as("two_rbar"))
     val g = tc.join(ranked, Seq("c"))

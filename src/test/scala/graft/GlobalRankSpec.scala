@@ -153,6 +153,57 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("autoBuckets: clamped ceiling of n / RowsPerBucket") {
+    assert(GlobalRank.autoBuckets(0L) == GlobalRank.MinBuckets)
+    assert(GlobalRank.autoBuckets(600000L) == GlobalRank.MinBuckets)
+    assert(GlobalRank.autoBuckets(32L * GlobalRank.RowsPerBucket) == 32)
+    assert(GlobalRank.autoBuckets(32L * GlobalRank.RowsPerBucket + 1) == 33)
+    assert(GlobalRank.autoBuckets(100L * GlobalRank.RowsPerBucket) == 100)
+    assert(GlobalRank.autoBuckets(Long.MaxValue) == GlobalRank.MaxBuckets)
+  }
+
+  test("bucket count never changes the output: 2 / 8 / 200 / Auto are value-identical") {
+    // bucket boundaries are monotone cuts of one total order, so the count
+    // is a pure parallelism knob — the contract that lets Auto replace the
+    // pinned 32 at every call site with zero oracle churn (round-9 verdict
+    // task #1). 200 > ChainMax also exercises the array-literal bucket-id
+    // and element_at offset forms (5000 distinct keys → ~199 live bounds).
+    val df = (1 to 5000).map(i => (i.toLong, ((i * 7919) % 5000).toDouble))
+      .toDF("id", "v").repartition(7)
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy("v", "id")).cast("long"))
+    for (b <- Seq(2, 8, 200, GlobalRank.Auto)) {
+      val ranked = GlobalRank.withGlobalRowNumber(df, "v", Seq("id"), buckets = b, out = "rn")
+      assert(ranked.exceptAll(expected).isEmpty && expected.exceptAll(ranked).isEmpty,
+        s"buckets=$b must be value-identical to the window rank")
+    }
+  }
+
+  test("prefix sum is bucket-count-invariant too, including the >ChainMax array path") {
+    val df = (1 to 3000).map(i => (i.toLong, ((i * 31) % 500).toLong, (i % 11 + 1).toLong))
+      .toDF("id", "k", "sz").repartition(5)
+    val want = df.withColumn("cum",
+      sum("sz").over(Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    for (b <- Seq(3, 150, GlobalRank.Auto)) {
+      val got = GlobalRank.withGlobalPrefixSum(df, "k", Seq("id"), "sz", buckets = b, out = "cum")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"buckets=$b prefix sum must equal the window cumsum")
+    }
+  }
+
+  test("grouped rank: Auto and explicit bucket counts agree") {
+    val rows = (0 until 400).map(i => ("big", i.toLong, (i % 7).toDouble)) ++
+      (0 until 30).map(i => ("a", 1000L + i, (i % 5).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val auto = GlobalRank.withGroupedRowNumber(df, "g", "v", Seq("id"),
+      buckets = GlobalRank.Auto, out = "rnk", outN = "n_g")
+    val pinned = GlobalRank.withGroupedRowNumber(df, "g", "v", Seq("id"),
+      buckets = 8, out = "rnk", outN = "n_g")
+    assert(auto.exceptAll(pinned).isEmpty && pinned.exceptAll(auto).isEmpty,
+      "grouped Auto must be value-identical to a pinned count")
+  }
+
   test("global prefix sum == single-partition window cumsum on skewed, tied data") {
     // heavy ties on the range key: half the rows share one key, so one
     // bucket absorbs them — the offset table must still stitch exactly
