@@ -12,7 +12,15 @@ Recipe (matches the round-1 replica at /tmp/graft_sf1):
   - pyarrow concat preserves TIMESTAMP(NANOS) — DuckDB COPY would silently
     downcast to µs and break the ts-dependent queries (TESTDATA contract)
 
-Usage: gen_scale_replica.py <srcDir> <dstDir> [k=10]
+Axis modes (4th arg, default "row"):
+  row  — the historical mode: fact ROWS multiply, user_id is preserved,
+         so per-user densities grow k× but the user axis does not.
+  user — additionally offsets events.user_id per copy, so the USER axis
+         grows k× at constant per-user density. This is the replica the
+         GlobalRank-family keys need: their ranked frame (users) is
+         structurally flattered by the row mode (round-9 verdict task #3).
+
+Usage: gen_scale_replica.py <srcDir> <dstDir> [k=10] [axis=row|user]
 """
 import sys
 import pyarrow as pa
@@ -42,11 +50,17 @@ def replicate(src, dst, name, offsets, k):
     pq.write_table(out, f"{dst}/{name}.parquet")
     print(f"{name}: {t.num_rows} -> {out.num_rows}")
 
+USER_AXIS_OFFSETS = {"events": {"user_id": 1_000_000}}
+
 def main():
     src, dst = sys.argv[1], sys.argv[2]
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    axis = sys.argv[4] if len(sys.argv) > 4 else "row"
+    assert axis in ("row", "user"), f"unknown axis {axis}"
     os.makedirs(dst, exist_ok=True)
     for name, offs in FACT_OFFSETS.items():
+        if axis == "user" and name in USER_AXIS_OFFSETS:
+            offs = {**offs, **USER_AXIS_OFFSETS[name]}
         replicate(src, dst, name, offs, k)
     for name in DIMS:
         t = pq.read_table(f"{src}/{name}.parquet")

@@ -19,6 +19,12 @@ object GraftConf {
     // Tables.tsToNanos then reduces to unix_micros (a bit reinterpretation).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Part of the loud-overflow contract (Stats.MaxCentMass class): with
+    // ANSI off, a DECIMAL(38,0) moment product past the headroom silently
+    // NULLs where DuckDB HUGEINT holds or errors — the silent cross-engine
+    // divergence round-9 verdict task #5 closes. Spark 4 defaults ANSI on;
+    // pin it so a user session with ansi=off can't reopen the hole.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     spark
   }
 }

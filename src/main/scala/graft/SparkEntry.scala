@@ -6943,7 +6943,15 @@ object SparkEntry {
           |GROUP BY split, o.users_total, o.users_both
           |ORDER BY split""".stripMargin,
 
-      "stats_linreg" ->
+      // Loud-overflow guard mirrored from Stats.linregRaw: magnitude bounds
+      // at the DECIMAL(38,0) edge (10^38). HUGEINT itself errors loudly at
+      // ~1.7e38, so between the two every overflow is loud in both engines.
+      "stats_linreg" -> {
+        val d38 = "1" + "0" * 38
+        val ovf = Seq("abs(sx)", "abs(sy)", "abs(sxy)", "abs(sxx)",
+          "abs(n * sxx - sx * sx)", "abs(n * sxy - sx * sy)",
+          "abs(sy * sxx - sx * sxy)").map(e => s"$e >= $d38::HUGEINT")
+          .mkString(" OR ")
         s"""WITH m AS (SELECT event_type,
            |  (epoch_us(ts) // 3600000000 - ${1704067200L / 3600L}) AS x,
            |  CAST(round(value * 100) AS HUGEINT) AS y FROM events),
@@ -6951,7 +6959,9 @@ object SparkEntry {
            |  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
            |  FROM m GROUP BY 1)
            |SELECT event_type, n::BIGINT AS n,
-           |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+           |  CASE WHEN $ovf
+           |       THEN error('stats_linreg: moment products overflowed DECIMAL(38,0)')
+           |       WHEN n * sxx - sx * sx = 0 THEN 0.0
            |       ELSE round((n * sxy - sx * sy)::DOUBLE /
            |                  (n * sxx - sx * sx)::DOUBLE, 6) END
            |    AS slope_cents_per_hour,
@@ -6959,7 +6969,8 @@ object SparkEntry {
            |       THEN round(sy::DOUBLE / n::DOUBLE, 6)
            |       ELSE round((sy * sxx - sx * sxy)::DOUBLE /
            |                  (n * sxx - sx * sx)::DOUBLE, 6) END AS icept_cents
-           |FROM a ORDER BY event_type""".stripMargin,
+           |FROM a ORDER BY event_type""".stripMargin
+      },
 
       "er_blocking" -> graft.ops.Linkage.sqlBlockedPairs,
 

@@ -71,7 +71,8 @@ object GlobalRank {
     * parallelism knob and needs no oracle mirror.
     */
   def autoBuckets(n: Long): Int =
-    math.min(MaxBuckets.toLong,
+    if (n >= MaxBuckets.toLong * RowsPerBucket) MaxBuckets // no ceil overflow
+    else math.min(MaxBuckets.toLong,
       math.max(MinBuckets.toLong, (n + RowsPerBucket - 1) / RowsPerBucket)).toInt
 
   /** The rank needs three passes over the input (boundary sample, bucket
@@ -110,22 +111,39 @@ object GlobalRank {
     * boundaries once, and return (prepared df, monotone deterministic
     * bucket-id expression — ties share a bucket by construction).
     */
+  /** One boundary-grid aggregation at `b` buckets (b−1 quantiles). */
+  private def boundsAt(df: DataFrame, rangeCol: String, b: Int): Seq[Double] =
+    if (b <= 1) Seq.empty // approx_percentile rejects an empty prob array
+    else {
+      val probs = (1 until b).map(_.toDouble / b)
+      val bRow = df.agg(
+        expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
+      if (bRow.isNullAt(0)) Seq.empty
+      else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
+    }
+
   private def bucketed(df0: DataFrame, rangeCol: String, buckets: Int,
                        cp: Checkpointer): (DataFrame, Column) = {
     val df =
       if (isBareScan(df0.queryExecution.optimizedPlan)) df0
       else cp.cut(df0)
-    // Auto mode pays one zero-column count action to size the grid to the
-    // corpus; at fixture scale it resolves to MinBuckets = the historical 32.
-    val b = if (buckets == Auto) autoBuckets(df.count()) else buckets
     val bounds: Seq[Double] =
-      if (b <= 1) Seq.empty // approx_percentile rejects an empty prob array
+      if (buckets != Auto) boundsAt(df, rangeCol, buckets)
       else {
-        val probs = (1 until b).map(_.toDouble / b)
-        val bRow = df.agg(
+        // Auto: fuse the row count INTO the MinBuckets boundary pass (one
+        // agg — fixture-scale cost identical to the historical pinned-32
+        // path), and only when the count demands a finer grid pay a second
+        // boundary pass at autoBuckets(n). Below ~32 M rows: zero extra
+        // actions; above: one extra cheap pass buys n/1M-way parallelism.
+        val probs = (1 until MinBuckets).map(_.toDouble / MinBuckets)
+        val row = df.agg(count(lit(1)),
           expr(s"approx_percentile($rangeCol, array(${probs.mkString(",")}), 10000)")).head()
-        if (bRow.isNullAt(0)) Seq.empty
-        else bRow.getSeq[Any](0).map(x => x.toString.toDouble).distinct.sorted
+        val n = row.getLong(0)
+        val bounds32: Seq[Double] =
+          if (row.isNullAt(1)) Seq.empty
+          else row.getSeq[Any](1).map(x => x.toString.toDouble).distinct.sorted
+        val b = autoBuckets(n)
+        if (b == MinBuckets) bounds32 else boundsAt(df, rangeCol, b)
       }
     (df, bucketExpr(rangeCol, bounds))
   }

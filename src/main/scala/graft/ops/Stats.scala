@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 /** Closed-form distributed statistics over the events stream. */
 object Stats {
 
+  /** Loud-overflow contract (round-10, deferred twice as round-8 ADVICE
+    * #4): past the documented headroom the DECIMAL(38,0) moment products
+    * overflow to NULL on Spark (non-ANSI) while DuckDB HUGEINT holds to
+    * ~1.7·10³⁸ or errors — a silent cross-engine divergence. Every moment
+    * chain therefore guards its aggregated moments with `raise_error` /
+    * `error()` at the SAME bound in BOTH engines, so out-of-headroom input
+    * fails loudly and identically (StatsGuardSpec + the DuckDB twin run
+    * recorded in BASELINE.md round 10). The guards never fire on
+    * in-contract input — oracle parity is untouched.
+    */
+
+  /** Per-type / total cent-mass bound for [[anovaTypes]]: |S| ≤ 3·10¹⁸
+    * keeps S² ≤ 9·10³⁶ < 10³⁸ with headroom for the DIV chain. */
+  val MaxCentMass: Long = 3000000000000000000L
+
+  /** Event-count bound for [[kruskalTypes]]: rank sums square to ~4N⁴,
+    * which stays inside DECIMAL(38,0) to ~3·10⁹ events. */
+  val KruskalMaxN: Long = 3000000000L
+
   /** Epoch hours at 2024-01-01T00:00Z — the x-origin for [[linreg]], kept
     * small so the moment sums stay far from the 2^53 double-cast edge.
     */
@@ -116,7 +135,21 @@ object Stats {
       (graft.expr.IntMath.floorDiv(col("ts"), 3600L * 1000000000L) - LinregHour0)
         .cast("decimal(38,0)").as("x"),
       expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y"))
-    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denD = col("n") * col("sxx") - col("sx") * col("sx")
+    val den = denD.cast("double")
+    val numSlope = col("n") * col("sxy") - col("sx") * col("sy")
+    val numIcept = col("sy") * col("sxx") - col("sx") * col("sxy")
+    // Loud-overflow guard (the [[MaxCentMass]]-contract class): a DECIMAL
+    // moment or moment product that overflowed to NULL must raise, never
+    // flow NULL into the rounded division. With ANSI pinned on (GraftConf)
+    // the overflow itself already errors loudly mid-aggregate, so this is
+    // the defense-in-depth layer for any path that evaluates with ansi
+    // off; with n > 0 every moment is non-null on in-contract input, so a
+    // NULL moment OR a NULL product of non-null moments is exactly the
+    // overflow signature. Mirrored by magnitude bounds in the DuckDB SQL.
+    val overflow = col("n") > 0 && (
+      col("sx").isNull || col("sy").isNull || col("sxy").isNull || col("sxx").isNull ||
+        denD.isNull || numSlope.isNull || numIcept.isNull)
     e.groupBy("event_type")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -127,13 +160,14 @@ object Stats {
       // guarded explicitly because Spark double/0 is Inf where DuckDB
       // yields NULL (the engine-divergence class)
       .select(col("event_type"), col("n").cast("long").as("n"),
-        when(den === 0.0, 0.0)
-          .otherwise(round((col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") / den, 6)).as("slope_cents_per_hour"),
+        when(overflow,
+            raise_error(concat(lit("stats_linreg: moment products overflowed "
+              + "DECIMAL(38,0) for event_type="), col("event_type"))))
+          .when(den === 0.0, 0.0)
+          .otherwise(round(numSlope.cast("double") / den, 6)).as("slope_cents_per_hour"),
         when(den === 0.0,
             round(col("sy").cast("double") / col("n").cast("double"), 6))
-          .otherwise(round((col("sy") * col("sxx") - col("sx") * col("sxy"))
-            .cast("double") / den, 6)).as("icept_cents"))
+          .otherwise(round(numIcept.cast("double") / den, 6)).as("icept_cents"))
   }
 
   /** One-way ANOVA F across event types ("do the k type means differ at
@@ -163,16 +197,31 @@ object Stats {
       .groupBy("event_type")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("y")).as("s"), sum(col("y") * col("y")).as("q"))
+      // The term is DEFERRED to NULL past the bound so the NAMED headroom
+      // error below fires rather than a generic ANSI overflow mid-aggregate
+      // (ANSI is pinned on by GraftConf — overflow is loud either way, but
+      // the named error carries the contract).
       .select(col("n"), col("s"), col("q"),
-        expr("CAST((s * s) DIV n AS DECIMAL(38,0))").as("term"))
+        when(abs(col("s")) > MaxCentMass, lit(null).cast("decimal(38,0)"))
+          .otherwise(expr("CAST((s * s) DIV n AS DECIMAL(38,0))")).as("term"))
     val f = (col("ssb_c2") * (col("nn") - col("k"))).cast("double") /
       (col("ssw_c2") * (col("k") - 1)).cast("double")
     m.agg(sum(col("n")).as("nn"), count(lit(1)).cast("decimal(38,0)").as("k"),
         sum(col("s")).as("ss"), sum(col("q")).as("qq"),
-        sum(col("term")).as("t"))
+        sum(col("term")).as("t"), max(abs(col("s"))).as("ms"))
+      // Loud-overflow guards ([[MaxCentMass]] contract, mirrored bound-for-
+      // bound in sqlAnovaTypes): per-type or total cent-mass beyond the S²
+      // headroom, or a Σy² that already overflowed to NULL, must error —
+      // never flow a silent NULL into the F chain.
       .select(col("nn"), col("k"),
-        greatest(lit(0L).cast("decimal(38,0)"),
-          col("t") - expr("CAST((ss * ss) DIV nn AS DECIMAL(38,0))")).as("ssb_c2"),
+        when(col("ms") > MaxCentMass || abs(col("ss")) > MaxCentMass,
+          raise_error(concat(lit("stats_anova: cent-mass exceeds the "
+            + "DECIMAL(38,0) S^2 headroom (|S| > 3e18); max |S_g|="),
+            col("ms").cast("string"))))
+          .when(col("nn") > 0 && col("qq").isNull,
+            raise_error(lit("stats_anova: sum of squares overflowed DECIMAL(38,0)")))
+          .otherwise(greatest(lit(0L).cast("decimal(38,0)"),
+            col("t") - expr("CAST((ss * ss) DIV nn AS DECIMAL(38,0))"))).as("ssb_c2"),
         (col("qq") - col("t")).as("ssw_c2"))
       .select(col("nn").cast("long").as("n"), col("k").cast("long").as("k_types"),
         col("ssb_c2").cast("long").as("ssb_c2"),
@@ -198,7 +247,8 @@ object Stats {
     * shape: one (value, type) hash agg, the distributed prefix sum over
     * distinct values, one k-row re-aggregate.
     */
-  def kruskalTypes(events: DataFrame): DataFrame = {
+  def kruskalTypes(events: DataFrame,
+                   maxN: Long = KruskalMaxN): DataFrame = {
     val tc = events
       .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
       .groupBy("c", "event_type").agg(count(lit(1)).as("n_tc"))
@@ -230,7 +280,7 @@ object Stats {
         // DECIMAL(38) to NULL on Spark (non-ANSI) while DuckDB's HUGEINT
         // still holds — a silent cross-engine divergence. The guard never
         // fires on in-contract inputs, so oracle parity is untouched.
-        when(col("nn") > 3000000000L,
+        when(col("nn") > maxN,
             raise_error(concat(lit("stats_kruskal: n="), col("nn").cast("string"),
               lit(" exceeds the DECIMAL(38,0) rank-sum headroom (~3e9 events)"))))
           // Per-group truncation (S₂² DIV n) can pull an exactly-zero H a
@@ -239,9 +289,10 @@ object Stats {
           .otherwise(greatest(lit(0.0), round(h, 6))).as("h_r"))
   }
 
-  /** DuckDB mirror of [[kruskalTypes]]. */
+  /** DuckDB mirror of [[kruskalTypes]] — including the loud [[KruskalMaxN]]
+    * guard so both engines refuse out-of-headroom input identically. */
   def sqlKruskalTypes: String =
-    """WITH e AS (SELECT event_type,
+    s"""WITH e AS (SELECT event_type,
       |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
       |tc AS (SELECT c, event_type, count(*)::HUGEINT AS n_tc FROM e GROUP BY 1, 2),
       |vc AS (SELECT c, sum(n_tc) AS cnt FROM tc GROUP BY 1),
@@ -256,26 +307,42 @@ object Stats {
       |a AS (SELECT sum(n) AS nn, count(*)::HUGEINT AS k, sum(t) AS tt FROM t),
       |tie AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0) AS x FROM vc)
       |SELECT nn::BIGINT AS n, k::BIGINT AS k_types,
-      |  CASE WHEN k < 2 OR (nn * nn * nn - nn - x) <= 0 THEN 0.0
+      |  CASE WHEN nn > $KruskalMaxN
+      |       THEN error('stats_kruskal: n exceeds the DECIMAL(38,0) rank-sum headroom (~3e9 events)')
+      |       WHEN k < 2 OR (nn * nn * nn - nn - x) <= 0 THEN 0.0
       |       ELSE greatest(0.0,
       |         round((3 * (nn - 1) * (tt - nn * (nn + 1) * (nn + 1)))::DOUBLE
       |              / (nn * nn * nn - nn - x)::DOUBLE, 6)) END AS h_r
       |FROM a, tie""".stripMargin
 
-  /** DuckDB mirror of [[anovaTypes]]. */
+  /** DuckDB mirror of [[anovaTypes]] — including the loud-overflow guards
+    * at the SAME [[MaxCentMass]] / 10³⁸ bounds (HUGEINT holds to ~1.7·10³⁸,
+    * so without the explicit `error()` the 10³⁸..1.7·10³⁸ window would
+    * silently diverge from Spark's NULL-on-overflow).
+    */
   def sqlAnovaTypes: String =
-    """WITH m AS (SELECT event_type,
+    s"""WITH m AS (SELECT event_type,
       |  count(*)::HUGEINT AS n,
       |  sum(CAST(round(value * 100) AS HUGEINT)) AS s,
       |  sum(CAST(round(value * 100) AS HUGEINT)
       |      * CAST(round(value * 100) AS HUGEINT)) AS q
       |  FROM events GROUP BY 1),
-      |t AS (SELECT n, s, q, (s * s) // n AS term FROM m),
+      |t AS (SELECT n, s,
+      |        CASE WHEN q >= ${"1" + "0" * 38}::HUGEINT
+      |             THEN error('stats_anova: sum of squares overflowed DECIMAL(38,0)')
+      |             ELSE q END AS q,
+      |        CASE WHEN abs(s) > $MaxCentMass
+      |             THEN error('stats_anova: cent-mass exceeds the DECIMAL(38,0) S^2 headroom')
+      |             ELSE (s * s) // n END AS term FROM m),
       |a AS (SELECT sum(n) AS nn, count(*)::HUGEINT AS k,
       |        sum(s) AS ss, sum(q) AS qq, sum(term) AS t FROM t),
       |b AS (SELECT nn, k,
-      |        greatest(0::HUGEINT, t - (ss * ss) // nn) AS ssb_c2,
-      |        qq - t AS ssw_c2 FROM a)
+      |        CASE WHEN abs(ss) > $MaxCentMass
+      |             THEN error('stats_anova: total cent-mass exceeds the DECIMAL(38,0) S^2 headroom')
+      |             ELSE greatest(0::HUGEINT, t - (ss * ss) // nn) END AS ssb_c2,
+      |        CASE WHEN qq >= ${"1" + "0" * 38}::HUGEINT
+      |             THEN error('stats_anova: sum of squares overflowed DECIMAL(38,0)')
+      |             ELSE qq - t END AS ssw_c2 FROM a)
       |SELECT nn::BIGINT AS n, k::BIGINT AS k_types,
       |  ssb_c2::BIGINT AS ssb_c2, ssw_c2::BIGINT AS ssw_c2,
       |  CASE WHEN ssw_c2 = 0 OR k < 2 OR nn <= k THEN 0.0

@@ -25,6 +25,12 @@ class OracleCanarySpec extends SparkSpec {
       "round_half_away" -> 334L, // 3*100 + (-3)*(-10) + 4
       "md5_prefix_hash" -> 901650095L,
       "nfc_normalize" -> 1L,
+      // 5 vowel-group runs × 100 + 3 terminal-punctuation runs
+      "regexp_count_runs" -> 503L,
+      // both engines skip NULLs in greatest — the round-10 ADVICE semantic
+      "greatest_ignores_null" -> 1L,
+      // length(bin(1023))·100 + length(bin(1))·10 + length(bin(0))
+      "bin_width" -> 1011L,
     )
     assert(rows.size == expectedLong.size + 1)
     expectedLong.foreach { case (k, v) =>
