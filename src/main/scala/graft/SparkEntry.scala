@@ -1480,6 +1480,55 @@ object SparkEntry {
     "readability_fk" -> ((s, d) => graft.llm.Readability.fk(
       graft.llm.Readability.withEmptyDocProbe(docs(s, d)))),
 
+    // Per-doc unigram surprisal in whole bits (the deterministic
+    // perplexity-bucket feature — graft.llm.Surprisal).
+    "quality_surprisal" -> ((s, d) => graft.llm.Surprisal.perDoc(docs(s, d))),
+
+    // Hapax spectrum + Good-Turing unseen-mass estimate — the vocabulary
+    // saturation gauge (graft.llm.Diversity.hapax).
+    "vocab_hapax" -> ((s, d) => graft.llm.Diversity.hapax(docs(s, d))),
+
+    // log2 histogram of per-user inter-arrival gaps — the burstiness
+    // fingerprint beside events_acf (graft.ops.Interarrival).
+    "events_interarrival" -> ((s, d) =>
+      graft.ops.Interarrival.histogram(events(s, d))),
+
+    // EXACT per-type median (2·median in whole cents — always an integer)
+    // from order statistics over the distinct-value frame; the exactness
+    // anchor next to agg_approx_percentile (graft.ops.Stats.medianTypes).
+    "stats_median_exact" -> ((s, d) => graft.ops.Stats.medianTypes(events(s, d))),
+
+    // Global clustering coefficient: 3·triangles / wedges over the
+    // co-purchase graph — the one-number closure screen composing
+    // graph_triangles' degree-oriented count with the degree frame.
+    "graph_clustering" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+        .localCheckpoint() // consumed by degrees + the 4-pass triangle count
+      val deg = canon.select(col("a").as("node"))
+        .unionAll(canon.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast("decimal(38,0)").as("deg"))
+      // Σ deg·(deg−1) is even, so one DIV 2 after the exact DECIMAL sum is
+      // exact; wedge mass is the hub-quadratic quantity, hence DECIMAL.
+      val wd = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("deg") * (col("deg") - 1)).as("w2"))
+      val tri = graft.ops.Triangles.perNode(canon)
+        .agg(coalesce(sum(col("tri_count")), lit(0L)).as("tri3")) // = 3·T
+      val ne = canon.agg(count(lit(1)).as("n_edges"))
+      wd.crossJoin(broadcast(tri)).crossJoin(broadcast(ne)) // 1-row totals
+        .select(col("n_nodes"), col("n_edges"),
+          expr("CAST(w2 DIV 2 AS BIGINT)").as("n_wedges"),
+          expr("CAST(tri3 DIV 3 AS BIGINT)").as("n_triangles"),
+          when(col("w2") === 0, 0L)
+            .otherwise(expr("CAST((tri3 * 2000000) DIV w2 AS BIGINT)"))
+            .as("cc_ppm"))
+    }),
+
     "lang_id" -> ((s, d) =>
       TA.langIdByKey(docs(s, d), "doc_id", "text", carry = Seq("lang"))
         .select("doc_id", "lang", "pred_lang")
@@ -6549,6 +6598,29 @@ object SparkEntry {
       },
 
       "readability_fk" -> graft.llm.Readability.sqlFk,
+
+      "quality_surprisal" -> graft.llm.Surprisal.sqlPerDoc,
+
+      "vocab_hapax" -> graft.llm.Diversity.sqlHapax,
+
+      "events_interarrival" -> graft.ops.Interarrival.sqlHistogram,
+
+      "stats_median_exact" -> graft.ops.Stats.sqlMedianTypes,
+
+      "graph_clustering" ->
+        (s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+            |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+            |${graft.ops.Triangles.sqlPerNode},
+            |wd AS (SELECT count(*)::BIGINT AS n_nodes,
+            |  sum(deg::HUGEINT * (deg - 1)) AS w2 FROM dg),
+            |tr AS (SELECT coalesce(sum(tri_count), 0)::HUGEINT AS tri3 FROM tpn),
+            |ne AS (SELECT count(*)::BIGINT AS n_edges FROM ce)
+            |SELECT n_nodes, n_edges, (w2 // 2)::BIGINT AS n_wedges,
+            |  (tri3 // 3)::BIGINT AS n_triangles,
+            |  (CASE WHEN w2 = 0 THEN 0
+            |        ELSE (tri3 * 2000000) // w2 END)::BIGINT AS cc_ppm
+            |FROM wd, tr, ne""".stripMargin),
 
       "vocab_simpson" -> graft.llm.Diversity.sqlSimpson,
 

@@ -37,6 +37,49 @@ object Diversity {
         expr("CAST((s2 * 1000000) DIV (nn * nn) AS BIGINT)").as("simpson_ppm"))
       .orderBy("source")
 
+  /** Hapax spectrum — the frequency-of-frequencies head every corpus
+    * linguist reads first: type/token totals, hapax (f = 1) and dis
+    * (f = 2) legomena counts, the hapax share of the vocabulary, and the
+    * Good–Turing unseen-mass estimate n₁/N — the probability the NEXT
+    * token drawn is a type the corpus has never seen, i.e. how far from
+    * vocabulary saturation a crawl still is (the "keep crawling?" number
+    * next to `vocab_growth`'s curve). All exact integer ppm via one DIV
+    * per ratio; one vocab hash aggregate + a 1-row re-aggregate — the
+    * [[simpson]] posture without even the per-source split.
+    */
+  def hapax(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_types"), coalesce(sum(col("f")), lit(0L)).as("nn"),
+        count(when(col("f") === 1, 1)).as("n_hapax"),
+        count(when(col("f") === 2, 1)).as("n_dis"))
+      .select(col("n_types"), col("nn").as("n_tokens"),
+        col("n_hapax"), col("n_dis"),
+        when(col("n_types") === 0, 0L)
+          .otherwise(call_function("div", col("n_hapax") * 1000000L, col("n_types")))
+          .cast("long").as("hapax_type_ppm"),
+        when(col("nn") === 0, 0L)
+          .otherwise(call_function("div", col("n_hapax") * 1000000L, col("nn")))
+          .cast("long").as("gt_unseen_ppm"))
+
+  /** DuckDB mirror of [[hapax]]. */
+  def sqlHapax: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH vc AS (SELECT tok, count(*)::BIGINT AS f
+       |  FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+       |a AS (SELECT count(*)::BIGINT AS n_types,
+       |        coalesce(sum(f), 0)::BIGINT AS nn,
+       |        count(*) FILTER (WHERE f = 1)::BIGINT AS n_hapax,
+       |        count(*) FILTER (WHERE f = 2)::BIGINT AS n_dis FROM vc)
+       |SELECT n_types, nn AS n_tokens, n_hapax, n_dis,
+       |  (CASE WHEN n_types = 0 THEN 0
+       |        ELSE (n_hapax * 1000000) // n_types END)::BIGINT AS hapax_type_ppm,
+       |  (CASE WHEN nn = 0 THEN 0
+       |        ELSE (n_hapax * 1000000) // nn END)::BIGINT AS gt_unseen_ppm
+       |FROM a""".stripMargin
+  }
+
   /** DuckDB mirror of [[simpson]]. */
   def sqlSimpson: String = {
     val toks = TextAnalysis.sqlTokens("text")

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-document unigram surprisal — the deterministic cousin of the
+  * perplexity-bucket filter every published data-curation recipe runs
+  * (C4/Gopher filter on LM perplexity; CCNet buckets the corpus by it):
+  * docs whose tokens are globally RARE carry high surprisal (noise,
+  * boilerplate-free rarities, other-language leakage), docs of only
+  * stop-words carry almost none. Selecting/bucketing on this column is
+  * the pipeline use; the score itself needs no trained LM.
+  *
+  * Exactness contract: true surprisal is Σ log2(N/f) — but `log`/`pow`
+  * are banned from oracle contracts (not correctly rounded across
+  * engines). The whole-BIT surprisal replaces the log with the integer
+  * bit width both engines compute identically on integers:
+  *   bits(tok) = length(bin(N DIV f)) − 1   ( = floor(log2(N DIV f)) )
+  * pinned by the `bin_width` canary probe, and the per-doc mean ships in
+  * exact integer micro-bits with one integer DIV:
+  *   mean_bits_micro = (Σ bits · 10⁶) DIV n_tok.
+  * Truncation error ≤ 1 bit per token, identical in both engines — a
+  * BUCKETING feature, not a likelihood.
+  *
+  * Scale shape: one token explode (corpus-linear), one vocab hash
+  * aggregate, the 1-row total broadcast onto the Zipf-small vocab frame,
+  * one tokens→vocab equi-join shuffled on `tok`, one doc-keyed hash
+  * aggregate. Nothing quadratic, no window, no driver crossing beyond
+  * the 1-row total.
+  */
+object Surprisal {
+
+  /** (doc_id, n_tok, mean_bits_micro) for every document; docs with no
+    * tokens emit n_tok = 0 and a NULL score (nothing to average).
+    */
+  def perDoc(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val vc = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val n1 = vc.agg(sum(col("f")).as("nn")) // 1-row corpus total
+    val w = vc.crossJoin(broadcast(n1))
+      .select(col("tok"),
+        (length(bin(call_function("div", col("nn"), col("f")))) - 1)
+          .cast("long").as("wbits"))
+    val pd = toks.join(w, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("wbits")).as("bits"))
+    docs.select(col("doc_id")).join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        when(col("n_tok").isNull, lit(null).cast("long"))
+          .otherwise(call_function("div", col("bits") * 1000000L, col("n_tok")))
+          .as("mean_bits_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[perDoc]], term-for-term. */
+  def sqlPerDoc: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+       |vc AS (SELECT tok, count(*)::BIGINT AS f FROM tk GROUP BY 1),
+       |n1 AS (SELECT sum(f)::BIGINT AS nn FROM vc),
+       |w AS (SELECT tok, (length(bin(nn // f)) - 1)::BIGINT AS wbits
+       |      FROM vc, n1),
+       |pd AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+       |         sum(wbits)::BIGINT AS bits
+       |       FROM tk JOIN w USING (tok) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_tok, 0)::BIGINT AS n_tok,
+       |  CASE WHEN pd.n_tok IS NULL THEN NULL
+       |       ELSE (pd.bits * 1000000) // pd.n_tok END::BIGINT AS mean_bits_micro
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Closed-form distributed statistics over the events stream. */
@@ -288,6 +289,58 @@ object Stats {
           .when(col("k") < 2 || denom <= 0, 0.0)
           .otherwise(greatest(lit(0.0), round(h, 6))).as("h_r"))
   }
+
+  /** EXACT per-type median of event value — what `agg_approx_percentile`
+    * approximates, computed exactly and distributed: the sanity anchor a
+    * pipeline owner runs when an approx-sketch number looks off. Exactness
+    * contract (the eval_auc/kruskal device): medians ship as 2·median in
+    * whole cents — lo + hi of the two middle order statistics, an INTEGER
+    * for any n — so no engine ever divides or averages a double. The
+    * order statistics come from a cumulative count over the DISTINCT
+    * (type, cent-value) frame: lo = min value with cum ≥ ⌈n/2⌉, hi = min
+    * value with cum ≥ ⌊n/2⌋ + 1.
+    *
+    * Scale shape: one (type, value) hash aggregate over the corpus
+    * (map-side combinable), then windows/aggregates on the distinct-value
+    * frame only — value cardinality is fixture-bounded (cents), NEVER
+    * corpus-proportional, so the window costs nothing at any corpus size.
+    */
+  def medianTypes(events: DataFrame): DataFrame = {
+    val tc = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("n_tc"))
+    val w = Window.partitionBy("event_type").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = tc
+      .withColumn("cum", sum(col("n_tc")).over(w))
+      .withColumn("nn", sum(col("n_tc")).over(Window.partitionBy("event_type")))
+    val kLo = call_function("div", col("nn") + 1, lit(2L))
+    val kHi = call_function("div", col("nn"), lit(2L)) + 1
+    cum.groupBy("event_type")
+      .agg(max(col("nn")).as("n"),
+        min(when(col("cum") >= kLo, col("c"))).as("lo"),
+        min(when(col("cum") >= kHi, col("c"))).as("hi"))
+      .select(col("event_type"), col("n"),
+        (col("lo") + col("hi")).as("median_x2_cents"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB mirror of [[medianTypes]] — the same order-statistic
+    * construction, deliberately NOT DuckDB's `median()` (whose
+    * interpolation semantics are the engine-divergence class).
+    */
+  def sqlMedianTypes: String =
+    """WITH tc AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+      |  count(*)::BIGINT AS n_tc FROM events GROUP BY 1, 2),
+      |cm AS (SELECT event_type, c,
+      |  sum(n_tc) OVER (PARTITION BY event_type ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  sum(n_tc) OVER (PARTITION BY event_type) AS nn FROM tc)
+      |SELECT event_type, max(nn)::BIGINT AS n,
+      |  (min(CASE WHEN cum >= (nn + 1) // 2 THEN c END)
+      |   + min(CASE WHEN cum >= nn // 2 + 1 THEN c END))::BIGINT
+      |    AS median_x2_cents
+      |FROM cm GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB mirror of [[kruskalTypes]] — including the loud [[KruskalMaxN]]
     * guard so both engines refuse out-of-headroom input identically. */

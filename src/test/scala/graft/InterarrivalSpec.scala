@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.{Interarrival, Stats}
+
+/** ops.Interarrival histogram + Stats.medianTypes on hand-computed data. */
+class InterarrivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interarrival: per-user gaps in exact micro-seconds, log2 buckets") {
+    // user 1: ts 0 ns, 1000 ns (gap 1 µs), 4_000_000 ns (gap 3999 µs);
+    // user 2: one event → no gap; user 3: two events at the SAME ts
+    // (tie-broken by event_id → gap 0 → bucket 0)
+    val events = Seq(
+      (1L, 0L, 10L), (1L, 1000L, 11L), (1L, 4000000L, 12L),
+      (2L, 5000L, 20L),
+      (3L, 7000L, 30L), (3L, 7000L, 31L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Interarrival.histogram(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // gap 0 → bin(1)='1' → bucket 0; gap 1 → bin(2)='10' → bucket 1;
+    // gap 3999 → bin(4000) is 12 chars → bucket 11
+    assert(got == Seq(
+      (0L, 1L, 0L, 0L, 1L),
+      (1L, 1L, 1L, 1L, 1L),
+      (11L, 1L, 3999L, 3999L, 1L)), s"got $got")
+  }
+
+  test("exact median: 2·median in whole cents from order statistics") {
+    // type a: cents [1, 2, 2, 5] → lo = hi = 2 → 4; type b: [10, 20, 30]
+    // → 40; type c: [7, 9] → lo 7, hi 9 → 16 (the even-n split case)
+    val events = Seq(
+      ("a", 0.01), ("a", 0.02), ("a", 0.02), ("a", 0.05),
+      ("b", 0.10), ("b", 0.20), ("b", 0.30),
+      ("c", 0.07), ("c", 0.09)).toDF("event_type", "value")
+    val got = Stats.medianTypes(events)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 4L, 4L), ("b", 3L, 40L), ("c", 2L, 16L)), s"got $got")
+  }
+}

@@ -102,4 +102,21 @@ class TrianglesSpec extends SparkSpec {
       s"missing=${(expected.toSet -- labeled.toSet).take(5)} " +
         s"extra=${(labeled.toSet -- expected.toSet).take(5)}")
   }
+
+  test("global clustering coefficient: 3T/W on a hand graph (triangle + tail)") {
+    // triangle {1,2,3} + pendant 3-4: degrees 2,2,3,1 → wedges = 1+1+3+0 = 5,
+    // T = 1 → cc = 3/5 = 600000 ppm. Replays the graph_clustering
+    // composition (degree frame + perNode) on a synthetic canon frame.
+    val canon = Triangles.canonical(
+      edgeDf(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))), "src", "dst")
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("decimal(38,0)").as("deg"))
+    val w2 = deg.agg(sum(col("deg") * (col("deg") - 1)).as("w2"))
+      .head().getDecimal(0).longValueExact()
+    val tri3 = Triangles.perNode(canon)
+      .agg(coalesce(sum(col("tri_count")), lit(0L))).head().getLong(0)
+    assert(w2 == 10L && tri3 == 3L, s"w2=$w2 tri3=$tri3")
+    assert(tri3 * 2000000L / w2 == 600000L)
+  }
 }
