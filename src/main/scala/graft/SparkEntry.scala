@@ -1484,6 +1484,11 @@ object SparkEntry {
     // perplexity-bucket feature — graft.llm.Surprisal).
     "quality_surprisal" -> ((s, d) => graft.llm.Surprisal.perDoc(docs(s, d))),
 
+    // Conditional bigram surprisal — the fluency proxy that catches
+    // scrambled/template-stitched text with a normal unigram profile.
+    "quality_bigram_surprisal" -> ((s, d) =>
+      graft.llm.Surprisal.perDocBigram(docs(s, d))),
+
     // Hapax spectrum + Good-Turing unseen-mass estimate — the vocabulary
     // saturation gauge (graft.llm.Diversity.hapax).
     "vocab_hapax" -> ((s, d) => graft.llm.Diversity.hapax(docs(s, d))),
@@ -6600,6 +6605,8 @@ object SparkEntry {
       "readability_fk" -> graft.llm.Readability.sqlFk,
 
       "quality_surprisal" -> graft.llm.Surprisal.sqlPerDoc,
+
+      "quality_bigram_surprisal" -> graft.llm.Surprisal.sqlPerDocBigram,
 
       "vocab_hapax" -> graft.llm.Diversity.sqlHapax,
 

@@ -54,6 +54,65 @@ object Surprisal {
       .orderBy("doc_id")
   }
 
+  /** Conditional BIGRAM surprisal — the fluency proxy [[perDoc]] cannot
+    * see: scrambled or template-stitched text keeps a normal unigram
+    * profile but its word PAIRS are globally rare, so
+    *   bits(w₁w₂) = width(f(w₁) DIV f(w₁w₂)) − 1  ( ≈ −log2 P(w₂|w₁) )
+    * spikes. Same whole-bit / micro-mean exactness contract as [[perDoc]]
+    * (`bin_width` canary). Docs with < 2 tokens emit n_bigrams = 0 and a
+    * NULL score.
+    *
+    * Scale shape: adds one bigram explode (corpus-linear) and one
+    * bigram-keyed hash aggregate to the unigram plan; the bigram→unigram
+    * prefix join ships 64-bit-ish short strings shuffled on the bigram /
+    * prefix keys. Nothing quadratic, no window.
+    */
+  def perDocBigram(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+    val bgs = toks.select(col("doc_id"),
+      explode(TextAnalysis.shingles(col("tk"), 2)).as("bg"))
+    val c2 = bgs.groupBy("bg").agg(count(lit(1)).as("f2"))
+    val c1 = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f1"))
+    val w = c2
+      .join(c1, split(col("bg"), " ").getItem(0) === col("tok"))
+      .select(col("bg"),
+        (length(bin(call_function("div", col("f1"), col("f2")))) - 1)
+          .cast("long").as("wbits"))
+    val pd = bgs.join(w, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("wbits")).as("bits"))
+    docs.select(col("doc_id")).join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, lit(null).cast("long"))
+          .otherwise(call_function("div", col("bits") * 1000000L, col("n_bigrams")))
+          .as("mean_bits_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[perDocBigram]], term-for-term. */
+  def sqlPerDocBigram: String = {
+    val toks = TextAnalysis.sqlTokens("text")
+    val shingles = TextAnalysis.sqlShingles("tk", 2)
+    s"""WITH tks AS (SELECT doc_id, $toks AS tk FROM documents),
+       |bg AS (SELECT doc_id, unnest($shingles) AS bg FROM tks),
+       |c2 AS (SELECT bg, count(*)::BIGINT AS f2 FROM bg GROUP BY 1),
+       |c1 AS (SELECT tok, count(*)::BIGINT AS f1
+       |       FROM (SELECT unnest($toks) AS tok FROM documents) GROUP BY 1),
+       |w AS (SELECT c2.bg, (length(bin(c1.f1 // c2.f2)) - 1)::BIGINT AS wbits
+       |      FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.tok),
+       |pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |         sum(wbits)::BIGINT AS bits
+       |       FROM bg JOIN w USING (bg) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |  CASE WHEN pd.n_bigrams IS NULL THEN NULL
+       |       ELSE (pd.bits * 1000000) // pd.n_bigrams END::BIGINT
+       |    AS mean_bits_micro
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[perDoc]], term-for-term. */
   def sqlPerDoc: String = {
     val toks = TextAnalysis.sqlTokens("text")

@@ -22,6 +22,17 @@ class SurprisalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 666666L), (2L, 2L, 1000000L), (3L, 0L, -1L)))
   }
 
+  test("bigram surprisal: bits = width(f1 DIV f2) - 1 over word pairs") {
+    // bigrams: doc1 "a a","a b"; doc2 "a c". f2: each 1. f1(a) = 3.
+    // bits = width(3 DIV 1) - 1 = 1 for all three bigrams.
+    // doc1: 2 bigrams, 2 bits → 1e6; doc2: 1 bigram, 1 bit → 1e6;
+    // doc3 (empty): 0 bigrams, NULL.
+    val got = Surprisal.perDocBigram(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1000000L), (2L, 1L, 1000000L), (3L, 0L, -1L)))
+  }
+
   test("hapax spectrum + Good-Turing unseen mass") {
     val r = Diversity.hapax(corpus).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
