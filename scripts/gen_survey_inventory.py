@@ -21,6 +21,7 @@ SRC = "src/main/scala/graft/SparkEntry.scala"
 BOUNDARIES = [
     (1, "8e66496"), (2, "7338b0a"), (3, "1c90a3b"), (4, "ec284dc"),
     (5, "5204222"), (6, "e7bdc9f"), (7, "03857ee"), (8, "263c232"),
+    (9, "1fe35a6"),
 ]
 
 
