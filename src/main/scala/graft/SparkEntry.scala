@@ -1503,6 +1503,30 @@ object SparkEntry {
     // anchor next to agg_approx_percentile (graft.ops.Stats.medianTypes).
     "stats_median_exact" -> ((s, d) => graft.ops.Stats.medianTypes(events(s, d))),
 
+    // Exact Gini of the co-purchase degree distribution — the one-number
+    // hub-skew gauge next to graph_degree_dist (graft.ops.Gini, ranked by
+    // the corpus-scaled GlobalRank, never a single-partition window).
+    "graph_degree_gini" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint() // both sides of the pairing self-join
+      val edges = li.as("l").join(li.as("r"),
+          col("l.ok") === col("r.ok") && col("l.pk") < col("r.pk"))
+        .select(col("l.pk").as("src"), col("r.pk").as("dst"))
+      val canon = graft.ops.Triangles.canonical(edges, "src", "dst")
+      val deg = canon.select(col("a").as("node"))
+        .unionAll(canon.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      graft.ops.Gini.ppm(deg, "node", "deg")
+    }),
+
+    // Exact Gini of per-user event counts — engagement inequality, the
+    // skew gauge next to events_pareto's cumulative-share rows.
+    "events_user_gini" -> ((s, d) =>
+      graft.ops.Gini.ppm(
+        events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_ev")),
+        "user_id", "n_ev")),
+
     // Global clustering coefficient: 3·triangles / wedges over the
     // co-purchase graph — the one-number closure screen composing
     // graph_triangles' degree-oriented count with the degree frame.
@@ -6613,6 +6637,20 @@ object SparkEntry {
       "events_interarrival" -> graft.ops.Interarrival.sqlHistogram,
 
       "stats_median_exact" -> graft.ops.Stats.sqlMedianTypes,
+
+      "graph_degree_gini" ->
+        (s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            |ce AS (SELECT DISTINCT l.pk AS a, r.pk AS b
+            |  FROM li l JOIN li r ON l.ok = r.ok AND l.pk < r.pk),
+            |cnt AS (SELECT node AS id, count(*)::BIGINT AS v FROM (
+            |  SELECT a AS node FROM ce UNION ALL SELECT b AS node FROM ce)
+            |  GROUP BY 1),
+            |${graft.ops.Gini.sqlPpm}""".stripMargin),
+
+      "events_user_gini" ->
+        (s"""WITH cnt AS (SELECT user_id AS id, count(*)::BIGINT AS v
+            |  FROM events GROUP BY 1),
+            |${graft.ops.Gini.sqlPpm}""".stripMargin),
 
       "graph_clustering" ->
         (s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -92,8 +92,10 @@ object GlobalRank {
 
   /** df + exact global `row_number` (1-based, ordered by `rangeCol` asc then
     * `tieBreak` asc) in column `out`, plus the total row count — without a
-    * single-partition window. `buckets` should scale with the cluster
-    * (≥ shuffle partitions).
+    * single-partition window. Pass `buckets = Auto` (what every SparkEntry
+    * call site does) to derive the count from the corpus via
+    * [[autoBuckets]]; an explicit count is a pure parallelism override and
+    * never changes the output.
     *
     * CONTRACT: `rangeCol` must be non-null. Null range values would fall
     * through every `>` bucket comparison to bucket 0 AND sort NULLS FIRST
