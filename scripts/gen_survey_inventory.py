@@ -85,10 +85,10 @@ def main():
         mods = sorted(set(MODULE_RE.findall(body)))
         module = mods[0].replace(".", "/") + ".scala" if mods else "SparkEntry.scala"
         ts = first_commit_ts(key)
-        # no history yet = landed this (uncommitted) round
-        rnd = 9
+        # no history yet / past the last boundary = landed this round
+        rnd = 10
         if ts is not None:
-            rnd = next((r for r, bt in sorted(bounds.items()) if ts <= bt), 9)
+            rnd = next((r for r, bt in sorted(bounds.items()) if ts <= bt), 10)
         rows.append((key, family(key), module, rnd))
 
     rows.sort(key=lambda r: r[0])
