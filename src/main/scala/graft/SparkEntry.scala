@@ -858,6 +858,10 @@ object SparkEntry {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    // DAU / trailing-7-day WAU / stickiness per observed day
+    // (graft.ops.Engagement — user×calendar-bounded at any corpus scale).
+    "events_dau_wau" -> ((s, d) => graft.ops.Engagement.dauWau(events(s, d))),
+
     // Ordered conversion funnel: per user, the first signup, then the first
     // view AFTER it, first click after that, first purchase after that.
     // Single-pass shape (round 5; the round-4 plan was a 4-stage join
@@ -5464,6 +5468,8 @@ object SparkEntry {
           |  count(*)::BIGINT AS n_users
           |FROM ud JOIN c USING (user_id)
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "events_dau_wau" -> graft.ops.Engagement.sqlDauWau,
 
       "events_funnel" ->
         """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -26,6 +26,23 @@ class InterarrivalSpec extends SparkSpec {
       (11L, 1L, 3999L, 3999L, 1L)), s"got $got")
   }
 
+  test("dau/wau/stickiness: trailing-7-day membership on a hand calendar") {
+    val day = graft.ops.Engagement.NanosPerDay
+    // u1 active days 0 and 8; u2 active days 0 and 5
+    val events = Seq(
+      (1L, 1000L), (1L, 8 * day + 5),
+      (2L, 7L), (2L, 5 * day + 1))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Engagement.dauWau(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // day 0: DAU {u1,u2}, WAU {u1,u2} → 1e6; day 5: DAU {u2}, WAU {u1@0..6,
+    // u2} → 500000; day 8: DAU {u1}, WAU {u1, u2@5..11} → 500000
+    assert(got == Seq(
+      (0L, 2L, 2L, 1000000L),
+      (5L, 1L, 2L, 500000L),
+      (8L, 1L, 2L, 500000L)), s"got $got")
+  }
+
   test("exact median: 2·median in whole cents from order statistics") {
     // type a: cents [1, 2, 2, 5] → lo = hi = 2 → 4; type b: [10, 20, 30]
     // → 40; type c: [7, 9] → lo 7, hi 9 → 16 (the even-n split case)
