@@ -1507,6 +1507,10 @@ object SparkEntry {
     // anchor next to agg_approx_percentile (graft.ops.Stats.medianTypes).
     "stats_median_exact" -> ((s, d) => graft.ops.Stats.medianTypes(events(s, d))),
 
+    // Pairwise Mann–Whitney U with tie-corrected z — welchPairs' rank-based
+    // twin (graft.ops.Stats.mannWhitneyPairs).
+    "stats_mannwhitney" -> ((s, d) => graft.ops.Stats.mannWhitneyPairs(events(s, d))),
+
     // Exact Gini of the co-purchase degree distribution — the one-number
     // hub-skew gauge next to graph_degree_dist (graft.ops.Gini, ranked by
     // the corpus-scaled GlobalRank, never a single-partition window).
@@ -6643,6 +6647,8 @@ object SparkEntry {
       "events_interarrival" -> graft.ops.Interarrival.sqlHistogram,
 
       "stats_median_exact" -> graft.ops.Stats.sqlMedianTypes,
+
+      "stats_mannwhitney" -> graft.ops.Stats.sqlMannWhitneyPairs,
 
       "graph_degree_gini" ->
         (s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -290,6 +290,120 @@ object Stats {
           .otherwise(greatest(lit(0.0), round(h, 6))).as("h_r"))
   }
 
+  /** Mann–Whitney U for every PAIR of event types — [[welchPairs]]'s
+    * rank-based (nonparametric) twin, exactly as [[kruskalTypes]] is
+    * [[anovaTypes]]'s: the two-sample location test that survives heavy
+    * tails. Ranks are computed WITHIN each pair (not globally), so the
+    * distinct (value, type) frame is joined to the exploded 2-row-per-pair
+    * membership grid (an EQUI join; the k² pair build itself runs on the
+    * k-row type frame — the stats_ttest whitelist class) and tie-averaged
+    * ranks ride the kruskal device: 2·r̄ = 2·cum − cnt + 1 over the
+    * per-pair prefix sum of the distinct-value frame.
+    *
+    * Exactness: 2U_a = S₂_a − n_a(n_a+1) is an exact integer (S₂ sums in
+    * DECIMAL(38,0)); the tie-corrected z is then the sanctioned short
+    * IEEE chain (casts of exact integers, +, −, ×, /, sqrt, round),
+    * mirrored term-for-term:
+    *   z = (2U_a − n_a·n_b) / (2·√(n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))))
+    * All-tied pairs (variance 0) pin z = 0. Same [[KruskalMaxN]] loud
+    * guard (rank sums square past DECIMAL(38) near ~3·10⁹ events).
+    *
+    * Scale shape: one (value, type) hash agg over the corpus; everything
+    * after runs on pair × distinct-value frames (pairs are enum-bounded,
+    * values cents-bounded) — windows and joins there cost nothing at any
+    * corpus size.
+    */
+  def mannWhitneyPairs(events: DataFrame,
+                       maxN: Long = KruskalMaxN): DataFrame = {
+    val tc = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("n_tc"))
+      .localCheckpoint() // feeds the type frame and the pair-tagged counts
+    val types = tc.select("event_type").distinct()
+    val pairs = types.as("l").join(types.as("r"),
+        col("l.event_type") < col("r.event_type"))
+      .select(col("l.event_type").as("pa"), col("r.event_type").as("pb"))
+    val ptc = pairs
+      .select(col("pa"), col("pb"),
+        explode(array(col("pa"), col("pb"))).as("member"))
+      .join(tc, col("member") === col("event_type"))
+      .select(col("pa"), col("pb"), col("member"), col("c"), col("n_tc"))
+      .localCheckpoint() // feeds the value counts AND the per-member sums
+    val vc = ptc.groupBy("pa", "pb", "c").agg(sum(col("n_tc")).as("cnt"))
+      .localCheckpoint() // feeds the rank window AND the tie mass
+    val w = Window.partitionBy("pa", "pb").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vc
+      .withColumn("two_rbar",
+        (sum(col("cnt")).over(w) * 2 - col("cnt") + 1).cast("decimal(38,0)"))
+    val g = ptc.join(ranked.select("pa", "pb", "c", "two_rbar"), Seq("pa", "pb", "c"))
+      .groupBy("pa", "pb", "member")
+      .agg(sum(col("n_tc")).cast("decimal(38,0)").as("n"),
+        sum(col("n_tc").cast("decimal(38,0)") * col("two_rbar")).as("s2"))
+    val ties = vc.groupBy("pa", "pb")
+      .agg(sum(expr("CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt")).as("tie"))
+    val a = g.filter(col("member") === col("pa"))
+      .select(col("pa"), col("pb"), col("n").as("na"), col("s2").as("s2a"))
+    val b = g.filter(col("member") === col("pb"))
+      .select(col("pa"), col("pb"), col("n").as("nb"))
+    val nn = col("na") + col("nb")
+    val nanb = col("na") * col("nb")
+    val twoUa = col("s2a") - col("na") * (col("na") + 1)
+    val varE = nanb.cast("double") / lit(12.0) *
+      ((nn + 1).cast("double") -
+        col("tie").cast("double") / (nn.cast("double") * (nn - 1).cast("double")))
+    a.join(b, Seq("pa", "pb")).join(ties, Seq("pa", "pb"))
+      .select(col("pa").as("type_a"), col("pb").as("type_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        when(nn > maxN,
+            raise_error(lit("stats_mannwhitney: n exceeds the DECIMAL(38,0) "
+              + "rank-sum headroom (~3e9 events)")))
+          .otherwise(twoUa.cast("long")).as("two_u_a"),
+        when(varE <= 0.0, 0.0)
+          .otherwise(round((twoUa - nanb).cast("double")
+            / (lit(2.0) * sqrt(varE)), 6)).as("z_r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB mirror of [[mannWhitneyPairs]], term-for-term (same IEEE op
+    * order in the z chain; same loud guard).
+    */
+  def sqlMannWhitneyPairs: String =
+    s"""WITH tc AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+      |  count(*)::HUGEINT AS n_tc FROM events GROUP BY 1, 2),
+      |ty AS (SELECT DISTINCT event_type FROM tc),
+      |pr AS (SELECT l.event_type AS pa, r.event_type AS pb
+      |       FROM ty l JOIN ty r ON l.event_type < r.event_type),
+      |mem AS (SELECT pa, pb, unnest([pa, pb]) AS member FROM pr),
+      |ptc AS (SELECT m.pa, m.pb, m.member, tc.c, tc.n_tc
+      |        FROM mem m JOIN tc ON m.member = tc.event_type),
+      |vc AS (SELECT pa, pb, c, sum(n_tc) AS cnt FROM ptc GROUP BY 1, 2, 3),
+      |rk AS (SELECT pa, pb, c,
+      |         2 * sum(cnt) OVER (PARTITION BY pa, pb ORDER BY c
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - cnt + 1 AS two_rbar FROM vc),
+      |g AS (SELECT ptc.pa, ptc.pb, ptc.member, sum(ptc.n_tc) AS n,
+      |        sum(ptc.n_tc * rk.two_rbar) AS s2
+      |      FROM ptc JOIN rk USING (pa, pb, c) GROUP BY 1, 2, 3),
+      |tie AS (SELECT pa, pb, sum(cnt * cnt * cnt - cnt) AS tie
+      |        FROM vc GROUP BY 1, 2),
+      |ab AS (SELECT a.pa, a.pb, a.n AS na, a.s2 AS s2a, b.n AS nb, t.tie
+      |       FROM (SELECT * FROM g WHERE member = pa) a
+      |       JOIN (SELECT * FROM g WHERE member = pb) b USING (pa, pb)
+      |       JOIN tie t USING (pa, pb))
+      |SELECT pa AS type_a, pb AS type_b, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+      |  CASE WHEN na + nb > $KruskalMaxN
+      |       THEN error('stats_mannwhitney: n exceeds the DECIMAL(38,0) rank-sum headroom (~3e9 events)')
+      |       ELSE (s2a - na * (na + 1))::BIGINT END AS two_u_a,
+      |  CASE WHEN (na * nb)::DOUBLE / 12 * ((na + nb + 1)::DOUBLE
+      |         - tie::DOUBLE / ((na + nb)::DOUBLE * (na + nb - 1)::DOUBLE)) <= 0
+      |       THEN 0.0
+      |       ELSE round((s2a - na * (na + 1) - na * nb)::DOUBLE
+      |         / (2 * sqrt((na * nb)::DOUBLE / 12 * ((na + nb + 1)::DOUBLE
+      |           - tie::DOUBLE / ((na + nb)::DOUBLE * (na + nb - 1)::DOUBLE)))), 6)
+      |       END AS z_r
+      |FROM ab ORDER BY type_a, type_b""".stripMargin
+
   /** EXACT per-type median of event value — what `agg_approx_percentile`
     * approximates, computed exactly and distributed: the sanity anchor a
     * pipeline owner runs when an approx-sketch number looks off. Exactness

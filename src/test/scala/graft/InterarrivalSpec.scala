@@ -43,6 +43,31 @@ class InterarrivalSpec extends SparkSpec {
       (8L, 1L, 2L, 500000L)), s"got $got")
   }
 
+  test("mann-whitney: tie-averaged pair ranks, exact 2U, tie-corrected z") {
+    // a = {1, 2} cents·100, b = {2, 3}: pooled 2r̄ = (2, 5, 8) →
+    // 2R_a = 2 + 5 = 7, 2U_a = 7 − 2·3 = 1; ties Σ(t³−t) = 6, N = 4 →
+    // var = 4/12·(5 − 6/12) = 1.5, z = (1 − 4)/(2√1.5) = −1.224745
+    val events = Seq(("a", 0.01), ("a", 0.02), ("b", 0.02), ("b", 0.03))
+      .toDF("event_type", "value")
+    val got = graft.ops.Stats.mannWhitneyPairs(events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == Seq(("a", "b", 2L, 2L, 1L, -1.224745)), s"got $got")
+  }
+
+  test("mann-whitney: all-tied pair pins z = 0; guard raises past the bound") {
+    val tied = Seq(("a", 0.05), ("a", 0.05), ("b", 0.05)).toDF("event_type", "value")
+    val r = graft.ops.Stats.mannWhitneyPairs(tied).collect()(0)
+    assert(r.getDouble(5) == 0.0)
+    val e = intercept[Throwable] {
+      graft.ops.Stats.mannWhitneyPairs(tied, maxN = 2).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      String.valueOf(t.getMessage).contains("stats_mannwhitney")))
+  }
+
   test("exact median: 2·median in whole cents from order statistics") {
     // type a: cents [1, 2, 2, 5] → lo = hi = 2 → 4; type b: [10, 20, 30]
     // → 40; type c: [7, 9] → lo 7, hi 9 → 16 (the even-n split case)

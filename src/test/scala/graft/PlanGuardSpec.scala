@@ -431,6 +431,10 @@ class PlanGuardSpec extends SparkSpec {
       // O(T^2) pairs over the per-event-type MOMENT frame (T = enum-bounded
       // type count; the corpus collapses in one hash aggregate first):
       "stats_ttest",
+      // same O(T^2) type-pair build on the k-row distinct-type frame; the
+      // corpus-sized side joins the exploded pair membership EQUI on
+      // event_type (round 10):
+      "stats_mannwhitney",
       // constant-size threshold / percentile / k grids joined against an
       // aggregate frame (|grid| is a query literal):
       "dedup_threshold_sweep", "semantic_sweep", "quality_sweep",
