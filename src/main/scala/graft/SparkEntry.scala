@@ -1493,6 +1493,21 @@ object SparkEntry {
     "quality_bigram_surprisal" -> ((s, d) =>
       graft.llm.Surprisal.perDocBigram(docs(s, d))),
 
+    // The CCNet move itself: partition the corpus into surprisal DECILES
+    // (doc/token mass + score range per decile) — the distributed ntile
+    // rides GlobalRank at Auto buckets, never a single-partition window;
+    // empty docs (no score) are excluded from the ranked frame.
+    "quality_perplexity_buckets" -> ((s, d) => {
+      val sc = graft.llm.Surprisal.perDoc(docs(s, d)).filter(col("n_tok") > 0)
+      graft.ops.GlobalRank.withNtile(sc, "mean_bits_micro", Seq("doc_id"),
+          buckets = graft.ops.GlobalRank.Auto, tiles = 10, out = "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          min("mean_bits_micro").as("min_bits_micro"),
+          max("mean_bits_micro").as("max_bits_micro"))
+        .orderBy("decile")
+    }),
+
     // Hapax spectrum + Good-Turing unseen-mass estimate — the vocabulary
     // saturation gauge (graft.llm.Diversity.hapax).
     "vocab_hapax" -> ((s, d) => graft.llm.Diversity.hapax(docs(s, d))),
@@ -1510,6 +1525,11 @@ object SparkEntry {
     // Pairwise Mann–Whitney U with tie-corrected z — welchPairs' rank-based
     // twin (graft.ops.Stats.mannWhitneyPairs).
     "stats_mannwhitney" -> ((s, d) => graft.ops.Stats.mannWhitneyPairs(events(s, d))),
+
+    // Brown–Forsythe variance-equality screen: the one-way F over
+    // median-centered absolute deviations |2c − median_x2| — exact-median
+    // + anova devices composed (graft.ops.Stats.leveneTypes).
+    "stats_levene" -> ((s, d) => graft.ops.Stats.leveneTypes(events(s, d))),
 
     // Exact Gini of the co-purchase degree distribution — the one-number
     // hub-skew gauge next to graph_degree_dist (graft.ops.Gini, ranked by
@@ -6641,6 +6661,19 @@ object SparkEntry {
       "quality_surprisal" -> graft.llm.Surprisal.sqlPerDoc,
 
       "quality_bigram_surprisal" -> graft.llm.Surprisal.sqlPerDocBigram,
+
+      "quality_perplexity_buckets" ->
+        (s"""WITH base AS (SELECT * FROM (${graft.llm.Surprisal.sqlPerDoc}) q
+            |              WHERE n_tok > 0),
+            |nt AS (SELECT *, ntile(10) OVER (ORDER BY mean_bits_micro, doc_id)
+            |         AS decile FROM base)
+            |SELECT decile, count(*)::BIGINT AS n_docs,
+            |  sum(n_tok)::BIGINT AS n_tokens,
+            |  min(mean_bits_micro)::BIGINT AS min_bits_micro,
+            |  max(mean_bits_micro)::BIGINT AS max_bits_micro
+            |FROM nt GROUP BY 1 ORDER BY 1""".stripMargin),
+
+      "stats_levene" -> graft.ops.Stats.sqlLeveneTypes,
 
       "vocab_hapax" -> graft.llm.Diversity.sqlHapax,
 

@@ -191,10 +191,17 @@ object Stats {
     * Scale shape: one hash aggregate over the corpus, one k-row
     * re-aggregate.
     */
-  def anovaTypes(events: DataFrame): DataFrame = {
-    val m = events
-      .select(col("event_type"),
-        expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y"))
+  def anovaTypes(events: DataFrame): DataFrame =
+    anovaCore(events.select(col("event_type"),
+      expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y")), "stats_anova")
+
+  /** The F machinery over an integral `(event_type, y DECIMAL(38,0))`
+    * frame — shared by [[anovaTypes]] (y = cents) and [[leveneTypes]]
+    * (y = median-centered absolute deviations). `tag` names the loud
+    * guards.
+    */
+  private def anovaCore(typed: DataFrame, tag: String): DataFrame = {
+    val m = typed
       .groupBy("event_type")
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("y")).as("s"), sum(col("y") * col("y")).as("q"))
@@ -216,11 +223,11 @@ object Stats {
       // never flow a silent NULL into the F chain.
       .select(col("nn"), col("k"),
         when(col("ms") > MaxCentMass || abs(col("ss")) > MaxCentMass,
-          raise_error(concat(lit("stats_anova: cent-mass exceeds the "
+          raise_error(concat(lit(s"$tag: cent-mass exceeds the "
             + "DECIMAL(38,0) S^2 headroom (|S| > 3e18); max |S_g|="),
             col("ms").cast("string"))))
           .when(col("nn") > 0 && col("qq").isNull,
-            raise_error(lit("stats_anova: sum of squares overflowed DECIMAL(38,0)")))
+            raise_error(lit(s"$tag: sum of squares overflowed DECIMAL(38,0)")))
           .otherwise(greatest(lit(0L).cast("decimal(38,0)"),
             col("t") - expr("CAST((ss * ss) DIV nn AS DECIMAL(38,0))"))).as("ssb_c2"),
         (col("qq") - col("t")).as("ssw_c2"))
@@ -289,6 +296,51 @@ object Stats {
           .when(col("k") < 2 || denom <= 0, 0.0)
           .otherwise(greatest(lit(0.0), round(h, 6))).as("h_r"))
   }
+
+  /** Brown–Forsythe (median-centered Levene) variance-equality screen
+    * across event types — the question [[anovaTypes]] does NOT answer: do
+    * the type DISPERSIONS differ, not the means? Run before trusting a
+    * pooled-variance test; the median-centered variant is the
+    * heavy-tail-robust form. Composition of two exactness devices already
+    * in the suite: per-type EXACT medians as 2·median integers
+    * ([[medianTypes]]' order statistics), then the one-way F over
+    *   z = |2·c − median_x2|   (an exact integer per event — both terms
+    * ride the doubled cent scale, so no halving ever happens)
+    * through the shared [[anovaCore]] DECIMAL machinery and its loud
+    * guards. Scale shape: medianTypes' (value, type) agg + one map-side
+    * z pass + anova's hash aggregate — nothing new at corpus scale.
+    */
+  def leveneTypes(events: DataFrame): DataFrame = {
+    val med = medianTypes(events)
+      .select(col("event_type"), col("median_x2_cents").as("m2"))
+    val z = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .join(broadcast(med), Seq("event_type")) // enum-bounded type frame
+      .select(col("event_type"),
+        abs(col("c") * 2 - col("m2")).cast("decimal(38,0)").as("y"))
+    anovaCore(z, "stats_levene")
+  }
+
+  /** DuckDB mirror of [[leveneTypes]]: the medianTypes CTEs feed z, then
+    * the shared F tail.
+    */
+  def sqlLeveneTypes: String =
+    s"""WITH tc AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+      |  count(*)::BIGINT AS n_tc FROM events GROUP BY 1, 2),
+      |cm AS (SELECT event_type, c,
+      |  sum(n_tc) OVER (PARTITION BY event_type ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  sum(n_tc) OVER (PARTITION BY event_type) AS nn FROM tc),
+      |md AS (SELECT event_type,
+      |  (min(CASE WHEN cum >= (nn + 1) // 2 THEN c END)
+      |   + min(CASE WHEN cum >= nn // 2 + 1 THEN c END))::BIGINT AS m2
+      |  FROM cm GROUP BY 1),
+      |z AS (SELECT e.event_type,
+      |        abs(CAST(round(e.value * 100) AS HUGEINT) * 2 - md.m2) AS y
+      |      FROM events e JOIN md USING (event_type)),
+      |m AS (SELECT event_type, count(*)::HUGEINT AS n,
+      |        sum(y) AS s, sum(y * y) AS q FROM z GROUP BY 1),
+      |${sqlAnovaTail("stats_levene")}""".stripMargin
 
   /** Mann–Whitney U for every PAIR of event types — [[welchPairs]]'s
     * rank-based (nonparametric) twin, exactly as [[kruskalTypes]] is
@@ -494,21 +546,27 @@ object Stats {
       |  sum(CAST(round(value * 100) AS HUGEINT)
       |      * CAST(round(value * 100) AS HUGEINT)) AS q
       |  FROM events GROUP BY 1),
-      |t AS (SELECT n, s,
+      |${sqlAnovaTail("stats_anova")}""".stripMargin
+
+  /** The F tail over a CTE `m(event_type, n, s, q)` in scope — shared by
+    * [[sqlAnovaTypes]] and the levene mirror; `tag` names the guards.
+    */
+  private def sqlAnovaTail(tag: String): String =
+    s"""t AS (SELECT n, s,
       |        CASE WHEN q >= ${"1" + "0" * 38}::HUGEINT
-      |             THEN error('stats_anova: sum of squares overflowed DECIMAL(38,0)')
+      |             THEN error('$tag: sum of squares overflowed DECIMAL(38,0)')
       |             ELSE q END AS q,
       |        CASE WHEN abs(s) > $MaxCentMass
-      |             THEN error('stats_anova: cent-mass exceeds the DECIMAL(38,0) S^2 headroom')
+      |             THEN error('$tag: cent-mass exceeds the DECIMAL(38,0) S^2 headroom')
       |             ELSE (s * s) // n END AS term FROM m),
       |a AS (SELECT sum(n) AS nn, count(*)::HUGEINT AS k,
       |        sum(s) AS ss, sum(q) AS qq, sum(term) AS t FROM t),
       |b AS (SELECT nn, k,
       |        CASE WHEN abs(ss) > $MaxCentMass
-      |             THEN error('stats_anova: total cent-mass exceeds the DECIMAL(38,0) S^2 headroom')
+      |             THEN error('$tag: total cent-mass exceeds the DECIMAL(38,0) S^2 headroom')
       |             ELSE greatest(0::HUGEINT, t - (ss * ss) // nn) END AS ssb_c2,
       |        CASE WHEN qq >= ${"1" + "0" * 38}::HUGEINT
-      |             THEN error('stats_anova: sum of squares overflowed DECIMAL(38,0)')
+      |             THEN error('$tag: sum of squares overflowed DECIMAL(38,0)')
       |             ELSE qq - t END AS ssw_c2 FROM a)
       |SELECT nn::BIGINT AS n, k::BIGINT AS k_types,
       |  ssb_c2::BIGINT AS ssb_c2, ssw_c2::BIGINT AS ssw_c2,

@@ -43,6 +43,19 @@ class InterarrivalSpec extends SparkSpec {
       (8L, 1L, 2L, 500000L)), s"got $got")
   }
 
+  test("levene (brown-forsythe): F over |2c - median_x2| on hand data") {
+    // a: cents {100, 300} → m2 = 400, z = {200, 200};
+    // b: {100, 100, 700} → m2 = 200, z = {0, 0, 1200}.
+    // terms: 400²DIV2 = 80000, 1200²DIV3 = 480000; ssb = 560000 −
+    // 1600²DIV5 = 48000; ssw = 1520000 − 560000 = 960000 →
+    // F = 48000·3 / 960000 = 0.15
+    val events = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 1.0), ("b", 7.0))
+      .toDF("event_type", "value")
+    val r = graft.ops.Stats.leveneTypes(events).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ((5L, 2L, 48000L, 960000L, 0.15)), s"got $r")
+  }
+
   test("mann-whitney: tie-averaged pair ranks, exact 2U, tie-corrected z") {
     // a = {1, 2} cents·100, b = {2, 3}: pooled 2r̄ = (2, 5, 8) →
     // 2R_a = 2 + 5 = 7, 2U_a = 7 − 2·3 = 1; ties Σ(t³−t) = 6, N = 4 →
