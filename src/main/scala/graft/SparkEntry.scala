@@ -2757,22 +2757,24 @@ object SparkEntry {
     // Per-domain document caps — the web-corpus over-representation guard
     // (FineWeb-style: a single hot domain must not dominate the mixture):
     // rank each doc within its canonical host by doc_id and keep the first
-    // DomainCap. Rank windows partition by host; at web scale a mega-host
-    // partition is the one skew risk, and the sample_reservoir two-pass
-    // hash-prefilter applies verbatim (keep = smallest-N is a threshold on
-    // a per-host rank) — at the fixture's host cardinality the plain
-    // window IS the right plan. Verdict joins dedup_url/corpus_clean on
-    // doc_id.
+    // DomainCap. Hosts are Zipf at web scale — a head domain holding 1% of
+    // 10^10 docs would funnel 10^8 rows through ONE window task — so the
+    // rank rides GlobalRank.withGroupedRowNumber's skew-gated grouped rank
+    // (round-10 verdict task #1): balanced host sets keep the one-pass
+    // grouped window; a mega-host flips the max-group probe and splits
+    // across the global doc_id bucket grid (doc_ids interleave uniformly
+    // across hosts, the caveat documented on the operator). n_domain_docs
+    // rides the rank's outN — the old separate counts agg + broadcast join
+    // is gone. Verdict joins dedup_url/corpus_clean on doc_id.
     "domain_caps" -> ((s, d) => {
       val host = graft.llm.Url.canonicalHost(
         graft.llm.Url.syntheticUrl(col("doc_id"), col("source")))
       val u = docs(s, d).select(col("doc_id"), host.as("host"))
-        .localCheckpoint() // one scan + one regex pass feeds counts AND rank
-      val counts = u.groupBy("host").agg(count(lit(1)).as("n_domain_docs"))
-      u.withColumn("rank_in_domain",
-          row_number().over(Window.partitionBy("host").orderBy("doc_id")).cast("long"))
-        .join(broadcast(counts), Seq("host")) // |hosts| rows at the fixture;
-        // at web scale drop the hint and let AQE pick (documented seam)
+        .localCheckpoint() // one scan + one regex pass feeds probe AND rank
+      graft.ops.GlobalRank
+        .withGroupedRowNumber(u, "host", "doc_id", Seq.empty,
+          buckets = graft.ops.GlobalRank.Auto,
+          out = "rank_in_domain", outN = "n_domain_docs")
         .select(col("doc_id"), col("host"), col("n_domain_docs"),
           col("rank_in_domain"),
           (col("rank_in_domain") <= DomainCap).as("keep"))

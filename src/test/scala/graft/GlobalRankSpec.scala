@@ -131,6 +131,41 @@ class GlobalRankSpec extends SparkSpec {
       "fallback path must be value-identical to the grouped window")
   }
 
+  test("many-group Zipf-head input routes through the sub-bucketed rank, value-identical") {
+    import spark.implicits._
+    // 200 groups (> MaxCaseGroups) with one mega-group holding ~70% of rows
+    // — the regime the round-10 verdict flagged. maxGroupRows is forced
+    // tiny so the fixture-sized fixture trips the same gate a 100-TB head
+    // domain would. Ties in v land across bucket boundaries on purpose.
+    val rows = (0 until 1400).map(i => ("hub", i.toLong, (i % 11).toDouble)) ++
+      (0 until 600).map(i => (s"g${i % 199}", 10000L + i, (i % 7).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val ranked = GlobalRank.withGroupedRowNumber(
+      df, "g", "v", Seq("id"), buckets = 8, out = "rnk", outN = "n_g",
+      maxGroupRows = 100L)
+    val plan = ranked.queryExecution.executedPlan.toString.replaceAll("#\\d+L?", "")
+    assert(plan.contains("windowspecdefinition(g, __bkt"),
+      s"head-group input must rank per (group, bucket), not per group:\n$plan")
+    val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+    val expect = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(Window.partitionBy("g")))
+    assert(ranked.exceptAll(expect).isEmpty && expect.exceptAll(ranked).isEmpty,
+      "sub-bucketed many-group rank must be value-identical to the grouped window")
+  }
+
+  test("many-group balanced input keeps the one-pass grouped window (skew gate holds)") {
+    import spark.implicits._
+    val df = (0 until 2000)
+      .map(i => (s"g${i % 200}", i.toLong, (i % 13).toDouble)).toDF("g", "id", "v")
+    val ranked = GlobalRank.withGroupedRowNumber(
+      df, "g", "v", Seq("id"), buckets = 8, out = "rnk", outN = "n_g",
+      maxGroupRows = 100L) // 10 rows/group — well under the gate
+    val plan = ranked.queryExecution.executedPlan.toString.replaceAll("#\\d+L?", "")
+    assert(!plan.contains("__bkt"),
+      s"balanced 200-group input must keep the plain grouped window:\n$plan")
+  }
+
   test("export_interleave: positions are a permutation and no source ever runs long") {
     val out = SparkEntry.queries("export_interleave")(spark, "/root/testdata/sf0.001")
       .collect()
