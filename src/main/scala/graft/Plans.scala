@@ -123,24 +123,62 @@ object Plans {
     // Summary over EVERY key: exchange + parquet-scan counts. A scan count
     // above the number of DISTINCT tables a query touches is the recompute
     // smell (duplicated subtree) that cost mix_report/tfidf_topk a full
-    // corpus re-scan each. localCheckpoint'd stages show 0 scans (the scan
-    // ran once, inside the materialization).
-    sb.append("## Summary (all keys): exchanges / broadcasts / parquet scans in the executed plan\n\n")
-    sb.append("| key | exchanges | broadcasts | scans |\n|---|---|---|---|\n")
+    // corpus re-scan each. localCheckpoint'd stages show 0 scans in the
+    // FINAL plan (the scan ran once, inside the materialization) — so the
+    // build columns capture the checkpoint-building actions themselves
+    // (round-10 verdict task #2): every Dataset action fired during query
+    // construction (PlanCapture) contributes its exchanges/broadcasts/scans
+    // to b-ex / b-bc / b-scans, and checkpoint-rooted keys get their build
+    // skeletons in a dedicated section below.
+    sb.append("## Summary (all keys): exchanges / broadcasts / parquet scans — final plan + build actions\n\n")
+    sb.append("| key | exchanges | broadcasts | scans | builds | b-ex | b-bc | b-scans |\n|---|---|---|---|---|---|---|---|\n")
     // plan strings cached for the detail section below: queries with eager
     // localCheckpoint stages run REAL jobs at construction time, so
     // constructing a key twice would execute its materialization twice
-    val plans = SparkEntry.queries.toSeq.sortBy(_._1).map { case (q, fn) =>
-      q -> fn(spark, d).queryExecution.executedPlan.toString
+    val captured = SparkEntry.queries.toSeq.sortBy(_._1).map { case (q, fn) =>
+      val (df, builds) = graft.ops.PlanCapture.capture(spark)(fn(spark, d))
+      q -> (df.queryExecution.executedPlan.toString,
+        builds.map(b => (b.funcName, b.qe.executedPlan.toString)))
     }.toMap
+    val plans = captured.view.mapValues(_._1).toMap
     for (q <- plans.keys.toSeq.sorted) {
       val plan = plans(q)
+      val builds = captured(q)._2
       val nEx = "Exchange".r.findAllIn(plan).length
       val nBc = "BroadcastExchange".r.findAllIn(plan).length
       val nScan = "FileScan parquet".r.findAllIn(plan).length
-      sb.append(s"| $q | $nEx | $nBc | $nScan |\n")
+      val bPlans = builds.map(_._2)
+      val bEx = bPlans.map(p => "Exchange".r.findAllIn(p).length).sum
+      val bBc = bPlans.map(p => "BroadcastExchange".r.findAllIn(p).length).sum
+      val bScan = bPlans.map(p => "FileScan parquet".r.findAllIn(p).length).sum
+      sb.append(s"| $q | $nEx | $nBc | $nScan | ${builds.size} | $bEx | $bBc | $bScan |\n")
     }
     sb.append("\n")
+    // Build skeletons for checkpoint-rooted keys: the final plan reads
+    // materialized blocks (0 scans), so pushdown/pruning/broadcast behavior
+    // lives in the build actions — print each distinct build skeleton once.
+    sb.append("## Checkpoint-rooted keys: build-action skeletons (final plan has 0 scans)\n\n")
+    for (q <- plans.keys.toSeq.sorted
+         if "FileScan parquet".r.findAllIn(plans(q)).isEmpty &&
+            captured(q)._2.nonEmpty) {
+      val builds = captured(q)._2
+      sb.append(s"### $q — ${builds.size} build actions\n\n```\n")
+      val seen = scala.collection.mutable.Set[String]()
+      for ((fn, p) <- builds) {
+        val skel = p.linesIterator
+          .filter(l => l.contains("Exchange") || l.contains("Scan parquet") ||
+            l.contains("Join") || l.contains("Window"))
+          .map(_.replaceAll("#\\d+L?", "").replaceAll(", \\[plan_id=\\d+\\]", "")
+            .take(160))
+          .take(10).mkString("\n")
+        val key = skel
+        if (!seen.contains(key)) {
+          seen += key
+          sb.append(s"-- $fn --\n$skel\n")
+        }
+      }
+      sb.append("```\n\n")
+    }
     for (q <- keys) {
       val plan = plans(q)
       val nEx = "Exchange".r.findAllIn(plan).length

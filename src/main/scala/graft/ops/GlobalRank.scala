@@ -298,6 +298,16 @@ object GlobalRank {
     */
   val MaxGroupRows: Long = 4L * RowsPerBucket
 
+  /** The gate is a parallelism tuning knob, never a semantics knob
+    * ([[withGroupedRowNumber]]'s two branches are value-identical —
+    * `GlobalRankSpec`), so it is env-overridable like the session's
+    * shuffle width: `SPARK_GRAFT_MAX_GROUP_ROWS` lets deployments tighten
+    * it for small executors and lets the scale studies drive fixture-sized
+    * head groups through the production keys' skew path. Read per call
+    * (default-argument position), constant within one. */
+  def defaultMaxGroupRows: Long =
+    sys.env.get("SPARK_GRAFT_MAX_GROUP_ROWS").map(_.toLong).getOrElse(MaxGroupRows)
+
   /** GROUPED distributed row_number: exact per-group rank (1-based, by
     * `rangeCol` asc then `tieBreak`) in `out`, plus per-group totals in
     * `outN` — without `Window.partitionBy(group)`'s failure mode, where one
@@ -329,7 +339,7 @@ object GlobalRank {
       df0: DataFrame, groupCol: String, rangeCol: String, tieBreak: Seq[String],
       buckets: Int, out: String, outN: String,
       cp: Checkpointer = Checkpointer.Local,
-      maxGroupRows: Long = MaxGroupRows): DataFrame = {
+      maxGroupRows: Long = defaultMaxGroupRows): DataFrame = {
     val df =
       if (isBareScan(df0.queryExecution.optimizedPlan)) df0
       else cp.cut(df0)

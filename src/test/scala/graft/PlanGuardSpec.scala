@@ -468,13 +468,34 @@ class PlanGuardSpec extends SparkSpec {
       // graph_rich_club — 6-threshold grid x degree/edge frames (deg > k
       // membership is the whole point; edge stream x |grid| is a constant
       // multiplier, club edges counted from the edge list, never pairs):
-      "events_acf", "events_pareto", "graph_rich_club")
+      "events_acf", "events_pareto", "graph_rich_club",
+      // round-11 build-plan sweep additions (the capture now sees
+      // checkpoint-BUILD joins the final plan hid):
+      // bpe family — each merge round crossJoins the argmax TOP-PAIR frame
+      // (<=1 row by construction: TakeOrdered limit 1 over the pair
+      // counts; the checkpointed build side loses the maxRows=1 metadata
+      // the final-plan sweep relied on):
+      "bpe_apply", "bpe_fertility", "bpe_merges", "bpe_sweep",
+      // LSH recall audit — the brute-force exact side is all-pairs BY
+      // CONTRACT over the recallModFor-capped sample (corpus-size-
+      // independent), the same sanctioned shape as similarity_recall*;
+      // the build capture sees it pre-checkpoint:
+      "dedup_recall")
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
     val violations = SparkEntry.queries.keys.toSeq.sorted.filterNot(whitelist).flatMap { key =>
-      val plan = SparkEntry.queries(key)(spark, d).queryExecution.optimizedPlan
+      // Sweep the final plan AND every build-action plan (checkpoint
+      // materializations, boundary collects): checkpoint-rooted keys hide
+      // their join shapes behind the materialized blocks, so the final
+      // plan alone is blind exactly where the work happens (round-10
+      // verdict task #2).
+      val (df, builds) = graft.ops.PlanCapture.capture(spark)(
+        SparkEntry.queries(key)(spark, d))
+      val allPlans = df.queryExecution.optimizedPlan +:
+        builds.map(_.qe.optimizedPlan)
+      allPlans.flatMap { plan =>
       plan.collect {
         case j: Join =>
           val hasEqui = j.condition.toSeq.flatMap(conjuncts).exists {
@@ -490,6 +511,7 @@ class PlanGuardSpec extends SparkSpec {
           if (!hasEqui && !oneRowSide) Some(s"$key: ${j.joinType} join cond=${j.condition}")
           else None
       }.flatten
+      }.distinct
     }
     assert(violations.isEmpty,
       s"unbounded cross/non-equi joins outside the whitelist:\n${violations.mkString("\n")}")
