@@ -1481,6 +1481,13 @@ object SparkEntry {
     // quality gates (graft.llm.Readability).
     // The empty-doc probe row rides along on both engines so the oracle
     // gate exercises the w = 0 path every round (round-10 ADVICE fix).
+    // Kept IN the result by design (r11 adjudication of the follow-up
+    // advice): filtering doc_id = -1 back out would push past the compute
+    // and un-exercise the very path the probe exists for, and a
+    // verify-only injection seam doesn't exist in the driver contract.
+    // The probe is part of this key's documented output contract; an
+    // upstream user wanting plain fixture rows calls Readability.fk
+    // directly.
     "readability_fk" -> ((s, d) => graft.llm.Readability.fk(
       graft.llm.Readability.withEmptyDocProbe(docs(s, d)))),
 
@@ -1582,7 +1589,13 @@ object SparkEntry {
           expr("CAST(w2 DIV 2 AS BIGINT)").as("n_wedges"),
           expr("CAST(tri3 DIV 3 AS BIGINT)").as("n_triangles"),
           when(col("w2") === 0, 0L)
-            .otherwise(expr("CAST((tri3 * 2000000) DIV w2 AS BIGINT)"))
+            // tri3 rides DECIMAL(38,0) into the ×2e6 product: in LongType
+            // the ANSI multiply overflows at ~4.6e12 triangles while the
+            // DuckDB mirror's HUGEINT succeeds — a loud-vs-success
+            // cross-engine asymmetry (round-10 advice); DECIMAL gives both
+            // engines the same ~1e38 headroom, and DIV returns BIGINT.
+            .otherwise(
+              expr("CAST((CAST(tri3 AS DECIMAL(38,0)) * 2000000) DIV w2 AS BIGINT)"))
             .as("cc_ppm"))
     }),
 

@@ -216,13 +216,23 @@ object Stats {
       (col("ssw_c2") * (col("k") - 1)).cast("double")
     m.agg(sum(col("n")).as("nn"), count(lit(1)).cast("decimal(38,0)").as("k"),
         sum(col("s")).as("ss"), sum(col("q")).as("qq"),
-        sum(col("term")).as("t"), max(abs(col("s"))).as("ms"))
+        sum(col("term")).as("t"), max(abs(col("s"))).as("ms"),
+        // Per-group null-moment counter (round-10 advice): with ANSI off,
+        // a SINGLE group's s/q can overflow to NULL while sum/max over
+        // the k-row frame skip NULLs — so qq stays non-null and the ms
+        // bound never fires. Count the null groups explicitly; ANSI-on
+        // (GraftConf) remains the first line of defense.
+        sum(when(col("s").isNull || col("q").isNull, 1).otherwise(0))
+          .as("nullg"))
       // Loud-overflow guards ([[MaxCentMass]] contract, mirrored bound-for-
       // bound in sqlAnovaTypes): per-type or total cent-mass beyond the S²
       // headroom, or a Σy² that already overflowed to NULL, must error —
       // never flow a silent NULL into the F chain.
       .select(col("nn"), col("k"),
-        when(col("ms") > MaxCentMass || abs(col("ss")) > MaxCentMass,
+        when(col("nullg") > 0,
+          raise_error(concat(lit(s"$tag: per-group moment overflowed "
+            + "DECIMAL(38,0) in "), col("nullg").cast("string"), lit(" group(s)"))))
+          .when(col("ms") > MaxCentMass || abs(col("ss")) > MaxCentMass,
           raise_error(concat(lit(s"$tag: cent-mass exceeds the "
             + "DECIMAL(38,0) S^2 headroom (|S| > 3e18); max |S_g|="),
             col("ms").cast("string"))))
