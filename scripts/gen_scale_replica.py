@@ -19,8 +19,12 @@ Axis modes (4th arg, default "row"):
          grows k× at constant per-user density. This is the replica the
          GlobalRank-family keys need: their ranked frame (users) is
          structurally flattered by the row mode (round-9 verdict task #3).
+  docs — replicates ONLY documents + embeddings (doc_id/vec_id offsets),
+         copying every other table verbatim. The oracle-at-scale harness
+         uses this for >=10M-DOC runs (k=2000) where a full-fixture
+         replica would drag 200M event rows nobody reads.
 
-Usage: gen_scale_replica.py <srcDir> <dstDir> [k=10] [axis=row|user]
+Usage: gen_scale_replica.py <srcDir> <dstDir> [k=10] [axis=row|user|docs]
 """
 import sys
 import pyarrow as pa
@@ -56,9 +60,15 @@ def main():
     src, dst = sys.argv[1], sys.argv[2]
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     axis = sys.argv[4] if len(sys.argv) > 4 else "row"
-    assert axis in ("row", "user"), f"unknown axis {axis}"
+    assert axis in ("row", "user", "docs"), f"unknown axis {axis}"
     os.makedirs(dst, exist_ok=True)
+    doc_tables = ("documents", "embeddings")
     for name, offs in FACT_OFFSETS.items():
+        if axis == "docs" and name not in doc_tables:
+            t = pq.read_table(f"{src}/{name}.parquet")
+            pq.write_table(t, f"{dst}/{name}.parquet")
+            print(f"{name}: {t.num_rows} (docs axis, copied)")
+            continue
         if axis == "user" and name in USER_AXIS_OFFSETS:
             offs = {**offs, **USER_AXIS_OFFSETS[name]}
         replicate(src, dst, name, offs, k)

@@ -21,7 +21,7 @@ SRC = "src/main/scala/graft/SparkEntry.scala"
 BOUNDARIES = [
     (1, "8e66496"), (2, "7338b0a"), (3, "1c90a3b"), (4, "ec284dc"),
     (5, "5204222"), (6, "e7bdc9f"), (7, "03857ee"), (8, "263c232"),
-    (9, "1fe35a6"),
+    (9, "1fe35a6"), (10, "dad1bfe"),
 ]
 
 
@@ -86,9 +86,9 @@ def main():
         module = mods[0].replace(".", "/") + ".scala" if mods else "SparkEntry.scala"
         ts = first_commit_ts(key)
         # no history yet / past the last boundary = landed this round
-        rnd = 10
+        rnd = 11
         if ts is not None:
-            rnd = next((r for r, bt in sorted(bounds.items()) if ts <= bt), 10)
+            rnd = next((r for r, bt in sorted(bounds.items()) if ts <= bt), 11)
         rows.append((key, family(key), module, rnd))
 
     rows.sort(key=lambda r: r[0])

@@ -1495,6 +1495,84 @@ object SparkEntry {
     // perplexity-bucket feature — graft.llm.Surprisal).
     "quality_surprisal" -> ((s, d) => graft.llm.Surprisal.perDoc(docs(s, d))),
 
+    // Per-doc character entropy in whole bits — the mojibake/base64/
+    // key-mash screen token scores miss (graft.llm.Surprisal.perDocChars,
+    // same bin-width exactness contract).
+    "quality_char_entropy" -> ((s, d) =>
+      graft.llm.Surprisal.perDocChars(docs(s, d))),
+
+    // SoftDeDup frequency downweighting: keep every exact-dup copy but
+    // weight it 1/m so the group contributes one doc's gradient mass
+    // (graft.llm.Weighting.softDedup — the soft twin of dedup_exact).
+    "dedup_softdedup" -> ((s, d) => graft.llm.Weighting.softDedup(docs(s, d))),
+
+    // Deterministic per-epoch Poisson subsampling — a DIFFERENT
+    // reproducible subset each training epoch (graft.llm.Weighting
+    // .poissonEpochs, the data-constrained multi-epoch recipe).
+    "sample_poisson_epochs" -> ((s, d) =>
+      graft.llm.Weighting.poissonEpochs(docs(s, d))),
+
+    // Per-source tokenizer-compression profile: chars per token / per
+    // subtoken / fertility, in exact integer ppm. The standard "how well
+    // does the tokenizer fit this source" gauge (bytes-per-token in the
+    // compression-as-quality literature); one corpus pass, one
+    // |sources|-row hash aggregate, zero-token sources pin 0.
+    "tokenizer_compression" -> ((s, d) => {
+      val t = docs(s, d).select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"),
+        TA.subtokenCount(col("text")).cast("long").as("n_sub"))
+      t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("n_tok").as("sum_tokens"), sum("n_sub").as("sum_subtokens"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("sum_tokens"), col("sum_subtokens"),
+          when(col("sum_tokens") === 0, 0L)
+            .otherwise(expr("(sum_chars * 1000000) div sum_tokens"))
+            .as("chars_per_token_ppm"),
+          when(col("sum_subtokens") === 0, 0L)
+            .otherwise(expr("(sum_chars * 1000000) div sum_subtokens"))
+            .as("chars_per_subtoken_ppm"),
+          when(col("sum_tokens") === 0, 0L)
+            .otherwise(expr("(sum_subtokens * 1000000) div sum_tokens"))
+            .as("fertility_ppm"))
+        .orderBy("source")
+    }),
+
+    // URL blocklist gate — the FineWeb stage-0 URL filter re-expressed on
+    // the synthetic URLs: canonical-host blocklist membership plus a
+    // tracking-parameter flag on the RAW url (canonicalization strips the
+    // query, so the flag must read pre-canonical text). Pure per-row
+    // Column math inside codegen; the blocklist is a query literal.
+    "quality_url_blocklist" -> ((s, d) => {
+      val raw = graft.llm.Url.syntheticUrl(col("doc_id"), col("source"))
+      val host = graft.llm.Url.canonicalHost(raw)
+      docs(s, d).select(col("doc_id"), host.as("host"),
+          host.isInCollection(UrlBlocklist).as("host_blocked"),
+          raw.contains("session=").as("tracking_flag"))
+        .withColumn("keep", !col("host_blocked"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-norm hygiene: exact quantized norm² per vector plus
+    // low/ok/high flags against 4× bands around the corpus mean —
+    // zero-ish and exploded norms are the classic ANN-index poison
+    // (degenerate cosine, distance blowup). One scan, one 1-row mean
+    // broadcast; integers end-to-end (the Quantizer contract).
+    "embedding_norm_outliers" -> ((s, d) => {
+      val q = emb(s, d).select(col("vec_id"),
+        aggregate(Quantizer.quantize(col("embedding")),
+          lit(0L), (acc, x) => acc + x * x).as("norm2_q"))
+        .localCheckpoint() // feeds the 1-row mean AND the flag pass
+      val m = q.agg(expr("sum(norm2_q) div count(1)").as("mean_norm2"))
+      q.crossJoin(broadcast(m))
+        .select(col("vec_id"), col("norm2_q"),
+          when(col("norm2_q") * 4 < col("mean_norm2"), "low")
+            .when(col("norm2_q") > col("mean_norm2") * 4, "high")
+            .otherwise("ok").as("flag"))
+        .orderBy("vec_id")
+    }),
+
     // Conditional bigram surprisal — the fluency proxy that catches
     // scrambled/template-stitched text with a normal unigram profile.
     "quality_bigram_surprisal" -> ((s, d) =>
@@ -1537,6 +1615,27 @@ object SparkEntry {
     // median-centered absolute deviations |2c − median_x2| — exact-median
     // + anova devices composed (graft.ops.Stats.leveneTypes).
     "stats_levene" -> ((s, d) => graft.ops.Stats.leveneTypes(events(s, d))),
+
+    // Cohen's d effect size per type pair — the magnitude companion of
+    // welch t / mann-whitney (graft.ops.Stats.cohensDPairs).
+    "stats_cohens_d" -> ((s, d) => graft.ops.Stats.cohensDPairs(events(s, d))),
+
+    // Spearman ρ between document length and quality score — "do longer
+    // docs score better?", the monotone-association screen on tie-averaged
+    // ranks over the distributed prefix sum (graft.ops.Stats.spearman;
+    // never a partition-less window).
+    "stats_spearman" -> ((s, d) => graft.ops.Stats.spearman(
+      docs(s, d).select(col("doc_id"),
+        size(TA.tokens(col("text"))).cast("long").as("x"),
+        round(TA.qualityScore(col("text")) * SamplePpmScale, 0)
+          .cast("long").as("y")),
+      "x", "y")),
+
+    // Per-user burstiness histogram (Goh–Barabási B over inter-event
+    // gaps) — the scalar companion of events_interarrival's spectrum
+    // (graft.ops.Stats.burstiness; the user axis is the window partition,
+    // never global).
+    "events_gap_burstiness" -> ((s, d) => graft.ops.Stats.burstiness(events(s, d))),
 
     // Exact Gini of the co-purchase degree distribution — the one-number
     // hub-skew gauge next to graph_degree_dist (graft.ops.Gini, ranked by
@@ -5126,6 +5225,14 @@ object SparkEntry {
   /** `domain_caps` per-domain keep limit (docs per canonical host). */
   private val DomainCap = 10L
 
+  /** `quality_url_blocklist` canonical-host blocklist — a query literal
+    * (real deployments load theirs from config; the gate semantics are
+    * identical). Hosts exist in the synthetic URL space so the key
+    * exercises both verdicts.
+    */
+  private val UrlBlocklist = Seq(
+    "shop.src7.example.com", "forum.src12.example.com", "docs.src3.example.com")
+
   /** `rholoss_select` holdout split: doc_id % mod == 0 is the holdout the
     * irreducible-loss model trains on (10% of the corpus), the rest is the
     * candidate train pool. Shared with the oracle.
@@ -6674,6 +6781,72 @@ object SparkEntry {
       "readability_fk" -> graft.llm.Readability.sqlFk,
 
       "quality_surprisal" -> graft.llm.Surprisal.sqlPerDoc,
+
+      "quality_char_entropy" -> graft.llm.Surprisal.sqlPerDocChars,
+
+      "dedup_softdedup" -> graft.llm.Weighting.sqlSoftDedup,
+
+      "sample_poisson_epochs" -> graft.llm.Weighting.sqlPoissonEpochs,
+
+      "stats_cohens_d" -> graft.ops.Stats.sqlCohensDPairs,
+
+      "events_gap_burstiness" -> graft.ops.Stats.sqlBurstiness,
+
+      "stats_spearman" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH t AS (SELECT doc_id, $toks AS toksv FROM documents),
+           |base AS (SELECT len(toksv)::BIGINT AS x,
+           |  CAST(round(${TA.sqlQualityScore("toksv")} * $SamplePpmScale)
+           |    AS BIGINT) AS y FROM t),
+           |${graft.ops.Stats.sqlSpearmanTail}""".stripMargin
+      },
+
+      "tokenizer_compression" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH t AS (SELECT source, length(text)::BIGINT AS n_chars,
+           |    len($toks)::BIGINT AS n_tok,
+           |    (${TA.sqlSubtokenCount("text")})::BIGINT AS n_sub
+           |  FROM documents),
+           |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    sum(n_chars)::BIGINT AS sum_chars,
+           |    sum(n_tok)::BIGINT AS sum_tokens,
+           |    sum(n_sub)::BIGINT AS sum_subtokens FROM t GROUP BY 1)
+           |SELECT source, n_docs, sum_chars, sum_tokens, sum_subtokens,
+           |  (CASE WHEN sum_tokens = 0 THEN 0
+           |        ELSE (sum_chars * 1000000) // sum_tokens END)::BIGINT
+           |    AS chars_per_token_ppm,
+           |  (CASE WHEN sum_subtokens = 0 THEN 0
+           |        ELSE (sum_chars * 1000000) // sum_subtokens END)::BIGINT
+           |    AS chars_per_subtoken_ppm,
+           |  (CASE WHEN sum_tokens = 0 THEN 0
+           |        ELSE (sum_subtokens * 1000000) // sum_tokens END)::BIGINT
+           |    AS fertility_ppm
+           |FROM a ORDER BY 1""".stripMargin
+      },
+
+      "quality_url_blocklist" -> {
+        val bl = UrlBlocklist.map(h => s"'$h'").mkString(", ")
+        s"""WITH u AS (SELECT doc_id, ${graft.llm.Url.sqlSyntheticUrl} AS raw
+           |  FROM documents),
+           |h AS (SELECT doc_id, ${graft.llm.Url.sqlCanonicalHost("raw")} AS host,
+           |        raw FROM u)
+           |SELECT doc_id, host, host IN ($bl) AS host_blocked,
+           |  contains(raw, 'session=') AS tracking_flag,
+           |  NOT (host IN ($bl)) AS keep
+           |FROM h ORDER BY doc_id""".stripMargin
+      },
+
+      "embedding_norm_outliers" ->
+        s"""WITH q AS (SELECT vec_id,
+           |    list_sum([y * y for y in ${graft.llm.Quantizer.sqlQuantize("embedding")}])::BIGINT
+           |      AS norm2_q
+           |  FROM embeddings),
+           |m AS (SELECT sum(norm2_q)::HUGEINT // count(*) AS mean_norm2 FROM q)
+           |SELECT vec_id, norm2_q,
+           |  CASE WHEN norm2_q * 4 < mean_norm2 THEN 'low'
+           |       WHEN norm2_q > mean_norm2 * 4 THEN 'high'
+           |       ELSE 'ok' END AS flag
+           |FROM q, m ORDER BY vec_id""".stripMargin,
 
       "quality_bigram_surprisal" -> graft.llm.Surprisal.sqlPerDocBigram,
 

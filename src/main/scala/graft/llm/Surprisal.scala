@@ -91,6 +91,57 @@ object Surprisal {
       .orderBy("doc_id")
   }
 
+  /** Per-document character entropy in whole bits — the
+    * encoding-noise / gibberish screen the token-level scores miss
+    * (mojibake, base64 blobs, and key-mash have near-uniform char
+    * distributions → high entropy; single-char runs → near zero). True
+    * H = Σ (c/n)·log2(n/c); the whole-bit form replaces the log with the
+    * integer bit width (the [[perDoc]] / `bin_width`-canary contract):
+    *   sum_bits = Σ_ch c_ch · (length(bin(n DIV c_ch)) − 1),
+    *   mean_bits_micro = (sum_bits · 10⁶) DIV n
+    * — exact integers end-to-end, identical truncation both engines.
+    * Scale shape: one char explode (O(total chars), corpus-linear), one
+    * (doc, char) hash aggregate, one doc-keyed re-aggregate with the
+    * per-doc total riding a window-free second aggregation; nothing
+    * corpus-global, no driver crossing.
+    */
+  def perDocChars(docs: DataFrame): DataFrame = {
+    val ch = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
+    val cc = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val tot = cc.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    val pd = cc.join(tot, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("c") *
+          (length(bin(call_function("div", col("n"), col("c")))) - 1).cast("long"))
+          .as("bits"), col("n"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_chars"), sum(col("bits")).as("bits"))
+    docs.select(col("doc_id")).join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        when(col("n_chars").isNull, lit(null).cast("long"))
+          .otherwise(call_function("div", col("bits") * 1000000L, col("n_chars")))
+          .as("mean_bits_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[perDocChars]], term-for-term. */
+  def sqlPerDocChars: String =
+    """WITH ch AS (SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(c)::BIGINT AS n FROM cc GROUP BY 1),
+      |pd AS (SELECT cc.doc_id, max(tot.n)::BIGINT AS n_chars,
+      |         sum(cc.c * (length(bin(tot.n // cc.c)) - 1))::BIGINT AS bits
+      |       FROM cc JOIN tot USING (doc_id) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(pd.n_chars, 0)::BIGINT AS n_chars,
+      |  CASE WHEN pd.n_chars IS NULL THEN NULL
+      |       ELSE (pd.bits * 1000000) // pd.n_chars END::BIGINT
+      |    AS mean_bits_micro
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB mirror of [[perDocBigram]], term-for-term. */
   def sqlPerDocBigram: String = {
     val toks = TextAnalysis.sqlTokens("text")

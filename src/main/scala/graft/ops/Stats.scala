@@ -584,4 +584,182 @@ object Stats {
       |       ELSE round((ssb_c2 * (nn - k))::DOUBLE
       |              / (ssw_c2 * (k - 1))::DOUBLE, 6) END AS f_r
       |FROM b""".stripMargin
+
+  /** Cohen's d effect size for every event-type pair — the magnitude
+    * companion the significance layer (welch t, mann-whitney) reports
+    * beside: HOW far apart two type's value distributions sit in pooled-SD
+    * units. Same exactness contract as [[welchPairs]]: per-type integer
+    * cent moments in DECIMAL, then a short chain of correctly-rounded
+    * IEEE ops — (n·ss − s²)/n is each type's exact (n−1)·variance
+    * numerator, pooled over n_a + n_b − 2, one sqrt, one division,
+    * round 6. Degenerate pairs (zero pooled variance, or two singleton
+    * groups) pin d = 0. Scale shape: ONE corpus hash aggregate, then the
+    * #types² self-join of the k-row frame (the stats_ttest whitelist
+    * class).
+    */
+  def cohensDPairs(events: DataFrame): DataFrame = {
+    val m = events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS DECIMAL(38,0))").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("y")).as("s"), sum(col("y") * col("y")).as("ss"))
+      .localCheckpoint() // #types rows feed both sides of the pair join
+    def side(tag: String) = m.select(
+      col("event_type").as(s"type_$tag"), col("n").as(s"n_$tag"),
+      col("s").as(s"s_$tag"), col("ss").as(s"ss_$tag"))
+    def mean(t: String) = col(s"s_$t").cast("double") / col(s"n_$t").cast("double")
+    // (n−1)·sample-variance = (n·ss − s²)/n — exact DECIMAL numerator over
+    // an exact denominator, one double division per side
+    def m2(t: String) =
+      (col(s"n_$t") * col(s"ss_$t") - col(s"s_$t") * col(s"s_$t")).cast("double") /
+        col(s"n_$t").cast("double")
+    val dof = (col("n_a") + col("n_b") - 2).cast("double")
+    val pooled = (m2("a") + m2("b")) / dof
+    side("a").join(side("b"), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        when(col("n_a") + col("n_b") <= 2, 0.0)
+          .when(pooled === 0.0, 0.0)
+          .otherwise(round((mean("a") - mean("b")) / sqrt(pooled), 6))
+          .as("d_r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB mirror of [[cohensDPairs]], term-for-term. */
+  def sqlCohensDPairs: String =
+    """WITH m AS (SELECT event_type, count(*)::HUGEINT AS n,
+      |    sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+      |    sum(CAST(round(value * 100) AS HUGEINT)
+      |        * CAST(round(value * 100) AS HUGEINT)) AS ss
+      |  FROM events GROUP BY 1)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  a.n::BIGINT AS n_a, b.n::BIGINT AS n_b,
+      |  CASE WHEN a.n + b.n <= 2 THEN 0.0
+      |       WHEN ((a.n * a.ss - a.s * a.s)::DOUBLE / a.n::DOUBLE
+      |             + (b.n * b.ss - b.s * b.s)::DOUBLE / b.n::DOUBLE)
+      |            / (a.n + b.n - 2)::DOUBLE = 0.0 THEN 0.0
+      |       ELSE round(
+      |         (a.s::DOUBLE / a.n::DOUBLE - b.s::DOUBLE / b.n::DOUBLE)
+      |         / sqrt(((a.n * a.ss - a.s * a.s)::DOUBLE / a.n::DOUBLE
+      |                 + (b.n * b.ss - b.s * b.s)::DOUBLE / b.n::DOUBLE)
+      |                / (a.n + b.n - 2)::DOUBLE), 6) END AS d_r
+      |FROM m a JOIN m b ON a.event_type < b.event_type
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Spearman rank correlation (tie-averaged Σd² estimator) between two
+    * integral per-row features of a frame — the monotone-association
+    * screen (Pearson on RANKS), robust to the heavy tails that drag
+    * [[linreg]]. Exactness: tie-averaged ranks ride the eval_auc device
+    * (2·r̄ = 2·cum − cnt + 1 over the DISTINCT-VALUE frame via the
+    * distributed prefix sum — never a partition-less window), the
+    * difference sum D4 = Σ(2r̄x − 2r̄y)² accumulates exactly in
+    * DECIMAL(38,0), and ρ = 1 − 3·D4 / (2n(n²−1)) is one double division
+    * of exact integers, round 6. With ties this is the classical
+    * average-rank Σd² estimator (not the full Pearson-on-ranks tie
+    * correction) — deterministic and documented. n ≤ 1 or a zero
+    * denominator pins ρ = 0. Headroom: D4 ≤ 4n³ holds in DECIMAL(38) to
+    * ~10¹¹ rows. Scale shape: one corpus pass to the (x, y) frame, two
+    * distinct-VALUE prefix sums (value-bounded frames), two equi-joins
+    * back, one scalar aggregate.
+    */
+  def spearman(frame: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = frame.select(col(xCol).as("x"), col(yCol).as("y"))
+      .localCheckpoint() // feeds two rank frames + the final join-back
+    def twoRbar(c: String): DataFrame = {
+      val vc = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      GlobalRank
+        .withGlobalPrefixSum(vc, c, Seq.empty, "cnt", buckets = GlobalRank.Auto,
+          out = "cum")
+        .select(col(c), (col("cum") * 2 - col("cnt") + 1)
+          .cast("decimal(38,0)").as(s"r_$c"))
+    }
+    val ranked = base
+      .join(twoRbar("x"), Seq("x")).join(twoRbar("y"), Seq("y"))
+    val rho = lit(1.0) -
+      (col("d4") * 3).cast("double") /
+        (col("n") * (col("n") * col("n") - 1) * 2).cast("double")
+    ranked
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum((col("r_x") - col("r_y")) * (col("r_x") - col("r_y"))).as("d4"))
+      .select(col("n").cast("long").as("n"),
+        when(col("n") <= 1, 0.0).otherwise(round(rho, 6)).as("rho_r"))
+  }
+
+  /** DuckDB mirror of [[spearman]] over a CTE `base(x, y)` in scope. */
+  def sqlSpearmanTail: String =
+    """rx AS (SELECT x, (2 * sum(cnt) OVER (ORDER BY x) - cnt + 1)::HUGEINT AS r_x
+      |       FROM (SELECT x, count(*)::BIGINT AS cnt FROM base GROUP BY 1)),
+      |ry AS (SELECT y, (2 * sum(cnt) OVER (ORDER BY y) - cnt + 1)::HUGEINT AS r_y
+      |       FROM (SELECT y, count(*)::BIGINT AS cnt FROM base GROUP BY 1)),
+      |j AS (SELECT r_x, r_y FROM base JOIN rx USING (x) JOIN ry USING (y)),
+      |a AS (SELECT count(*)::HUGEINT AS n,
+      |        sum((r_x - r_y) * (r_x - r_y)) AS d4 FROM j)
+      |SELECT n::BIGINT AS n,
+      |  CASE WHEN n <= 1 THEN 0.0
+      |       ELSE round(1.0 - (d4 * 3)::DOUBLE
+      |              / (n * (n * n - 1) * 2)::DOUBLE, 6) END AS rho_r
+      |FROM a""".stripMargin
+
+  /** Per-user burstiness histogram — the Goh–Barabási coefficient
+    * B = (σ − μ)/(σ + μ) of each user's inter-event gaps (B → −1
+    * metronome bots, B ≈ 0 Poisson, B → 1 heavy bursts), bucketed into
+    * 10 bins over [−1, 1]. The scalar companion to
+    * [[Interarrival.histogram]]'s spectrum (its Scaladoc names this key).
+    * Exactness: gaps are exact integer MICROSECONDS (`ts DIV 1000` ≡
+    * DuckDB `epoch_us`, ties broken on event_id); per-user S = Σgap and
+    * n²σ² = n·Σgap² − S² are exact DECIMAL; B = (sqrt(m2) − S)/(sqrt(m2)
+    * + S) is then casts + sqrt + one division (all correctly rounded),
+    * round 6; the bin edge floor((B_r + 1) · 5) is a floor of an IEEE
+    * product of the shared rounded value. Degenerate users (all gaps
+    * equal AND zero — σ = μ = 0) pin B = 0. Headroom: S ≤ corpus span in
+    * µs (~3·10¹² per month-scale fixture) stays far under 2⁵³ doubles;
+    * m2 in DECIMAL(38). Scale shape: ONE user-partitioned lag window
+    * (the user axis grows with the corpus — never global), one user hash
+    * aggregate, one ≤10-bucket re-aggregate.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = call_function("div", col("ts"), lit(1000L))
+    val gaps = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", us - lag(us, 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    val per = gaps.groupBy("user_id")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("gap_us")).cast("decimal(38,0)").as("s"),
+        sum(col("gap_us").cast("decimal(38,0)") * col("gap_us")).as("q"))
+      .select(col("user_id"),
+        (col("n") * col("q") - col("s") * col("s")).as("m2"), col("s"))
+    val b = when(col("m2") === 0 && col("s") === 0, 0.0)
+      .otherwise(round(
+        (sqrt(col("m2").cast("double")) - col("s").cast("double")) /
+          (sqrt(col("m2").cast("double")) + col("s").cast("double")), 6))
+    per.select(least(lit(9L), floor((b + 1.0) * 5.0).cast("long")).as("bucket"),
+        b.as("b_r"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min(col("b_r")).as("b_min_r"), max(col("b_r")).as("b_max_r"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB mirror of [[burstiness]], term-for-term. */
+  def sqlBurstiness: String =
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |p AS (SELECT user_id, count(*)::HUGEINT AS n,
+      |        sum(gap_us)::HUGEINT AS s,
+      |        sum(gap_us::HUGEINT * gap_us) AS q
+      |      FROM g WHERE gap_us IS NOT NULL GROUP BY 1),
+      |b AS (SELECT user_id,
+      |        CASE WHEN n * q - s * s = 0 AND s = 0 THEN 0.0
+      |             ELSE round((sqrt((n * q - s * s)::DOUBLE) - s::DOUBLE)
+      |                    / (sqrt((n * q - s * s)::DOUBLE) + s::DOUBLE), 6)
+      |        END AS b_r FROM p)
+      |SELECT least(9, floor((b_r + 1.0) * 5.0))::BIGINT AS bucket,
+      |  count(*)::BIGINT AS n_users,
+      |  min(b_r) AS b_min_r, max(b_r) AS b_max_r
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 }
