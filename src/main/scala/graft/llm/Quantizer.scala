@@ -41,7 +41,17 @@ object Quantizer {
   val Scale = 10000L
   val K = 8
   val Iters = 3
-  val Dim = 64
+
+  /** Embedding dimensionality — a DEPLOYMENT constant (you know your
+    * embedder's d), not data-derived: the literal-unrolled oracle mirrors
+    * and plan-baked codebook/hyperplane constants need it at build time.
+    * Env-overridable (`SPARK_GRAFT_EMB_DIM`) so the dimension-axis studies
+    * run the same keys at d = 512 with the SAME mirrored SQL — Verify
+    * dumps oracle_sql.json in the same process, so both engines always
+    * agree on d. Fixture default 64. Read per call; constant within a JVM.
+    */
+  def Dim: Int =
+    sys.env.get("SPARK_GRAFT_EMB_DIM").map(_.toInt).getOrElse(64)
 
   /** Default training-sample size for the sampled-training path — the
     * 100 TB default: Lloyd rounds scan `min(corpus, TrainSampleRows)` rows

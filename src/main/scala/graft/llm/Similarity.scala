@@ -64,8 +64,10 @@ object Similarity {
 
   // ------------------------------------------------ computed LSH quantizer
 
-  /** Fixture embedding dimensionality (embeddings.parquet). */
-  val Dim = 64
+  /** Embedding dimensionality — delegates to [[Quantizer.Dim]] (the
+    * deployment constant, env-overridable for the dimension-axis
+    * studies). */
+  def Dim: Int = Quantizer.Dim
   /** Reserved band index for the single-cell (IVF-style) quantizer. */
   val QuantizerBand = -1
   val QuantizerBits = 4
