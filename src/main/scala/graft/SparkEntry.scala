@@ -3362,29 +3362,37 @@ object SparkEntry {
 
     // Exact quantized Gram + covariance numerators over the embedding
     // corpus — the one-pass distributed linear algebra that feeds PCA /
-    // whitening offline: X^T X as a (dim x dim)-bounded hash aggregate
-    // (upper triangle only), map-side partial, nothing collected. Sums run
-    // in DECIMAL(38,0): at 1e9+ vectors the qi*qj sum passes 2^63.
-    // cov_num = n*S_xy - S_x*S_y is the exact covariance numerator
-    // (divide by n^2 off-line); integer end-to-end so any engine replays
-    // it bit-for-bit.
+    // whitening offline. X^T X rides graft.expr.GramAgg (a native
+    // TypedImperativeAggregate): ONE pass accumulates (n, sx[d],
+    // tri[d(d+1)/2]) per task with map-side merge, then a dim-bounded
+    // two-level posexplode unfolds the triangle to (i, j) cells. The old
+    // per-row cell explode (d(d+1)/2 rows PER VECTOR) measured 51× wall
+    // at 8× dims in the r11 dimension study — ~10¹⁴ exploded rows per
+    // 10⁹ vectors at d=512; the aggregate replaces it with in-buffer long
+    // adds (loud Math.*Exact overflow at the documented ~9·10¹⁰-vector
+    // bound, mirrored by error() CASEs in the oracle). cov_num =
+    // n·S_xy − S_x·S_y in DECIMAL — integer end-to-end, bit-replayable.
     "embedding_gram" -> ((s, d) => {
-      val q = emb(s, d)
-        .select(col("vec_id"), Quantizer.quantize(col("embedding")).as("q"))
-      val e1 = q.select(col("vec_id"), col("q"),
-        posexplode(col("q")).as(Seq("i", "qi")))
-      val e2 = e1.select(col("vec_id"), col("i"), col("qi"),
-          posexplode(col("q")).as(Seq("j", "qj")))
-        .filter(col("i") <= col("j"))
-      e2.groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("CAST(qi AS DECIMAL(38,0))")).as("sx"),
-          sum(expr("CAST(qj AS DECIMAL(38,0))")).as("sy"),
-          sum(expr("CAST(qi AS DECIMAL(38,0)) * qj")).as("sxy"))
-        .select(col("i"), col("j"), col("n"),
-          expr("CAST(sxy AS BIGINT)").as("gram"),
-          expr("CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS BIGINT)")
-            .as("cov_num"))
+      val dim = Quantizer.Dim
+      val g = emb(s, d)
+        .select(Quantizer.quantize(col("embedding")).as("q"))
+        .agg(graft.expr.GramAgg.gram(col("q"), dim).as("g"))
+        .select(col("g.n").as("n"), col("g.sx").as("sx"), col("g.tri").as("tri"))
+      g.select(col("n"), col("sx"), col("tri"),
+          explode(sequence(lit(0), lit(dim - 1))).as("i"))
+        .select(col("n"), col("sx"), col("i"),
+          element_at(col("sx"), col("i") + 1).as("sx_i"),
+          expr(s"slice(tri, i * $dim - (i * (i - 1)) div 2 + 1, $dim - i)")
+            .as("seg"))
+        .select(col("n"), col("sx"), col("i"), col("sx_i"),
+          posexplode(col("seg")).as(Seq("joff", "sxy")))
+        .select(col("i").cast("long").as("i"),
+          (col("i") + col("joff")).cast("long").as("j"), col("n"),
+          col("sxy").as("gram"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                 |  - CAST(sx_i AS DECIMAL(38,0))
+                 |    * element_at(sx, CAST(i + joff + 1 AS INT))
+                 |  AS BIGINT)""".stripMargin).as("cov_num"))
         .orderBy("i", "j")
     }),
 
@@ -6710,18 +6718,26 @@ object SparkEntry {
            |ORDER BY p.event_id""".stripMargin,
 
       "embedding_gram" ->
+        // cell sums guard the SAME 2^63 bound the Spark GramAgg long
+        // accumulator throws at (Math.addExact) — loud on BOTH engines,
+        // never a HUGEINT-silently-succeeds asymmetry
         s"""WITH q AS (SELECT vec_id,
            |  ${graft.llm.Quantizer.sqlQuantize("embedding")} AS q FROM embeddings),
            |p AS (SELECT r1.range::INTEGER AS i, r2.range::INTEGER AS j,
            |        q[r1.range + 1] AS qi, q[r2.range + 1] AS qj
            |      FROM q CROSS JOIN range(${Similarity.Dim}) r1
            |        CROSS JOIN range(${Similarity.Dim}) r2
-           |      WHERE r1.range <= r2.range)
-           |SELECT i::BIGINT AS i, j::BIGINT AS j, count(*)::BIGINT AS n,
-           |  sum(qi::DECIMAL(38,0) * qj)::BIGINT AS gram,
-           |  (count(*)::DECIMAL(38,0) * sum(qi::DECIMAL(38,0) * qj)
-           |    - sum(qi::DECIMAL(38,0)) * sum(qj::DECIMAL(38,0)))::BIGINT AS cov_num
-           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+           |      WHERE r1.range <= r2.range),
+           |c AS (SELECT i, j, count(*)::BIGINT AS n,
+           |        sum(qi::DECIMAL(38,0) * qj) AS sxy,
+           |        sum(qi::DECIMAL(38,0)) AS sx, sum(qj::DECIMAL(38,0)) AS sy
+           |      FROM p GROUP BY 1, 2)
+           |SELECT i::BIGINT AS i, j::BIGINT AS j, n,
+           |  (CASE WHEN abs(sxy) > 9223372036854775807
+           |        THEN error('embedding_gram: cell exceeds the BIGINT accumulator bound')
+           |        ELSE sxy END)::BIGINT AS gram,
+           |  (n::DECIMAL(38,0) * sxy - sx * sy)::BIGINT AS cov_num
+           |FROM c ORDER BY 1, 2""".stripMargin,
 
       "events_active_users" ->
         """WITH au AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id

@@ -39,21 +39,26 @@ object Pca {
   val VScale = 1000000L
 
   /** Full (mirrored) mean-Gram frame: (i, j, gm) with
-    * gm = floor(Σ q_i·q_j / n). Upper triangle aggregated once, lower
-    * triangle mirrored — the explode is N·dim(dim+1)/2 rows, not N·dim².
+    * gm = floor(Σ q_i·q_j / n). The triangle rides [[graft.expr.GramAgg]]
+    * (one in-buffer aggregation pass — the r11 dimension study measured
+    * the old per-row cell explode at 34× wall for 8× dims on this key's
+    * consumer), unfolded to (i, j) cells by a dim-bounded two-level
+    * posexplode, lower triangle mirrored.
     */
   def meanGram(emb: DataFrame): DataFrame = {
-    val q = emb.select(Quantizer.quantize(col("embedding")).as("q"))
-    val upper = q
-      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
-      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
-      .filter(col("i") <= col("j"))
-      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(expr("CAST(qi AS DECIMAL(38,0)) * qj")).as("sxy"))
+    val dim = Quantizer.Dim
+    val g = emb.select(Quantizer.quantize(col("embedding")).as("q"))
+      .agg(graft.expr.GramAgg.gram(col("q"), dim).as("g"))
+      .select(col("g.n").as("n"), col("g.tri").as("tri"))
+    val upper = g
+      .select(col("n"), explode(sequence(lit(0), lit(dim - 1))).as("i"), col("tri"))
+      .select(col("n"), col("i"),
+        expr(s"slice(tri, i * $dim - (i * (i - 1)) div 2 + 1, $dim - i)").as("seg"))
+      .select(col("n"), col("i"), posexplode(col("seg")).as(Seq("joff", "sxy")))
       // n is the vector count (constant per cell); floor(sxy / n) in
       // sign-split form so both engines agree on negatives
-      .select(col("i"), col("j"),
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("joff")).cast("long").as("j"),
         (signum(col("sxy")).cast("long") *
           expr("CAST(abs(sxy) AS DECIMAL(38,0)) div CAST(n AS DECIMAL(38,0))")
             .cast("long")).as("gm"))
@@ -126,7 +131,9 @@ object Pca {
          |    CROSS JOIN range(${Quantizer.Dim}) r2
          |  WHERE r1.range <= r2.range GROUP BY 1, 2),
          |gup AS (SELECT i, j,
-         |    ((CASE WHEN sxy < 0 THEN -1 ELSE 1 END) *
+         |    ((CASE WHEN abs(sxy) > 9223372036854775807
+         |           THEN error('embedding_pc1: gram cell exceeds the BIGINT accumulator bound')
+         |           WHEN sxy < 0 THEN -1 ELSE 1 END) *
          |     (abs(sxy)::HUGEINT // n::HUGEINT))::BIGINT AS gm FROM gu),
          |g AS (SELECT i, j, gm FROM gup UNION ALL
          |      SELECT j AS i, i AS j, gm FROM gup WHERE i < j),
