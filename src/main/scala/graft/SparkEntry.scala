@@ -1620,6 +1620,11 @@ object SparkEntry {
     // welch t / mann-whitney (graft.ops.Stats.cohensDPairs).
     "stats_cohens_d" -> ((s, d) => graft.ops.Stats.cohensDPairs(events(s, d))),
 
+    // Two-sample KS statistic per type pair — the CDF-shape screen next
+    // to mann-whitney's location test (graft.ops.Stats.ksPairs; exact
+    // cross-multiplied integer CDFs on the value-bounded cent frame).
+    "stats_ks_pairs" -> ((s, d) => graft.ops.Stats.ksPairs(events(s, d))),
+
     // Spearman ρ between document length and quality score — "do longer
     // docs score better?", the monotone-association screen on tie-averaged
     // ranks over the distributed prefix sum (graft.ops.Stats.spearman;
@@ -6805,6 +6810,8 @@ object SparkEntry {
       "sample_poisson_epochs" -> graft.llm.Weighting.sqlPoissonEpochs,
 
       "stats_cohens_d" -> graft.ops.Stats.sqlCohensDPairs,
+
+      "stats_ks_pairs" -> graft.ops.Stats.sqlKsPairs,
 
       "events_gap_burstiness" -> graft.ops.Stats.sqlBurstiness,
 

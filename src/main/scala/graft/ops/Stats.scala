@@ -701,6 +701,87 @@ object Stats {
       |              / (n * (n * n - 1) * 2)::DOUBLE, 6) END AS rho_r
       |FROM a""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic for every event-type pair —
+    * the distribution-shape screen beside [[mannWhitneyPairs]] (U sees
+    * location shifts; KS sees ANY CDF divergence: spread, tails,
+    * bimodality). Exactness: D = max_c |F_a(c) − F_b(c)| is evaluated on
+    * the merged distinct-CENT frame with cross-multiplied integer CDFs —
+    * d_num = max |cum_a·n_b − cum_b·n_a| is an exact DECIMAL(38,0)
+    * (headroom to ~10¹⁸ events), and d_r = d_num/(n_a·n_b) is one double
+    * division, round 6. Scale shape: one corpus (type, cent) hash
+    * aggregate; pairs × merged-value frames are (k² × distinct cents) —
+    * value-bounded, never corpus-sized; the per-pair cumulative window
+    * partitions on the pair key over that bounded frame. The pair build
+    * is the k-row stats_ttest whitelist class; pair membership reaches
+    * the cell frame through an EQUI join on event_type (exploded side
+    * tags, never an OR predicate).
+    */
+  def ksPairs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = events
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds totals AND the per-pair merge
+    val tot = tc.groupBy("event_type").agg(sum(col("n")).as("nt"))
+    val pairs = tot.as("a").join(tot.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.nt").as("n_a"), col("b.nt").as("n_b"))
+    val sides = pairs.select(col("ta"), col("tb"),
+      explode(array(col("ta"), col("tb"))).as("event_type"))
+    val cells = sides.join(tc, Seq("event_type"))
+      .groupBy("ta", "tb", "c")
+      .agg(sum(when(col("event_type") === col("ta"), col("n")).otherwise(0L))
+          .as("da"),
+        sum(when(col("event_type") === col("tb"), col("n")).otherwise(0L))
+          .as("db"))
+    val w = Window.partitionBy("ta", "tb").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.select(col("ta"), col("tb"), col("c"),
+      sum("da").over(w).as("ca"), sum("db").over(w).as("cb"))
+    cum.join(pairs, Seq("ta", "tb"))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"))
+      .agg(max(abs(col("ca").cast("decimal(38,0)") * col("n_b")
+        - col("cb").cast("decimal(38,0)") * col("n_a"))).as("d_num"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        // BIGINT output contract (headroom: d_num <= n_a*n_b, exact to
+        // ~3e9 events per side; past it the ANSI cast and the DuckDB
+        // ::BIGINT cast BOTH error loudly at the same bound)
+        col("d_num").cast("long").as("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double"), 6)
+          .as("d_r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** DuckDB mirror of [[ksPairs]], term-for-term. */
+  def sqlKsPairs: String =
+    """WITH tc AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+      |    count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(n)::BIGINT AS nt FROM tc GROUP BY 1),
+      |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+      |    a.nt AS n_a, b.nt AS n_b
+      |  FROM tot a JOIN tot b ON a.event_type < b.event_type),
+      |sides AS (SELECT ta, tb, unnest([ta, tb]) AS event_type FROM pairs),
+      |cells AS (SELECT ta, tb, c,
+      |    sum(CASE WHEN s.event_type = ta THEN n ELSE 0 END)::BIGINT AS da,
+      |    sum(CASE WHEN s.event_type = tb THEN n ELSE 0 END)::BIGINT AS db
+      |  FROM sides s JOIN tc USING (event_type) GROUP BY 1, 2, 3),
+      |cum AS (SELECT ta, tb, c,
+      |    sum(da) OVER (PARTITION BY ta, tb ORDER BY c
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS ca,
+      |    sum(db) OVER (PARTITION BY ta, tb ORDER BY c
+      |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cb
+      |  FROM cells),
+      |d AS (SELECT ta AS type_a, tb AS type_b, n_a, n_b,
+      |    max(abs(ca::HUGEINT * n_b - cb::HUGEINT * n_a)) AS d_num
+      |  FROM cum JOIN pairs USING (ta, tb) GROUP BY 1, 2, 3, 4)
+      |SELECT type_a, type_b, n_a, n_b,
+      |  d_num::BIGINT AS d_num,
+      |  round(d_num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE, 6) AS d_r
+      |FROM d ORDER BY 1, 2""".stripMargin
+
   /** Per-user burstiness histogram — the Goh–Barabási coefficient
     * B = (σ − μ)/(σ + μ) of each user's inter-event gaps (B → −1
     * metronome bots, B ≈ 0 Poisson, B → 1 heavy bursts), bucketed into

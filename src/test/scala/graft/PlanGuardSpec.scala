@@ -435,6 +435,10 @@ class PlanGuardSpec extends SparkSpec {
       // corpus-sized side joins the exploded pair membership EQUI on
       // event_type (round 10):
       "stats_mannwhitney",
+      // same class (round 11): KS pair grid from the k-row totals frame;
+      // cells reach the pair via exploded side tags equi-joined on
+      // event_type, cumulative windows on the value-bounded cent frame:
+      "stats_ks_pairs", "stats_cohens_d",
       // constant-size threshold / percentile / k grids joined against an
       // aggregate frame (|grid| is a query literal):
       "dedup_threshold_sweep", "semantic_sweep", "quality_sweep",

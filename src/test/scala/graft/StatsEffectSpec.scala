@@ -57,6 +57,25 @@ class StatsEffectSpec extends SparkSpec {
     assert(rows(("a", "c")) == 0.0)
   }
 
+  test("ks_pairs: hand-computed two-sample D on a 3-cent fixture") {
+    // a: {1, 2}, b: {2, 3} -> F_a = (.5, 1, 1), F_b = (0, .5, 1) on cents
+    // (100, 200, 300): D = 0.5; d_num = max|ca*nb - cb*na| = 2 over 2*2
+    val ev = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("event_type", "value")
+    val r = Stats.ksPairs(ev).head()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getDecimal(4).longValueExact() == 2L, s"d_num: $r")
+    assert(r.getDouble(5) == 0.5, s"d_r: $r")
+  }
+
+  test("ks_pairs: identical distributions give D 0") {
+    val ev = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0))
+      .toDF("event_type", "value")
+    val r = Stats.ksPairs(ev).head()
+    assert(r.getDecimal(4).longValueExact() == 0L && r.getDouble(5) == 0.0)
+  }
+
   test("burstiness: metronome user lands in bucket 0 with B -1") {
     // gaps all equal and positive: sigma = 0, mu > 0 -> B = -1
     val base = 1700000000000000000L
