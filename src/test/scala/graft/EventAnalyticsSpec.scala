@@ -124,7 +124,9 @@ class EventAnalyticsSpec extends SparkSpec {
   test("embedding_gram: hand-computed gram and covariance numerators") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("emb").toString
-    Seq((1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 4.0f), 0))
+    // dims 2..63 are zero-padded (the key derives dim from Quantizer.Dim)
+    val pad = Seq.fill(62)(0.0f)
+    Seq((1L, Seq(1.0f, 2.0f) ++ pad, 0), (2L, Seq(3.0f, 4.0f) ++ pad, 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = SparkEntry.queries("embedding_gram")(spark, dir).collect()
@@ -133,7 +135,8 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out((0L, 0L)) == ((2L, 1000000000L, 400000000L)))
     assert(out((0L, 1L)) == ((2L, 1400000000L, 400000000L)))
     assert(out((1L, 1L)) == ((2L, 2000000000L, 400000000L)))
-    assert(out.size == 3, "upper triangle only")
+    assert(out((0L, 2L)) == ((2L, 0L, 0L)), "zero-padded dims: zero gram/cov")
+    assert(out.size == 64 * 65 / 2, "full upper triangle")
   }
 
   test("events_interpolate: planted gap replays the exact integer-weighted mean") {
