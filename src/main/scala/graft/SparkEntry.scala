@@ -2759,6 +2759,103 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // Whole-bit entropy rate of the Markov transition rows — the
+    // predictability gauge over events_transitions' matrix (uniform
+    // next-step mix → high bits; deterministic funnels → 0). Same
+    // bin-width exactness contract as the surprisal family: per-target
+    // bits = width(tot_from DIV n) − 1, row entropy ships as the exact
+    // integer micro-mean. The corpus pays the one lag window + |types|²
+    // aggregate it already pays for transitions.
+    "events_transition_entropy" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec"), col("event_id"))
+      val tr = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type").as("to_type"),
+          graft.expr.IntMath.floorDiv(col("ts"), 1000000000L).as("ts_sec"))
+        .select(col("to_type"), lag(col("to_type"), 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+      val agg = tr.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // |types|² rows feed the total AND the bits rows
+      val tot = agg.groupBy("from_type").agg(sum("n").as("tot_from"))
+      agg.join(tot, "from_type")
+        .select(col("from_type"), col("tot_from"),
+          (col("n") *
+            (length(bin(call_function("div", col("tot_from"), col("n")))) - 1)
+              .cast("long")).as("bits"))
+        .groupBy("from_type")
+        .agg(max(col("tot_from")).as("n_from"),
+          count(lit(1)).as("n_targets"), sum(col("bits")).as("bits"))
+        .select(col("from_type"), col("n_from"), col("n_targets"),
+          expr("(bits * 1000000) div n_from").as("mean_bits_micro"))
+        .orderBy("from_type")
+    }),
+
+    // Benford leading-digit screen over positive event values — the
+    // fabricated-data tripwire (graft.ops.Stats.benford; expected shares
+    // are public precomputed literals, log-free per the oracle contract).
+    "stats_benford" -> ((s, d) => graft.ops.Stats.benford(events(s, d))),
+
+    // Robust doc-length outliers via median/MAD (the 3·1.4826·MAD rule in
+    // exact cross-multiplied integers): the DQ screen that survives the
+    // heavy tails that drag mean/stddev z-scores. Both medians ride the
+    // lo+hi doubled-units order-statistic device (stats_median_exact) on
+    // DISTINCT-VALUE frames — the windows are length-cardinality-bounded,
+    // never corpus-sized; docs join flags back by value.
+    "quality_length_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def median2(df: org.apache.spark.sql.DataFrame, vc: String): Long = {
+        val tc = df.groupBy(vc).agg(count(lit(1)).as("n_v"))
+        val w = Window.orderBy(vc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = tc.withColumn("cum", sum(col("n_v")).over(w))
+          .withColumn("nn", sum(col("n_v")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        val kLo = call_function("div", col("nn") + 1, lit(2L))
+        val kHi = call_function("div", col("nn"), lit(2L)) + 1
+        val r = cum.agg(
+          min(when(col("cum") >= kLo, col(vc))).as("lo"),
+          min(when(col("cum") >= kHi, col(vc))).as("hi")).head()
+        r.getLong(0) + r.getLong(1)
+      }
+      val lens = docs(s, d).select(col("doc_id"),
+        size(TA.tokens(col("text"))).cast("long").as("n_tok"))
+        .localCheckpoint() // one tokenize pass feeds both medians + the flags
+      val med2 = median2(lens, "n_tok")
+      val dev = lens.select(col("doc_id"), col("n_tok"),
+        abs(col("n_tok") * 2 - med2).as("dev2"))
+      val mad4 = median2(dev.select(col("dev2")), "dev2")
+      // outlier ⇔ dev > 3·1.4826·MAD ⇔ dev2·20000 > 44478·mad4 (exact)
+      dev.select(col("doc_id"), col("n_tok"),
+          lit(med2).as("median_x2"), lit(mad4).as("mad_x4"),
+          (col("dev2") * 20000L > lit(44478L) * mad4).as("outlier"))
+        .orderBy("doc_id")
+    }),
+
+    // Zipf rank-frequency profile of the vocabulary in whole-bit buckets:
+    // terms ranked by (frequency desc, term) via the distributed GlobalRank
+    // (never a single-partition window), bucketed by rank bit width, each
+    // bucket reporting its term count and exact micro-mean frequency bits —
+    // the log-log slope a corpus owner reads for Zipf conformance (natural
+    // text ≈ −1 bit of frequency per bit of rank; templated/synthetic
+    // corpora flatten). bin-width exactness contract throughout.
+    "vocab_zipf_profile" -> ((s, d) => {
+      val vc = docs(s, d)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+      val ranked = graft.ops.GlobalRank.withGlobalRowNumber(
+        vc.select(col("tok"), col("f"), (-col("f")).as("negf")),
+        "negf", Seq("tok"), buckets = graft.ops.GlobalRank.Auto, out = "rnk")
+      ranked
+        .select((length(bin(col("rnk"))) - 1).cast("long").as("rank_bucket"),
+          (length(bin(col("f"))) - 1).cast("long").as("fbits"),
+          col("f"))
+        .groupBy("rank_bucket")
+        .agg(count(lit(1)).as("n_terms"), sum(col("f")).as("mass"),
+          expr("(sum(fbits) * 1000000) div count(1)").as("mean_fbits_micro"),
+          min(col("f")).as("min_f"), max(col("f")).as("max_f"))
+        .orderBy("rank_bucket")
+    }),
+
     // Distributed triangle counting over the co-purchase graph (parts
     // sharing an order). Degree-oriented wedge join — O(m^1.5) total work
     // on ANY degree distribution, no hub blow-up; see graft.ops.Triangles
@@ -6503,6 +6600,63 @@ object SparkEntry {
           |SELECT a.from_type, a.to_type, a.n, t.tot_from,
           |  (a.n * 1000000) // t.tot_from AS p_ppm
           |FROM a JOIN t USING (from_type) ORDER BY 1, 2""".stripMargin,
+
+      "events_transition_entropy" ->
+        """WITH e AS (SELECT user_id, event_id, event_type AS to_type,
+          |  (epoch_us(ts) // 1000000) AS ts_sec FROM events),
+          |tr AS (SELECT to_type, lag(to_type) OVER (
+          |    PARTITION BY user_id ORDER BY ts_sec, event_id) AS from_type FROM e),
+          |a AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM tr
+          |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+          |t AS (SELECT from_type, sum(n)::BIGINT AS tot_from FROM a GROUP BY 1),
+          |b AS (SELECT a.from_type, t.tot_from,
+          |        a.n * (length(bin(t.tot_from // a.n)) - 1)::BIGINT AS bits
+          |      FROM a JOIN t USING (from_type))
+          |SELECT from_type, max(tot_from)::BIGINT AS n_from,
+          |  count(*)::BIGINT AS n_targets,
+          |  ((sum(bits) * 1000000) // max(tot_from))::BIGINT AS mean_bits_micro
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "stats_benford" -> graft.ops.Stats.sqlBenford,
+
+      "quality_length_outliers" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH lens AS (SELECT doc_id, len($toks)::BIGINT AS n_tok
+           |  FROM documents),
+           |tc AS (SELECT n_tok AS v, count(*)::BIGINT AS n_v FROM lens GROUP BY 1),
+           |cm AS (SELECT v,
+           |  sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           |  sum(n_v) OVER () AS nn FROM tc),
+           |m AS (SELECT (min(CASE WHEN cum >= (nn + 1) // 2 THEN v END)
+           |        + min(CASE WHEN cum >= nn // 2 + 1 THEN v END))::BIGINT
+           |        AS med2 FROM cm),
+           |dev AS (SELECT doc_id, n_tok, abs(n_tok * 2 - m.med2)::BIGINT AS dev2
+           |        FROM lens, m),
+           |tc2 AS (SELECT dev2 AS v, count(*)::BIGINT AS n_v FROM dev GROUP BY 1),
+           |cm2 AS (SELECT v,
+           |  sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           |  sum(n_v) OVER () AS nn FROM tc2),
+           |m2 AS (SELECT (min(CASE WHEN cum >= (nn + 1) // 2 THEN v END)
+           |        + min(CASE WHEN cum >= nn // 2 + 1 THEN v END))::BIGINT
+           |        AS mad4 FROM cm2)
+           |SELECT doc_id, n_tok, m.med2 AS median_x2, m2.mad4 AS mad_x4,
+           |  (dev.dev2 * 20000 > 44478 * m2.mad4) AS outlier
+           |FROM dev, m, m2 ORDER BY doc_id""".stripMargin
+      },
+
+      "vocab_zipf_profile" -> {
+        val toks = TA.sqlTokens("text")
+        s"""WITH tk AS (SELECT unnest($toks) AS tok FROM documents),
+           |vc AS (SELECT tok, count(*)::BIGINT AS f FROM tk GROUP BY 1),
+           |r AS (SELECT tok, f,
+           |  row_number() OVER (ORDER BY f DESC, tok)::BIGINT AS rnk FROM vc)
+           |SELECT (length(bin(rnk)) - 1)::BIGINT AS rank_bucket,
+           |  count(*)::BIGINT AS n_terms, sum(f)::BIGINT AS mass,
+           |  ((sum(length(bin(f)) - 1) * 1000000) // count(*))::BIGINT
+           |    AS mean_fbits_micro,
+           |  min(f)::BIGINT AS min_f, max(f)::BIGINT AS max_f
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+      },
 
       "graph_triangles" ->
         (s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

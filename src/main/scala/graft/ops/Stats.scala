@@ -755,6 +755,57 @@ object Stats {
       .orderBy("type_a", "type_b")
   }
 
+  /** Expected leading-digit shares, ppm: floor(log10(1 + 1/d) · 10⁶) —
+    * PUBLIC constants of Benford's law, precomputed as query literals
+    * (log10 itself is banned from oracle contracts; a fixed 9-value table
+    * is deterministic by construction). */
+  val BenfordPpm: Seq[Long] =
+    Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L, 57991L, 51152L, 45757L)
+
+  /** Benford leading-digit screen over positive event values — the
+    * classic data-quality / fabricated-data tripwire: organic magnitude
+    * data follows log10(1 + 1/d); uniform or hand-entered data does not.
+    * Exactness: leading digit via string head of the integer cents (both
+    * engines render positive BIGINTs identically), observed shares in
+    * integer ppm by DIV, expected shares from the [[BenfordPpm]] literal
+    * table, deviation = |obs − exp| exact. Scale shape: one corpus hash
+    * aggregate to 9 cells; the digit extraction is per-row codegen.
+    */
+  def benford(events: DataFrame): DataFrame = {
+    val c = events.select(expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .filter(col("c") > 0)
+    val d = c.select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 9 rows feed the total AND the share rows
+    val tot = d.agg(sum(col("n")).as("nn"))
+    val expTable = BenfordPpm.zipWithIndex
+      .map { case (p, i) => (i + 1).toLong -> p }
+    val expCol = expTable.foldLeft(lit(0L)) { case (acc, (dig, p)) =>
+      when(col("digit") === dig, lit(p)).otherwise(acc)
+    }
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div nn").as("obs_ppm"), expCol.as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .orderBy("digit")
+  }
+
+  /** DuckDB mirror of [[benford]], term-for-term. */
+  def sqlBenford: String = {
+    val cases = BenfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+    s"""WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+       |           WHERE CAST(round(value * 100) AS BIGINT) > 0),
+       |d AS (SELECT CAST(substr(c::VARCHAR, 1, 1) AS BIGINT) AS digit,
+       |        count(*)::BIGINT AS n FROM c GROUP BY 1),
+       |t AS (SELECT sum(n)::BIGINT AS nn FROM d)
+       |SELECT digit, n, ((n * 1000000) // nn)::BIGINT AS obs_ppm,
+       |  (CASE digit $cases ELSE 0 END)::BIGINT AS exp_ppm,
+       |  abs(((n * 1000000) // nn) - CASE digit $cases ELSE 0 END)::BIGINT
+       |    AS dev_ppm
+       |FROM d, t ORDER BY digit""".stripMargin
+  }
+
   /** DuckDB mirror of [[ksPairs]], term-for-term. */
   def sqlKsPairs: String =
     """WITH tc AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
